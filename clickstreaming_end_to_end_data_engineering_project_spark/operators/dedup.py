@@ -1,0 +1,191 @@
+"""Deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (100 TB corpus):
+- exact: one shuffle on the content hash; group sizes are tiny
+  (duplicate cliques), no skew concern.
+- n-gram Jaccard: exact pairwise similarity *restricted to candidate
+  pairs that share a shingle*.  The explode→self-join is the textbook
+  inverted-index join; hot shingles are the skew risk, so very frequent
+  shingles (doc-frequency above a cap) are dropped before the join —
+  standard practice and what AQE skew-split can't fix alone.
+- MinHash+LSH: the sub-quadratic path.  K independent min-hashes from
+  seeded xxhash64 (no UDF), banded into B buckets; candidate pairs only
+  within a bucket → shuffle on (band, bucket-hash) instead of shingle.
+- SimHash: 64-bit signature per doc via bit-voting over token hashes;
+  near-dups = identical signature (or banded Hamming pieces).
+
+MinHash/SimHash use Spark's xxhash64/hash and are checked rows-only
+(DuckDB's hash() is a different function); Jaccard is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: fingerprint, dup_count, first id."""
+    return (
+        df.select(F.md5(F.col(text_col).cast("binary")).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min(id_col).alias("first_doc"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def shingles(text_col: str = "text", n: int = 3) -> F.Column:
+    """Word n-gram shingles as strings (space-joined)."""
+    toks = tokens(text_col)
+    return F.when(F.size(toks) >= n, F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+    )).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) pairs, distinct within a doc."""
+    return (
+        df.select(F.col(id_col).alias("_id"), F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram shingle sets for all candidate
+    pairs sharing ≥1 shingle.  Output: (doc_a, doc_b, jaccard) with
+    doc_a < doc_b and jaccard ≥ threshold, rounded to 6dp."""
+    ds = _doc_shingles(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        freq = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        ds = ds.join(F.broadcast(freq.filter(F.col("_df") <= max_doc_freq).drop("_df")), "shingle")
+    sizes = ds.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    a = ds.alias("a")
+    b = ds.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes).withColumnRenamed("_id", "doc_a").withColumnRenamed("_n", "_na"), "doc_a")
+        .join(F.broadcast(sizes).withColumnRenamed("_id", "doc_b").withColumnRenamed("_n", "_nb"), "doc_b")
+        .withColumn("jaccard", F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3, k: int = 32
+) -> DataFrame:
+    """K min-hashes per doc from seeded xxhash64 over shingles — one
+    narrow pass, no shuffle until the band grouping."""
+    sh = shingles(text_col, n)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(seed), s)))
+            for seed in range(k)
+        ]
+    )
+    return df.select(F.col(id_col).alias("_id"), sig.alias("signature"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """LSH-banded candidate pairs: docs agreeing on all rows of ≥1 band.
+    Output (doc_a, doc_b, est_jaccard) where est_jaccard = fraction of
+    the K min-hashes that agree (unbiased Jaccard estimate)."""
+    rows = k // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, k)
+    banded = sigs.select(
+        "_id",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(F.concat_ws(",", *[F.col("signature")[bi * rows + r] for r in range(rows)])).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "signature", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("doc_a"),
+            F.col("b._id").alias("doc_b"),
+            F.col("a.signature").alias("sa"),
+            F.col("b.signature").alias("sb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.round(
+        F.size(F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda m: m))
+        / F.lit(float(k)),
+        4,
+    )
+    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+
+
+def simhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document: each token votes ±1 on every bit of
+    its xxhash64; signature bit i is 1 iff the vote sum is positive.
+    Entirely array expressions — one projection, no shuffle.  (The
+    per-bit shift counts are Python ints because Spark's shiftleft/
+    shiftright wrappers take literal bit counts.)"""
+    from functools import reduce
+
+    toks = tokens(text_col)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("int") for i in range(64)]),
+            lambda a, bit: a + F.when(bit == F.lit(1), F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    with_votes = df.select(F.col(id_col), votes.alias("_votes"))
+    bit_terms = [
+        F.when(F.element_at(F.col("_votes"), i + 1) > 0, F.shiftleft(F.lit(1).cast("long"), i))
+        .otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    ]
+    sig = reduce(lambda a, b: a.bitwiseOR(b), bit_terms)
+    return with_votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Docs sharing an identical SimHash (near-dup at Hamming 0)."""
+    return (
+        simhash_signatures(df, id_col, text_col)
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min(id_col).alias("first_doc"))
+        .filter(F.col("dup_count") > 1)
+    )

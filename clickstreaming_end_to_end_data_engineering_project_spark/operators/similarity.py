@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a broadcast of the query vector
+against a single scan of the corpus; at 100 TB this is
+embarrassingly parallel (no shuffle except the final top-k, which is a
+per-partition top-k + tiny driver merge via ``orderBy().limit()`` —
+Spark plans that as TakeOrderedAndProject, never a full sort).
+
+Scale path: random-hyperplane LSH — bucket vectors by the sign pattern
+of D deterministic pseudo-random hyperplanes, probe only the query's
+bucket, exact-rerank inside.  Hyperplane components are derived from
+xxhash64(plane, dim) so the whole thing is reproducible with no stored
+model (swap in trained centroids for a real IVF index; plan shape is
+identical: bucket-id equi-join then rerank).
+
+Dot products use double math folded left-to-right over the array
+(``F.aggregate``) so the DuckDB oracle can reproduce values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order double-precision dot product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors of one corpus vector.
+    Output: (vec_id, cos_sim) ordered desc, id tiebreak."""
+    q = df.filter(F.col(id_col) == query_vec_id).select(F.col(vec_col).alias("_qvec"))
+    sim = cosine(F.col(vec_col), F.col("_qvec"))
+    return (
+        df.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplane_sign(vec: Column, plane: int, dims: int) -> Column:
+    """Sign bit of <vec, h_plane> where h_plane[i] = ±1 from
+    xxhash64(plane, i) parity — deterministic pseudo-random hyperplane."""
+    proj = F.aggregate(
+        F.zip_with(
+            vec,
+            F.sequence(F.lit(0), F.lit(dims - 1)),
+            lambda x, i: x.cast("double")
+            * F.when(F.xxhash64(F.lit(plane), i).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def lsh_bucket(vec: Column, planes: int, dims: int) -> Column:
+    """Random-hyperplane LSH bucket id: `planes`-bit sign signature."""
+    bits = [
+        _hyperplane_sign(vec, p, dims) * F.lit(2**p) for p in range(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    planes: int = 4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only vectors whose LSH bucket matches
+    the query's, exact cosine rerank inside the bucket.  At scale the
+    corpus is pre-bucketed (written partitioned by bucket) so the probe
+    is a partition-pruned scan."""
+    bucketed = df.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes, dims))
+    q = bucketed.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qvec"), F.col("_bucket").alias("_qbucket")
+    )
+    sim = cosine(F.col(vec_col), F.col("_qvec"))
+    return (
+        bucketed.crossJoin(F.broadcast(q))
+        .filter((F.col("_bucket") == F.col("_qbucket")) & (F.col(id_col) != query_vec_id))
+        .select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pairwise_above_threshold(
+    df: DataFrame,
+    threshold: float,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold, blocked on ``block_col`` to
+    avoid the full quadratic join (blocking key = LSH bucket or cluster
+    label at scale)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col(block_col).alias("blk"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col(block_col).alias("blk"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

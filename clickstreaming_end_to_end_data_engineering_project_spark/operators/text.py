@@ -1,0 +1,119 @@
+"""Text analysis over the ``documents`` table.
+
+Capability extension per SURVEY.md §2.11 (the reference's README
+promises text/journey analytics it never implements).  All operators
+are pure built-in column expressions — no Python in the hot path — so
+they run inside whole-stage codegen and scale linearly with input
+splits (no shuffle except the final aggregations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small function-word list used for quality scoring. Deliberately tiny
+# and hard-coded so the DuckDB oracle can embed the identical set.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# Token pattern for BPE-ish counting: runs of word chars OR single
+# non-space punctuation — approximates subword tokenizer pre-splitting.
+TOKEN_REGEX = r"\w+|[^\w\s]"
+
+
+def tokens(text: str | Column = "text") -> Column:
+    """Whitespace tokens, empty strings removed."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, r"\s+"), lambda x: x != F.lit(""))
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document token statistics: count, average token length,
+    stopword ratio, punctuation ratio — the quality-scoring features."""
+    toks = tokens(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks)
+    total_len = F.aggregate(toks, F.lit(0.0), lambda acc, x: acc + F.length(x))
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[\w\s]", ""))
+    # raw int/int double divisions: inputs are exact integers, so the
+    # result is bit-identical across engines — no rounding needed (and
+    # native round() would reintroduce engine-specific .5 behavior)
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        (total_len / n_tokens).alias("avg_token_len"),
+        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+        (n_punct.cast("double") / F.length(text_col)).alias("punct_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic heuristic quality score in [0,1]: rewards moderate
+    length and the presence of function words; penalizes punctuation
+    soup.  (Gopher-rules-style filtering, SQL-expressible.)"""
+    stats = token_stats(df, id_col, text_col)
+    length_ok = (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000)
+    score = (
+        F.when(length_ok, F.lit(0.5)).otherwise(F.lit(0.0))
+        + F.when(F.col("stopword_ratio") >= 0.01, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(F.col("punct_ratio") <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return stats.select(id_col, score.alias("quality_score"))
+
+
+def bpe_ish_token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token count under a subword-style regex (word runs + punctuation
+    marks counted separately) — the cheap proxy for tokenizer cost."""
+    arr = F.filter(
+        F.split(F.regexp_replace(F.col(text_col), TOKEN_REGEX, "$0"), ""),
+        lambda x: F.trim(x) != F.lit(""),
+    )
+    return df.select(F.col(id_col), F.size(arr).alias("bpe_token_count"))
+
+
+def lang_id_heuristic(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """N-gram/marker language-ID heuristic.  Scores each candidate
+    language by marker-token hits and picks the argmax (ties → 'und').
+    Deterministic and fully columnar; real corpora would swap in a
+    trained n-gram table, same plan shape."""
+    markers = {
+        "en": ("the", "and", "of", "is"),
+        "es": ("el", "la", "los", "es"),
+        "fr": ("le", "la", "les", "est"),
+        "de": ("der", "die", "das", "und"),
+        "zh": ("的", "是", "了", "我"),
+    }
+    toks = tokens(text_col)
+    scores = []
+    for lang, ms in markers.items():
+        arr = F.array(*[F.lit(m) for m in ms])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda x: F.array_contains(arr, x))).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    return df.select(
+        F.col(id_col),
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("predicted_lang"),
+    )
+
+
+def fingerprint_md5(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact content fingerprint (md5 hex) — the exact-dedup key."""
+    return df.select(F.col(id_col), F.md5(F.col(text_col).cast("binary")).alias("fingerprint"))
+
+
+def fingerprint_rolling(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Polynomial rolling hash over characters (base 31, Mersenne-prime
+    modulus) — order-sensitive document fingerprint computed entirely
+    with array expressions (no UDF)."""
+    chars = F.split(F.col(text_col), "")
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * F.lit(31) + F.ascii(ch)) % F.lit(2147483647),
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

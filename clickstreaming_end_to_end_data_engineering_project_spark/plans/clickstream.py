@@ -1,0 +1,346 @@
+"""Reference-parity queries over the ``events`` stream table.
+
+The driver testdata ``events`` table (event_id, ts, user_id,
+event_type, value, props-JSON) plays the role of the reference's Kafka
+clickstream (SURVEY.md §1.2); event_type domain here is
+{view, click, purchase, signup, error}.  Each query is the batch twin
+of a reference streaming pipeline:
+
+- page_view_counts      ← pipeline #1 (stream_processor.py:129-173)
+- user_sessions         ← pipeline #2 (:175-206), upgraded to
+                          session_window + deterministic event lists
+- purchase_stats        ← pipeline #3 (:208-254), exact-distinct twin
+- hourly_event_stats    ← pipeline #4 (:256-296), struct group keys
+- json_props_*          ← the from_json ingest path (:121-125)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import avg_money, sum_money
+from ..operators.anomaly import zscore_anomalies
+from ..operators.sessions import session_event_lists, sessionize
+from ..operators.windows import tumbling_count
+from ..schema import EVENTS_PROPS_SCHEMA
+from ..sources.tables import load
+from .registry import QuerySpec
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events")
+
+
+def page_view_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Views per 1-minute tumbling window (flagship; ref :137-149)."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "view")
+    return tumbling_count(ev, "ts", "1 minute", count_alias="view_count")
+
+
+def page_view_counts_by_user_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed counts keyed by a low-cardinality derived dimension —
+    the (window, page) grouping shape of the reference."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "view")
+    ev = ev.withColumn("user_bucket", (F.col("user_id") % 10).cast("int"))
+    return tumbling_count(ev, "ts", "1 minute", "user_bucket", count_alias="view_count")
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions with ordered, comma-joined event lists
+    (ref user_sessions :182-192 + array_join flatten :333-339)."""
+    return session_event_lists(_events(spark, sf_dir), "ts", "user_id", "event_type", "event_id")
+
+
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window sessionization: start/end/count per session."""
+    return sessionize(_events(spark, sf_dir), "ts", "user_id")
+
+
+def purchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly purchase count / revenue / exact unique buyers (ref :215-231)."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("purchase_count"),
+            sum_money("value").alias("total_revenue"),
+            F.count_distinct(F.col("user_id")).alias("unique_buyers"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "purchase_count",
+            "total_revenue",
+            "unique_buyers",
+        )
+    )
+
+
+def purchase_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ twin of purchase_stats (ref approx_count_distinct :223) —
+    rows-only check: HLL estimates differ from DuckDB's sketch."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("purchase_count"),
+            F.approx_count_distinct("user_id").alias("unique_buyers_approx"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "purchase_count",
+            "unique_buyers_approx",
+        )
+    )
+
+
+def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly stats keyed through a nested struct (the reference groups
+    on device.type/browser/os, :260-282 — same dot-path projection)."""
+    ev = _events(spark, sf_dir).withColumn(
+        "meta", F.struct(F.col("event_type").alias("kind"), F.col("user_id").alias("uid"))
+    )
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("meta.kind").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("visit_count"),
+            F.count_distinct(F.col("meta.uid")).alias("unique_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "visit_count",
+            "unique_users",
+        )
+    )
+
+
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json ingest path (ref :121-125): parse the props JSON
+    document against a declared schema, flatten, aggregate."""
+    ev = _events(spark, sf_dir).withColumn("data", F.from_json(F.col("props"), EVENTS_PROPS_SCHEMA))
+    return (
+        ev.select(F.col("data.k").alias("k"), "value")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("event_cnt"), avg_money("value").alias("avg_value"))
+    )
+
+
+def json_props_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 props.k by frequency — sort + limit with deterministic
+    tiebreak (TakeOrderedAndProject, no full sort at scale)."""
+    return (
+        json_props_stats(spark, sf_dir)
+        .orderBy(F.col("event_cnt").desc(), F.col("k"))
+        .limit(20)
+    )
+
+
+def user_journey_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition counts via lag over per-user time order
+    (the README's 'user journey flows', README.md:128-137)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _events(spark, sf_dir).withColumn("prev_event", F.lag("event_type").over(w))
+    return (
+        ev.filter(F.col("prev_event").isNotNull())
+        .groupBy(F.col("prev_event"), F.col("event_type").alias("next_event"))
+        .agg(F.count(F.lit(1)).alias("transition_count"))
+    )
+
+
+def anomaly_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """README.md:123 anomaly detection: minutes with |z| > 2."""
+    return zscore_anomalies(_events(spark, sf_dir), "ts", "minute", 2.0)
+
+
+def sql_event_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-SQL read surface (ref executes arbitrary SELECTs,
+    storage/postgres_connector.py:44-55) — spark.sql over a view."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("_ev_sql_surface")
+    return spark.sql(
+        """
+        SELECT event_type,
+               count(*)                                             AS event_cnt,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)    AS total_value,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value,
+               count(DISTINCT user_id)                              AS unique_users
+        FROM _ev_sql_surface
+        GROUP BY event_type
+        """
+    )
+
+
+def events_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of a projection (dropDuplicates ≡ SELECT DISTINCT)."""
+    return _events(spark, sf_dir).select("user_id", "event_type").dropDuplicates()
+
+
+_SESSION_ORACLE = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     < INTERVAL 30 MINUTE
+                THEN 0 ELSE 1 END AS new_sess
+    FROM events
+), sess AS (
+    SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sess_no
+    FROM flagged
+)
+"""
+
+SPECS = [
+    QuerySpec(
+        "page_view_counts",
+        page_view_counts,
+        """
+        SELECT date_trunc('minute', ts)                     AS window_start,
+               date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end,
+               count(*)                                     AS view_count
+        FROM events WHERE event_type = 'view'
+        GROUP BY 1, 2
+        """,
+        "flagship: 1-min tumbling view counts",
+    ),
+    QuerySpec(
+        "page_view_counts_by_user_bucket",
+        page_view_counts_by_user_bucket,
+        """
+        SELECT date_trunc('minute', ts)                     AS window_start,
+               date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end,
+               CAST(user_id % 10 AS INT)                    AS user_bucket,
+               count(*)                                     AS view_count
+        FROM events WHERE event_type = 'view'
+        GROUP BY 1, 2, 3
+        """,
+    ),
+    QuerySpec(
+        "user_sessions",
+        user_sessions,
+        _SESSION_ORACLE
+        + """
+        SELECT user_id,
+               min(ts)  AS session_start,
+               max(ts)  AS session_end,
+               count(*) AS event_count,
+               string_agg(event_type, ',' ORDER BY ts, event_id) AS event_types
+        FROM sess GROUP BY user_id, sess_no
+        """,
+    ),
+    QuerySpec(
+        "session_stats",
+        session_stats,
+        _SESSION_ORACLE
+        + """
+        SELECT user_id,
+               min(ts)  AS session_start,
+               max(ts)  AS session_end,
+               count(*) AS event_count
+        FROM sess GROUP BY user_id, sess_no
+        """,
+    ),
+    QuerySpec(
+        "purchase_stats",
+        purchase_stats,
+        """
+        SELECT date_trunc('hour', ts)                     AS window_start,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR   AS window_end,
+               count(*)                                   AS purchase_count,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_revenue,
+               count(DISTINCT user_id)                    AS unique_buyers
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+        """,
+    ),
+    QuerySpec("purchase_stats_approx", purchase_stats_approx, None, "HLL++ rows-only twin"),
+    QuerySpec(
+        "hourly_event_stats",
+        hourly_event_stats,
+        """
+        SELECT date_trunc('hour', ts)                   AS window_start,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+               event_type,
+               count(*)                                 AS visit_count,
+               count(DISTINCT user_id)                  AS unique_users
+        FROM events
+        GROUP BY 1, 2, 3
+        """,
+    ),
+    QuerySpec(
+        "json_props_stats",
+        json_props_stats,
+        """
+        SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+               count(*)             AS event_cnt,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value
+        FROM events GROUP BY 1
+        """,
+    ),
+    QuerySpec(
+        "json_props_topk",
+        json_props_topk,
+        """
+        SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+               count(*)             AS event_cnt,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value
+        FROM events GROUP BY 1
+        ORDER BY event_cnt DESC, k
+        LIMIT 20
+        """,
+    ),
+    QuerySpec(
+        "user_journey_transitions",
+        user_journey_transitions,
+        """
+        WITH j AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event
+            FROM events
+        )
+        SELECT prev_event, event_type AS next_event, count(*) AS transition_count
+        FROM j WHERE prev_event IS NOT NULL
+        GROUP BY 1, 2
+        """,
+    ),
+    QuerySpec(
+        "anomaly_minutes",
+        anomaly_minutes,
+        """
+        WITH m AS (
+            SELECT date_trunc('minute', ts) AS bucket_start, count(*) AS event_cnt
+            FROM events GROUP BY 1
+        ), s AS (
+            SELECT sum(event_cnt) AS s, sum(event_cnt * event_cnt) AS sq, count(*) AS n FROM m
+        )
+        SELECT bucket_start, event_cnt,
+               floor(((event_cnt - CAST(s AS DOUBLE) / n)
+                      / sqrt((sq - (CAST(s AS DOUBLE) * s) / n) / (n - 1))) * 10000.0 + 0.5)
+               / 10000.0 AS zscore
+        FROM m, s
+        WHERE abs((event_cnt - CAST(s AS DOUBLE) / n)
+                  / sqrt((sq - (CAST(s AS DOUBLE) * s) / n) / (n - 1))) > 2.0
+        """,
+    ),
+    QuerySpec(
+        "sql_event_summary",
+        sql_event_summary,
+        """
+        SELECT event_type,
+               count(*)                                             AS event_cnt,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)    AS total_value,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value,
+               count(DISTINCT user_id)                              AS unique_users
+        FROM events GROUP BY event_type
+        """,
+    ),
+    QuerySpec(
+        "events_dedup_distinct",
+        events_dedup_distinct,
+        "SELECT DISTINCT user_id, event_type FROM events",
+    ),
+]

@@ -1,0 +1,293 @@
+"""Training-data pipeline queries over ``documents`` / ``embeddings``:
+deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash), similarity
+search (brute-force + LSH), and text analysis (token stats, quality,
+language-ID, fingerprints).
+
+Hash-dependent operators (MinHash/SimHash/LSH use Spark's xxhash64)
+have no DuckDB twin → rows-only specs; everything else is
+oracle-checked, including the double-precision cosine (both sides fold
+the dot product left-to-right in doubles → bit-identical)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dround
+from ..operators import dedup, similarity, text
+from ..sources.tables import load
+from .registry import QuerySpec
+
+STOP_SQL = ", ".join(f"'{s}'" for s in text.STOPWORDS)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "embeddings")
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats(_docs(spark, sf_dir))
+
+
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(_docs(spark, sf_dir))
+
+
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id_heuristic(_docs(spark, sf_dir))
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint_md5(_docs(spark, sf_dir))
+
+
+def doc_fingerprints_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint_rolling(_docs(spark, sf_dir))
+
+
+def lang_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("doc_cnt"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+def word_freq_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode + count + deterministic top-k over the corpus vocab."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.explode(text.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("word_count"))
+        .orderBy(F.col("word_count").desc(), F.col("word"))
+        .limit(20)
+    )
+
+
+def exact_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dup_groups(_docs(spark, sf_dir))
+
+
+def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+
+
+def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_candidates(_docs(spark, sf_dir))
+
+
+def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_dup_groups(_docs(spark, sf_dir))
+
+
+def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_force_topk(_embs(spark, sf_dir), query_vec_id=0, k=10)
+
+
+def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_topk(_embs(spark, sf_dir), query_vec_id=0, k=10)
+
+
+def embedding_label_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.pairwise_above_threshold(_embs(spark, sf_dir), threshold=0.9)
+
+
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean vector per label — the IVF-centroid build step;
+    posexplode + re-assemble keeps it a plain groupBy (no UDF)."""
+    e = _embs(spark, sf_dir)
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.avg(F.col("v").cast("double")).alias("mean_v"))
+        .groupBy("label")
+        .agg(
+            dround(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "mean_v"))),
+                        lambda s: s["mean_v"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("centroid_sum"),
+            F.count(F.lit(1)).alias("n_dims"),
+        )
+    )
+
+
+# DuckDB twins ---------------------------------------------------------------
+
+_TOKENS_SQL = "list_filter(str_split_regex(text, '\\s+'), x -> x <> '')"
+
+_JACCARD_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+), sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(len(t) - 2),
+                                 i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+             ELSE [list_aggregate(t, 'string_agg', ' ')] END)) AS shingle
+    FROM toks
+), sizes AS (
+    SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       i * 1.0 / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2
+"""
+
+_COSINE_EXPR = """
+list_reduce(list_transform(range(len(e.embedding)),
+            i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(q.embedding[i+1] AS DOUBLE)),
+            (x, y) -> x + y)
+/ (sqrt(list_reduce(list_transform(range(len(e.embedding)),
+            i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)),
+            (x, y) -> x + y))
+ * sqrt(list_reduce(list_transform(range(len(q.embedding)),
+            i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(q.embedding[i+1] AS DOUBLE)),
+            (x, y) -> x + y)))
+"""
+
+SPECS = [
+    QuerySpec(
+        "doc_token_stats",
+        doc_token_stats,
+        f"""
+        WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents)
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               list_reduce(list_transform(toks, x -> len(x) * 1.0), (a, b) -> a + b)
+                     / len(toks) AS avg_token_len,
+               len(list_filter(toks, x -> x IN ({STOP_SQL}))) * 1.0 / len(toks)
+                     AS stopword_ratio,
+               len(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1.0 / len(text)
+                     AS punct_ratio
+        FROM t
+        """,
+    ),
+    QuerySpec(
+        "doc_quality_scores",
+        doc_quality_scores,
+        f"""
+        WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents),
+        s AS (
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   len(list_filter(toks, x -> x IN ({STOP_SQL}))) * 1.0 / len(toks)
+                         AS stopword_ratio,
+                   len(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1.0 / len(text)
+                         AS punct_ratio
+            FROM t
+        )
+        SELECT doc_id,
+               CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END
+                   + CASE WHEN stopword_ratio >= 0.01 THEN 0.25 ELSE 0.0 END
+                   + CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END AS quality_score
+        FROM s
+        """,
+    ),
+    QuerySpec("doc_lang_id", doc_lang_id, None, "marker-based language ID (rows-only)"),
+    QuerySpec(
+        "doc_fingerprints",
+        doc_fingerprints,
+        "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+    ),
+    QuerySpec(
+        "doc_fingerprints_rolling",
+        doc_fingerprints_rolling,
+        None,
+        "rolling polynomial hash (rows-only: duckdb lacks seq-fold over chars w/ init)",
+    ),
+    QuerySpec(
+        "lang_source_stats",
+        lang_source_stats,
+        """
+        SELECT lang, source,
+               count(*)                                  AS doc_cnt,
+               CAST(sum(n_chars) AS DOUBLE) / count(*)   AS avg_chars,
+               max(n_chars)                              AS max_chars
+        FROM documents GROUP BY lang, source
+        """,
+    ),
+    QuerySpec(
+        "word_freq_top20",
+        word_freq_top20,
+        f"""
+        SELECT w AS word, count(*) AS word_count
+        FROM (SELECT unnest({_TOKENS_SQL}) AS w FROM documents)
+        GROUP BY w
+        ORDER BY word_count DESC, word
+        LIMIT 20
+        """,
+    ),
+    QuerySpec(
+        "exact_dup_docs",
+        exact_dup_docs,
+        """
+        SELECT md5(text) AS fingerprint, count(*) AS dup_count, min(doc_id) AS first_doc
+        FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+    ),
+    QuerySpec("ngram_jaccard_dups", ngram_jaccard_dups, _JACCARD_ORACLE),
+    QuerySpec("minhash_lsh_dups", minhash_lsh_dups, None, "MinHash+LSH candidates (rows-only)"),
+    QuerySpec("simhash_dups", simhash_dups, None, "SimHash dup groups (rows-only)"),
+    QuerySpec(
+        "embedding_topk_cosine",
+        embedding_topk_cosine,
+        f"""
+        SELECT e.vec_id, {_COSINE_EXPR} AS cos_sim
+        FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+        ORDER BY cos_sim DESC, e.vec_id
+        LIMIT 10
+        """,
+    ),
+    QuerySpec("embedding_lsh_topk", embedding_lsh_topk, None, "LSH-bucketed ANN (rows-only)"),
+    QuerySpec(
+        "embedding_label_pairs",
+        embedding_label_pairs,
+        f"""
+        SELECT e.vec_id AS id_a, q.vec_id AS id_b, {_COSINE_EXPR} AS cos_sim
+        FROM embeddings e JOIN embeddings q
+          ON e.label = q.label AND e.vec_id < q.vec_id
+        WHERE {_COSINE_EXPR} >= 0.9
+        """,
+    ),
+    QuerySpec(
+        "embedding_label_centroids",
+        embedding_label_centroids,
+        """
+        WITH exploded AS (
+            SELECT label,
+                   unnest(range(len(embedding)))                 AS dim,
+                   unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+            FROM embeddings
+        ), flat AS (
+            SELECT label, dim, avg(v) AS mean_v
+            FROM exploded GROUP BY label, dim
+        )
+        SELECT label, floor(sum(mean_v) * 1000000.0 + 0.5) / 1000000.0 AS centroid_sum, count(*) AS n_dims
+        FROM flat GROUP BY label
+        """,
+    ),
+]

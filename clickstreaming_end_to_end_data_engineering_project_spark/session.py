@@ -1,0 +1,57 @@
+"""SparkSession factory.
+
+The reference builds its session at
+spark_processor/stream_processor.py:59-81 (AQE on, coalesce partitions,
+shuffle.partitions=10, Kafka package).  We keep the knobs that matter at
+scale and drop the ones that don't (the legacy DStream
+``spark.streaming.concurrentJobs`` knob has no effect on Structured
+Streaming).
+
+Design for a 1000-executor cluster even though tests run local[32]:
+- AQE enabled: runtime partition coalescing, skew-join splitting, and
+  dynamic join-strategy switching replace hand-tuned repartition() calls.
+- UTC session timezone so windowed/event-time results are stable across
+  environments (and match the DuckDB oracle, which is timezone-naive).
+- Arrow enabled for the (rare) pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "clickstream-engine", cpus: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults."""
+    cpus = cpus or DEFAULT_CPUS
+    return (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(int(cpus)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.streaming.stateStore.stateSchemaCheck", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+
+
+def ensure_session_defaults(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable defaults to an externally created session.
+
+    The correctness driver passes its own SparkSession into ``queries()``
+    callables; event-time queries need a deterministic timezone no matter
+    who built the session.  Only runtime-mutable confs are touched.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the driver testdata stores events.ts as TIMESTAMP(NANOS), which the
+    # parquet reader rejects; read as long and convert in the loader
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark

@@ -1,0 +1,45 @@
+"""Batch table loaders over the driver-provided parquet testdata.
+
+Column pruning and predicate pushdown reach the parquet scan because
+loaders return the raw ``spark.read.parquet`` DataFrame — no collects,
+no caching, no schema merging.  At 100 TB the same call pattern works
+against a partitioned table root; partition pruning is Catalyst's job.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import TABLE_NAMES
+from ..session import ensure_session_defaults
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a DataFrame (lazy parquet scan).
+
+    Nanosecond parquet timestamps (events.ts) surface as LongType under
+    ``nanosAsLong`` and are truncated to microseconds — the same
+    precision DuckDB's TIMESTAMP uses, so oracle comparisons agree.
+    """
+    ensure_session_defaults(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` works —
+    the engine's raw-SQL read surface (reference: arbitrary SELECT via
+    storage/postgres_connector.py:44-55)."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
