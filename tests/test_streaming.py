@@ -1,0 +1,210 @@
+"""Streaming-layer tests (SURVEY.md §5 item 4): each pipeline run as a
+file-source stream with trigger(availableNow=True) must equal the
+batch run of the same transform; watermarks must drop late rows."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+from clickstreaming_end_to_end_data_engineering_project_spark.streaming.pipelines import (
+    ClickstreamPipelines,
+    event_stats_pipeline,
+    page_view_pipeline,
+    parse_event_stream,
+    purchase_pipeline,
+    read_file_stream,
+    session_pipeline,
+)
+from clickstreaming_end_to_end_data_engineering_project_spark.streaming.sinks import (
+    MemorySink,
+    MetricsSink,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir):
+    """Materialize the events table as a single parquet dir usable as a
+    file-stream source (single partition → deterministic batches)."""
+    tmp = tempfile.mkdtemp(prefix="stream_src_")
+    load(spark, sf_dir, "events").coalesce(1).write.mode("overwrite").parquet(tmp)
+    yield tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _run_streaming(spark, events_dir, transform, key_cols):
+    src = read_file_stream(spark, events_dir, EVENTS_SCHEMA)
+    sink = MemorySink(key_cols=key_cols)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        transform(src)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return sink
+
+
+@pytest.mark.parametrize(
+    "transform,key_cols",
+    [
+        (page_view_pipeline, ["window_start"]),
+        (purchase_pipeline, ["window_start"]),
+        (event_stats_pipeline, ["window_start", "event_type"]),
+    ],
+    ids=["page_views", "purchases", "event_stats"],
+)
+def test_streaming_equals_batch(spark, sf_dir, events_dir, transform, key_cols):
+    batch_df = transform(load(spark, sf_dir, "events"))
+    expected = {
+        tuple(r[k] for k in key_cols): r.asDict() for r in batch_df.collect()
+    }
+    sink = _run_streaming(spark, events_dir, transform, key_cols)
+    got = {tuple(r[k] for k in key_cols): r for r in sink.result}
+    assert len(got) == len(expected), f"{len(got)} streaming vs {len(expected)} batch keys"
+    assert got.keys() == expected.keys()
+    for k, row in expected.items():
+        assert got[k] == row, f"key {k}: {got[k]} != {row}"
+
+
+def test_streaming_sessions_append_mode(spark, sf_dir, events_dir):
+    """Session-window aggregation only supports append mode on streams:
+    a session emits once its window is finalized by the watermark, so
+    the streamed result equals the batch result restricted to sessions
+    closed before the final watermark (= max event time here)."""
+    events = load(spark, sf_dir, "events")
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    gap = dt.timedelta(minutes=30)
+    batch = session_pipeline(events).collect()
+    expected = {
+        (r["user_id"], r["session_start"]): r.asDict()
+        for r in batch
+        if r["session_end"] + gap <= max_ts  # session window end = last event + gap
+    }
+
+    src = read_file_stream(spark, events_dir, EVENTS_SCHEMA)
+    sink = MemorySink(key_cols=["user_id", "session_start"])
+    ckpt = tempfile.mkdtemp(prefix="ckpt_sess_")
+    q = (
+        session_pipeline(src, watermark="0 seconds")
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    got = {(r["user_id"], r["session_start"]): r for r in sink.result}
+    assert got == expected
+
+
+def test_watermark_drops_late_rows(spark):
+    """A row older than (max ts - watermark) when its batch arrives is
+    dropped from the windowed aggregate (FIXTURES.md §3 behavior)."""
+    tmp = tempfile.mkdtemp(prefix="late_src_")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    batch1 = [(1, base, 1, "view", 1.0, "{}"), (2, base + dt.timedelta(minutes=10), 1, "view", 1.0, "{}")]
+    batch2 = [(3, base + dt.timedelta(minutes=1), 1, "view", 1.0, "{}")]  # 9 min late > 1 min watermark
+    spark.createDataFrame(batch1, EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(tmp)
+    spark.createDataFrame(batch2, EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(tmp)
+
+    src = read_file_stream(spark, tmp, EVENTS_SCHEMA).coalesce(1)
+    sink = MemorySink(key_cols=["window_start"])
+    ckpt = tempfile.mkdtemp(prefix="ckpt_late_")
+    q = (
+        page_view_pipeline(src, watermark="1 minute")
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch → watermark advances between
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    counts = {r["window_start"]: r["view_count"] for r in sink.result}
+    # batch2's 12:01 row is behind the watermark (12:10 - 1min) → dropped:
+    # the 12:00 window keeps count 1 (from batch1), never updated to 2
+    assert counts.get(base) == 1, counts
+    assert counts.get(base + dt.timedelta(minutes=10)) == 1
+
+
+def test_pipeline_manager_and_metrics_sink(spark, sf_dir, events_dir):
+    """All four pipelines via the manager + the metrics sink semantics
+    (counter + time series, the reference's undefined Redis API)."""
+    ckpt_root = tempfile.mkdtemp(prefix="ckpt_mgr_")
+    src = read_file_stream(spark, events_dir, EVENTS_SCHEMA)
+    sinks = {
+        "page_views": MemorySink(key_cols=["window_start"]),
+        "purchases": MemorySink(key_cols=["window_start"]),
+    }
+    mgr = ClickstreamPipelines(spark, ckpt_root)
+    mgr.start(src, sinks)
+    mgr.await_all(300)
+    mgr.stop_all()
+    shutil.rmtree(ckpt_root, ignore_errors=True)
+    assert len(sinks["page_views"].result) > 0
+    assert len(sinks["purchases"].result) > 0
+
+    metrics = MetricsSink(key_col="event_type", count_col="cnt")
+    counts_df = (
+        load(spark, sf_dir, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    metrics(counts_df, batch_id=0)
+    total = sum(metrics.counters.values())
+    assert total == load(spark, sf_dir, "events").count()
+    assert all(len(v) == 1 for v in metrics.series.values())
+
+
+def test_parse_event_stream_schema(spark):
+    """from_json wire-format parse: valid, missing-optional, malformed
+    (FIXTURES.md §2: malformed JSON yields nulls, not failure)."""
+    rows = [
+        (
+            "k1",
+            '{"user_id": 5, "session_id": "s1", "timestamp": "2024-01-01T00:00:00",'
+            ' "page": "/cart", "event_type": "page_view", "referrer": "direct",'
+            ' "device": {"type": "mobile", "browser": "chrome", "os": "ios"},'
+            ' "ip_address": "192.168.1.1", "user_agent": "UA", "unknown_extra": 1}',
+            dt.datetime(2024, 1, 1),
+        ),
+        ("k2", "not json at all", dt.datetime(2024, 1, 1)),
+    ]
+    raw = spark.createDataFrame(rows, ["key", "value", "timestamp"])
+    parsed = parse_event_stream(raw).collect()
+    by_key = {r["kafka_key"]: r for r in parsed}
+    assert by_key["k1"]["user_id"] == 5
+    assert by_key["k1"]["device"]["type"] == "mobile"
+    assert by_key["k1"]["search_query"] is None  # missing optional -> null
+    assert by_key["k2"]["user_id"] is None  # malformed -> nulls, no crash
