@@ -1,0 +1,62 @@
+"""Physical-plan regression tests: the properties that make these
+queries viable at 100 TB must be visible in the executed plan —
+filters pushed to the parquet scan, columns pruned, small dims
+broadcast, top-k as TakeOrderedAndProject (never a global sort)."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from clickstreaming_end_to_end_data_engineering_project_spark.plans.registry import all_specs
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    df = all_specs()["q1_pricing_summary"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200], (
+        "shipdate filter must reach the parquet scan"
+    )
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema, "unused columns must be pruned from the scan"
+    assert "l_quantity" in read_schema
+
+
+def test_q3_broadcasts_customer(spark, sf_dir):
+    plan = plan_of(all_specs()["q3_shipping_priority"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan, "top-10 must not be a global Sort"
+
+
+def test_q5_all_dims_broadcast(spark, sf_dir):
+    plan = plan_of(all_specs()["q5_local_supplier_volume"].fn(spark, sf_dir))
+    # the only SortMergeJoin (if any) may be lineitem⋈orders; dims broadcast
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_page_view_filter_pushed(spark, sf_dir):
+    plan = plan_of(all_specs()["page_view_counts"].fn(spark, sf_dir))
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "event_type" in pushed
+
+
+def test_topk_cosine_is_take_ordered(spark, sf_dir):
+    plan = plan_of(all_specs()["embedding_topk_cosine"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan  # query vector is broadcast
+
+
+def test_whole_stage_codegen_everywhere_hot(spark, sf_dir):
+    """Aggregation pipelines must run inside WholeStageCodegen."""
+    df = all_specs()["purchase_stats"].fn(spark, sf_dir)
+    codegen = plan_of(df, "codegen")
+    assert "WholeStageCodegen subtree" in codegen
+    assert "BatchEvalPython" not in plan_of(df), "no row-at-a-time Python in the hot path"
