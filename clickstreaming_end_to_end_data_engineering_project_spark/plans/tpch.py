@@ -181,6 +181,42 @@ def customers_never_purchasing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.subtract(buyers)
 
 
+def customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join: every customer with their order count (0 kept)."""
+    cust = load(spark, sf_dir, "customer")
+    per_cust = (
+        load(spark, sf_dir, "orders").groupBy(F.col("o_custkey")).agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce(F.col("_cnt"), F.lit(0)).alias("order_cnt"),
+        )
+    )
+
+
+def nation_customer_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates (customers vs suppliers per
+    nation) — both null sides coalesced."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("_cnk"))
+        .agg(F.count(F.lit(1)).alias("_cc"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("_snk"))
+        .agg(F.count(F.lit(1)).alias("_sc"))
+    )
+    return c.join(s, c._cnk == s._snk, "full_outer").select(
+        F.coalesce(F.col("_cnk"), F.col("_snk")).alias("nationkey"),
+        F.coalesce(F.col("_cc"), F.lit(0)).alias("customers"),
+        F.coalesce(F.col("_sc"), F.lit(0)).alias("suppliers"),
+    )
+
+
 def revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """date_trunc calendar aggregation (scalar date functions)."""
     orders = load(spark, sf_dir, "orders")
@@ -361,6 +397,29 @@ SPECS = [
         SELECT c_custkey FROM customer
         EXCEPT
         SELECT o_custkey AS c_custkey FROM orders
+        """,
+    ),
+    QuerySpec(
+        "customer_order_counts",
+        customer_order_counts,
+        """
+        SELECT c_custkey, c_mktsegment,
+               COALESCE(cnt, 0) AS order_cnt
+        FROM customer
+        LEFT JOIN (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1) oc
+               ON c_custkey = oc.o_custkey
+        """,
+    ),
+    QuerySpec(
+        "nation_customer_supplier_balance",
+        nation_customer_supplier_balance,
+        """
+        WITH c AS (SELECT c_nationkey AS nk, count(*) AS cc FROM customer GROUP BY 1),
+             s AS (SELECT s_nationkey AS nk, count(*) AS sc FROM supplier GROUP BY 1)
+        SELECT COALESCE(c.nk, s.nk) AS nationkey,
+               COALESCE(cc, 0) AS customers,
+               COALESCE(sc, 0) AS suppliers
+        FROM c FULL OUTER JOIN s ON c.nk = s.nk
         """,
     ),
     QuerySpec(

@@ -208,3 +208,62 @@ def test_parse_event_stream_schema(spark):
     assert by_key["k1"]["device"]["type"] == "mobile"
     assert by_key["k1"]["search_query"] is None  # missing optional -> null
     assert by_key["k2"]["user_id"] is None  # malformed -> nulls, no crash
+
+
+def test_stream_dedup_within_watermark(spark):
+    """Duplicate event_ids replayed inside the watermark horizon are
+    dropped; the downstream count equals the distinct count."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.stream_dedup import (
+        dedup_stream,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="dedup_src_")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(i, base + dt.timedelta(seconds=i), 1, "view", 1.0, "{}") for i in range(10)]
+    dupes = rows[:4]  # redelivered events, same event_id
+    spark.createDataFrame(rows + dupes, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(tmp)
+
+    src = read_file_stream(spark, tmp, EVENTS_SCHEMA)
+    sink = MemorySink(key_cols=None)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_dedup_")
+    q = (
+        dedup_stream(src, ["event_id"], watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    ids = [r["event_id"] for r in sink.result]
+    assert sorted(ids) == list(range(10))
+
+
+def test_query_monitor_records_progress(spark, events_dir):
+    """Listener attached via the real API (spark.streams.addListener —
+    the reference used a nonexistent query.addListener) sees start,
+    progress with input rows, and termination."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.monitoring import (
+        attach_monitor,
+        detach_monitor,
+    )
+
+    mon = attach_monitor(spark)
+    try:
+        sink = _run_streaming(spark, events_dir, page_view_pipeline, ["window_start"])
+        assert len(sink.result) > 0
+        import time
+
+        for _ in range(40):  # listener delivery is async
+            if mon.progress and mon.terminated:
+                break
+            time.sleep(0.5)
+        assert mon.started, "onQueryStarted not delivered"
+        assert any(p.num_input_rows > 0 for p in mon.progress), mon.progress
+        assert mon.terminated, "onQueryTerminated not delivered"
+    finally:
+        detach_monitor(spark, mon)
