@@ -1,0 +1,184 @@
+"""Second-ring SQL surface: pivot, GROUPING SETS, percentiles,
+regexp extraction, multiset (ALL) set ops.
+
+These round out §2.11's "full SQL read surface" claim — each is a
+distinct Catalyst operator family not exercised elsewhere in the
+registry (Expand for grouping sets/pivot, sort-based percentiles,
+union/intersect with multiplicity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import money
+from ..sources.tables import load
+from .registry import QuerySpec
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def event_value_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type → per-type exact value sums, one row per user
+    bucket.  Explicit pivot values keep the schema static (required
+    for streaming reuse and for plans that don't scan twice)."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 10).cast("int")
+    )
+    return (
+        ev.groupBy("user_bucket")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.sum(money("value")).cast("double"))
+    )
+
+
+def geo_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer control than rollup/cube) over the
+    shared SQL surface — the same text runs on Spark SQL and DuckDB."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "c_mktsegment", "o_totalprice")
+    )
+    joined.createOrReplaceTempView("_gs_orders")
+    return spark.sql(_GROUPING_SETS_SQL.replace("__TABLE__", "_gs_orders"))
+
+
+_GROUPING_SETS_SQL = """
+SELECT n_name, c_mktsegment,
+       count(*) AS order_cnt,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM __TABLE__
+GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), ())
+"""
+
+
+def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median per priority (sort-based percentile family)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.median("o_totalprice").alias("median_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+def order_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile twin (t-digest/GK sketch — rows-only check,
+    sketches differ across engines)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75]).alias("price_quartiles")
+    )
+
+
+def source_number_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract: numeric id out of the source tag."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn(
+            "source_num", F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int")
+        )
+        .groupBy("source_num")
+        .agg(F.count(F.lit(1)).alias("doc_cnt"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+def repeat_buyers_both_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset semantics (a customer ordering twice in
+    each half keeps multiplicity 2)."""
+    orders = load(spark, sf_dir, "orders")
+    h1 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    h2 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return h1.intersectAll(h2)
+
+
+def surplus_orders_1996(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — per-customer order surplus of 1996 over 1997."""
+    orders = load(spark, sf_dir, "orders")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select(F.col("o_custkey").alias("c_custkey"))
+    y97 = orders.filter(F.year("o_orderdate") == 1997).select(F.col("o_custkey").alias("c_custkey"))
+    return y96.exceptAll(y97)
+
+
+_PIVOT_CASE = ",\n               ".join(
+    f"CAST(sum(CASE WHEN event_type = '{t}' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS {t}"
+    for t in EVENT_TYPES
+)
+
+SPECS = [
+    QuerySpec(
+        "event_value_pivot",
+        event_value_pivot,
+        f"""
+        SELECT CAST(user_id % 10 AS INT) AS user_bucket,
+               {_PIVOT_CASE}
+        FROM events
+        GROUP BY 1
+        """,
+    ),
+    QuerySpec(
+        "geo_grouping_sets",
+        geo_grouping_sets,
+        _GROUPING_SETS_SQL.replace(
+            "__TABLE__",
+            "(SELECT n_name, c_mktsegment, o_totalprice FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey)",
+        ),
+    ),
+    QuerySpec(
+        "order_price_quantiles",
+        order_price_quantiles,
+        """
+        SELECT o_orderpriority,
+               median(o_totalprice) AS median_price,
+               min(o_totalprice)    AS min_price,
+               max(o_totalprice)    AS max_price
+        FROM orders GROUP BY o_orderpriority
+        """,
+    ),
+    QuerySpec(
+        "order_price_quantiles_approx",
+        order_price_quantiles_approx,
+        None,
+        "sketch-based percentiles (rows-only)",
+    ),
+    QuerySpec(
+        "source_number_stats",
+        source_number_stats,
+        """
+        SELECT CAST(regexp_extract(source, '(\\d+)', 1) AS INT) AS source_num,
+               count(*)     AS doc_cnt,
+               sum(n_chars) AS total_chars
+        FROM documents GROUP BY 1
+        """,
+    ),
+    QuerySpec(
+        "repeat_buyers_both_halves",
+        repeat_buyers_both_halves,
+        """
+        SELECT o_custkey AS c_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        INTERSECT ALL
+        SELECT o_custkey AS c_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        """,
+    ),
+    QuerySpec(
+        "surplus_orders_1996",
+        surplus_orders_1996,
+        """
+        SELECT o_custkey AS c_custkey FROM orders WHERE year(o_orderdate) = 1996
+        EXCEPT ALL
+        SELECT o_custkey AS c_custkey FROM orders WHERE year(o_orderdate) = 1997
+        """,
+    ),
+]

@@ -30,10 +30,10 @@ class QuerySpec:
 
 
 def all_specs() -> dict[str, QuerySpec]:
-    from . import clickstream, funnel, llmdata, tpch
+    from . import clickstream, extras, funnel, llmdata, tpch
 
     specs: dict[str, QuerySpec] = {}
-    for mod in (clickstream, tpch, llmdata, funnel):
+    for mod in (clickstream, tpch, llmdata, funnel, extras):
         for spec in mod.SPECS:
             if spec.name in specs:
                 raise ValueError(f"duplicate query name: {spec.name}")
