@@ -72,3 +72,58 @@ def test_lsh_results_subset_of_bruteforce_universe(spark, sf_dir):
     assert len(approx) > 0
     for r in approx:
         assert abs(exact[r["vec_id"]] - r["cos_sim"]) < 1e-12
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(orders, "l_orderkey").groupBy().agg(
+        F.count(F.lit(1)), F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+    ).collect()
+    salted = salted_join(li, orders, "l_orderkey", n_salts=4).groupBy().agg(
+        F.count(F.lit(1)), F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+    ).collect()
+    assert plain == salted
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Tables bucketed on the join key join with zero Exchange nodes."""
+    import io
+    from contextlib import redirect_stdout
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.skew import (
+        write_bucketed,
+    )
+
+    write_bucketed(
+        load(spark, sf_dir, "lineitem"), "li_bkt", "l_orderkey", 8, sort_col="l_orderkey"
+    )
+    write_bucketed(
+        load(spark, sf_dir, "orders"), "ord_bkt", "o_orderkey", 8, sort_col="o_orderkey"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.table("li_bkt")
+        orders = spark.table("ord_bkt")
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        # children print BELOW their parent: nothing under the join node
+        # (i.e., between it and the scans) may be an Exchange
+        tree = plan.split("\n\n")[0]
+        below_join = tree.split("SortMergeJoin")[1]
+        assert "Exchange" not in below_join, f"bucketed join must not shuffle:\n{plan}"
+        assert "Bucketed: true" in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS li_bkt")
+        spark.sql("DROP TABLE IF EXISTS ord_bkt")

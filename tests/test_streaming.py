@@ -267,3 +267,50 @@ def test_query_monitor_records_progress(spark, events_dir):
         assert mon.terminated, "onQueryTerminated not delivered"
     finally:
         detach_monitor(spark, mon)
+
+
+def test_stateful_user_profiles(spark):
+    """applyInPandasWithState: per-user profiles accumulate across
+    micro-batches and emit on event-time inactivity timeout."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.stateful import (
+        user_engagement_profiles,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="state_src_")
+    base = dt.datetime(2024, 1, 1, 9, 0, 0)
+    # user 1: burst then silence; user 2: stays active till the end
+    batch1 = [
+        (1, base, 1, "view", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=1), 1, "purchase", 50.0, "{}"),
+        (3, base + dt.timedelta(minutes=2), 2, "view", 1.0, "{}"),
+    ]
+    batch2 = [  # 2 hours later: user 1's timeout fires; user 2 still active
+        (4, base + dt.timedelta(hours=2), 2, "purchase", 10.0, "{}"),
+    ]
+    spark.createDataFrame(batch1, EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(tmp)
+    spark.createDataFrame(batch2, EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(tmp)
+
+    src = read_file_stream(spark, tmp, EVENTS_SCHEMA).coalesce(1)
+    sink = MemorySink(key_cols=None)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_state_")
+    q = (
+        user_engagement_profiles(src, watermark="1 minute")
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    profiles = {r["user_id"]: r for r in sink.result}
+    assert 1 in profiles, f"user 1 profile should emit on timeout, got {sink.result}"
+    p1 = profiles[1]
+    assert p1["event_count"] == 2
+    assert p1["purchase_count"] == 1
+    assert p1["total_value"] == 50.0
+    assert p1["emit_reason"] == "timeout"
+    assert p1["first_ts"] == base and p1["last_ts"] == base + dt.timedelta(minutes=1)
