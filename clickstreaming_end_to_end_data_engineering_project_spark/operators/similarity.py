@@ -114,6 +114,60 @@ def lsh_topk(
     )
 
 
+def build_ivf_centroids(
+    df: DataFrame, cluster_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """IVF coarse index: element-wise mean vector per cluster.
+    posexplode → per-(cluster, dim) mean → re-assembled array; pure
+    built-ins, two narrow shuffles on small keys.  With a learned
+    k-means assignment the plan is identical — the cluster column is
+    the only input."""
+    return (
+        df.select(cluster_col, F.posexplode(vec_col).alias("_dim", "_v"))
+        .groupBy(cluster_col, "_dim")
+        .agg(F.avg(F.col("_v").cast("double")).alias("_mean"))
+        .groupBy(cluster_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_dim", "_mean"))), lambda s: s["_mean"]
+            ).alias("centroid")
+        )
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: rank centroids by cosine to the query, scan only the
+    ``nprobe`` nearest clusters, exact-rerank inside.  At scale the
+    corpus is stored partitioned by cluster id → the probe is a
+    partition-pruned scan of nprobe/N of the data."""
+    centroids = build_ivf_centroids(df, cluster_col, vec_col)
+    q = df.filter(F.col(id_col) == query_vec_id).select(F.col(vec_col).alias("_qvec"))
+    probe = (
+        centroids.crossJoin(F.broadcast(q))
+        .select(cluster_col, cosine(F.col("centroid"), F.col("_qvec")).alias("_csim"))
+        .orderBy(F.col("_csim").desc())
+        .limit(nprobe)
+        .select(cluster_col)
+    )
+    sim = cosine(F.col(vec_col), F.col("_qvec"))
+    return (
+        df.join(F.broadcast(probe), cluster_col)
+        .filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def pairwise_above_threshold(
     df: DataFrame,
     threshold: float,

@@ -18,6 +18,49 @@ from .registry import QuerySpec
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter+sum scan — the pushdown benchmark.
+    All three predicates reach the parquet reader; no shuffle at all
+    (single global aggregate)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(money("l_extendedprice") * money("l_discount")).cast("double").alias("promo_revenue"),
+            F.count(F.lit(1)).alias("line_cnt"),
+        )
+    )
+
+
+def gap_filled_minute_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-minute view counts (time-series resample with zero
+    fill): generate the full minute spine with sequence+explode, left
+    join the sparse counts.  The spine is tiny (one row per minute) —
+    broadcast side — so the fill costs no extra shuffle."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    counts = ev.groupBy(F.date_trunc("minute", F.col("ts")).alias("minute_start")).agg(
+        F.count(F.lit(1)).alias("view_count")
+    )
+    bounds = ev.agg(
+        F.date_trunc("minute", F.min("ts")).alias("_lo"),
+        F.date_trunc("minute", F.max("ts")).alias("_hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"), F.expr("INTERVAL 1 MINUTE"))).alias(
+            "minute_start"
+        )
+    )
+    return spine.join(counts, "minute_start", "left").select(
+        "minute_start", F.coalesce(F.col("view_count"), F.lit(0)).alias("view_count")
+    )
+
+
 def event_value_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot event_type → per-type exact value sums, one row per user
     bucket.  Explicit pivot values keep the schema static (required
@@ -114,6 +157,37 @@ _PIVOT_CASE = ",\n               ".join(
 )
 
 SPECS = [
+    QuerySpec(
+        "q6_forecast_revenue",
+        q6_forecast_revenue,
+        """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS promo_revenue,
+               count(*) AS line_cnt
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.02 AND 0.06
+          AND l_quantity < 24
+        """,
+    ),
+    QuerySpec(
+        "gap_filled_minute_views",
+        gap_filled_minute_views,
+        """
+        WITH c AS (
+            SELECT date_trunc('minute', ts) AS minute_start, count(*) AS view_count
+            FROM events WHERE event_type = 'view' GROUP BY 1
+        ), spine AS (
+            SELECT unnest(generate_series(
+                (SELECT min(minute_start) FROM c),
+                (SELECT max(minute_start) FROM c),
+                INTERVAL 1 MINUTE)) AS minute_start
+        )
+        SELECT spine.minute_start,
+               COALESCE(view_count, 0) AS view_count
+        FROM spine LEFT JOIN c ON spine.minute_start = c.minute_start
+        """,
+    ),
     QuerySpec(
         "event_value_pivot",
         event_value_pivot,

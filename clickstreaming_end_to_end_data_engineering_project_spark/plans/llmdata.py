@@ -97,6 +97,10 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(_embs(spark, sf_dir), query_vec_id=0, k=10)
 
 
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(_embs(spark, sf_dir), query_vec_id=0, k=10, nprobe=3)
+
+
 def embedding_label_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pairwise_above_threshold(_embs(spark, sf_dir), threshold=0.9)
 
@@ -263,6 +267,7 @@ SPECS = [
         """,
     ),
     QuerySpec("embedding_lsh_topk", embedding_lsh_topk, None, "LSH-bucketed ANN (rows-only)"),
+    QuerySpec("embedding_ivf_topk", embedding_ivf_topk, None, "IVF centroid-probe ANN (rows-only)"),
     QuerySpec(
         "embedding_label_pairs",
         embedding_label_pairs,

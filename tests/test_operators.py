@@ -127,3 +127,23 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS li_bkt")
         spark.sql("DROP TABLE IF EXISTS ord_bkt")
+
+
+def test_ivf_topk_matches_bruteforce_on_probed_clusters(spark, sf_dir):
+    """IVF results are exact within the probed clusters: every returned
+    neighbor's cosine matches brute force, and with nprobe=all the
+    top-k equals brute force exactly."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    embs = load(spark, sf_dir, "embeddings")
+    exact = {r["vec_id"]: r["cos_sim"] for r in brute_force_topk(embs, 0, k=500).collect()}
+    approx = ivf_topk(embs, 0, k=10, nprobe=3).collect()
+    assert len(approx) == 10
+    for r in approx:
+        assert abs(exact[r["vec_id"]] - r["cos_sim"]) < 1e-12
+    n_clusters = embs.select("label").distinct().count()
+    full = ivf_topk(embs, 0, k=10, nprobe=n_clusters).collect()
+    brute = brute_force_topk(embs, 0, k=10).collect()
+    assert [r["vec_id"] for r in full] == [r["vec_id"] for r in brute]

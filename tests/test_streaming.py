@@ -314,3 +314,78 @@ def test_stateful_user_profiles(spark):
     assert p1["total_value"] == 50.0
     assert p1["emit_reason"] == "timeout"
     assert p1["first_ts"] == base and p1["last_ts"] == base + dt.timedelta(minutes=1)
+
+
+def test_stream_static_enrichment(spark, sf_dir, events_dir):
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.joins import (
+        enrich_with_dimension,
+    )
+
+    dim = spark.createDataFrame(
+        [(i, f"tier-{i % 3}") for i in range(200)], ["user_id", "tier"]
+    )
+    src = read_file_stream(spark, events_dir, EVENTS_SCHEMA)
+    enriched = enrich_with_dimension(src, dim).groupBy("tier").count()
+    sink = MemorySink(key_cols=["tier"])
+    ckpt = tempfile.mkdtemp(prefix="ckpt_enrich_")
+    q = (
+        enriched.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    total = sum(r["count"] for r in sink.result)
+    assert total == load(spark, sf_dir, "events").count()
+
+
+def test_stream_stream_attribution_join(spark, sf_dir, events_dir):
+    """Interval-join result on the stream equals the equivalent batch
+    interval join (for pairs whose state was finalized)."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.joins import (
+        purchase_view_attribution,
+    )
+
+    batch = purchase_view_attribution(load(spark, sf_dir, "events"))
+    expected = {
+        (r["purchase_event_id"], r["view_event_id"]) for r in batch.collect()
+    }
+
+    src = read_file_stream(spark, events_dir, EVENTS_SCHEMA)
+    sink = MemorySink(key_cols=None)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ssj_")
+    q = (
+        purchase_view_attribution(src)
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    got = {(r["purchase_event_id"], r["view_event_id"]) for r in sink.result}
+    # single availableNow pass over one file: all pairs inside the final
+    # watermark horizon emit; inner-join emission is not watermark-gated
+    assert got == expected, f"missing={len(expected - got)} extra={len(got - expected)}"
+
+
+def test_synthetic_clickstream_generator(spark):
+    from clickstreaming_end_to_end_data_engineering_project_spark.schema import CLICKSTREAM_SCHEMA
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.generator import (
+        synthetic_clickstream,
+    )
+
+    df = synthetic_clickstream(spark, n_events=5000, seed=7)
+    assert [f.name for f in df.schema.fields] == [f.name for f in CLICKSTREAM_SCHEMA.fields]
+    rows = df.collect()
+    assert len(rows) == 5000
+    again = synthetic_clickstream(spark, n_events=5000, seed=7).collect()
+    assert rows == again  # seed-deterministic
+    purchases = [r for r in rows if r["event_type"] == "purchase"]
+    assert purchases and all(r["total_amount"] is not None for r in purchases)
+    views = [r for r in rows if r["event_type"] != "purchase"]
+    assert all(r["total_amount"] is None for r in views)
+    assert all(1 <= r["user_id"] <= 1000 for r in rows[:200])
