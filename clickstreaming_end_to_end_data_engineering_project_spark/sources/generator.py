@@ -112,6 +112,7 @@ def clickstream_rate_stream(
     uid = (F.pmod(h("user"), F.lit(n_users)) + 1).cast("int")
     etype = _pick(EVENT_TYPES, h("etype"))
     return base.select(
+        F.col("_i").alias("event_seq"),
         uid.alias("user_id"),
         F.concat(F.lit("sess-"), uid, F.lit("-"), F.floor(F.col("_i") / 50)).alias("session_id"),
         F.col("timestamp"),
