@@ -18,6 +18,33 @@ from .registry import QuerySpec
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def q4_late_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery → left-semi join
+    (orders with at least one lineitem shipped after orderdate)."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li, (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate), "left_semi"
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+def parts_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery shape: parts priced over 1.2x the global mean
+    retail price.  The scalar aggregate broadcasts (one row)."""
+    part = load(spark, sf_dir, "part")
+    avg_price = part.agg(
+        (F.sum(money("p_retailprice")).cast("double") / F.count(F.lit(1))).alias("_avg")
+    )
+    return (
+        part.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("p_retailprice") > 1.2 * F.col("_avg"))
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+
+
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure filter+sum scan — the pushdown benchmark.
     All three predicates reach the parquet reader; no shuffle at all
@@ -157,6 +184,29 @@ _PIVOT_CASE = ",\n               ".join(
 )
 
 SPECS = [
+    QuerySpec(
+        "q4_late_order_priorities",
+        q4_late_order_priorities,
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        """,
+    ),
+    QuerySpec(
+        "parts_above_avg_price",
+        parts_above_avg_price,
+        """
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part,
+             (SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avgp
+              FROM part) a
+        WHERE p_retailprice > 1.2 * avgp
+        """,
+    ),
     QuerySpec(
         "q6_forecast_revenue",
         q6_forecast_revenue,

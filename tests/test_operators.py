@@ -147,3 +147,34 @@ def test_ivf_topk_matches_bruteforce_on_probed_clusters(spark, sf_dir):
     full = ivf_topk(embs, 0, k=10, nprobe=n_clusters).collect()
     brute = brute_force_topk(embs, 0, k=10).collect()
     assert [r["vec_id"] for r in full] == [r["vec_id"] for r in brute]
+
+
+def test_format_roundtrips_and_partition_pruning(spark, sf_dir, tmp_path):
+    """CSV and NDJSON roundtrips preserve values under explicit schema;
+    partitioned parquet write prunes partitions on read."""
+    import io
+    from contextlib import redirect_stdout
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources import formats
+
+    ev = load(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    n = ev.count()
+
+    csv_dir, json_dir, part_dir = (str(tmp_path / d) for d in ("csv", "json", "part"))
+    flat = ev.select("event_id", "user_id", "event_type", "value")
+    flat.write.mode("overwrite").option("header", "true").csv(csv_dir)
+    back_csv = formats.read_csv(spark, csv_dir, flat.schema)
+    assert sorted(back_csv.collect()) == sorted(flat.collect())
+
+    flat.write.mode("overwrite").json(json_dir)
+    back_json = formats.read_json_lines(spark, json_dir, flat.schema)
+    assert sorted(back_json.collect()) == sorted(flat.collect())
+
+    formats.write_partitioned_parquet(ev, part_dir, ["day"])
+    pruned = formats.read_parquet(spark, part_dir).filter(F.col("day") == "2024-01-05")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters")[1][:120]
+    assert 0 < pruned.count() < n
