@@ -210,7 +210,37 @@ SPECS = [
         FROM s
         """,
     ),
-    QuerySpec("doc_lang_id", doc_lang_id, None, "marker-based language ID (rows-only)"),
+    QuerySpec(
+        "doc_lang_id",
+        doc_lang_id,
+        """
+        WITH t AS (SELECT doc_id, " + _TOKENS_SQL + " AS toks FROM documents),
+        sc AS (
+            SELECT doc_id,
+                   len(list_filter(toks, x -> x IN ('the', 'and', 'of', 'is'))) AS s_en,
+                   len(list_filter(toks, x -> x IN ('el', 'la', 'los', 'es'))) AS s_es,
+                   len(list_filter(toks, x -> x IN ('le', 'la', 'les', 'est'))) AS s_fr,
+                   len(list_filter(toks, x -> x IN ('der', 'die', 'das', 'und'))) AS s_de,
+                   len(list_filter(toks, x -> x IN ('的', '是', '了', '我'))) AS s_zh,
+                   greatest(len(list_filter(toks, x -> x IN ('the','and','of','is'))),
+                            len(list_filter(toks, x -> x IN ('el','la','los','es'))),
+                            len(list_filter(toks, x -> x IN ('le','la','les','est'))),
+                            len(list_filter(toks, x -> x IN ('der','die','das','und'))),
+                            len(list_filter(toks, x -> x IN ('的','是','了','我')))) AS m
+            FROM t
+        )
+        SELECT doc_id,
+               CASE WHEN m <= 0 THEN 'und'
+                    WHEN s_zh = m THEN 'zh'
+                    WHEN s_fr = m THEN 'fr'
+                    WHEN s_es = m THEN 'es'
+                    WHEN s_en = m THEN 'en'
+                    ELSE 'de' END AS predicted_lang
+        FROM sc
+        """.replace(
+            '" + _TOKENS_SQL + "', _TOKENS_SQL
+        ),
+    ),
     QuerySpec(
         "doc_fingerprints",
         doc_fingerprints,
@@ -219,8 +249,13 @@ SPECS = [
     QuerySpec(
         "doc_fingerprints_rolling",
         doc_fingerprints_rolling,
-        None,
-        "rolling polynomial hash (rows-only: duckdb lacks seq-fold over chars w/ init)",
+        """
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(str_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 2147483647) AS fingerprint
+        FROM documents
+        """,
     ),
     QuerySpec(
         "lang_source_stats",

@@ -389,3 +389,39 @@ def test_synthetic_clickstream_generator(spark):
     views = [r for r in rows if r["event_type"] != "purchase"]
     assert all(r["total_amount"] is None for r in views)
     assert all(1 <= r["user_id"] <= 1000 for r in rows[:200])
+
+
+def test_sink_retry_policy(spark, monkeypatch):
+    """Sink retries 3x with backoff (reference stream_processor.py:305-324)
+    then surfaces the error; empty batches short-circuit before write."""
+    import time as _time
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.sinks import Sink
+
+    monkeypatch.setattr(_time, "sleep", lambda s: None)
+
+    class Flaky(Sink):
+        def __init__(self, fail_times):
+            self.fail_times = fail_times
+            self.attempts = 0
+            self.wrote = 0
+
+        def write(self, df, batch_id):
+            self.attempts += 1
+            if self.attempts <= self.fail_times:
+                raise RuntimeError("transient")
+            self.wrote += 1
+
+    df = spark.createDataFrame([(1,)], ["x"])
+    ok = Flaky(fail_times=2)
+    ok(df, 0)
+    assert ok.attempts == 3 and ok.wrote == 1  # recovered on 3rd try
+
+    dead = Flaky(fail_times=99)
+    with pytest.raises(RuntimeError, match="transient"):
+        dead(df, 0)
+    assert dead.attempts == 3  # gave up after max_retries
+
+    empty = Flaky(fail_times=0)
+    empty(df.filter("x > 100"), 0)
+    assert empty.attempts == 0  # empty-batch guard short-circuits
