@@ -55,4 +55,10 @@ def ensure_session_defaults(spark: SparkSession) -> SparkSession:
     # the driver testdata stores events.ts as TIMESTAMP(NANOS), which the
     # parquet reader rejects; read as long and convert in the loader
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # performance-only knobs (all runtime-mutable): externally created
+    # sessions often carry the 200-partition default, which at test SFs
+    # is pure scheduling overhead; AQE coalescing makes the width safe
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", DEFAULT_CPUS)
     return spark

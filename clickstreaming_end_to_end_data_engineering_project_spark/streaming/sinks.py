@@ -10,8 +10,9 @@ spark_processor/stream_processor.py:305-324).
 
 Update-mode aggregates re-emit changed rows each trigger; a plain
 append sink would therefore duplicate keys (a latent reference bug,
-stream_processor.py:310).  `UpsertMixin` documents the contract:
-sinks that can upsert do so on the provided key columns.
+stream_processor.py:310).  Sinks that can upsert take ``key_cols`` and
+overwrite per key; append-only sinks document that downstream readers
+must take the latest row per (key, batch).
 """
 
 from __future__ import annotations

@@ -178,3 +178,43 @@ def test_format_roundtrips_and_partition_pruning(spark, sf_dir, tmp_path):
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters")[1][:120]
     assert 0 < pruned.count() < n
+
+
+def test_jaccard_matches_pure_python(spark):
+    """Differential: Spark inverted-index Jaccard == reference Python
+    implementation on a random corpus (includes short docs < n tokens)."""
+    import itertools
+    import random as _random
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    rng = _random.Random(99)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = []
+    for i in range(40):
+        length = rng.choice([1, 2, 3, 8, 30, 60])
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(length))))
+
+    def py_shingles(text, n=3):
+        toks = text.split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    expected = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+        sa, sb = py_shingles(ta), py_shingles(tb)
+        inter = len(sa & sb)
+        if inter:
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= 0.2:
+                expected[(ia, ib)] = round(j, 9)
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(df, threshold=0.2).collect()
+    }
+    assert got == expected

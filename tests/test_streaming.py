@@ -425,3 +425,36 @@ def test_sink_retry_policy(spark, monkeypatch):
     empty = Flaky(fail_times=0)
     empty(df.filter("x > 100"), 0)
     assert empty.attempts == 0  # empty-batch guard short-circuits
+
+
+def test_dashboard_reads_over_parquet_sinks(spark, sf_dir, events_dir, tmp_path):
+    """End to end: pipelines -> ParquetSink -> dashboard readers."""
+    from clickstreaming_end_to_end_data_engineering_project_spark import dashboard
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.sinks import (
+        ParquetSink,
+    )
+
+    sink_dir = str(tmp_path / "sinks")
+    ckpt_root = tempfile.mkdtemp(prefix="ckpt_dash_")
+    src = read_file_stream(spark, events_dir, EVENTS_SCHEMA)
+    sinks = {
+        "page_views": ParquetSink(f"{sink_dir}/page_views"),
+        "purchases": ParquetSink(f"{sink_dir}/purchases"),
+        "event_stats": ParquetSink(f"{sink_dir}/event_stats"),
+    }
+    mgr = ClickstreamPipelines(spark, ckpt_root)
+    mgr.start(src, sinks)
+    mgr.await_all(300)
+    mgr.stop_all()
+    shutil.rmtree(ckpt_root, ignore_errors=True)
+
+    top = dashboard.top_pages(spark, sink_dir, k=5).collect()
+    assert 0 < len(top) <= 5
+    assert top[0]["view_count"] >= top[-1]["view_count"]
+
+    rev = dashboard.revenue_over_time(spark, sink_dir).collect()
+    assert len(rev) > 0 and all(r["total_revenue"] > 0 for r in rev)
+
+    mix = dashboard.event_mix(spark, sink_dir).collect()
+    assert abs(sum(r["share"] for r in mix) - 1.0) < 1e-9
+    assert {r["event_type"] for r in mix} == {"view", "click", "purchase", "signup", "error"}
