@@ -63,6 +63,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    stream_eps = _stream_throughput(spark, sf_dir)
     print(
         json.dumps(
             {
@@ -73,10 +74,54 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "warmup_sec": round(warmup, 3),
                 "n_queries": len(timings),
+                "stream_events_per_sec": stream_eps,
             }
         )
     )
     spark.stop()
+
+
+def _stream_throughput(spark, sf_dir: str) -> float:
+    """Events/sec through the page-view streaming pipeline: full events
+    table via the file-stream source, availableNow, counted via the
+    progress listener (same measurement the reference's dead monitor
+    intended — rows / trigger-execution time)."""
+    import shutil
+    import tempfile
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.monitoring import (
+        attach_monitor,
+        detach_monitor,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.pipelines import (
+        page_view_pipeline,
+        read_file_stream,
+    )
+
+    src_dir = tempfile.mkdtemp(prefix="bench_stream_")
+    ckpt = tempfile.mkdtemp(prefix="bench_ckpt_")
+    try:
+        events = load(spark, sf_dir, "events")
+        events.write.mode("overwrite").parquet(src_dir)
+        mon = attach_monitor(spark)
+        q = (
+            page_view_pipeline(read_file_stream(spark, src_dir, events.schema))
+            .writeStream.outputMode("update")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        time.sleep(2)  # listener delivery is async
+        rows = sum(p.num_input_rows for p in mon.progress)
+        secs = sum(p.duration_ms for p in mon.progress) / 1000.0
+        detach_monitor(spark, mon)
+        return round(rows / secs, 1) if secs > 0 else 0.0
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,74 @@
+"""Lloyd's k-means over an embedding column — the registry's exemplar
+of an ITERATIVE algorithm (driver-side loop over cached DataFrames;
+not expressible as one SQL statement, hence rows-only checked).
+
+Everything per-iteration is built-ins: cosine/euclidean distance via
+array expressions, assignment via array_position of the min distance,
+centroid update via posexplode + avg.  Iterations are fixed-count
+(deterministic); initial centroids are the k lowest ids — reproducible
+without RNG.
+
+Scale: each iteration is one narrow pass (assign, broadcast centroids)
+plus one small shuffle (centroid update, k×dims rows).  The input is
+cached once; 100 TB corpora run the same loop with checkpointing every
+few iterations to cut lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sq_dist(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 4,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Returns (id, cluster) after ``iterations`` Lloyd steps."""
+    points = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).persist()
+    centroids = (
+        points.orderBy("_id")
+        .limit(k)
+        .select(F.monotonically_increasing_id().alias("_c"), F.col("_v").alias("_cv"))
+        .collect()
+    )
+    centroid_rows = [(i, [float(x) for x in r["_cv"]]) for i, r in enumerate(centroids)]
+
+    assigned = None
+    for _ in range(iterations):
+        cdf = points.sparkSession.createDataFrame(centroid_rows, ["_c", "_cv"])
+        dists = points.crossJoin(F.broadcast(cdf)).select(
+            "_id", "_v", "_c", _sq_dist(F.col("_v"), F.col("_cv")).alias("_d")
+        )
+        best = dists.groupBy("_id").agg(
+            F.min_by(F.col("_c"), F.struct(F.col("_d"), F.col("_c"))).alias("cluster")
+        )
+        assigned = points.join(best, "_id")
+        new_centroids = (
+            assigned.select("cluster", F.posexplode("_v").alias("_dim", "_x"))
+            .groupBy("cluster", "_dim")
+            .agg(F.avg(F.col("_x").cast("double")).alias("_m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_dim", "_m"))), lambda s: s["_m"]
+                ).alias("_cv")
+            )
+            .collect()
+        )
+        centroid_rows = [(r["cluster"], [float(x) for x in r["_cv"]]) for r in new_centroids]
+
+    out = assigned.select(F.col("_id").alias(id_col), "cluster")
+    points.unpersist()
+    return out

@@ -1,0 +1,60 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+All splits here are CONTENT-deterministic (derived from md5 of a key),
+not RNG-deterministic: the same row lands in the same split on any
+engine, any partitioning, any run — which is what makes dataset
+versioning and the DuckDB oracle both work.  (Spark's sample()/
+sampleBy() are seed-deterministic but partitioning-dependent, so they
+are offered only as the approximate path.)
+
+md5-hex string comparison gives uniform splits: the hex digest of a
+key is uniform in [0x00.., 0xff..]; comparing it to a hex threshold
+string selects that fraction.  'cc' ≈ 0.8 * 256.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _key_digest(key_col: str) -> F.Column:
+    return F.md5(F.col(key_col).cast("string").cast("binary"))
+
+
+def train_test_split(df: DataFrame, key_col: str, train_frac: float = 0.8) -> DataFrame:
+    """Adds a ``split`` column ('train'/'test') determined solely by the
+    key's md5 — stable across engines, runs, and repartitions."""
+    threshold = format(int(train_frac * 256), "02x")
+    return df.withColumn(
+        "split",
+        F.when(_key_digest(key_col) < F.lit(threshold), F.lit("train")).otherwise(F.lit("test")),
+    )
+
+
+def deterministic_sample(df: DataFrame, key_col: str, frac: float) -> DataFrame:
+    """Content-hash Bernoulli sample of ~frac rows."""
+    threshold = format(max(1, int(frac * 65536)), "04x")
+    return df.filter(_key_digest(key_col) < F.lit(threshold))
+
+
+def stratified_sample_exact(
+    df: DataFrame, stratum_col: str, key_col: str, k_per_stratum: int
+) -> DataFrame:
+    """Exactly k rows per stratum, chosen by hash order (deterministic
+    'random' order) — row_number over (stratum, digest)."""
+    w = Window.partitionBy(stratum_col).orderBy(_key_digest(key_col), F.col(key_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k_per_stratum)
+        .drop("_rn")
+    )
+
+
+def length_histogram(df: DataFrame, value_col: str, bucket_width: int) -> DataFrame:
+    """Fixed-width histogram of a numeric column."""
+    bucket = (F.floor(F.col(value_col) / bucket_width) * bucket_width).cast("long")
+    return (
+        df.groupBy(bucket.alias("bucket_lo"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import dround
-from ..operators import dedup, similarity, text
+from ..operators import dedup, kmeans, sampling, similarity, text
 from ..sources.tables import load
 from .registry import QuerySpec
 
@@ -103,6 +103,34 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def embedding_label_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pairwise_above_threshold(_embs(spark, sf_dir), threshold=0.9)
+
+
+def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash 80/20 split (engine- and partitioning-stable)."""
+    return sampling.train_test_split(_docs(spark, sf_dir), "doc_id").select("doc_id", "split")
+
+
+def doc_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.deterministic_sample(_docs(spark, sf_dir), "doc_id", 0.1).select(
+        "doc_id", "lang"
+    )
+
+
+def lang_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 5 docs per language, hash-ordered (deterministic)."""
+    return sampling.stratified_sample_exact(_docs(spark, sf_dir), "lang", "doc_id", 5).select(
+        "doc_id", "lang"
+    )
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.length_histogram(_docs(spark, sf_dir), "n_chars", 100)
+
+
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative Lloyd's k-means (driver loop — the registry's
+    non-SQL-expressible iterative algorithm; rows-only check)."""
+    return kmeans.kmeans_assign(_embs(spark, sf_dir), k=4, iterations=3)
 
 
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -302,6 +330,44 @@ SPECS = [
         """,
     ),
     QuerySpec("embedding_lsh_topk", embedding_lsh_topk, None, "LSH-bucketed ANN (rows-only)"),
+    QuerySpec("embedding_kmeans", embedding_kmeans, None, "iterative k-means (rows-only)"),
+    QuerySpec(
+        "doc_train_test_split",
+        doc_train_test_split,
+        """
+        SELECT doc_id,
+               CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train' ELSE 'test' END AS split
+        FROM documents
+        """,
+    ),
+    QuerySpec(
+        "doc_sample_10pct",
+        doc_sample_10pct,
+        """
+        SELECT doc_id, lang FROM documents
+        WHERE md5(CAST(doc_id AS VARCHAR)) < '1999'
+        """,
+    ),
+    QuerySpec(
+        "lang_stratified_sample",
+        lang_stratified_sample,
+        """
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents
+        ) WHERE rn <= 5
+        """,
+    ),
+    QuerySpec(
+        "doc_length_histogram",
+        doc_length_histogram,
+        """
+        SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket_lo, count(*) AS cnt
+        FROM documents GROUP BY 1
+        """,
+    ),
     QuerySpec("embedding_ivf_topk", embedding_ivf_topk, None, "IVF centroid-probe ANN (rows-only)"),
     QuerySpec(
         "embedding_label_pairs",

@@ -218,3 +218,16 @@ def test_jaccard_matches_pure_python(spark):
         for r in ngram_jaccard_pairs(df, threshold=0.2).collect()
     }
     assert got == expected
+
+
+def test_kmeans_converges_and_is_deterministic(spark, sf_dir):
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.kmeans import (
+        kmeans_assign,
+    )
+
+    embs = load(spark, sf_dir, "embeddings")
+    a = {r["vec_id"]: r["cluster"] for r in kmeans_assign(embs, k=4, iterations=3).collect()}
+    b = {r["vec_id"]: r["cluster"] for r in kmeans_assign(embs, k=4, iterations=3).collect()}
+    assert a == b  # deterministic init + fixed iterations
+    assert len(a) == embs.count()
+    assert 1 < len(set(a.values())) <= 4  # nontrivial clustering
