@@ -232,9 +232,10 @@ SPECS = [
             FROM t
         )
         SELECT doc_id,
-               CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END
+               CAST(CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END
                    + CASE WHEN stopword_ratio >= 0.01 THEN 0.25 ELSE 0.0 END
-                   + CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END AS quality_score
+                   + CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END AS DOUBLE)
+                   AS quality_score
         FROM s
         """,
     ),

@@ -24,6 +24,13 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm(v):
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        # a Decimal from the oracle vs a float from Spark would compare
+        # numerically equal in Python but hash differently in the
+        # driver's string-based comparator — surface it as a type token
+        return ("DECIMAL", str(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
