@@ -47,23 +47,32 @@ def main(argv: list[str] | None = None) -> int:
         events = clickstream_rate_stream(spark, args.events_per_second)
     # map the generator's clickstream schema onto the pipelines' canonical
     # (ts, event_type, user_id, value) columns
+    # the rate source carries a sequence id; the Kafka wire format does
+    # not, so derive a stable surrogate from the event content there
+    event_id = (
+        F.col("event_seq")
+        if "event_seq" in events.columns
+        else F.abs(F.xxhash64("user_id", "timestamp", "session_id"))
+    )
     events = events.select(
         F.col("user_id").cast("long"),
         F.col("timestamp").alias("ts"),
         F.when(F.col("event_type") == "page_view", "view").otherwise(F.col("event_type")).alias("event_type"),
         F.coalesce(F.col("total_amount"), F.lit(0.0)).alias("value"),
-        F.col("event_seq").alias("event_id"),
+        event_id.alias("event_id"),
+        F.col("page"),
     )
 
     ckpt = args.checkpoint_dir or tempfile.mkdtemp(prefix="clickstream_ckpt_")
     if args.sink_dir:
         sinks = {
             name: ParquetSink(f"{args.sink_dir}/{name}")
-            for name in ("page_views", "purchases", "event_stats")
+            for name in ("page_views", "page_views_by_page", "purchases", "event_stats")
         }
     else:
         sinks = {
             "page_views": MemorySink(key_cols=["window_start"]),
+            "page_views_by_page": MemorySink(key_cols=["window_start", "page"]),
             "purchases": MemorySink(key_cols=["window_start"]),
             "event_stats": MemorySink(key_cols=["window_start", "event_type"]),
         }
@@ -81,8 +90,8 @@ def main(argv: list[str] | None = None) -> int:
 
     rows = sum(p.num_input_rows for p in mon.progress)
     rates = [p.processed_rows_per_second for p in mon.progress if p.processed_rows_per_second]
-    print(f"processed {rows} input rows across {len(mon.progress)} triggers; "
-          f"peak {max(rates):.0f} rows/s" if rates else "no progress recorded")
+    peak = f"; peak {max(rates):.0f} rows/s" if rates else ""
+    print(f"processed {rows} input rows across {len(mon.progress)} triggers{peak}")
     for name, sink in sinks.items():
         if isinstance(sink, MemorySink):
             sample = sorted(sink.result, key=lambda r: str(r))[:3]

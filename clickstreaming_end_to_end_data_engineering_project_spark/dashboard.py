@@ -23,9 +23,22 @@ def _read(spark: SparkSession, sink_dir: str, table: str) -> DataFrame:
 
 
 def top_pages(spark: SparkSession, sink_dir: str, k: int = 10) -> DataFrame:
-    """README 'Page popularity': total views per window key, top-k.
-    (ParquetSink appends update-mode emissions → take the latest
-    emission per window before summing.)"""
+    """README 'Page popularity': total views per page, top-k, over the
+    page-dimensioned sink.  ParquetSink appends update-mode emissions,
+    so take the latest (= max, counts only grow) emission per
+    (window, page) before summing across windows."""
+    pv = _read(spark, sink_dir, "page_views_by_page")
+    latest = pv.groupBy("window_start", "page").agg(F.max("view_count").alias("view_count"))
+    return (
+        latest.groupBy("page")
+        .agg(F.sum("view_count").alias("total_views"))
+        .orderBy(F.col("total_views").desc(), F.col("page"))
+        .limit(k)
+    )
+
+
+def busiest_windows(spark: SparkSession, sink_dir: str, k: int = 10) -> DataFrame:
+    """Top-k minutes by view volume (the time-axis companion)."""
     pv = _read(spark, sink_dir, "page_views")
     latest = pv.groupBy("window_start").agg(F.max("view_count").alias("view_count"))
     return latest.orderBy(F.col("view_count").desc(), F.col("window_start")).limit(k)

@@ -82,7 +82,9 @@ def ngram_jaccard_pairs(
         ds = ds.join(F.broadcast(freq.filter(F.col("_df") <= max_doc_freq).drop("_df")), "shingle")
     # the shingle index feeds three consumers (sizes + both self-join
     # sides); persist it so tokenization/shingling runs once — at scale
-    # this is the materialized inverted index you'd checkpoint anyway
+    # this is the materialized inverted index you'd checkpoint anyway.
+    # (Cached blocks live until session cache eviction — callers running
+    # many dedup passes in one session should spark.catalog.clearCache().)
     ds = ds.persist()
     sizes = ds.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     a = ds.alias("a")
@@ -92,9 +94,11 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
+    # sizes is O(corpus docs) — never broadcast it; AQE picks the join
+    # strategy (broadcast at test scale, shuffle at corpus scale)
     return (
-        inter.join(F.broadcast(sizes).withColumnRenamed("_id", "doc_a").withColumnRenamed("_n", "_na"), "doc_a")
-        .join(F.broadcast(sizes).withColumnRenamed("_id", "doc_b").withColumnRenamed("_n", "_nb"), "doc_b")
+        inter.join(sizes.withColumnRenamed("_id", "doc_a").withColumnRenamed("_n", "_na"), "doc_a")
+        .join(sizes.withColumnRenamed("_id", "doc_b").withColumnRenamed("_n", "_nb"), "doc_b")
         .withColumn("jaccard", F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

@@ -36,13 +36,10 @@ def kmeans_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Returns (id, cluster) after ``iterations`` Lloyd steps."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
     points = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).persist()
-    centroids = (
-        points.orderBy("_id")
-        .limit(k)
-        .select(F.monotonically_increasing_id().alias("_c"), F.col("_v").alias("_cv"))
-        .collect()
-    )
+    centroids = points.orderBy("_id").limit(k).select(F.col("_v").alias("_cv")).collect()
     centroid_rows = [(i, [float(x) for x in r["_cv"]]) for i, r in enumerate(centroids)]
 
     assigned = None

@@ -25,7 +25,11 @@ def _key_digest(key_col: str) -> F.Column:
 def train_test_split(df: DataFrame, key_col: str, train_frac: float = 0.8) -> DataFrame:
     """Adds a ``split`` column ('train'/'test') determined solely by the
     key's md5 — stable across engines, runs, and repartitions."""
-    threshold = format(int(train_frac * 256), "02x")
+    if not 0.0 < train_frac < 1.0:
+        raise ValueError(f"train_frac must be in (0, 1), got {train_frac}")
+    # NB: a 3-hex-digit threshold ('100') would compare lexicographically
+    # against the 32-char digest and no longer mean a prefix fraction
+    threshold = format(min(255, int(train_frac * 256)), "02x")
     return df.withColumn(
         "split",
         F.when(_key_digest(key_col) < F.lit(threshold), F.lit("train")).otherwise(F.lit("test")),
@@ -34,7 +38,11 @@ def train_test_split(df: DataFrame, key_col: str, train_frac: float = 0.8) -> Da
 
 def deterministic_sample(df: DataFrame, key_col: str, frac: float) -> DataFrame:
     """Content-hash Bernoulli sample of ~frac rows."""
-    threshold = format(max(1, int(frac * 65536)), "04x")
+    if frac >= 1.0:
+        return df
+    if frac <= 0.0:
+        return df.limit(0)
+    threshold = format(max(1, min(65535, int(frac * 65536))), "04x")
     return df.filter(_key_digest(key_col) < F.lit(threshold))
 
 

@@ -279,7 +279,7 @@ SPECS = [
         "source_number_stats",
         source_number_stats,
         """
-        SELECT CAST(regexp_extract(source, '(\\d+)', 1) AS INT) AS source_num,
+        SELECT TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INT) AS source_num,
                count(*)     AS doc_cnt,
                sum(n_chars) AS total_chars
         FROM documents GROUP BY 1

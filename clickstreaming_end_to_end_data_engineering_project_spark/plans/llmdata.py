@@ -37,6 +37,10 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_score(_docs(spark, sf_dir))
 
 
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bpe_ish_token_count(_docs(spark, sf_dir))
+
+
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_id_heuristic(_docs(spark, sf_dir))
 
@@ -240,10 +244,19 @@ SPECS = [
         """,
     ),
     QuerySpec(
+        "doc_bpe_token_counts",
+        doc_bpe_token_counts,
+        """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INT) AS bpe_token_count
+        FROM documents
+        """,
+    ),
+    QuerySpec(
         "doc_lang_id",
         doc_lang_id,
-        """
-        WITH t AS (SELECT doc_id, " + _TOKENS_SQL + " AS toks FROM documents),
+        f"""
+        WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
         sc AS (
             SELECT doc_id,
                    len(list_filter(toks, x -> x IN ('the', 'and', 'of', 'is'))) AS s_en,
@@ -266,9 +279,7 @@ SPECS = [
                     WHEN s_en = m THEN 'en'
                     ELSE 'de' END AS predicted_lang
         FROM sc
-        """.replace(
-            '" + _TOKENS_SQL + "', _TOKENS_SQL
-        ),
+        """,
     ),
     QuerySpec(
         "doc_fingerprints",

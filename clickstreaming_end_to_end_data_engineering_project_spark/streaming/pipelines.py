@@ -69,18 +69,21 @@ def read_file_stream(spark: SparkSession, path: str, schema) -> DataFrame:
 # ---- pure transforms (batch/streaming agnostic) ---------------------------
 
 
-def page_view_pipeline(events: DataFrame, watermark: str = "1 minute") -> DataFrame:
-    """Views per (1-min tumbling window): ref :137-149."""
+def page_view_pipeline(events: DataFrame, watermark: str = "1 minute", by: str | None = None) -> DataFrame:
+    """Views per (1-min tumbling window[, dimension]): ref :137-149.
+    ``by`` adds the reference's page grouping when the source carries a
+    page column (the Kafka wire format does; the testdata twin doesn't)."""
+    keys = [F.window("ts", "1 minute").alias("w")] + ([F.col(by)] if by else [])
+    out = [
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+    ] + ([F.col(by)] if by else []) + [F.col("view_count")]
     return (
         events.filter(F.col("event_type") == "view")
         .withWatermark("ts", watermark)
-        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("view_count"))
-        .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
-            "view_count",
-        )
+        .select(*out)
     )
 
 
@@ -158,6 +161,7 @@ class ClickstreamPipelines:
     # finalization); the windowed aggs run in update mode like the ref
     _PIPELINES = {
         "page_views": (page_view_pipeline, "update"),
+        "page_views_by_page": (lambda ev: page_view_pipeline(ev, by="page"), "update"),
         "sessions": (session_pipeline, "append"),
         "purchases": (purchase_pipeline, "update"),
         "event_stats": (event_stats_pipeline, "update"),

@@ -436,9 +436,12 @@ def test_dashboard_reads_over_parquet_sinks(spark, sf_dir, events_dir, tmp_path)
 
     sink_dir = str(tmp_path / "sinks")
     ckpt_root = tempfile.mkdtemp(prefix="ckpt_dash_")
-    src = read_file_stream(spark, events_dir, EVENTS_SCHEMA)
+    src = read_file_stream(spark, events_dir, EVENTS_SCHEMA).withColumn(
+        "page", F.concat(F.lit("/p"), (F.col("user_id") % 5).cast("string"))
+    )
     sinks = {
         "page_views": ParquetSink(f"{sink_dir}/page_views"),
+        "page_views_by_page": ParquetSink(f"{sink_dir}/page_views_by_page"),
         "purchases": ParquetSink(f"{sink_dir}/purchases"),
         "event_stats": ParquetSink(f"{sink_dir}/event_stats"),
     }
@@ -448,9 +451,13 @@ def test_dashboard_reads_over_parquet_sinks(spark, sf_dir, events_dir, tmp_path)
     mgr.stop_all()
     shutil.rmtree(ckpt_root, ignore_errors=True)
 
-    top = dashboard.top_pages(spark, sink_dir, k=5).collect()
-    assert 0 < len(top) <= 5
-    assert top[0]["view_count"] >= top[-1]["view_count"]
+    top = dashboard.top_pages(spark, sink_dir, k=3).collect()
+    assert 0 < len(top) <= 3
+    assert all(r["page"].startswith("/p") for r in top)
+    assert top[0]["total_views"] >= top[-1]["total_views"]
+
+    busy = dashboard.busiest_windows(spark, sink_dir, k=5).collect()
+    assert 0 < len(busy) <= 5 and busy[0]["view_count"] >= busy[-1]["view_count"]
 
     rev = dashboard.revenue_over_time(spark, sink_dir).collect()
     assert len(rev) > 0 and all(r["total_revenue"] > 0 for r in rev)
