@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -109,6 +110,51 @@ def lsh_topk(
         bucketed.crossJoin(F.broadcast(q))
         .filter((F.col("_bucket") == F.col("_qbucket")) & (F.col(id_col) != query_vec_id))
         .select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def brute_force_topk_pandas(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched exact cosine top-k: each partition computes a
+    numpy matrix-vector product over its Arrow batch and yields only
+    its local top-k; the global TakeOrdered merges ~k rows/partition.
+
+    This is the documented 'vectorized pandas UDF beats per-row
+    expressions' path: one BLAS gemv per batch instead of an expression
+    tree per element.  Same results as brute_force_topk up to float
+    summation order (np.dot pairwise vs sequential fold), so consumers
+    needing oracle bit-exactness use the builtin; consumers needing
+    throughput at dim ≫ 64 use this."""
+    import numpy as np
+    import pandas as pd
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt(q @ q))
+
+    def _topk(batches):
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            sims = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
+            take = min(k, len(sims))
+            idx = np.argpartition(-sims, take - 1)[:take]
+            yield pd.DataFrame({id_col: pdf[id_col].iloc[idx], "cos_sim": sims[idx]})
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("cos_sim", DoubleType(), True),
+        ]
+    )
+    return (
+        df.select(id_col, vec_col)
+        .mapInPandas(_topk, out_schema)
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )

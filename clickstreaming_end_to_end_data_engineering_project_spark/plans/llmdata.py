@@ -105,6 +105,14 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(_embs(spark, sf_dir), query_vec_id=0, k=10, nprobe=3)
 
 
+def embedding_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numpy/Arrow vectorized top-k (rows-only: float summation order
+    differs from the expression path by design)."""
+    embs = _embs(spark, sf_dir)
+    qvec = [float(x) for x in embs.filter("vec_id = 0").collect()[0]["embedding"]]
+    return similarity.brute_force_topk_pandas(embs, qvec, k=10)
+
+
 def embedding_label_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pairwise_above_threshold(_embs(spark, sf_dir), threshold=0.9)
 
@@ -343,6 +351,7 @@ SPECS = [
     ),
     QuerySpec("embedding_lsh_topk", embedding_lsh_topk, None, "LSH-bucketed ANN (rows-only)"),
     QuerySpec("embedding_kmeans", embedding_kmeans, None, "iterative k-means (rows-only)"),
+    QuerySpec("embedding_topk_pandas", embedding_topk_pandas, None, "numpy mapInPandas top-k (rows-only)"),
     QuerySpec(
         "doc_train_test_split",
         doc_train_test_split,

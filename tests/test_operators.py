@@ -231,3 +231,94 @@ def test_kmeans_converges_and_is_deterministic(spark, sf_dir):
     assert a == b  # deterministic init + fixed iterations
     assert len(a) == embs.count()
     assert 1 < len(set(a.values())) <= 4  # nontrivial clustering
+
+
+def test_pandas_topk_matches_builtin(spark, sf_dir):
+    """The numpy mapInPandas top-k returns the same neighbor set as the
+    expression-based path (values equal to 1e-9; summation order may
+    differ in the last bits)."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.similarity import (
+        brute_force_topk_pandas,
+    )
+
+    embs = load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in embs.filter("vec_id = 0").collect()[0]["embedding"]]
+    builtin = brute_force_topk(embs, 0, k=11).collect()  # includes self? no: excludes id 0
+    pandas_res = brute_force_topk_pandas(embs, qvec, k=11).collect()
+    # pandas path does not exclude the query itself (cos=1.0 top hit)
+    p = [r for r in pandas_res if r["vec_id"] != 0][:10]
+    b = builtin[:10]
+    assert [r["vec_id"] for r in p] == [r["vec_id"] for r in b]
+    for x, y in zip(p, b):
+        assert abs(x["cos_sim"] - y["cos_sim"]) < 1e-9
+
+
+def test_money_exactness_fuzz(spark, sf_dir, tmp_path):
+    """Fuzz the decimal-exact aggregation contract: random 2-dp money
+    values (incl. .005-boundary adversaries), 200 groups — Spark
+    sum/avg must STRING-match DuckDB on the same parquet."""
+    import random as _random
+
+    import duckdb
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.functions import (
+        avg_money,
+        sum_money,
+    )
+
+    rng = _random.Random(4242)
+    rows = []
+    for i in range(20000):
+        # mix uniform cents with adversarial values whose group-avgs
+        # land near rounding boundaries
+        cents = rng.choice([rng.randint(1, 10**7), 1005, 25, 50, 125])
+        rows.append((i % 200, cents / 100.0))
+    df = spark.createDataFrame(rows, ["grp", "val"])
+    path = str(tmp_path / "fuzz.parquet")
+    df.coalesce(2).write.mode("overwrite").parquet(path)
+
+    got = {
+        r["grp"]: (str(r["total"]), str(r["mean"]))
+        for r in spark.read.parquet(path)
+        .groupBy("grp")
+        .agg(sum_money("val").alias("total"), avg_money("val").alias("mean"))
+        .collect()
+    }
+    con = duckdb.connect()
+    exp = {
+        r[0]: (str(r[1]), str(r[2]))
+        for r in con.execute(
+            f"""SELECT grp,
+                   CAST(sum(CAST(val AS DECIMAL(12,2))) AS DOUBLE),
+                   CAST(sum(CAST(val AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+                FROM read_parquet('{path}/*.parquet') GROUP BY grp"""
+        ).fetchall()
+    }
+    assert got == exp
+
+
+def test_null_keys_through_operators(spark):
+    """Null grouping keys and null join keys behave sanely: nulls form
+    their own group in aggs, never match in equi-joins."""
+    import datetime as _dt
+
+    rows = [
+        (1, _dt.datetime(2024, 1, 1, 10, 0), None, "view", 1.0, "{}"),
+        (2, _dt.datetime(2024, 1, 1, 10, 1), None, "view", 1.0, "{}"),
+        (3, _dt.datetime(2024, 1, 1, 10, 2), 7, "view", 1.0, "{}"),
+    ]
+    from tests.test_streaming import EVENTS_SCHEMA
+
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    grouped = {r["user_id"]: r["cnt"] for r in df.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert grouped == {None: 2, 7: 1}
+
+    sessions = sessionize(df, "ts", "user_id").collect()
+    by_user = {}
+    for r in sessions:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user[None][0]["event_count"] == 2  # null key sessionizes as a group
+
+    dim = spark.createDataFrame([(7, "x")], ["user_id", "tag"])
+    joined = df.join(dim, "user_id").collect()
+    assert len(joined) == 1  # null keys never equi-match
