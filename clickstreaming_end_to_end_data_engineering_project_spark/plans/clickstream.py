@@ -139,6 +139,24 @@ def json_props_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sliding_view_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute windows sliding every minute (each event lands in 5
+    overlapping windows) — the hopping-window shape the reference's
+    tumbling-only pipelines lack.  Spark's window(slide) plans a
+    5-way Expand before the hash agg; the oracle replicates it with an
+    explicit 0..4 offset cross join."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "view")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("view_count"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "view_count",
+        )
+    )
+
+
 def user_journey_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type transition counts via lag over per-user time order
     (the README's 'user journey flows', README.md:128-137)."""
@@ -291,6 +309,18 @@ SPECS = [
         FROM events GROUP BY 1
         ORDER BY event_cnt DESC, k
         LIMIT 20
+        """,
+    ),
+    QuerySpec(
+        "sliding_view_counts",
+        sliding_view_counts,
+        """
+        SELECT date_trunc('minute', ts) - (k * INTERVAL 1 MINUTE)                    AS window_start,
+               date_trunc('minute', ts) - (k * INTERVAL 1 MINUTE) + INTERVAL 5 MINUTE AS window_end,
+               count(*)                                                              AS view_count
+        FROM events, (SELECT unnest(range(5)) AS k)
+        WHERE event_type = 'view'
+        GROUP BY 1, 2
         """,
     ),
     QuerySpec(

@@ -49,3 +49,11 @@ def write_partitioned_parquet(
     """Date/key-partitioned layout — the scan-side partition-pruning
     contract (SCALING.md storage section)."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def compact_parquet(spark: SparkSession, src: str, dst: str, target_files: int) -> None:
+    """Small-file compaction: rewrite a directory into ``target_files``
+    evenly-sized files.  The classic maintenance job for streaming
+    sinks that emit a file per micro-batch — at 100 TB, scan cost is
+    dominated by file-open overhead once files shrink below ~100 MB."""
+    spark.read.parquet(src).repartition(target_files).write.mode("overwrite").parquet(dst)

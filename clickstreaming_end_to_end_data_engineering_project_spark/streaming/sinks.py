@@ -83,6 +83,20 @@ class ParquetSink(Sink):
         df.write.mode(self.mode).parquet(self.path)
 
 
+class IdempotentParquetSink(Sink):
+    """Exactly-once parquet sink: each micro-batch overwrites its own
+    ``batch_id=N`` partition, so a replayed batch (restart between sink
+    write and checkpoint commit — the at-least-once window of
+    foreachBatch) lands on top of itself instead of duplicating.
+    Readers see one copy per batch regardless of retries."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def write(self, df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{self.path}/batch_id={batch_id}")
+
+
 class JdbcSink(Sink):
     """JDBC append sink — the defined semantics of the reference's
     undefined ``save_dataframe(df, table, mode="append")``

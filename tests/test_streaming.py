@@ -465,3 +465,50 @@ def test_dashboard_reads_over_parquet_sinks(spark, sf_dir, events_dir, tmp_path)
     mix = dashboard.event_mix(spark, sink_dir).collect()
     assert abs(sum(r["share"] for r in mix) - 1.0) < 1e-9
     assert {r["event_type"] for r in mix} == {"view", "click", "purchase", "signup", "error"}
+
+
+def test_idempotent_sink_replay_safe(spark, tmp_path):
+    """Replaying a batch id must not duplicate rows (the foreachBatch
+    at-least-once window)."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.sinks import (
+        IdempotentParquetSink,
+    )
+
+    sink = IdempotentParquetSink(str(tmp_path / "idem"))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    sink(df, batch_id=0)
+    sink(df, batch_id=0)  # replay of the same micro-batch
+    sink(df, batch_id=1)
+    out = spark.read.parquet(str(tmp_path / "idem"))
+    assert out.count() == 4  # 2 rows x 2 distinct batches, no replay dupes
+    assert out.filter("batch_id = 0").count() == 2
+
+
+def test_config_surface_env_overrides(monkeypatch):
+    from clickstreaming_end_to_end_data_engineering_project_spark.config import load_config
+
+    cfg = load_config()
+    assert cfg.kafka.topic == "clickstream"  # reference default, config.py:13
+    assert cfg.spark.max_offsets_per_trigger == 10000  # config.py:53
+    assert cfg.generator.events_per_second == 20.0  # config.py:60
+    assert cfg.metrics.ttl_seconds == 86400  # stream_processor.py:388
+    monkeypatch.setenv("KAFKA_TOPIC", "other")
+    monkeypatch.setenv("EVENTS_PER_SECOND", "77")
+    cfg2 = load_config()
+    assert cfg2.kafka.topic == "other" and cfg2.generator.events_per_second == 77.0
+
+
+def test_compact_parquet(spark, sf_dir, tmp_path):
+    import glob
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.formats import (
+        compact_parquet,
+    )
+
+    src = str(tmp_path / "many")
+    dst = str(tmp_path / "few")
+    load(spark, sf_dir, "events").repartition(40).write.mode("overwrite").parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 40
+    compact_parquet(spark, src, dst, 4)
+    assert len(glob.glob(f"{dst}/part-*.parquet")) == 4
+    assert spark.read.parquet(dst).count() == load(spark, sf_dir, "events").count()
