@@ -8,7 +8,7 @@ union/intersect with multiplicity)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import money
@@ -16,6 +16,47 @@ from ..sources.tables import load
 from .registry import QuerySpec
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def weekly_moving_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame moving aggregate: 7-day trailing order revenue per
+    day.  rangeBetween on epoch-days (value-based frame, not row
+    count) — decimal accumulation keeps it oracle-exact."""
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("order_day")).agg(
+        F.sum(money("o_totalprice")).alias("_rev_dec")
+    )
+    w = (
+        Window.orderBy(F.col("order_day").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        "order_day",
+        F.col("_rev_dec").cast("double").alias("day_revenue"),
+        F.sum("_rev_dec").over(w).cast("double").alias("trailing_7d_revenue"),
+    )
+
+
+def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) over total customer spend (deterministic tiebreak)."""
+    orders = load(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(F.sum(money("o_totalprice")).alias("_s_dec"))
+    w = Window.orderBy(F.col("_s_dec").desc(), F.col("o_custkey"))
+    return spend.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("_s_dec").cast("double").alias("total_spend"),
+        F.ntile(4).over(w).alias("spend_quartile"),
+    )
+
+
+def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sorted distinct event-type array + its size (array agg
+    + array functions surface)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("event_types"),
+        F.size(F.collect_set("event_type")).alias("n_types"),
+    )
 
 
 def q4_late_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,6 +225,49 @@ _PIVOT_CASE = ",\n               ".join(
 )
 
 SPECS = [
+    QuerySpec(
+        "weekly_moving_revenue",
+        weekly_moving_revenue,
+        """
+        WITH d AS (
+            SELECT CAST(o_orderdate AS DATE) AS order_day,
+                   sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec
+            FROM orders GROUP BY 1
+        )
+        SELECT order_day,
+               CAST(rev_dec AS DOUBLE) AS day_revenue,
+               CAST(sum(rev_dec) OVER (
+                   ORDER BY order_day
+                   RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS trailing_7d_revenue
+        FROM d
+        """,
+    ),
+    QuerySpec(
+        "customer_spend_quartiles",
+        customer_spend_quartiles,
+        """
+        WITH s AS (
+            SELECT o_custkey AS custkey,
+                   sum(CAST(o_totalprice AS DECIMAL(12,2))) AS s_dec
+            FROM orders GROUP BY 1
+        )
+        SELECT custkey,
+               CAST(s_dec AS DOUBLE) AS total_spend,
+               ntile(4) OVER (ORDER BY s_dec DESC, custkey) AS spend_quartile
+        FROM s
+        """,
+    ),
+    QuerySpec(
+        "user_event_type_sets",
+        user_event_type_sets,
+        """
+        SELECT user_id,
+               list_sort(list(DISTINCT event_type)) AS event_types,
+               CAST(count(DISTINCT event_type) AS INT) AS n_types
+        FROM events GROUP BY user_id
+        """,
+    ),
     QuerySpec(
         "q4_late_order_priorities",
         q4_late_order_priorities,
