@@ -113,6 +113,48 @@ class JdbcSink(Sink):
         df.write.jdbc(self.url, self.table, mode=self.mode, properties=self.properties)
 
 
+class CompositeSink(Sink):
+    """Fan one micro-batch out to several sinks from a SINGLE streaming
+    query.  The reference instead starts two queries per pipeline
+    (Postgres + Redis — stream_processor.py:158/167, 240/249), which
+    re-reads Kafka and recomputes the aggregation twice; one query +
+    composite sink halves source load and keeps the sinks in lockstep
+    on the same batch."""
+
+    def __init__(self, *sinks: Sink):
+        self.sinks = sinks
+
+    def write(self, df: DataFrame, batch_id: int) -> None:
+        # persist so N sinks don't recompute the batch plan N times
+        df.persist()
+        try:
+            for sink in self.sinks:
+                sink.write(df, batch_id)
+        finally:
+            df.unpersist()
+
+
+def write_kafka(df: DataFrame, brokers: str, topic: str, key_col: str | None = None):
+    """Kafka producer twin (reference kafka_produer/producer.py:51-76):
+    serialize all columns as a JSON document into ``value``.  Works for
+    both batch (`df.write`) and streaming (`df.writeStream`) callers —
+    returns the prepared (key, value) DataFrame; caller attaches the
+    writer so it can pick trigger/checkpoint.  Requires the
+    spark-sql-kafka package."""
+    from pyspark.sql import functions as F
+
+    cols = [c for c in df.columns if c != key_col]
+    out = df.select(
+        *( [F.col(key_col).cast("string").alias("key")] if key_col else [] ),
+        F.to_json(F.struct(*cols)).alias("value"),
+    )
+    return out.write.format("kafka").option("kafka.bootstrap.servers", brokers).option(
+        "topic", topic
+    ) if not df.isStreaming else out.writeStream.format("kafka").option(
+        "kafka.bootstrap.servers", brokers
+    ).option("topic", topic)
+
+
 class MetricsSink(Sink):
     """Counter + time-series metrics sink — the defined semantics of
     the reference's undefined Redis pipeline API

@@ -512,3 +512,60 @@ def test_compact_parquet(spark, sf_dir, tmp_path):
     compact_parquet(spark, src, dst, 4)
     assert len(glob.glob(f"{dst}/part-*.parquet")) == 4
     assert spark.read.parquet(dst).count() == load(spark, sf_dir, "events").count()
+
+
+def test_composite_sink_single_query_dual_sink(spark, sf_dir, events_dir):
+    """One streaming query feeding parquet + metrics simultaneously —
+    the fix for the reference's double-query-per-pipeline design."""
+    import glob
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.sinks import (
+        CompositeSink,
+        MetricsSink,
+        ParquetSink,
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="composite_out_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_comp_")
+    mem = MemorySink(key_cols=["window_start"])
+    pq = ParquetSink(f"{out_dir}/pv")
+    metrics = MetricsSink(key_col="window_start", count_col="view_count")
+    src = read_file_stream(spark, events_dir, EVENTS_SCHEMA)
+    q = (
+        page_view_pipeline(src)
+        .writeStream.outputMode("update")
+        .foreachBatch(CompositeSink(mem, pq, metrics))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    n_mem = len(mem.result)
+    n_pq = spark.read.parquet(f"{out_dir}/pv").count()
+    assert n_mem > 0 and n_pq >= n_mem  # parquet appends emissions
+    assert sum(metrics.counters.values()) > 0
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_write_kafka_payload_shape(spark, sf_dir):
+    """The producer twin prepares (key, value-JSON) correctly (can't
+    reach a broker here; assert the prepared frame, not the send)."""
+    import json
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.sinks import (
+        write_kafka,
+    )
+    from pyspark.sql import functions as F
+
+    df = load(spark, sf_dir, "events").limit(5)
+    cols = [c for c in df.columns if c != "event_id"]
+    prepared = df.select(
+        F.col("event_id").cast("string").alias("key"),
+        F.to_json(F.struct(*cols)).alias("value"),
+    )
+    rows = prepared.collect()
+    assert all(set(json.loads(r["value"]).keys()) == set(cols) for r in rows)
+    writer = write_kafka(df, "localhost:9092", "clickstream", key_col="event_id")
+    assert "DataFrameWriter" in type(writer).__name__  # batch path -> writer ready
