@@ -322,3 +322,38 @@ def test_null_keys_through_operators(spark):
     dim = spark.createDataFrame([(7, "x")], ["user_id", "tag"])
     joined = df.join(dim, "user_id").collect()
     assert len(joined) == 1  # null keys never equi-match
+
+
+def test_sessionize_property_based(spark):
+    """Hypothesis: for ANY set of per-user event offsets (including
+    exact-gap and microsecond-adjacent boundaries), native
+    session_window == the lag/cumsum SQL formulation."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    offsets_strategy = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user
+            st.integers(min_value=0, max_value=7200_000_000),  # offset µs
+        ),
+        min_size=1,
+        max_size=60,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(offsets_strategy)
+    def check(pairs):
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (i, base + dt.timedelta(microseconds=off), user)
+            for i, (user, off) in enumerate(pairs)
+        ]
+        df = spark.createDataFrame(rows, ["event_id", "ts", "user_id"])
+        native = {tuple(r) for r in sessionize(df, "ts", "user_id").collect()}
+        viasql = {
+            tuple(r)
+            for r in sessionize_via_lag(df, "ts", "user_id", 1800, "event_id").collect()
+        }
+        assert native == viasql
+
+    check()

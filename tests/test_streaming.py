@@ -569,3 +569,52 @@ def test_write_kafka_payload_shape(spark, sf_dir):
     assert all(set(json.loads(r["value"]).keys()) == set(cols) for r in rows)
     writer = write_kafka(df, "localhost:9092", "clickstream", key_col="event_id")
     assert "DataFrameWriter" in type(writer).__name__  # batch path -> writer ready
+
+
+def test_checkpoint_recovery_continues_state(spark, sf_dir):
+    """Stop a windowed streaming query, add data, restart from the same
+    checkpoint: offsets resume (old file not reprocessed) and the
+    aggregation state carries over — final counts equal the batch run
+    over everything."""
+    src_dir = tempfile.mkdtemp(prefix="recov_src_")
+    ckpt = tempfile.mkdtemp(prefix="recov_ckpt_")
+    events = load(spark, sf_dir, "events")
+    # split by TIME, not id: the recovered watermark from run 1 would
+    # drop interleaved older rows as late data (correct behavior —
+    # asserted separately in test_watermark_drops_late_rows)
+    split_ts = events.selectExpr("percentile(cast(ts as double), 0.5) p").collect()[0]["p"]
+    first = events.filter(F.col("ts").cast("double") <= split_ts)
+    second = events.filter(F.col("ts").cast("double") > split_ts)
+    first.coalesce(1).write.mode("append").parquet(src_dir)
+
+    sink = MemorySink(key_cols=["window_start"])
+
+    def run_once():
+        q = (
+            page_view_pipeline(read_file_stream(spark, src_dir, EVENTS_SCHEMA))
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return q
+
+    run_once()
+    n_runs1 = len(sink.result)
+    assert n_runs1 > 0
+
+    second.coalesce(1).write.mode("append").parquet(src_dir)
+    run_once()  # same checkpoint -> resumes from recorded offsets
+
+    expected = {
+        r["window_start"]: r["view_count"]
+        for r in page_view_pipeline(events).collect()
+    }
+    got = {r["window_start"]: r["view_count"] for r in sink.result}
+    assert got == expected, (
+        f"state continuity broken: {len(got)} windows vs {len(expected)}"
+    )
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
