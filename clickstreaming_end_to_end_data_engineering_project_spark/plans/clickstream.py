@@ -139,6 +139,20 @@ def json_props_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def daily_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type serving aggregate (the ETL gold layer's daily
+    table as a registry query — etl.py gold_publish)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.to_date("ts").alias("event_date"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_cnt"),
+            sum_money("value").alias("total_value"),
+            F.count_distinct("user_id").alias("unique_users"),
+        )
+    )
+
+
 def sliding_view_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-minute windows sliding every minute (each event lands in 5
     overlapping windows) — the hopping-window shape the reference's
@@ -309,6 +323,17 @@ SPECS = [
         FROM events GROUP BY 1
         ORDER BY event_cnt DESC, k
         LIMIT 20
+        """,
+    ),
+    QuerySpec(
+        "daily_event_stats",
+        daily_event_stats,
+        """
+        SELECT CAST(ts AS DATE) AS event_date, event_type,
+               count(*) AS event_cnt,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+               count(DISTINCT user_id) AS unique_users
+        FROM events GROUP BY 1, 2
         """,
     ),
     QuerySpec(
