@@ -20,6 +20,7 @@ import time
 
 from pyspark.sql import functions as F
 
+from .config import load_config
 from .session import get_spark
 from .sources.generator import clickstream_rate_stream
 from .streaming.monitoring import attach_monitor, detach_monitor
@@ -28,13 +29,15 @@ from .streaming.sinks import MemorySink, ParquetSink
 
 
 def main(argv: list[str] | None = None) -> int:
+    cfg = load_config()  # env-var surface, same names as the reference
     ap = argparse.ArgumentParser(description="clickstream engine streaming app")
     ap.add_argument("--duration", type=float, default=15.0, help="seconds to run")
-    ap.add_argument("--events-per-second", type=int, default=200)
-    ap.add_argument("--kafka", default=None, help="bootstrap servers (else rate source)")
-    ap.add_argument("--topic", default="clickstream")
+    ap.add_argument("--events-per-second", type=int, default=int(cfg.generator.events_per_second * 10))
+    ap.add_argument("--kafka", default=None, help=f"bootstrap servers (else rate source; env default {cfg.kafka.bootstrap_servers})")
+    ap.add_argument("--topic", default=cfg.kafka.topic)
     ap.add_argument("--sink-dir", default=None, help="write parquet here (else in-memory)")
     ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--trigger-seconds", type=int, default=min(cfg.spark.batch_duration_s, 2))
     args = ap.parse_args(argv)
 
     spark = get_spark("clickstream-app")
@@ -63,7 +66,7 @@ def main(argv: list[str] | None = None) -> int:
         F.col("page"),
     )
 
-    ckpt = args.checkpoint_dir or tempfile.mkdtemp(prefix="clickstream_ckpt_")
+    ckpt = args.checkpoint_dir or f"{cfg.spark.checkpoint_dir}/app-{int(time.time())}"
     if args.sink_dir:
         sinks = {
             name: ParquetSink(f"{args.sink_dir}/{name}")
@@ -77,7 +80,7 @@ def main(argv: list[str] | None = None) -> int:
             "event_stats": MemorySink(key_cols=["window_start", "event_type"]),
         }
 
-    mgr = ClickstreamPipelines(spark, ckpt, trigger={"processingTime": "2 seconds"})
+    mgr = ClickstreamPipelines(spark, ckpt, trigger={"processingTime": f"{args.trigger_seconds} seconds"})
     mgr.start(events, sinks)
     print(f"started {len(mgr.queries)} queries; running {args.duration}s "
           f"({'kafka:' + args.kafka if args.kafka else 'rate source'})")

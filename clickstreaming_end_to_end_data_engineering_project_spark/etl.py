@@ -50,8 +50,11 @@ def silver_refine(spark: SparkSession, out_dir: str) -> DataFrame:
     (null ts / negative value) instead of dropping silently."""
     bronze = spark.read.parquet(f"{out_dir}/bronze/events")
     parsed = bronze.withColumn("props_k", F.from_json("props", EVENTS_PROPS_SCHEMA)["k"])
-    valid = parsed.filter(F.col("ts").isNotNull() & (F.col("value") >= 0))
-    invalid = parsed.filter(F.col("ts").isNull() | (F.col("value") < 0))
+    # null-safe partition of rows: a NULL value must land in quarantine,
+    # not vanish into three-valued-logic limbo (neither filter matching)
+    ok = F.coalesce(F.col("ts").isNotNull() & (F.col("value") >= 0), F.lit(False))
+    valid = parsed.filter(ok)
+    invalid = parsed.filter(~ok)
     deduped = valid.dropDuplicates(["event_id"])
     deduped.drop("props").write.mode("overwrite").partitionBy("event_date").parquet(
         f"{out_dir}/silver/events"
@@ -91,6 +94,10 @@ def gold_publish(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFram
 
 
 def run_events_etl(spark: SparkSession, sf_dir: str, out_dir: str) -> EtlResult:
+    # dynamic partition overwrite: an incremental run filtered to one
+    # date rewrites ONLY that partition (static mode would truncate the
+    # whole layer — the silent-data-loss default)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     bronze = bronze_land(spark, sf_dir, out_dir)
     silver = silver_refine(spark, out_dir)
     daily, users = gold_publish(spark, out_dir)

@@ -117,7 +117,7 @@ def lsh_topk(
 
 def brute_force_topk_pandas(
     df: DataFrame,
-    query_vec: list[float],
+    query_vec_id: int,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -128,23 +128,29 @@ def brute_force_topk_pandas(
 
     This is the documented 'vectorized pandas UDF beats per-row
     expressions' path: one BLAS gemv per batch instead of an expression
-    tree per element.  Same results as brute_force_topk up to float
-    summation order (np.dot pairwise vs sequential fold), so consumers
-    needing oracle bit-exactness use the builtin; consumers needing
-    throughput at dim ≫ 64 use this."""
+    tree per element.  Results match brute_force_topk up to float
+    summation order (np.dot pairwise vs sequential fold); ties are
+    broken by id INSIDE each partition (lexsort) so the global
+    (cos_sim desc, id) merge is deterministic even with duplicate
+    vectors.  The query vector rides in as a broadcast column — the
+    plan stays fully lazy (no driver-side collect at build time)."""
     import numpy as np
     import pandas as pd
 
-    q = np.asarray(query_vec, dtype=np.float64)
-    qn = float(np.sqrt(q @ q))
+    q_df = df.filter(F.col(id_col) == query_vec_id).select(F.col(vec_col).alias("_qvec"))
 
     def _topk(batches):
         for pdf in batches:
+            if pdf.empty:
+                continue
+            q = np.asarray(pdf["_qvec"].iloc[0], dtype=np.float64)
+            qn = float(np.sqrt(q @ q))
             m = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
             sims = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
             take = min(k, len(sims))
-            idx = np.argpartition(-sims, take - 1)[:take]
-            yield pd.DataFrame({id_col: pdf[id_col].iloc[idx], "cos_sim": sims[idx]})
+            # lexsort: primary -sims, secondary id — deterministic ties
+            order = np.lexsort((pdf[id_col].to_numpy(), -sims))[:take]
+            yield pd.DataFrame({id_col: pdf[id_col].iloc[order], "cos_sim": sims[order]})
 
     out_schema = StructType(
         [
@@ -153,7 +159,9 @@ def brute_force_topk_pandas(
         ]
     )
     return (
-        df.select(id_col, vec_col)
+        df.filter(F.col(id_col) != query_vec_id)
+        .select(id_col, vec_col)
+        .crossJoin(F.broadcast(q_df))
         .mapInPandas(_topk, out_schema)
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)

@@ -108,9 +108,7 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numpy/Arrow vectorized top-k (rows-only: float summation order
     differs from the expression path by design)."""
-    embs = _embs(spark, sf_dir)
-    qvec = [float(x) for x in embs.filter("vec_id = 0").collect()[0]["embedding"]]
-    return similarity.brute_force_topk_pandas(embs, qvec, k=10)
+    return similarity.brute_force_topk_pandas(_embs(spark, sf_dir), query_vec_id=0, k=10)
 
 
 def embedding_label_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

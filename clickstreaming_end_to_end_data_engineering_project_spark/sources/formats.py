@@ -56,4 +56,10 @@ def compact_parquet(spark: SparkSession, src: str, dst: str, target_files: int) 
     evenly-sized files.  The classic maintenance job for streaming
     sinks that emit a file per micro-batch — at 100 TB, scan cost is
     dominated by file-open overhead once files shrink below ~100 MB."""
+    import os
+
+    if os.path.abspath(src) == os.path.abspath(dst):
+        # overwrite clears dst before the lazy read of src runs — an
+        # in-place call would destroy the data mid-scan
+        raise ValueError("compact_parquet: dst must differ from src (write-then-swap instead)")
     spark.read.parquet(src).repartition(target_files).write.mode("overwrite").parquet(dst)

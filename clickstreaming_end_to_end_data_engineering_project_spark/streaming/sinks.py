@@ -124,23 +124,31 @@ class CompositeSink(Sink):
     def __init__(self, *sinks: Sink):
         self.sinks = sinks
 
+    def __call__(self, df: DataFrame, batch_id: int) -> None:
+        # no composite-level retry: each sub-sink runs its OWN retry via
+        # Sink.__call__, and a sub-sink that already succeeded must not
+        # be re-run when a sibling fails (that would duplicate appends)
+        if df.isEmpty():
+            return
+        self.write(df, batch_id)
+
     def write(self, df: DataFrame, batch_id: int) -> None:
         # persist so N sinks don't recompute the batch plan N times
         df.persist()
         try:
             for sink in self.sinks:
-                sink.write(df, batch_id)
+                sink(df, batch_id)
         finally:
             df.unpersist()
 
 
 def write_kafka(df: DataFrame, brokers: str, topic: str, key_col: str | None = None):
     """Kafka producer twin (reference kafka_produer/producer.py:51-76):
-    serialize all columns as a JSON document into ``value``.  Works for
-    both batch (`df.write`) and streaming (`df.writeStream`) callers —
-    returns the prepared (key, value) DataFrame; caller attaches the
-    writer so it can pick trigger/checkpoint.  Requires the
-    spark-sql-kafka package."""
+    serialize all columns as a JSON document into ``value`` and return
+    a ready DataFrameWriter (batch input) or DataStreamWriter (streaming
+    input) with brokers/topic pre-set — caller adds mode or
+    trigger/checkpoint and fires it.  Requires the spark-sql-kafka
+    package."""
     from pyspark.sql import functions as F
 
     cols = [c for c in df.columns if c != key_col]
@@ -166,7 +174,11 @@ class MetricsSink(Sink):
     add_time_series / flush), batched like the reference's pipeline.
     """
 
-    def __init__(self, key_col: str, count_col: str, ts_col: str | None = None, ttl_seconds: int = 86400):
+    def __init__(self, key_col: str, count_col: str, ts_col: str | None = None, ttl_seconds: int | None = None):
+        from ..config import MetricsConfig
+
+        if ttl_seconds is None:
+            ttl_seconds = MetricsConfig().ttl_seconds
         self.key_col = key_col
         self.count_col = count_col
         self.ts_col = ts_col

@@ -242,12 +242,9 @@ def test_pandas_topk_matches_builtin(spark, sf_dir):
     )
 
     embs = load(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in embs.filter("vec_id = 0").collect()[0]["embedding"]]
-    builtin = brute_force_topk(embs, 0, k=11).collect()  # includes self? no: excludes id 0
-    pandas_res = brute_force_topk_pandas(embs, qvec, k=11).collect()
-    # pandas path does not exclude the query itself (cos=1.0 top hit)
-    p = [r for r in pandas_res if r["vec_id"] != 0][:10]
-    b = builtin[:10]
+    builtin = brute_force_topk(embs, 0, k=10).collect()
+    pandas_res = brute_force_topk_pandas(embs, 0, k=10).collect()
+    p, b = pandas_res, builtin
     assert [r["vec_id"] for r in p] == [r["vec_id"] for r in b]
     for x, y in zip(p, b):
         assert abs(x["cos_sim"] - y["cos_sim"]) < 1e-9
