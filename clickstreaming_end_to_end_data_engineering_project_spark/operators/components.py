@@ -1,0 +1,87 @@
+"""Connected components over candidate-duplicate pairs — the step
+that turns pairwise near-dup hits (Jaccard / MinHash / SimHash) into
+dedup CLUSTERS with one canonical representative each.
+
+Algorithm: iterative min-label propagation (the standard large-graph
+approach when a full GraphX/pregel dependency isn't warranted): every
+vertex starts labeled with its own id; each round, a vertex adopts the
+smallest label among itself and its neighbors; converged when no label
+changes.  Rounds ≤ graph diameter; dup graphs are overwhelmingly tiny
+cliques/chains, so 3-5 rounds close virtually everything (``max_iter``
+bounds the driver loop; the loop body is pure joins/aggregations).
+
+Scale notes: each round is one join edges⋈labels (shuffle on vertex
+id) + one min-aggregation.  Labels are persisted per round and the
+previous round unpersisted — lineage stays O(1).  For petabyte-scale
+graphs swap in the large-star/small-star variant (same join shapes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """(vertex, component) for every vertex in ``edges``; component id =
+    min vertex id in the component."""
+    sym = (
+        edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+        .union(edges.select(F.col(dst).alias("_u"), F.col(src).alias("_v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("_u").alias("_vtx"))
+        .distinct()
+        .withColumn("_lbl", F.col("_vtx"))
+        .persist()
+    )
+    labels.count()
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym._v == labels._vtx)
+            .groupBy(F.col("_u").alias("_vtx2"))
+            .agg(F.min("_lbl").alias("_nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels._vtx == neighbor_min._vtx2, "left")
+            .select(
+                "_vtx",
+                F.least(F.col("_lbl"), F.coalesce(F.col("_nlbl"), F.col("_lbl"))).alias("_lbl"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n._vtx") == F.col("o._vtx"))
+            .filter(F.col("n._lbl") != F.col("o._lbl"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    out = labels.select(F.col("_vtx").alias("vertex"), F.col("_lbl").alias("component"))
+    sym.unpersist()
+    return out
+
+
+def dup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b") -> DataFrame:
+    """Cluster near-dup pairs; output (doc_id, cluster_id, is_canonical)
+    where the canonical doc is the cluster minimum — the row a dedup
+    pipeline KEEPS."""
+    comp = connected_components(pairs, id_a, id_b)
+    return comp.select(
+        F.col("vertex").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("vertex") == F.col("component")).alias("is_canonical"),
+    )

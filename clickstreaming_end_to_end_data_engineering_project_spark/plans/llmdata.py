@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import dround
-from ..operators import dedup, kmeans, sampling, similarity, text
+from ..operators import components, dedup, kmeans, sampling, similarity, text
 from ..sources.tables import load
 from .registry import QuerySpec
 
@@ -83,6 +83,13 @@ def exact_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+
+
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected components -> canonical-per-cluster
+    (iterative label propagation; rows-only)."""
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+    return components.dup_clusters(pairs)
 
 
 def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -335,6 +342,7 @@ SPECS = [
     ),
     QuerySpec("ngram_jaccard_dups", ngram_jaccard_dups, _JACCARD_ORACLE),
     QuerySpec("minhash_lsh_dups", minhash_lsh_dups, None, "MinHash+LSH candidates (rows-only)"),
+    QuerySpec("doc_dup_clusters", doc_dup_clusters, None, "dedup clustering via connected components (rows-only)"),
     QuerySpec("simhash_dups", simhash_dups, None, "SimHash dup groups (rows-only)"),
     QuerySpec(
         "embedding_topk_cosine",

@@ -354,3 +354,46 @@ def test_sessionize_property_based(spark):
         assert native == viasql
 
     check()
+
+
+def test_connected_components_known_graph(spark):
+    """Chains, cliques, isolated pairs — labels converge to the min id
+    of each true component."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.components import (
+        connected_components,
+        dup_clusters,
+    )
+
+    edges = spark.createDataFrame(
+        # component A: chain 1-2-3-4; component B: clique 10,11,12;
+        # component C: pair 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["doc_a", "doc_b"],
+    )
+    comp = {r["vertex"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    clusters = dup_clusters(edges).collect()
+    canon = {r["cluster_id"] for r in clusters if r["is_canonical"]}
+    assert canon == {1, 10, 20}
+    assert sum(1 for r in clusters if not r["is_canonical"]) == 6  # the removable dupes
+
+
+def test_dup_clusters_on_real_jaccard_pairs(spark, sf_dir):
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.components import (
+        dup_clusters,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.15)
+    clusters = dup_clusters(pairs)
+    rows = clusters.collect()
+    if rows:  # cluster invariants hold whenever pairs exist
+        by_cluster = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster_id"], []).append(r)
+        for cid, members in by_cluster.items():
+            assert min(m["doc_id"] for m in members) == cid
+            assert sum(1 for m in members if m["is_canonical"]) == 1
