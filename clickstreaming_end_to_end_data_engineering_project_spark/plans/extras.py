@@ -59,6 +59,76 @@ def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR-fence outlier detection per priority class: orders outside
+    [q1 - 1.5*IQR, q3 + 1.5*IQR].  Exact percentiles (sort-based);
+    the one-row-per-group fence table broadcasts back."""
+    orders = load(spark, sf_dir, "orders")
+    fences = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.25).alias("_q1"),
+        F.percentile("o_totalprice", 0.75).alias("_q3"),
+    )
+    lo = F.col("_q1") - 1.5 * (F.col("_q3") - F.col("_q1"))
+    hi = F.col("_q3") + 1.5 * (F.col("_q3") - F.col("_q1"))
+    return (
+        orders.join(F.broadcast(fences), "o_orderpriority")
+        .filter((F.col("o_totalprice") < lo) | (F.col("o_totalprice") > hi))
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+
+
+def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent word pairs by count with PMI score — collocation
+    mining over the corpus.  All counts integer-exact; PMI is ln() of
+    an identical double on both engines."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    with_toks = docs.select(F.col("doc_id"), toks.alias("_t"))
+    m = F.size("_t") - 1
+    grams = with_toks.select(
+        F.explode(
+            F.when(
+                F.size("_t") >= 2,
+                F.zip_with(
+                    F.slice("_t", 1, m), F.slice("_t", 2, m),
+                    lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+                ),
+            ).otherwise(F.array()),
+        ).alias("g")
+    ).select("g.w1", "g.w2")
+    pair_counts = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_cnt"))
+    uni = grams.select(F.col("w1").alias("w")).union(
+        grams.select(F.col("w2").alias("w"))
+    )
+    n_pairs = grams.count()  # scalar for PMI normalization (action: documented)
+    uni_counts = uni.groupBy("w").agg(F.count(F.lit(1)).alias("w_cnt"))
+    u1 = uni_counts.select(F.col("w").alias("w1"), F.col("w_cnt").alias("_c1"))
+    u2 = uni_counts.select(F.col("w").alias("w2"), F.col("w_cnt").alias("_c2"))
+    pmi = F.log(
+        (F.col("pair_cnt").cast("double") * F.lit(float(2 * n_pairs)))
+        / (F.col("_c1").cast("double") * F.col("_c2"))
+    )
+    return (
+        pair_counts.join(u1, "w1").join(u2, "w2")
+        .select("w1", "w2", "pair_cnt", pmi.alias("pmi"))
+        .orderBy(F.col("pair_cnt").desc(), F.col("w1"), F.col("w2"))
+        .limit(20)
+    )
+
+
+def nation_region_nullsafe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): nations
+    paired when their NULLIF'd region keys match, nulls matching nulls."""
+    nation = load(spark, sf_dir, "nation")
+    a = nation.select(F.col("n_nationkey").alias("k_a"), F.nullif("n_regionkey", F.lit(0)).alias("r_a"))
+    b = nation.select(F.col("n_nationkey").alias("k_b"), F.nullif("n_regionkey", F.lit(0)).alias("r_b"))
+    return (
+        a.join(b, a.r_a.eqNullSafe(b.r_b) & (a.k_a < b.k_b))
+        .groupBy(F.coalesce(F.col("r_a"), F.lit(-1)).alias("region_group"))
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+    )
+
+
 def q4_late_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS correlated subquery → left-semi join
     (orders with at least one lineitem shipped after orderdate)."""
@@ -225,6 +295,62 @@ _PIVOT_CASE = ",\n               ".join(
 )
 
 SPECS = [
+    QuerySpec(
+        "order_price_outliers",
+        order_price_outliers,
+        """
+        WITH f AS (
+            SELECT o_orderpriority,
+                   quantile_cont(o_totalprice, 0.25) AS q1,
+                   quantile_cont(o_totalprice, 0.75) AS q3
+            FROM orders GROUP BY 1
+        )
+        SELECT o_orderkey, o.o_orderpriority, o_totalprice
+        FROM orders o JOIN f ON o.o_orderpriority = f.o_orderpriority
+        WHERE o_totalprice < q1 - 1.5 * (q3 - q1)
+           OR o_totalprice > q3 + 1.5 * (q3 - q1)
+        """,
+    ),
+    QuerySpec(
+        "bigram_collocations",
+        bigram_collocations,
+        """
+        WITH t AS (
+            SELECT list_filter(str_split_regex(text, '\\s+'), x -> x <> '') AS tk
+            FROM documents
+        ), g AS (
+            SELECT unnest(list_zip(tk[1:len(tk)-1], tk[2:len(tk)])) AS p
+            FROM t WHERE len(tk) >= 2
+        ), pairs AS (
+            SELECT p[1] AS w1, p[2] AS w2 FROM g
+        ), pc AS (
+            SELECT w1, w2, count(*) AS pair_cnt FROM pairs GROUP BY 1, 2
+        ), uni AS (
+            SELECT w, count(*) AS w_cnt
+            FROM (SELECT w1 AS w FROM pairs UNION ALL SELECT w2 AS w FROM pairs)
+            GROUP BY 1
+        ), n AS (SELECT count(*) AS np FROM pairs)
+        SELECT w1, w2, pair_cnt,
+               ln((CAST(pair_cnt AS DOUBLE) * CAST(2 * np AS DOUBLE))
+                  / (CAST(c1.w_cnt AS DOUBLE) * c2.w_cnt)) AS pmi
+        FROM pc
+        JOIN uni c1 ON pc.w1 = c1.w
+        JOIN uni c2 ON pc.w2 = c2.w
+        CROSS JOIN n
+        ORDER BY pair_cnt DESC, w1, w2
+        LIMIT 20
+        """,
+    ),
+    QuerySpec(
+        "nation_region_nullsafe_pairs",
+        nation_region_nullsafe_pairs,
+        """
+        WITH n AS (SELECT n_nationkey AS k, nullif(n_regionkey, 0) AS r FROM nation)
+        SELECT COALESCE(a.r, -1) AS region_group, count(*) AS pair_cnt
+        FROM n a JOIN n b ON a.r IS NOT DISTINCT FROM b.r AND a.k < b.k
+        GROUP BY 1
+        """,
+    ),
     QuerySpec(
         "weekly_moving_revenue",
         weekly_moving_revenue,

@@ -34,3 +34,18 @@ def test_rows_only_runs(spark, sf_dir, name):
     df = spec.fn(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+def test_event_time_queries_survive_foreign_session_timezone(spark, sf_dir, duck):
+    """The driver owns its SparkSession and may carry any timezone;
+    event-time queries must still match the oracle because the loader
+    forces UTC (runtime conf) on every access."""
+    original = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        for name in ["page_view_counts", "revenue_by_month", "daily_event_stats"]:
+            spec = SPECS[name]
+            ok, msg = compare(spec.fn(spark, sf_dir), duck, spec.oracle)
+            assert ok, f"{name} under foreign tz: {msg}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
