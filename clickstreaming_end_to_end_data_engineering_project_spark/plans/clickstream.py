@@ -171,6 +171,17 @@ def sliding_view_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def json_props_getobject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object path extraction (the ad-hoc JSON accessor, vs
+    the schema-declared from_json in json_props_stats)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(F.get_json_object("props", "$.k").cast("int").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("event_cnt"))
+    )
+
+
 def user_journey_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type transition counts via lag over per-user time order
     (the README's 'user journey flows', README.md:128-137)."""
@@ -346,6 +357,15 @@ SPECS = [
         FROM events, (SELECT unnest(range(5)) AS k)
         WHERE event_type = 'view'
         GROUP BY 1, 2
+        """,
+    ),
+    QuerySpec(
+        "json_props_getobject",
+        json_props_getobject,
+        """
+        SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+               count(*) AS event_cnt
+        FROM events GROUP BY 1
         """,
     ),
     QuerySpec(

@@ -37,6 +37,27 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_score(_docs(spark, sf_dir))
 
 
+def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: assign docs (in deterministic id
+    order) to ~2048-token bins via running token cumsum — the
+    first-fit-by-order packing a dataloader shards on.  One analytic
+    window ordered by id; at corpus scale, partition the window by a
+    shard key (hash(doc_id) % n_shards) for parallelism."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    n_tok = F.size(text.tokens("text"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    with_cum = docs.select(F.col("doc_id"), n_tok.alias("n_tokens")).withColumn(
+        "_cum", F.sum("n_tokens").over(w)
+    )
+    return with_cum.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.col("_cum") - F.col("n_tokens")) / 2048).cast("long").alias("pack_bin"),
+    )
+
+
 def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_ish_token_count(_docs(spark, sf_dir))
 
@@ -254,6 +275,19 @@ SPECS = [
                    + CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END AS DOUBLE)
                    AS quality_score
         FROM s
+        """,
+    ),
+    QuerySpec(
+        "doc_pack_bins",
+        doc_pack_bins,
+        f"""
+        WITH t AS (
+            SELECT doc_id, len({_TOKENS_SQL}) AS n_tokens FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048.0) AS BIGINT) AS pack_bin
+        FROM t
         """,
     ),
     QuerySpec(
