@@ -129,6 +129,39 @@ def nation_region_nullsafe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_split_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName with allowMissingColumns: two differently-shaped
+    projections recombined by column NAME (positional union would
+    silently mismatch) — missing columns null-filled."""
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.col("event_type").alias("kind")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("event_type").alias("kind"), money("value").cast("double").alias("amount")
+    )
+    u = views.unionByName(purchases, allowMissingColumns=True)
+    return u.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count("user_id").alias("with_user"),
+        F.count("amount").alias("with_amount"),
+    )
+
+
+def doc_cleaned_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-style cleaning chain: strip non-word/space chars,
+    collapse whitespace runs, trim — then measure shrinkage."""
+    docs = load(spark, sf_dir, "documents")
+    cleaned = F.trim(
+        F.regexp_replace(F.regexp_replace(F.col("text"), "[^\\w\\s]", ""), "\\s+", " ")
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("raw_len"),
+        F.length(cleaned).alias("clean_len"),
+    )
+
+
 def q4_late_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS correlated subquery → left-semi join
     (orders with at least one lineitem shipped after orderdate)."""
@@ -295,6 +328,35 @@ _PIVOT_CASE = ",\n               ".join(
 )
 
 SPECS = [
+    QuerySpec(
+        "event_split_union_by_name",
+        event_split_union_by_name,
+        """
+        WITH u AS (
+            SELECT event_id, user_id, event_type AS kind, NULL::DOUBLE AS amount
+            FROM events WHERE event_type = 'view'
+            UNION ALL BY NAME
+            SELECT event_id, event_type AS kind,
+                   CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS amount
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT kind, count(*) AS cnt,
+               count(user_id) AS with_user,
+               count(amount)  AS with_amount
+        FROM u GROUP BY kind
+        """,
+    ),
+    QuerySpec(
+        "doc_cleaned_lengths",
+        doc_cleaned_lengths,
+        """
+        SELECT doc_id,
+               len(text) AS raw_len,
+               len(trim(regexp_replace(regexp_replace(text, '[^\\w\\s]', '', 'g'),
+                                       '\\s+', ' ', 'g'))) AS clean_len
+        FROM documents
+        """,
+    ),
     QuerySpec(
         "order_price_outliers",
         order_price_outliers,

@@ -37,6 +37,15 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_score(_docs(spark, sf_dir))
 
 
+def doc_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language z-score via applyInPandas grouped-map (rows-only:
+    pandas float accumulation differs from SQL engines; differential
+    vs the expression twin is pinned in test_operators)."""
+    from ..operators.groupedmap import normalize_per_group
+
+    return normalize_per_group(_docs(spark, sf_dir))
+
+
 def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training: assign docs (in deterministic id
     order) to ~2048-token bins via running token cumsum — the
@@ -392,6 +401,7 @@ SPECS = [
     QuerySpec("embedding_lsh_topk", embedding_lsh_topk, None, "LSH-bucketed ANN (rows-only)"),
     QuerySpec("embedding_kmeans", embedding_kmeans, None, "iterative k-means (rows-only)"),
     QuerySpec("embedding_topk_pandas", embedding_topk_pandas, None, "numpy mapInPandas top-k (rows-only)"),
+    QuerySpec("doc_zscore_by_lang", doc_zscore_by_lang, None, "applyInPandas grouped-map normalization (rows-only)"),
     QuerySpec(
         "doc_train_test_split",
         doc_train_test_split,

@@ -397,3 +397,18 @@ def test_dup_clusters_on_real_jaccard_pairs(spark, sf_dir):
         for cid, members in by_cluster.items():
             assert min(m["doc_id"] for m in members) == cid
             assert sum(1 for m in members if m["is_canonical"]) == 1
+
+
+def test_grouped_map_applyinpandas_matches_expression_twin(spark, sf_dir):
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.groupedmap import (
+        normalize_per_group,
+        normalize_per_group_expr,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pandas_side = {r["doc_id"]: r for r in normalize_per_group(docs).collect()}
+    expr_side = {r["doc_id"]: r for r in normalize_per_group_expr(docs).collect()}
+    assert pandas_side.keys() == expr_side.keys()
+    for k in pandas_side:
+        assert pandas_side[k]["lang"] == expr_side[k]["lang"]
+        assert abs(pandas_side[k]["z_chars"] - expr_side[k]["z_chars"]) < 1e-9
