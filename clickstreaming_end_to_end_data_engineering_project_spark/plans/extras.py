@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import money
+from ..functions import dround, money
 from ..sources.tables import load
 from .registry import QuerySpec
 
@@ -104,9 +104,15 @@ def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni_counts = uni.groupBy("w").agg(F.count(F.lit(1)).alias("w_cnt"))
     u1 = uni_counts.select(F.col("w").alias("w1"), F.col("w_cnt").alias("_c1"))
     u2 = uni_counts.select(F.col("w").alias("w2"), F.col("w_cnt").alias("_c2"))
-    pmi = F.log(
-        (F.col("pair_cnt").cast("double") * F.lit(float(2 * n_pairs)))
-        / (F.col("_c1").cast("double") * F.col("_c2"))
+    # ln() is NOT correctly-rounded the same way across engines (JVM
+    # Math.log vs libm differ by 1 ulp) — unlike sqrt. Fixed-point
+    # round the result so the oracle compares stably.
+    pmi = dround(
+        F.log(
+            (F.col("pair_cnt").cast("double") * F.lit(float(2 * n_pairs)))
+            / (F.col("_c1").cast("double") * F.col("_c2"))
+        ),
+        6,
     )
     return (
         pair_counts.join(u1, "w1").join(u2, "w2")
@@ -393,8 +399,9 @@ SPECS = [
             GROUP BY 1
         ), n AS (SELECT count(*) AS np FROM pairs)
         SELECT w1, w2, pair_cnt,
-               ln((CAST(pair_cnt AS DOUBLE) * CAST(2 * np AS DOUBLE))
-                  / (CAST(c1.w_cnt AS DOUBLE) * c2.w_cnt)) AS pmi
+               floor(ln((CAST(pair_cnt AS DOUBLE) * CAST(2 * np AS DOUBLE))
+                  / (CAST(c1.w_cnt AS DOUBLE) * c2.w_cnt)) * 1000000.0 + 0.5)
+                  / 1000000.0 AS pmi
         FROM pc
         JOIN uni c1 ON pc.w1 = c1.w
         JOIN uni c2 ON pc.w2 = c2.w

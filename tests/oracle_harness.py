@@ -34,8 +34,10 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse float noise below comparison precision
-        return round(v, 9)
+        # FULL repr — the engine contract is bit-identical doubles
+        # (decimal-exact sums, identical double pipelines, dround); any
+        # ulp drift is a real finding (e.g. JVM-vs-libm ln differs)
+        return repr(v)
     if hasattr(v, "isoformat"):
         return v.isoformat()
     if isinstance(v, list):
