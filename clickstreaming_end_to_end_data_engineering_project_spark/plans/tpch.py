@@ -115,6 +115,49 @@ def top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def brand_best_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand arg-max via struct-max aggregation — a single hash agg
+    (no window shuffle + filter like the row_number top-k path);
+    deterministic ties through the struct's (revenue, partkey) order."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.sum(_REV()).cast("double").alias("revenue"))
+    )
+    best = rev.groupBy("p_brand").agg(
+        F.max(F.struct("revenue", "p_partkey")).alias("_best")
+    )
+    return best.select(
+        "p_brand",
+        F.col("_best.p_partkey").alias("best_partkey"),
+        F.col("_best.revenue").alias("best_revenue"),
+    )
+
+
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total via an unbounded window over the aggregate
+    (25 rows — single-partition window is fine AFTER the reduce)."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(money("o_totalprice")).alias("_rev_dec"))
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return rev.select(
+        "n_name",
+        F.col("_rev_dec").cast("double").alias("revenue"),
+        (F.col("_rev_dec").cast("double") / F.sum("_rev_dec").over(w).cast("double")).alias(
+            "revenue_share"
+        ),
+    )
+
+
 def revenue_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY ROLLUP over the geo hierarchy (§2.11 grouping sets)."""
     orders = load(spark, sf_dir, "orders")
@@ -328,6 +371,39 @@ SPECS = [
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand, p_partkey
         ) WHERE rn <= 3
+        """,
+    ),
+    QuerySpec(
+        "brand_best_part",
+        brand_best_part,
+        f"""
+        WITH rev AS (
+            SELECT p_brand, p_partkey, {_SUM_REV_SQL} AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand, p_partkey
+        ), best AS (
+            SELECT p_brand, max(row(revenue, p_partkey)) AS b FROM rev GROUP BY p_brand
+        )
+        SELECT p_brand, b[2] AS best_partkey, b[1] AS best_revenue FROM best
+        """,
+    ),
+    QuerySpec(
+        "nation_revenue_share",
+        nation_revenue_share,
+        """
+        WITH rev AS (
+            SELECT n_name, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        )
+        SELECT n_name,
+               CAST(rev_dec AS DOUBLE) AS revenue,
+               CAST(rev_dec AS DOUBLE) / CAST(sum(rev_dec) OVER
+                   (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE)
+                   AS revenue_share
+        FROM rev
         """,
     ),
     QuerySpec(
