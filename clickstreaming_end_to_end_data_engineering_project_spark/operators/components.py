@@ -7,13 +7,16 @@ approach when a full GraphX/pregel dependency isn't warranted): every
 vertex starts labeled with its own id; each round, a vertex adopts the
 smallest label among itself and its neighbors; converged when no label
 changes.  Rounds ≤ graph diameter; dup graphs are overwhelmingly tiny
-cliques/chains, so 3-5 rounds close virtually everything (``max_iter``
-bounds the driver loop; the loop body is pure joins/aggregations).
+cliques/chains, so a few rounds close virtually everything.
 
-Scale notes: each round is one join edges⋈labels (shuffle on vertex
-id) + one min-aggregation.  Labels are persisted per round and the
-previous round unpersisted — lineage stays O(1).  For petabyte-scale
-graphs swap in the large-star/small-star variant (same join shapes).
+Two hard-won implementation rules (a 14-vertex chain OOMed the driver
+without them):
+- every round's labels are ``localCheckpoint``ed — persist() caches
+  DATA but not LINEAGE, so the nested join plan doubles per round
+  (~2^k growth) and the driver dies planning round ~10.  Checkpointing
+  truncates the plan to the materialized result.
+- non-convergence RAISES.  Returning silently-split components would
+  make a dedup pipeline keep multiple copies of one true cluster.
 """
 
 from __future__ import annotations
@@ -26,37 +29,41 @@ def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
-    max_iter: int = 10,
+    max_iter: int = 30,
 ) -> DataFrame:
     """(vertex, component) for every vertex in ``edges``; component id =
-    min vertex id in the component."""
+    min vertex id in the component.  Raises RuntimeError if labels have
+    not converged within ``max_iter`` rounds (graph diameter too large
+    — raise the budget or pre-contract the graph)."""
     sym = (
         edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
         .union(edges.select(F.col(dst).alias("_u"), F.col(src).alias("_v")))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("_u").alias("_vtx"))
         .distinct()
         .withColumn("_lbl", F.col("_vtx"))
-        .persist()
+        .localCheckpoint()
     )
-    labels.count()
 
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym._v == labels._vtx)
             .groupBy(F.col("_u").alias("_vtx2"))
             .agg(F.min("_lbl").alias("_nlbl"))
         )
+        # localCheckpoint (not persist): truncates lineage so the plan
+        # stays O(1) per round instead of doubling
         new_labels = (
             labels.join(neighbor_min, labels._vtx == neighbor_min._vtx2, "left")
             .select(
                 "_vtx",
                 F.least(F.col("_lbl"), F.coalesce(F.col("_nlbl"), F.col("_lbl"))).alias("_lbl"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -65,14 +72,17 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
 
-    out = labels.select(F.col("_vtx").alias("vertex"), F.col("_lbl").alias("component"))
-    sym.unpersist()
-    return out
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "component diameter exceeds the iteration budget"
+        )
+    return labels.select(F.col("_vtx").alias("vertex"), F.col("_lbl").alias("component"))
 
 
 def dup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b") -> DataFrame:

@@ -96,26 +96,30 @@ def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array()),
         ).alias("g")
     ).select("g.w1", "g.w2")
+    grams = grams.persist()  # feeds pair counts, both unigram sides, and N
     pair_counts = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_cnt"))
     uni = grams.select(F.col("w1").alias("w")).union(
         grams.select(F.col("w2").alias("w"))
     )
-    n_pairs = grams.count()  # scalar for PMI normalization (action: documented)
+    n_df = grams.agg(F.count(F.lit(1)).alias("_n"))  # lazy scalar, no build-time job
     uni_counts = uni.groupBy("w").agg(F.count(F.lit(1)).alias("w_cnt"))
     u1 = uni_counts.select(F.col("w").alias("w1"), F.col("w_cnt").alias("_c1"))
     u2 = uni_counts.select(F.col("w").alias("w2"), F.col("w_cnt").alias("_c2"))
+    # PMI = ln(p_xy / (p_x p_y)) with p_xy = c_xy/N and p_w = c_w/(2N)
+    # (each pair contributes two unigram tokens) => ln(4N c_xy / (c1 c2)).
     # ln() is NOT correctly-rounded the same way across engines (JVM
     # Math.log vs libm differ by 1 ulp) — unlike sqrt. Fixed-point
     # round the result so the oracle compares stably.
     pmi = dround(
         F.log(
-            (F.col("pair_cnt").cast("double") * F.lit(float(2 * n_pairs)))
+            (F.col("pair_cnt").cast("double") * (4 * F.col("_n")).cast("double"))
             / (F.col("_c1").cast("double") * F.col("_c2"))
         ),
         6,
     )
     return (
         pair_counts.join(u1, "w1").join(u2, "w2")
+        .crossJoin(F.broadcast(n_df))
         .select("w1", "w2", "pair_cnt", pmi.alias("pmi"))
         .orderBy(F.col("pair_cnt").desc(), F.col("w1"), F.col("w2"))
         .limit(20)
@@ -399,7 +403,7 @@ SPECS = [
             GROUP BY 1
         ), n AS (SELECT count(*) AS np FROM pairs)
         SELECT w1, w2, pair_cnt,
-               floor(ln((CAST(pair_cnt AS DOUBLE) * CAST(2 * np AS DOUBLE))
+               floor(ln((CAST(pair_cnt AS DOUBLE) * CAST(4 * np AS DOUBLE))
                   / (CAST(c1.w_cnt AS DOUBLE) * c2.w_cnt)) * 1000000.0 + 0.5)
                   / 1000000.0 AS pmi
         FROM pc

@@ -47,11 +47,13 @@ def doc_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing for training: assign docs (in deterministic id
-    order) to ~2048-token bins via running token cumsum — the
-    first-fit-by-order packing a dataloader shards on.  One analytic
-    window ordered by id; at corpus scale, partition the window by a
-    shard key (hash(doc_id) % n_shards) for parallelism."""
+    """Stream-offset sharding for training data: docs in deterministic
+    id order are assigned the 2048-token-granularity bin their START
+    offset falls in (a doc straddling a boundary stays whole in its
+    starting bin, so bin totals can exceed 2048 by up to one doc —
+    callers needing hard capacity limits split docs first).  One
+    analytic window ordered by id; at corpus scale, partition the
+    window by a shard key (hash(doc_id) % n_shards)."""
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)

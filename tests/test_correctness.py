@@ -41,9 +41,11 @@ def test_event_time_queries_survive_foreign_session_timezone(spark, sf_dir, duck
     event-time queries must still match the oracle because the loader
     forces UTC (runtime conf) on every access."""
     original = spark.conf.get("spark.sql.session.timeZone")
-    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try:
         for name in ["page_view_counts", "revenue_by_month", "daily_event_stats"]:
+            # re-poison before EVERY query: the loader resets to UTC, so
+            # setting once would only exercise the first iteration
+            spark.conf.set("spark.sql.session.timeZone", "America/New_York")
             spec = SPECS[name]
             ok, msg = compare(spec.fn(spark, sf_dir), duck, spec.oracle)
             assert ok, f"{name} under foreign tz: {msg}"

@@ -412,3 +412,60 @@ def test_grouped_map_applyinpandas_matches_expression_twin(spark, sf_dir):
     for k in pandas_side:
         assert pandas_side[k]["lang"] == expr_side[k]["lang"]
         assert abs(pandas_side[k]["z_chars"] - expr_side[k]["z_chars"]) < 1e-9
+
+
+def test_connected_components_long_chain_no_blowup(spark):
+    """A 14-vertex chain needs 13 propagation rounds — this OOMed the
+    driver before per-round localCheckpoint (lineage doubled per round)."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(1, 14)], ["doc_a", "doc_b"])
+    comp = {r["vertex"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {i: 1 for i in range(1, 15)}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    import pytest as _pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(1, 10)], ["doc_a", "doc_b"])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+
+
+def test_grouped_map_degenerate_groups(spark):
+    """Single-row and zero-variance groups: both twins return z=0.0
+    (the expression twin must not DIVIDE_BY_ZERO under ANSI mode)."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.groupedmap import (
+        normalize_per_group,
+        normalize_per_group_expr,
+    )
+
+    rows = [
+        (1, "solo", 100),          # single-row group
+        (2, "const", 50), (3, "const", 50), (4, "const", 50),  # zero variance
+        (5, "mix", 10), (6, "mix", 30),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_chars"])
+    a = {r["doc_id"]: r["z_chars"] for r in normalize_per_group(df).collect()}
+    b = {r["doc_id"]: r["z_chars"] for r in normalize_per_group_expr(df).collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-9, (k, a[k], b[k])
+    assert a[1] == 0.0 and a[2] == 0.0
+
+
+def test_grouped_map_custom_group_col(spark, sf_dir):
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.groupedmap import (
+        normalize_per_group,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    out = normalize_per_group(docs, group_col="source")
+    assert "source" in out.columns
+    assert out.count() == docs.count()
