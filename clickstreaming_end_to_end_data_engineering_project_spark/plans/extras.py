@@ -172,6 +172,48 @@ def doc_cleaned_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rollup_with_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + GROUPING() indicator columns (distinguish 'NULL key'
+    from 'subtotal row' — the correct way to consume rollups)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            # grouping() only resolves INSIDE the rollup aggregate
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("order_cnt"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "g_status", "g_priority", "order_cnt")
+    )
+
+
+def ship_delay_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic: avg / max days between order and ship date per
+    priority (datediff in whole days — integer-exact average)."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return joined.groupBy("o_orderpriority").agg(
+        (F.sum(delay).cast("double") / F.count(F.lit(1))).alias("avg_delay_days"),
+        F.max(delay).alias("max_delay_days"),
+        F.min(delay).alias("min_delay_days"),
+    )
+
+
+def docs_with_long_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order predicates: EXISTS (any token > 8 chars) and
+    FORALL (every token alphabetic) per document."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.exists(toks, lambda t: F.length(t) > 8).alias("has_long_token"),
+        F.forall(toks, lambda t: t.rlike("^[a-z]+$")).alias("all_alpha"),
+    )
+
+
 def q4_late_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS correlated subquery → left-semi join
     (orders with at least one lineitem shipped after orderdate)."""
@@ -465,6 +507,45 @@ SPECS = [
                list_sort(list(DISTINCT event_type)) AS event_types,
                CAST(count(DISTINCT event_type) AS INT) AS n_types
         FROM events GROUP BY user_id
+        """,
+    ),
+    QuerySpec(
+        "rollup_with_grouping_flags",
+        rollup_with_grouping_flags,
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT)   AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               count(*) AS order_cnt
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+    ),
+    QuerySpec(
+        "ship_delay_by_priority",
+        ship_delay_by_priority,
+        """
+        SELECT o_orderpriority,
+               CAST(sum(datediff('day', o_orderdate, l_shipdate)) AS DOUBLE) / count(*)
+                   AS avg_delay_days,
+               max(datediff('day', o_orderdate, l_shipdate)) AS max_delay_days,
+               min(datediff('day', o_orderdate, l_shipdate)) AS min_delay_days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        """,
+    ),
+    QuerySpec(
+        "docs_with_long_tokens",
+        docs_with_long_tokens,
+        """
+        WITH t AS (
+            SELECT doc_id, list_filter(str_split_regex(text, '\\s+'), x -> x <> '') AS tk
+            FROM documents
+        )
+        SELECT doc_id,
+               len(list_filter(tk, x -> len(x) > 8)) > 0 AS has_long_token,
+               len(list_filter(tk, x -> NOT regexp_matches(x, '^[a-z]+$'))) = 0 AS all_alpha
+        FROM t
         """,
     ),
     QuerySpec(
