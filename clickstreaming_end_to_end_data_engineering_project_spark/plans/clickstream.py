@@ -218,6 +218,23 @@ def sql_event_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_type_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: per-user map<event_type, count> built with
+    map_from_entries, then exploded back to rows — the map is a real
+    intermediate (size() consumed from it), the output stays
+    oracle-comparable."""
+    ev = _events(spark, sf_dir)
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    as_map = per_type.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "cnt"))).alias("type_counts")
+    )
+    return as_map.select(
+        "user_id",
+        F.size("type_counts").alias("n_types"),
+        F.explode("type_counts").alias("event_type", "cnt"),
+    )
+
+
 def events_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup of a projection (dropDuplicates ≡ SELECT DISTINCT)."""
     return _events(spark, sf_dir).select("user_id", "event_type").dropDuplicates()
@@ -411,6 +428,19 @@ SPECS = [
                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value,
                count(DISTINCT user_id)                              AS unique_users
         FROM events GROUP BY event_type
+        """,
+    ),
+    QuerySpec(
+        "event_type_map_roundtrip",
+        event_type_map_roundtrip,
+        """
+        WITH c AS (
+            SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2
+        ), n AS (
+            SELECT user_id, CAST(count(*) AS INT) AS n_types FROM c GROUP BY 1
+        )
+        SELECT c.user_id, n_types, event_type, cnt
+        FROM c JOIN n ON c.user_id = n.user_id
         """,
     ),
     QuerySpec(
