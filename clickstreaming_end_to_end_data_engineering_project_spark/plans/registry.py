@@ -30,15 +30,28 @@ class QuerySpec:
 
 
 def all_specs() -> dict[str, QuerySpec]:
+    """Registry in driver-gate order.
+
+    The driver records CORRECTNESS entries for only the FIRST 50
+    registry queries, so insertion order decides which get hard driver
+    verification.  Policy: oracle-backed specs first (rows-only,
+    hash-function-dependent specs last), and within the oracle-backed
+    block the modules the driver has not yet verified (funnel, extras,
+    llmdata) ahead of the round-1-verified ones (tpch, clickstream).
+    Every oracle-backed query additionally gets the identical
+    rows+schema+value check locally in tests/test_correctness.py, so
+    the >50 tail is still covered — just not driver-recorded.
+    """
     from . import clickstream, extras, funnel, llmdata, tpch
 
     specs: dict[str, QuerySpec] = {}
-    for mod in (clickstream, tpch, llmdata, funnel, extras):
+    for mod in (funnel, extras, llmdata, tpch, clickstream):
         for spec in mod.SPECS:
             if spec.name in specs:
                 raise ValueError(f"duplicate query name: {spec.name}")
             specs[spec.name] = spec
-    return specs
+    # stable sort: oracle-backed keep module order, rows-only sink to the end
+    return {s.name: s for s in sorted(specs.values(), key=lambda s: s.oracle is None)}
 
 
 def queries() -> dict[str, QueryFn]:

@@ -28,6 +28,29 @@ def test_oracle_match(spark, sf_dir, duck, name):
     assert ok, f"{name}: {msg}"
 
 
+def test_registry_gate_order_is_oracle_first():
+    """The driver records CORRECTNESS for only the first 50 registry
+    entries; the registry must spend every gated slot on an
+    oracle-backed query (rows-only specs sink to the tail)."""
+    specs = list(all_specs().values())
+    gated = specs[:50]
+    assert all(s.oracle for s in gated), [s.name for s in gated if not s.oracle]
+    # the queries the round-2 verdict called out must sit inside the gate
+    gated_names = {s.name for s in gated}
+    for name in [
+        "conversion_funnel",
+        "q4_late_order_priorities",
+        "parts_above_avg_price",
+        "q6_forecast_revenue",
+        "doc_train_test_split",
+        "lang_stratified_sample",
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+    ]:
+        assert name in gated_names, name
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
 def test_rows_only_runs(spark, sf_dir, name):
     spec = SPECS[name]
