@@ -113,14 +113,29 @@ def exact_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dup_groups(_docs(spark, sf_dir))
 
 
+# Shingles appearing in more than this many documents are dropped
+# before the inverted-index self-join: the join is quadratic in the
+# hottest shingle's doc-frequency, so boilerplate shingles (licence
+# headers, templates) are the scale-killer at corpus size.  50 is far
+# above the fixture corpora's maxima (9 / 7 / 25 at sf0.001/0.01/0.1 —
+# pinned by test_jaccard_cap_is_invisible_at_fixture_scale), so test
+# results are unchanged; the oracle SQL applies the identical cap so
+# the queries stay hash-exact at ANY scale.
+MAX_SHINGLE_DOC_FREQ = 50
+
+
 def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.2, max_doc_freq=MAX_SHINGLE_DOC_FREQ
+    )
 
 
 def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs -> connected components -> canonical-per-cluster
-    (iterative label propagation; rows-only)."""
-    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+    (iterative label propagation)."""
+    pairs = dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.2, max_doc_freq=MAX_SHINGLE_DOC_FREQ
+    )
     return components.dup_clusters(pairs)
 
 
@@ -215,13 +230,18 @@ _TOKENS_SQL = "list_filter(str_split_regex(text, '\\s+'), x -> x <> '')"
 _JACCARD_ORACLE = f"""
 WITH toks AS (
     SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
-), sh AS (
+), sh_all AS (
     SELECT doc_id, unnest(list_distinct(
         CASE WHEN len(t) >= 3
              THEN list_transform(range(len(t) - 2),
                                  i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
              ELSE [list_aggregate(t, 'string_agg', ' ')] END)) AS shingle
     FROM toks
+), sh AS (
+    -- same hot-shingle doc-frequency cap as the Spark side
+    -- (plans/llmdata.py MAX_SHINGLE_DOC_FREQ)
+    SELECT doc_id, shingle FROM sh_all
+    WHERE shingle IN (SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= 50)
 ), sizes AS (
     SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
 ), inter AS (

@@ -220,6 +220,49 @@ def test_jaccard_matches_pure_python(spark):
     assert got == expected
 
 
+def test_jaccard_cap_is_invisible_at_fixture_scale(spark, sf_dir):
+    """The registry queries run with max_doc_freq=MAX_SHINGLE_DOC_FREQ;
+    the fixture corpora's hottest shingle sits far below the cap, so
+    capped results must equal uncapped bit-for-bit (and the oracle SQL,
+    which applies the same cap, stays hash-exact)."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.plans.llmdata import (
+        MAX_SHINGLE_DOC_FREQ,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.2, max_doc_freq=MAX_SHINGLE_DOC_FREQ
+        ).collect()
+    }
+    assert len(capped) > 0
+    assert capped == uncapped
+
+
+def test_jaccard_cap_drops_hot_shingles(spark):
+    """When a boilerplate shingle exceeds the cap, pairs that share ONLY
+    that shingle disappear — the skew-safety behavior at corpus scale."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = [(i, f"a b c u{i} v{i} w{i}") for i in range(5)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    uncapped = ngram_jaccard_pairs(df, threshold=0.1).collect()
+    assert len(uncapped) == 10  # all pairs share the hot "a b c" shingle
+    capped = ngram_jaccard_pairs(df, threshold=0.1, max_doc_freq=4).collect()
+    assert capped == []
+
+
 def test_kmeans_converges_and_is_deterministic(spark, sf_dir):
     from clickstreaming_end_to_end_data_engineering_project_spark.operators.kmeans import (
         kmeans_assign,
