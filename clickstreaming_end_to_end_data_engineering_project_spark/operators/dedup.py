@@ -83,26 +83,32 @@ def ngram_jaccard_pairs(
     # the shingle index feeds three consumers (sizes + both self-join
     # sides); persist it so tokenization/shingling runs once — at scale
     # this is the materialized inverted index you'd checkpoint anyway.
-    # (Cached blocks live until session cache eviction — callers running
-    # many dedup passes in one session should spark.catalog.clearCache().)
+    # The pair list (output) is tiny relative to the index, so it is
+    # materialized eagerly (localCheckpoint truncates lineage off the
+    # cached index) and the index unpersisted before returning — no
+    # cached blocks outlive the call.
     ds = ds.persist()
-    sizes = ds.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-    a = ds.alias("a")
-    b = ds.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("_inter"))
-    )
-    # sizes is O(corpus docs) — never broadcast it; AQE picks the join
-    # strategy (broadcast at test scale, shuffle at corpus scale)
-    return (
-        inter.join(sizes.withColumnRenamed("_id", "doc_a").withColumnRenamed("_n", "_na"), "doc_a")
-        .join(sizes.withColumnRenamed("_id", "doc_b").withColumnRenamed("_n", "_nb"), "doc_b")
-        .withColumn("jaccard", F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    try:
+        sizes = ds.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+        a = ds.alias("a")
+        b = ds.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
+            .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("_inter"))
+        )
+        # sizes is O(corpus docs) — never broadcast it; AQE picks the join
+        # strategy (broadcast at test scale, shuffle at corpus scale)
+        return (
+            inter.join(sizes.withColumnRenamed("_id", "doc_a").withColumnRenamed("_n", "_na"), "doc_a")
+            .join(sizes.withColumnRenamed("_id", "doc_b").withColumnRenamed("_n", "_nb"), "doc_b")
+            .withColumn("jaccard", F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        ds.unpersist()
 
 
 def minhash_signatures(
@@ -152,29 +158,34 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("_id", "signature", "bb.band", "bb.bucket").persist()
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a._id") < F.col("b._id")),
+    # candidate list is tiny vs the banded signatures: materialize it
+    # eagerly, then free the cached signature blocks before returning
+    try:
+        a = banded.alias("a")
+        b = banded.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .select(
+                F.col("a._id").alias("doc_a"),
+                F.col("b._id").alias("doc_b"),
+                F.col("a.signature").alias("sa"),
+                F.col("b.signature").alias("sb"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
         )
-        .select(
-            F.col("a._id").alias("doc_a"),
-            F.col("b._id").alias("doc_b"),
-            F.col("a.signature").alias("sa"),
-            F.col("b.signature").alias("sb"),
+        est = F.round(
+            F.size(F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda m: m))
+            / F.lit(float(k)),
+            4,
         )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    est = F.round(
-        F.size(F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda m: m))
-        / F.lit(float(k)),
-        4,
-    )
-    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+        return pairs.select("doc_a", "doc_b", est.alias("est_jaccard")).localCheckpoint(eager=True)
+    finally:
+        banded.unpersist()
 
 
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

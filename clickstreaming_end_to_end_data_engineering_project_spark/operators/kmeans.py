@@ -66,6 +66,8 @@ def kmeans_assign(
         )
         centroid_rows = [(r["cluster"], [float(x) for x in r["_cv"]]) for r in new_centroids]
 
-    out = assigned.select(F.col("_id").alias(id_col), "cluster")
+    # materialize the assignment BEFORE unpersisting its cached input —
+    # unpersist-first would silently rescan the source on evaluation
+    out = assigned.select(F.col("_id").alias(id_col), "cluster").localCheckpoint(eager=True)
     points.unpersist()
     return out

@@ -248,6 +248,34 @@ def test_jaccard_cap_is_invisible_at_fixture_scale(spark, sf_dir):
     assert capped == uncapped
 
 
+def test_dedup_operators_leave_no_cached_dataframes(spark, sf_dir):
+    """The dedup/kmeans operators persist() large intermediates (shingle
+    index, banded signatures, cached points) internally; each must
+    unpersist them before returning so a long registry run doesn't
+    accumulate cached blocks.  Results are eagerly localCheckpoint-ed
+    (RDD-level, outside the SQL cache manager, GC-reclaimed), so the
+    cache manager must be empty after every call."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.kmeans import (
+        kmeans_assign,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    docs = load(spark, sf_dir, "documents")
+    assert ngram_jaccard_pairs(docs, threshold=0.2, max_doc_freq=50).count() >= 0
+    assert cm.isEmpty(), "ngram_jaccard_pairs leaked a cached DataFrame"
+    assert minhash_lsh_candidates(docs).count() >= 0
+    assert cm.isEmpty(), "minhash_lsh_candidates leaked a cached DataFrame"
+    embs = load(spark, sf_dir, "embeddings")
+    assert kmeans_assign(embs, k=4, iterations=2).count() > 0
+    assert cm.isEmpty(), "kmeans_assign leaked a cached DataFrame"
+
+
 def test_jaccard_cap_drops_hot_shingles(spark):
     """When a boilerplate shingle exceeds the cap, pairs that share ONLY
     that shingle disappear — the skew-safety behavior at corpus scale."""
