@@ -187,12 +187,15 @@ class MetricsSink(Sink):
         self.series: dict[str, list[tuple[float, int]]] = defaultdict(list)
 
     def write(self, df: DataFrame, batch_id: int) -> None:
-        # re-aggregate per batch like the reference (stream_processor.py:369),
-        # then apply as one pipelined mutation set
+        # re-aggregate per batch like the reference (stream_processor.py:369)
         rows = df.groupBy(self.key_col).sum(self.count_col).collect()
         now = time.time()
-        for r in rows:
-            key = r[self.key_col]
-            cnt = int(r[f"sum({self.count_col})"])
+        # stage the FULL mutation delta before touching shared state:
+        # Sink.__call__ re-runs write() on failure, so a half-applied
+        # row loop would double-count the already-applied keys on retry.
+        # Anything that can raise (collect, conversion) happens above;
+        # the apply loop below is pure dict mutation and all-or-nothing.
+        delta = [(r[self.key_col], int(r[f"sum({self.count_col})"])) for r in rows]
+        for key, cnt in delta:
             self.counters[f"page_views:{key}"] += cnt
             self.series[f"page_views_ts:{key}"].append((now, cnt))

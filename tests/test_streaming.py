@@ -427,6 +427,35 @@ def test_sink_retry_policy(spark, monkeypatch):
     assert empty.attempts == 0  # empty-batch guard short-circuits
 
 
+def test_metrics_sink_retry_is_idempotent(spark, monkeypatch):
+    """A failure mid-write must leave the metrics store untouched so the
+    retry in Sink.__call__ counts each batch exactly once.  A NULL
+    aggregate (sum of all-NULL counts) raises during delta staging —
+    before the fix it raised halfway through mutation, and retries
+    re-applied the rows that had already landed."""
+    import time as _time
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.sinks import (
+        MetricsSink,
+    )
+
+    monkeypatch.setattr(_time, "sleep", lambda s: None)
+    sink = MetricsSink(key_col="page", count_col="cnt")
+    good = spark.createDataFrame([("home", 3), ("cart", 2)], ["page", "cnt"])
+    sink(good, 0)
+    assert sink.counters == {"page_views:home": 3, "page_views:cart": 2}
+
+    # "home" converts fine; "bad" has a NULL sum -> int(None) raises.
+    poisoned = spark.createDataFrame(
+        [("home", 5), ("bad", None)], "page string, cnt int"
+    )
+    with pytest.raises(TypeError):
+        sink(poisoned, 1)
+    # three retry attempts ran; none may have leaked a partial delta
+    assert sink.counters == {"page_views:home": 3, "page_views:cart": 2}
+    assert len(sink.series["page_views_ts:home"]) == 1
+
+
 def test_dashboard_reads_over_parquet_sinks(spark, sf_dir, events_dir, tmp_path):
     """End to end: pipelines -> ParquetSink -> dashboard readers."""
     from clickstreaming_end_to_end_data_engineering_project_spark import dashboard
