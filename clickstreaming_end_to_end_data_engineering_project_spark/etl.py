@@ -45,10 +45,20 @@ def bronze_land(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
     return spark.read.parquet(f"{out_dir}/bronze/events")
 
 
-def silver_refine(spark: SparkSession, out_dir: str) -> DataFrame:
+def silver_refine(spark: SparkSession, out_dir: str, event_date: str | None = None) -> DataFrame:
     """Parse, type, dedup; quarantine rows that fail invariants
-    (null ts / negative value) instead of dropping silently."""
+    (null ts / negative value) instead of dropping silently.
+
+    ``event_date`` scopes an incremental run to one bronze partition;
+    with dynamic partition overwrite, both silver and the quarantine
+    rewrite ONLY that date — other dates' rows (including quarantined
+    ones) survive.  Caveat of dynamic mode: a rerun that produces zero
+    quarantine rows for the date leaves the date's old quarantine
+    partition in place (untouched partitions are never deleted)."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     bronze = spark.read.parquet(f"{out_dir}/bronze/events")
+    if event_date is not None:
+        bronze = bronze.filter(F.col("event_date") == F.lit(event_date).cast("date"))
     parsed = bronze.withColumn("props_k", F.from_json("props", EVENTS_PROPS_SCHEMA)["k"])
     # null-safe partition of rows: a NULL value must land in quarantine,
     # not vanish into three-valued-logic limbo (neither filter matching)
@@ -59,8 +69,26 @@ def silver_refine(spark: SparkSession, out_dir: str) -> DataFrame:
     deduped.drop("props").write.mode("overwrite").partitionBy("event_date").parquet(
         f"{out_dir}/silver/events"
     )
-    invalid.write.mode("overwrite").parquet(f"{out_dir}/silver/_quarantine")
+    # partitioned like silver: a plain overwrite would wipe OTHER
+    # dates' quarantined rows on every incremental rerun
+    invalid.write.mode("overwrite").partitionBy("event_date").parquet(
+        f"{out_dir}/silver/_quarantine"
+    )
     return spark.read.parquet(f"{out_dir}/silver/events")
+
+
+def read_quarantine(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """Quarantined rows across all dates, or None when nothing has ever
+    been quarantined: a partitioned write of an empty DataFrame lays
+    down no parquet files, so there is no schema to infer from."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(f"{out_dir}/silver/_quarantine")
+    except AnalysisException as e:
+        if "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return None
+        raise
 
 
 def gold_publish(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -101,11 +129,11 @@ def run_events_etl(spark: SparkSession, sf_dir: str, out_dir: str) -> EtlResult:
     bronze = bronze_land(spark, sf_dir, out_dir)
     silver = silver_refine(spark, out_dir)
     daily, users = gold_publish(spark, out_dir)
-    quarantine = spark.read.parquet(f"{out_dir}/silver/_quarantine")
+    quarantine = read_quarantine(spark, out_dir)
     return EtlResult(
         bronze_rows=bronze.count(),
         silver_rows=silver.count(),
-        quarantined_rows=quarantine.count(),
+        quarantined_rows=0 if quarantine is None else quarantine.count(),
         gold_daily_rows=daily.count(),
         gold_user_rows=users.count(),
     )

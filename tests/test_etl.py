@@ -41,3 +41,47 @@ def test_etl_end_to_end(spark, sf_dir, tmp_path):
     # idempotent: re-running produces identical layer contents
     res2 = run_events_etl(spark, sf_dir, out)
     assert res2 == res
+
+
+def test_quarantine_survives_incremental_rerun(spark, tmp_path):
+    """The quarantine is date-partitioned with dynamic overwrite: a
+    rerun scoped to one date must rewrite only that date's quarantined
+    rows, never wiping other dates' history (the pre-fix behavior of a
+    plain overwrite)."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.etl import (
+        read_quarantine,
+        silver_refine,
+    )
+
+    out = str(tmp_path / "lake")
+    rows = [
+        # (event_id, user_id, event_type, ts, value, props) — one valid
+        # and one invalid (negative value) row on each of two dates
+        ("e1", 1, "view", "2024-01-01 10:00:00", 1.0, '{"k":"a"}'),
+        ("e2", 2, "view", "2024-01-01 11:00:00", -5.0, '{"k":"b"}'),
+        ("e3", 3, "view", "2024-01-02 10:00:00", 2.0, '{"k":"c"}'),
+        ("e4", 4, "view", "2024-01-02 11:00:00", -7.0, '{"k":"d"}'),
+    ]
+    df = (
+        spark.createDataFrame(
+            rows, "event_id string, user_id bigint, event_type string, ts_s string, value double, props string"
+        )
+        .withColumn("ts", F.to_timestamp("ts_s"))
+        .drop("ts_s")
+        .withColumn("event_date", F.to_date("ts"))
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.mode("overwrite").partitionBy("event_date").parquet(f"{out}/bronze/events")
+
+    silver_refine(spark, out)
+    q1 = {r["event_id"] for r in read_quarantine(spark, out).collect()}
+    assert q1 == {"e2", "e4"}
+
+    # incremental rerun scoped to 2024-01-02: day 1's quarantine survives
+    silver_refine(spark, out, event_date="2024-01-02")
+    q2 = {r["event_id"] for r in read_quarantine(spark, out).collect()}
+    assert q2 == {"e2", "e4"}
+
+    # and silver itself still holds both dates' valid rows
+    silver = spark.read.parquet(f"{out}/silver/events")
+    assert {r["event_id"] for r in silver.collect()} == {"e1", "e3"}
