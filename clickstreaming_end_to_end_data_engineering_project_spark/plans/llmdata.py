@@ -227,8 +227,7 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKENS_SQL = "list_filter(str_split_regex(text, '\\s+'), x -> x <> '')"
 
-_JACCARD_ORACLE = f"""
-WITH toks AS (
+_JACCARD_CTES = f"""toks AS (
     SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
 ), sh_all AS (
     SELECT doc_id, unnest(list_distinct(
@@ -248,13 +247,42 @@ WITH toks AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
     FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY 1, 2
-)
+)"""
+
+_JACCARD_ORACLE = f"""
+WITH {_JACCARD_CTES}
 SELECT doc_a, doc_b,
        i * 1.0 / (sa.n + sb.n - i) AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2
+"""
+
+# Connected components over the (deterministic, oracle-exact) Jaccard
+# pairs: transitive closure by recursive CTE, component id = min
+# reachable doc id — exactly the min-label-propagation fixpoint the
+# Spark operator converges to.
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_CTES}, pairs AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2
+), edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+), reach(node, label) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT node AS doc_id,
+       min(label) AS cluster_id,
+       (node = min(label)) AS is_canonical
+FROM reach GROUP BY node
 """
 
 _COSINE_EXPR = """
@@ -407,7 +435,12 @@ SPECS = [
     ),
     QuerySpec("ngram_jaccard_dups", ngram_jaccard_dups, _JACCARD_ORACLE),
     QuerySpec("minhash_lsh_dups", minhash_lsh_dups, None, "MinHash+LSH candidates (rows-only)"),
-    QuerySpec("doc_dup_clusters", doc_dup_clusters, None, "dedup clustering via connected components (rows-only)"),
+    QuerySpec(
+        "doc_dup_clusters",
+        doc_dup_clusters,
+        _CLUSTERS_ORACLE,
+        "dedup clustering via connected components (recursive-CTE oracle)",
+    ),
     QuerySpec("simhash_dups", simhash_dups, None, "SimHash dup groups (rows-only)"),
     QuerySpec(
         "embedding_topk_cosine",
