@@ -35,10 +35,17 @@ def test_q3_broadcasts_customer(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, "top-10 must not be a global Sort"
 
 
-def test_q5_all_dims_broadcast(spark, sf_dir):
+def test_q5_single_shuffle_join_all_dims_broadcast(spark, sf_dir):
+    """Pins q5's 100×-scale shape: all four dims (+orders at test scale)
+    join as broadcast hash joins; at most ONE shuffle join in the whole
+    plan (lineitem⋈orders when orders outgrows the broadcast threshold);
+    never a cartesian product.  Formatted explain prints each node twice
+    (tree + details), hence the doubled counts."""
     plan = plan_of(all_specs()["q5_local_supplier_volume"].fn(spark, sf_dir))
-    # the only SortMergeJoin (if any) may be lineitem⋈orders; dims broadcast
-    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("BroadcastHashJoin") >= 2 * 4, "all four dims must broadcast"
+    shuffle_join_mentions = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert shuffle_join_mentions <= 2, "only lineitem⋈orders may shuffle"
+    assert "CartesianProduct" not in plan
 
 
 def test_page_view_filter_pushed(spark, sf_dir):
