@@ -76,19 +76,28 @@ def ngram_jaccard_pairs(
     """Exact Jaccard over word n-gram shingle sets for all candidate
     pairs sharing ≥1 shingle.  Output: (doc_a, doc_b, jaccard) with
     doc_a < doc_b and jaccard ≥ threshold, rounded to 6dp."""
-    ds = _doc_shingles(df, id_col, text_col, n)
-    if max_doc_freq is not None:
-        freq = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-        ds = ds.join(F.broadcast(freq.filter(F.col("_df") <= max_doc_freq).drop("_df")), "shingle")
-    # the shingle index feeds three consumers (sizes + both self-join
-    # sides); persist it so tokenization/shingling runs once — at scale
-    # this is the materialized inverted index you'd checkpoint anyway.
-    # The pair list (output) is tiny relative to the index, so it is
-    # materialized eagerly (localCheckpoint truncates lineage off the
-    # cached index) and the index unpersisted before returning — no
-    # cached blocks outlive the call.
-    ds = ds.persist()
+    # the shingle index feeds every later step (doc-freq cap, sizes,
+    # both self-join sides); persist the RAW index once so tokenization/
+    # shingling runs exactly once — at scale this is the materialized
+    # inverted index you'd checkpoint anyway.  The pair list (output) is
+    # tiny relative to the index, so it is materialized eagerly
+    # (localCheckpoint truncates lineage off the cache) and the index
+    # unpersisted before returning — no cached blocks outlive the call.
+    raw = _doc_shingles(df, id_col, text_col, n).persist()
     try:
+        ds = raw
+        if max_doc_freq is not None:
+            # drop-list, not keep-list: shingles above the cap are the
+            # handful of boilerplate shingles, so the broadcast stays
+            # tiny at corpus scale (the keep-list is the whole vocab);
+            # the anti-join is then a narrow probe over the cached index
+            hot = (
+                ds.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") > max_doc_freq)
+                .select("shingle")
+            )
+            ds = raw.join(F.broadcast(hot), "shingle", "left_anti")
         sizes = ds.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
         a = ds.alias("a")
         b = ds.alias("b")
@@ -108,7 +117,7 @@ def ngram_jaccard_pairs(
             .localCheckpoint(eager=True)
         )
     finally:
-        ds.unpersist()
+        raw.unpersist()
 
 
 def minhash_signatures(
