@@ -96,34 +96,40 @@ def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array()),
         ).alias("g")
     ).select("g.w1", "g.w2")
-    grams = grams.persist()  # feeds pair counts, both unigram sides, and N
-    pair_counts = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_cnt"))
-    uni = grams.select(F.col("w1").alias("w")).union(
-        grams.select(F.col("w2").alias("w"))
-    )
-    n_df = grams.agg(F.count(F.lit(1)).alias("_n"))  # lazy scalar, no build-time job
-    uni_counts = uni.groupBy("w").agg(F.count(F.lit(1)).alias("w_cnt"))
-    u1 = uni_counts.select(F.col("w").alias("w1"), F.col("w_cnt").alias("_c1"))
-    u2 = uni_counts.select(F.col("w").alias("w2"), F.col("w_cnt").alias("_c2"))
-    # PMI = ln(p_xy / (p_x p_y)) with p_xy = c_xy/N and p_w = c_w/(2N)
-    # (each pair contributes two unigram tokens) => ln(4N c_xy / (c1 c2)).
-    # ln() is NOT correctly-rounded the same way across engines (JVM
-    # Math.log vs libm differ by 1 ulp) — unlike sqrt. Fixed-point
-    # round the result so the oracle compares stably.
-    pmi = dround(
-        F.log(
-            (F.col("pair_cnt").cast("double") * (4 * F.col("_n")).cast("double"))
-            / (F.col("_c1").cast("double") * F.col("_c2"))
-        ),
-        6,
-    )
-    return (
-        pair_counts.join(u1, "w1").join(u2, "w2")
-        .crossJoin(F.broadcast(n_df))
-        .select("w1", "w2", "pair_cnt", pmi.alias("pmi"))
-        .orderBy(F.col("pair_cnt").desc(), F.col("w1"), F.col("w2"))
-        .limit(20)
-    )
+    # grams feeds pair counts, both unigram sides, and N; persist it for
+    # the build, materialize the tiny top-20 result, then free the cache
+    grams = grams.persist()
+    try:
+        pair_counts = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_cnt"))
+        uni = grams.select(F.col("w1").alias("w")).union(
+            grams.select(F.col("w2").alias("w"))
+        )
+        n_df = grams.agg(F.count(F.lit(1)).alias("_n"))  # lazy scalar, no build-time job
+        uni_counts = uni.groupBy("w").agg(F.count(F.lit(1)).alias("w_cnt"))
+        u1 = uni_counts.select(F.col("w").alias("w1"), F.col("w_cnt").alias("_c1"))
+        u2 = uni_counts.select(F.col("w").alias("w2"), F.col("w_cnt").alias("_c2"))
+        # PMI = ln(p_xy / (p_x p_y)) with p_xy = c_xy/N and p_w = c_w/(2N)
+        # (each pair contributes two unigram tokens) => ln(4N c_xy / (c1 c2)).
+        # ln() is NOT correctly-rounded the same way across engines (JVM
+        # Math.log vs libm differ by 1 ulp) — unlike sqrt. Fixed-point
+        # round the result so the oracle compares stably.
+        pmi = dround(
+            F.log(
+                (F.col("pair_cnt").cast("double") * (4 * F.col("_n")).cast("double"))
+                / (F.col("_c1").cast("double") * F.col("_c2"))
+            ),
+            6,
+        )
+        return (
+            pair_counts.join(u1, "w1").join(u2, "w2")
+            .crossJoin(F.broadcast(n_df))
+            .select("w1", "w2", "pair_cnt", pmi.alias("pmi"))
+            .orderBy(F.col("pair_cnt").desc(), F.col("w1"), F.col("w2"))
+            .limit(20)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        grams.unpersist()
 
 
 def nation_region_nullsafe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -59,6 +59,16 @@ def test_rows_only_runs(spark, sf_dir, name):
     assert len(df.columns) > 0
 
 
+def test_zz_no_cached_dataframes_leak_across_registry_run(spark):
+    """Runs last in this module, after every registry query above has
+    executed in this session: no operator may leave a persisted
+    DataFrame behind (the driver runs all 86 queries in one session, so
+    leaked caches would accumulate for its whole run).  localCheckpoint
+    blocks are RDD-level, GC-reclaimed, and small (query results), so
+    the SQL cache manager is the contract surface."""
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_event_time_queries_survive_foreign_session_timezone(spark, sf_dir, duck):
     """The driver owns its SparkSession and may carry any timezone;
     event-time queries must still match the oracle because the loader
