@@ -166,35 +166,35 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("bb"),
-    ).select("_id", "signature", "bb.band", "bb.bucket").persist()
-    # candidate list is tiny vs the banded signatures: materialize it
-    # eagerly, then free the cached signature blocks before returning
-    try:
-        a = banded.alias("a")
-        b = banded.alias("b")
-        pairs = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col("a._id") < F.col("b._id")),
-            )
-            .select(
-                F.col("a._id").alias("doc_a"),
-                F.col("b._id").alias("doc_b"),
-                F.col("a.signature").alias("sa"),
-                F.col("b.signature").alias("sb"),
-            )
-            .dropDuplicates(["doc_a", "doc_b"])
+    ).select("_id", "signature", "bb.band", "bb.bucket")
+    # deliberately NOT persisted: the banded signatures are wide rows
+    # (k-long arrays) whose cache write costs more than recomputing the
+    # codegen hash pipeline for the join's second side (measured ~25%
+    # slower persisted at sf0.1); at corpus scale, materialize the
+    # signature table to parquet once and join from that instead.
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
         )
-        est = F.round(
-            F.size(F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda m: m))
-            / F.lit(float(k)),
-            4,
+        .select(
+            F.col("a._id").alias("doc_a"),
+            F.col("b._id").alias("doc_b"),
+            F.col("a.signature").alias("sa"),
+            F.col("b.signature").alias("sb"),
         )
-        return pairs.select("doc_a", "doc_b", est.alias("est_jaccard")).localCheckpoint(eager=True)
-    finally:
-        banded.unpersist()
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.round(
+        F.size(F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda m: m))
+        / F.lit(float(k)),
+        4,
+    )
+    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
 
 
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
