@@ -169,6 +169,20 @@ def embedding_label_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pairwise_above_threshold(_embs(spark, sf_dir), threshold=0.9)
 
 
+def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup — the semantic third of the
+    dedup family (next to lexical n-gram Jaccard and MinHash): blocked
+    pairwise cosine above a threshold -> connected components ->
+    canonical vector per cluster.  Oracle-exact: the pair set matches DuckDB bit-for-bit
+    (same double pipeline as embedding_label_pairs) and the clustering
+    is a deterministic transitive closure.  Threshold 0.3 is calibrated
+    to the synthetic corpus (max pairwise cosine ~0.47) so the graph is
+    non-trivial at every test scale; a real embedding model would sit
+    at the conventional 0.9."""
+    pairs = similarity.pairwise_above_threshold(_embs(spark, sf_dir), threshold=0.3)
+    return components.dup_clusters(pairs, "id_a", "id_b").withColumnRenamed("doc_id", "vec_id")
+
+
 def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-hash 80/20 split (engine- and partitioning-stable)."""
     return sampling.train_test_split(_docs(spark, sf_dir), "doc_id").select("doc_id", "split")
@@ -504,6 +518,31 @@ SPECS = [
           ON e.label = q.label AND e.vec_id < q.vec_id
         WHERE {_COSINE_EXPR} >= 0.9
         """,
+    ),
+    QuerySpec(
+        "embedding_dup_clusters",
+        embedding_dup_clusters,
+        f"""
+        WITH RECURSIVE pairs AS (
+            SELECT e.vec_id AS id_a, q.vec_id AS id_b
+            FROM embeddings e JOIN embeddings q
+              ON e.label = q.label AND e.vec_id < q.vec_id
+            WHERE {_COSINE_EXPR} >= 0.3
+        ), edges AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION
+            SELECT id_b AS u, id_a AS v FROM pairs
+        ), reach(node, lbl) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+        )
+        SELECT node AS vec_id,
+               min(lbl) AS cluster_id,
+               (node = min(lbl)) AS is_canonical
+        FROM reach GROUP BY node
+        """,
+        "embedding-cosine near-dup clustering (recursive-CTE oracle)",
     ),
     QuerySpec(
         "embedding_label_centroids",
