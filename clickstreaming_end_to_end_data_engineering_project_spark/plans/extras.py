@@ -61,15 +61,18 @@ def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def order_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IQR-fence outlier detection per priority class: orders outside
-    [q1 - 1.5*IQR, q3 + 1.5*IQR].  Exact percentiles (sort-based);
-    the one-row-per-group fence table broadcasts back."""
+    [q1 - k*IQR, q3 + k*IQR].  Exact percentiles (sort-based); the
+    one-row-per-group fence table broadcasts back.  k=0.5 (not the
+    conventional 1.5): fixture prices are near-uniform with no true
+    outliers, so wider fences flag nothing at any sf and would reduce
+    the oracle check to comparing empty sets."""
     orders = load(spark, sf_dir, "orders")
     fences = orders.groupBy("o_orderpriority").agg(
         F.percentile("o_totalprice", 0.25).alias("_q1"),
         F.percentile("o_totalprice", 0.75).alias("_q3"),
     )
-    lo = F.col("_q1") - 1.5 * (F.col("_q3") - F.col("_q1"))
-    hi = F.col("_q3") + 1.5 * (F.col("_q3") - F.col("_q1"))
+    lo = F.col("_q1") - 0.5 * (F.col("_q3") - F.col("_q1"))
+    hi = F.col("_q3") + 0.5 * (F.col("_q3") - F.col("_q1"))
     return (
         orders.join(F.broadcast(fences), "o_orderpriority")
         .filter((F.col("o_totalprice") < lo) | (F.col("o_totalprice") > hi))
@@ -234,15 +237,17 @@ def q4_late_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def parts_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar-subquery shape: parts priced over 1.2x the global mean
-    retail price.  The scalar aggregate broadcasts (one row)."""
+    """Scalar-subquery shape: parts priced over the global mean retail
+    price.  The scalar aggregate broadcasts (one row).  No headroom
+    factor: fixture prices are near-uniform (max ≈ 1.05x mean), so any
+    multiplier above that made the result trivially empty."""
     part = load(spark, sf_dir, "part")
     avg_price = part.agg(
         (F.sum(money("p_retailprice")).cast("double") / F.count(F.lit(1))).alias("_avg")
     )
     return (
         part.crossJoin(F.broadcast(avg_price))
-        .filter(F.col("p_retailprice") > 1.2 * F.col("_avg"))
+        .filter(F.col("p_retailprice") > F.col("_avg"))
         .select("p_partkey", "p_name", "p_retailprice")
     )
 
@@ -427,8 +432,8 @@ SPECS = [
         )
         SELECT o_orderkey, o.o_orderpriority, o_totalprice
         FROM orders o JOIN f ON o.o_orderpriority = f.o_orderpriority
-        WHERE o_totalprice < q1 - 1.5 * (q3 - q1)
-           OR o_totalprice > q3 + 1.5 * (q3 - q1)
+        WHERE o_totalprice < q1 - 0.5 * (q3 - q1)
+           OR o_totalprice > q3 + 0.5 * (q3 - q1)
         """,
     ),
     QuerySpec(
@@ -574,7 +579,7 @@ SPECS = [
         FROM part,
              (SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avgp
               FROM part) a
-        WHERE p_retailprice > 1.2 * avgp
+        WHERE p_retailprice > avgp
         """,
     ),
     QuerySpec(

@@ -192,11 +192,14 @@ def customers_active_both_years(spark: SparkSession, sf_dir: str) -> DataFrame:
     return y96.intersect(y97)
 
 
-def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti join (NOT EXISTS) — broadcast the probe side when small."""
+def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS) — broadcast the probe side when small.
+    Probed against URGENT-priority orders: the fixture has an order for
+    every customer, so the unfiltered anti join is trivially empty —
+    the priority filter makes the result non-trivial at every sf."""
     cust = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+    urgent = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
 
@@ -217,11 +220,18 @@ def all_geo_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return region.union(nation).distinct()
 
 
-def customers_never_purchasing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct set difference)."""
+def customers_never_big_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct set difference) — the set-op twin of the
+    `customers_with_big_orders` semi join: customers with NO order over
+    $300k (every customer has SOME order in the fixture, so the
+    unfiltered difference is trivially empty)."""
     cust = load(spark, sf_dir, "customer").select("c_custkey")
-    buyers = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return cust.subtract(buyers)
+    big_buyers = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000.0)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.subtract(big_buyers)
 
 
 def customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,11 +451,12 @@ SPECS = [
         """,
     ),
     QuerySpec(
-        "customers_without_orders",
-        customers_without_orders,
+        "customers_without_urgent_orders",
+        customers_without_urgent_orders,
         """
         SELECT c_custkey, c_name FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT')
         """,
     ),
     QuerySpec(
@@ -467,12 +478,12 @@ SPECS = [
         """,
     ),
     QuerySpec(
-        "customers_never_purchasing",
-        customers_never_purchasing,
+        "customers_never_big_purchase",
+        customers_never_big_purchase,
         """
         SELECT c_custkey FROM customer
         EXCEPT
-        SELECT o_custkey AS c_custkey FROM orders
+        SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000.0
         """,
     ),
     QuerySpec(
