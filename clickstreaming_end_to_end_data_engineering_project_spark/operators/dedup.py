@@ -36,6 +36,22 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def prefix_dup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Docs sharing their first ``k`` tokens — boilerplate-opening
+    dedup (prefix fingerprint), the cheap screen for template/header
+    duplicates that whole-document hashing misses when tails differ.
+    One shuffle on the prefix; group sizes bounded by template reuse."""
+    prefix = F.concat_ws(" ", F.slice(tokens(text_col), 1, k))
+    return (
+        df.select(prefix.alias("prefix"), F.col(id_col))
+        .groupBy("prefix")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min(id_col).alias("first_doc"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
 def shingles(text_col: str = "text", n: int = 3) -> F.Column:
     """Word n-gram shingles as strings (space-joined).
 

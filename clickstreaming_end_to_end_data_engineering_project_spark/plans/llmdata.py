@@ -124,6 +124,14 @@ def exact_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAX_SHINGLE_DOC_FREQ = 50
 
 
+def doc_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-5-token prefix dedup: catches shared boilerplate openings
+    (the fixture corpus has none of the byte-identical duplicates
+    exact_dup_docs screens for below sf0.1, but template openings occur
+    at every scale)."""
+    return dedup.prefix_dup_groups(_docs(spark, sf_dir), k=5)
+
+
 def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
         _docs(spark, sf_dir), threshold=0.2, max_doc_freq=MAX_SHINGLE_DOC_FREQ
@@ -445,6 +453,17 @@ SPECS = [
         """
         SELECT md5(text) AS fingerprint, count(*) AS dup_count, min(doc_id) AS first_doc
         FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+    ),
+    QuerySpec(
+        "doc_prefix_dups",
+        doc_prefix_dups,
+        f"""
+        SELECT p AS prefix, count(*) AS dup_count, min(doc_id) AS first_doc
+        FROM (SELECT doc_id,
+                     coalesce(list_aggregate({_TOKENS_SQL}[1:5], 'string_agg', ' '), '') AS p
+              FROM documents)
+        GROUP BY p HAVING count(*) > 1
         """,
     ),
     QuerySpec("ngram_jaccard_dups", ngram_jaccard_dups, _JACCARD_ORACLE),
