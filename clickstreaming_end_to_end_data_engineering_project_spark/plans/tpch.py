@@ -97,6 +97,51 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer for
+    one quarter — lineitem(returnflag=R)⋈orders shuffles once, customer
+    and nation broadcast, top-20 as TakeOrderedAndProject."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_REV()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation (CASE inside SUM) over
+    lineitem⋈part for one ship month; part broadcasts.  Both sums
+    accumulate exact decimals; the percentage is one double division at
+    the end (bit-identical to the oracle)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01")) & (F.col("l_shipdate") < F.lit("1997-10-01"))
+    )
+    part = load(spark, sf_dir, "part")
+    rev = _REV()
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev)).alias("_promo"),
+            F.sum(rev).alias("_total"),
+        )
+        .select(
+            (F.lit(100.0) * F.col("_promo").cast("double") / F.col("_total").cast("double")).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
 def top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per group via row_number window — partitioned by brand, so
     the window shuffle is on a low-skew key; no global sort."""
@@ -331,6 +376,34 @@ SPECS = [
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
+        """,
+    ),
+    QuerySpec(
+        "q10_returned_items",
+        q10_returned_items,
+        f"""
+        SELECT c_custkey, c_name, n_name, {_SUM_REV_SQL} AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+        """,
+    ),
+    QuerySpec(
+        "q14_promo_revenue",
+        q14_promo_revenue,
+        f"""
+        SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL} END) AS DOUBLE)
+                     / CAST(sum({_REV_SQL}) AS DOUBLE) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+          AND l_shipdate <  TIMESTAMP '1997-10-01'
         """,
     ),
     QuerySpec(
