@@ -248,6 +248,63 @@ def test_jaccard_cap_is_invisible_at_fixture_scale(spark, sf_dir):
     assert capped == uncapped
 
 
+def test_minhash_estimates_track_exact_jaccard(spark, sf_dir):
+    """Semantic check for the rows-only MinHash path: est_jaccard (mean
+    of 32 min-hash agreements) must track exact shingle Jaccard for
+    every LSH candidate pair.  Deterministic: seeded xxhash64, fixed
+    corpus.  k=32 gives a ~0.09 standard error at p=0.5, so 0.4 is a
+    generous per-pair bound and 0.15 a tight mean bound."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    cands = [
+        ((r["doc_a"], r["doc_b"]), r["est_jaccard"])
+        for r in minhash_lsh_candidates(docs).collect()
+    ]
+    assert len(cands) > 0
+    errs = [abs(est - exact.get(pair, 0.0)) for pair, est in cands]
+    assert max(errs) < 0.4, f"worst estimate off by {max(errs)}"
+    assert sum(errs) / len(errs) < 0.15
+    # banding recall: any pair with exact jaccard >= 0.9 is a candidate
+    # with probability ~0.9998 per band structure (8 bands x 4 rows) —
+    # deterministic here via the fixed seed
+    cand_pairs = {pair for pair, _ in cands}
+    for pair, j in exact.items():
+        if j >= 0.9:
+            assert pair in cand_pairs, f"high-jaccard pair {pair} (j={j}) missed by LSH"
+
+
+def test_simhash_and_minhash_on_synthetic_dups(spark):
+    """Identical docs collide exactly (simhash equal; est_jaccard 1.0);
+    an unrelated doc does not join their group."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        simhash_dup_groups,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "completely unrelated vocabulary occupying other space"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    groups = simhash_dup_groups(df).collect()
+    assert len(groups) == 1
+    assert groups[0]["dup_count"] == 2 and groups[0]["first_doc"] == 1
+
+    cands = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in minhash_lsh_candidates(df).collect()}
+    assert cands.get((1, 2)) == 1.0
+    assert (1, 3) not in cands and (2, 3) not in cands
+
+
 def test_dedup_operators_leave_no_cached_dataframes(spark, sf_dir):
     """The dedup/kmeans operators persist() large intermediates (shingle
     index, banded signatures, cached points) internally; each must
