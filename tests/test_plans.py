@@ -48,6 +48,26 @@ def test_q5_single_shuffle_join_all_dims_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_q10_filter_pushed_and_dims_broadcast(spark, sf_dir):
+    plan = plan_of(all_specs()["q10_returned_items"].fn(spark, sf_dir))
+    assert "PushedFilters" in plan and "l_returnflag" in plan.split("PushedFilters")[1][:200], (
+        "returnflag filter must reach the lineitem scan"
+    )
+    assert plan.count("BroadcastHashJoin") >= 2 * 2, "customer and nation must broadcast"
+    assert "TakeOrderedAndProject" in plan, "top-20 must not be a global Sort"
+    assert "CartesianProduct" not in plan
+
+
+def test_doc_histogram_prunes_text_column(spark, sf_dir):
+    """A 2-column aggregate over documents must not drag the text blob
+    through the scan — column pruning is what makes metadata queries
+    cheap on a 100 TB corpus."""
+    plan = plan_of(all_specs()["doc_length_histogram"].fn(spark, sf_dir))
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "n_chars" in read_schema
+    assert "text" not in read_schema, "text column must be pruned from the scan"
+
+
 def test_page_view_filter_pushed(spark, sf_dir):
     plan = plan_of(all_specs()["page_view_counts"].fn(spark, sf_dir))
     assert "PushedFilters" in plan
