@@ -27,6 +27,27 @@ from ..schema import CLICKSTREAM_SCHEMA
 from .sinks import Sink
 
 
+def kafka_source_options(
+    brokers: str,
+    topic: str = "clickstream",
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = 10000,
+) -> dict[str, str]:
+    """The exact option set read_kafka_stream applies — pure and
+    unit-testable in the brokerless sandbox, so the one part of the
+    Kafka path that CAN be verified here (the wiring, including the
+    maxOffsetsPerTrigger the reference defined but never set —
+    SURVEY §2.7 T16) is pinned by test even though .load() isn't."""
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+    if max_offsets_per_trigger:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def read_kafka_stream(
     spark: SparkSession,
     brokers: str,
@@ -38,14 +59,9 @@ def read_kafka_stream(
     stream_processor.py:108-127).  Applies maxOffsetsPerTrigger for
     real (the reference defined it but never set it — SURVEY §2.7 T16).
     Requires the spark-sql-kafka package on the classpath."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+    reader = spark.readStream.format("kafka").options(
+        **kafka_source_options(brokers, topic, starting_offsets, max_offsets_per_trigger)
     )
-    if max_offsets_per_trigger:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
     raw = reader.load()
     return parse_event_stream(raw)
 

@@ -427,6 +427,24 @@ def test_sink_retry_policy(spark, monkeypatch):
     assert empty.attempts == 0  # empty-batch guard short-circuits
 
 
+def test_kafka_source_option_wiring():
+    """The broker-side .load() can't run in this sandbox; the option
+    wiring can.  Pins that maxOffsetsPerTrigger is actually applied
+    (the reference defined it but never set it) and dropped when None."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.pipelines import (
+        kafka_source_options,
+    )
+
+    opts = kafka_source_options("k1:9092,k2:9092", topic="clicks", starting_offsets="earliest")
+    assert opts == {
+        "kafka.bootstrap.servers": "k1:9092,k2:9092",
+        "subscribe": "clicks",
+        "startingOffsets": "earliest",
+        "maxOffsetsPerTrigger": "10000",
+    }
+    assert "maxOffsetsPerTrigger" not in kafka_source_options("b", max_offsets_per_trigger=None)
+
+
 def test_metrics_sink_retry_is_idempotent(spark, monkeypatch):
     """A failure mid-write must leave the metrics store untouched so the
     retry in Sink.__call__ counts each batch exactly once.  A NULL
