@@ -1,0 +1,131 @@
+"""End-to-end training-corpus curation — the documents-table twin of
+etl.py's bronze/silver/gold: score → filter → dedup → split → write,
+each stage an already-tested operator from ``operators/``, composed the
+way a corpus-scale curation job runs.
+
+Stage shapes (why this survives a 100 TB corpus):
+  1. score   — quality + language-ID are pure projections (codegen
+               expressions, no shuffle); the two feature frames join
+               back on doc_id (AQE picks the strategy).
+  2. filter  — quality/lang predicates run before anything expensive;
+               at scale they also prune whole partitions when the
+               corpus is written bucketed/partitioned by those keys.
+  3. dedup   — exact first (one shuffle on the md5 fingerprint; keeps
+               min doc_id per group), THEN near-dup on the survivors
+               (inverted-index Jaccard with the hot-shingle cap +
+               connected components; non-canonical cluster members
+               dropped).  Ordering matters: exact dedup shrinks the
+               expensive candidate join's input for free.
+  4. split   — content-hash train/test (engine/partitioning-stable).
+  5. write   — parquet partitioned by split, so training readers scan
+               only their slice.
+
+Counts are computed from the WRITTEN output (one scan), so the result
+reports what a downstream consumer actually sees.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import components, dedup, sampling, text
+from .sources.tables import load
+
+
+@dataclass(frozen=True)
+class CurationResult:
+    input_docs: int
+    after_filter: int
+    after_exact_dedup: int
+    after_near_dedup: int
+    train_docs: int
+    test_docs: int
+
+
+def score_and_filter(
+    docs: DataFrame,
+    min_quality: float = 0.75,
+    langs: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Attach quality_score + predicted_lang, keep rows passing both
+    gates.  Pure projections + one join; no shuffle beyond the join."""
+    quality = text.quality_score(docs)
+    lang = text.lang_id_heuristic(docs)
+    kept = (
+        docs.join(quality, "doc_id")
+        .join(lang, "doc_id")
+        .filter(F.col("quality_score") >= min_quality)
+    )
+    if langs:
+        kept = kept.filter(F.col("predicted_lang").isin(list(langs)))
+    return kept
+
+
+def drop_exact_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the smallest id per byte-identical text.  groupBy+semi-join
+    (map-side partial agg on the 16-byte fingerprint) rather than a
+    window over the full corpus."""
+    fp = df.select(F.col(id_col), F.md5(F.col(text_col).cast("binary")).alias("_fp"))
+    keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
+def drop_near_dups(
+    df: DataFrame,
+    threshold: float = 0.2,
+    max_doc_freq: int | None = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop non-canonical members of n-gram-Jaccard near-dup clusters
+    (cluster minimum survives).  Anti-join against the loser set — tiny
+    relative to the corpus, but NOT broadcast-hinted: at corpus scale
+    its size is data-dependent, so AQE decides."""
+    pairs = dedup.ngram_jaccard_pairs(
+        df, id_col=id_col, text_col=text_col, threshold=threshold, max_doc_freq=max_doc_freq
+    )
+    losers = (
+        components.dup_clusters(pairs)
+        .filter(~F.col("is_canonical"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+def curate_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    min_quality: float = 0.75,
+    langs: tuple[str, ...] | None = None,
+    jaccard_threshold: float = 0.2,
+    max_doc_freq: int | None = 50,
+    train_frac: float = 0.8,
+) -> CurationResult:
+    docs = load(spark, sf_dir, "documents")
+    input_docs = docs.count()
+
+    kept = score_and_filter(docs, min_quality, langs)
+    after_filter = kept.count()
+
+    exact = drop_exact_dups(kept)
+    after_exact = exact.count()
+
+    deduped = drop_near_dups(exact, jaccard_threshold, max_doc_freq)
+
+    split = sampling.train_test_split(deduped, "doc_id", train_frac)
+    split.write.mode("overwrite").partitionBy("split").parquet(f"{out_dir}/corpus")
+
+    out = spark.read.parquet(f"{out_dir}/corpus")
+    per_split = {r["split"]: r["cnt"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    return CurationResult(
+        input_docs=input_docs,
+        after_filter=after_filter,
+        after_exact_dedup=after_exact,
+        after_near_dedup=sum(per_split.values()),
+        train_docs=per_split.get("train", 0),
+        test_docs=per_split.get("test", 0),
+    )

@@ -1,0 +1,57 @@
+"""End-to-end corpus-curation pipeline tests (score → filter → dedup →
+split → write)."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from clickstreaming_end_to_end_data_engineering_project_spark.curation import (
+    curate_corpus,
+    drop_exact_dups,
+    drop_near_dups,
+)
+
+
+def test_curation_end_to_end(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "curated")
+    res = curate_corpus(spark, sf_dir, out, min_quality=0.75, langs=("en",))
+
+    # each stage only removes rows, never invents them
+    assert res.input_docs >= res.after_filter >= res.after_exact_dedup >= res.after_near_dedup
+    assert res.after_filter > 0
+    assert res.after_near_dedup == res.train_docs + res.test_docs
+    assert res.train_docs > 0 and res.test_docs > 0
+
+    curated = spark.read.parquet(f"{out}/corpus")
+    # every surviving doc passed the gates
+    assert curated.filter(F.col("quality_score") < 0.75).count() == 0
+    assert curated.filter(F.col("predicted_lang") != "en").count() == 0
+    # no byte-identical texts survive
+    assert curated.groupBy(F.md5(F.col("text").cast("binary"))).count().filter("count > 1").count() == 0
+
+    # split-partitioned layout prunes on the split predicate
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        curated.filter(F.col("split") == "train").explain("formatted")
+    assert "PartitionFilters" in buf.getvalue()
+
+    # deterministic: rerun produces identical counts
+    res2 = curate_corpus(spark, sf_dir, out, min_quality=0.75, langs=("en",))
+    assert res2 == res
+
+
+def test_curation_dedup_stages_on_synthetic_dups(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog again and again today"),  # near dup
+        (4, "an entirely distinct document about completely different topics and words"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = drop_exact_dups(df)
+    assert {r["doc_id"] for r in exact.collect()} == {1, 3, 4}
+    deduped = drop_near_dups(exact, threshold=0.2)
+    assert {r["doc_id"] for r in deduped.collect()} == {1, 4}
