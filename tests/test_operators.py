@@ -56,6 +56,52 @@ def test_udf_registration_and_sql_call(spark, sf_dir):
     assert all(r["nrm"] > 0 for r in norms)
 
 
+def test_grouped_agg_pandas_udf_matches_expression_twin(spark, sf_dir):
+    """UDAF tier: geo_mean (grouped-agg pandas UDF) vs the pure
+    expression formulation exp(avg(ln(x))) — numpy and JVM accumulate
+    in different orders, so compare to 1e-9 relative tolerance."""
+    import math
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.functions.udfs import geo_mean
+
+    docs = load(spark, sf_dir, "documents")
+    got = {
+        r["lang"]: r["gm"]
+        for r in docs.groupBy("lang").agg(geo_mean("n_chars").alias("gm")).collect()
+    }
+    exp = {
+        r["lang"]: r["gm"]
+        for r in docs.groupBy("lang")
+        .agg(F.exp(F.avg(F.log(F.col("n_chars").cast("double")))).alias("gm"))
+        .collect()
+    }
+    assert set(got) == set(exp) and len(got) > 1
+    for lang, g in got.items():
+        assert math.isclose(g, exp[lang], rel_tol=1e-9), (lang, g, exp[lang])
+
+
+def test_udtf_lateral_join(spark):
+    """UDTF tier: split_sentences drives a LATERAL join from SQL."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.functions.udfs import (
+        register_udfs,
+    )
+
+    register_udfs(spark)
+    spark.createDataFrame(
+        [(1, "first sentence. second one. "), (2, ""), (3, "only one")],
+        ["doc_id", "text"],
+    ).createOrReplaceTempView("_docs_udtf")
+    rows = spark.sql(
+        "SELECT doc_id, s.pos, s.sentence FROM _docs_udtf, "
+        "LATERAL split_sentences(text) s ORDER BY doc_id, s.pos"
+    ).collect()
+    assert [(r["doc_id"], r["pos"], r["sentence"]) for r in rows] == [
+        (1, 0, "first sentence"),
+        (1, 1, "second one"),
+        (3, 0, "only one"),
+    ]
+
+
 def test_lang_id_runs_and_is_deterministic(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     a = {r["doc_id"]: r["predicted_lang"] for r in lang_id_heuristic(docs).collect()}
