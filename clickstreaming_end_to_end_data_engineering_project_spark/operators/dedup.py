@@ -136,6 +136,40 @@ def ngram_jaccard_pairs(
         raw.unpersist()
 
 
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Test-set decontamination signal: for each eval document, how many
+    of its distinct word n-grams also appear anywhere in the training
+    corpus.  Output (doc_id, shared_shingles, total_shingles,
+    contamination) for eval docs with ≥1 shared shingle.
+
+    Shape: the train shingle VOCABULARY (distinct shingles — far
+    smaller than the (doc, shingle) index) joins the eval index on the
+    hashed shingle; one shuffle each side, partial-agg friendly.  At
+    corpus scale, persist the train vocabulary once and reuse it across
+    eval sets."""
+    tr_vocab = _doc_shingles(train, id_col, text_col, n).select("shingle").distinct()
+    ev = _doc_shingles(eval_df, id_col, text_col, n)
+    sizes = ev.groupBy("_id").agg(F.count(F.lit(1)).alias("total_shingles"))
+    shared = ev.join(tr_vocab, "shingle").groupBy("_id").agg(
+        F.count(F.lit(1)).alias("shared_shingles")
+    )
+    return (
+        shared.join(sizes, "_id")
+        .select(
+            F.col("_id").alias(id_col),
+            "shared_shingles",
+            "total_shingles",
+            (F.col("shared_shingles") / F.col("total_shingles")).alias("contamination"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3, k: int = 32
 ) -> DataFrame:

@@ -101,6 +101,44 @@ def lang_id_heuristic(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows — the
+    context-window sharding step of a training pipeline.  Output
+    (doc_id, chunk_idx, chunk_text, chunk_token_cnt); chunk i covers
+    tokens [i*stride, i*stride + chunk_tokens).  Pure array
+    expressions: sequence → transform(slice) → explode; no UDF, no
+    shuffle (the explode is a narrow row multiplier)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(float(stride))).cast("long") + 1, F.lit(1).cast("long")
+    )
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+            lambda i: F.struct(
+                i.alias("chunk_idx"),
+                F.slice(toks, (i * stride + 1).cast("int"), chunk_tokens).alias("_ctoks"),
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col), chunk.alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_idx"),
+            F.concat_ws(" ", F.col("c._ctoks")).alias("chunk_text"),
+            F.size("c._ctoks").alias("chunk_token_cnt"),
+        )
+    )
+
+
 def fingerprint_md5(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact content fingerprint (md5 hex) — the exact-dedup key."""
     return df.select(F.col(id_col), F.md5(F.col(text_col).cast("binary")).alias("fingerprint"))

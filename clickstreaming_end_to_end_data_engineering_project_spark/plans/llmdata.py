@@ -191,6 +191,22 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return components.dup_clusters(pairs, "id_a", "id_b").withColumnRenamed("doc_id", "vec_id")
 
 
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window sharding: 64-token chunks, stride 48."""
+    return text.chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, stride=48)
+
+
+def doc_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination check across the content-hash train/test split:
+    test docs sharing ≥1 trigram shingle with the train corpus, with
+    the shared fraction.  (On this near-dup-seeded corpus most test
+    docs share boilerplate trigrams — exactly what the check is for.)"""
+    split = sampling.train_test_split(_docs(spark, sf_dir), "doc_id")
+    train = split.filter(F.col("split") == "train")
+    evals = split.filter(F.col("split") == "test")
+    return dedup.ngram_contamination(train, evals)
+
+
 def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-hash 80/20 split (engine- and partitioning-stable)."""
     return sampling.train_test_split(_docs(spark, sf_dir), "doc_id").select("doc_id", "split")
@@ -490,6 +506,56 @@ SPECS = [
     QuerySpec("embedding_kmeans", embedding_kmeans, None, "iterative k-means (rows-only)"),
     QuerySpec("embedding_topk_pandas", embedding_topk_pandas, None, "numpy mapInPandas top-k (rows-only)"),
     QuerySpec("doc_zscore_by_lang", doc_zscore_by_lang, None, "applyInPandas grouped-map normalization (rows-only)"),
+    QuerySpec(
+        "doc_chunks",
+        doc_chunks,
+        f"""
+        WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+        c AS (
+            SELECT doc_id, toks,
+                   unnest(range(greatest(
+                       CAST(ceil((len(toks) - 64) / 48.0) AS BIGINT) + 1, 1))) AS chunk_idx
+            FROM t
+        )
+        SELECT doc_id, chunk_idx,
+               coalesce(list_aggregate(toks[chunk_idx*48+1 : chunk_idx*48+64],
+                                       'string_agg', ' '), '') AS chunk_text,
+               len(toks[chunk_idx*48+1 : chunk_idx*48+64]) AS chunk_token_cnt
+        FROM c
+        """,
+    ),
+    QuerySpec(
+        "doc_split_contamination",
+        doc_split_contamination,
+        f"""
+        WITH sp AS (
+            SELECT doc_id, {_TOKENS_SQL} AS t,
+                   CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc'
+                        THEN 'train' ELSE 'test' END AS split
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, split, unnest(list_distinct(
+                CASE WHEN len(t) >= 3
+                     THEN list_transform(range(len(t) - 2),
+                                         i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+                     ELSE [list_aggregate(t, 'string_agg', ' ')] END)) AS shingle
+            FROM sp
+        ), trv AS (
+            SELECT DISTINCT shingle FROM sh WHERE split = 'train'
+        ), ev AS (
+            SELECT doc_id, shingle FROM sh WHERE split = 'test'
+        ), sizes AS (
+            SELECT doc_id, count(*) AS total FROM ev GROUP BY 1
+        ), shared AS (
+            SELECT doc_id, count(*) AS shared FROM ev JOIN trv USING (shingle) GROUP BY 1
+        )
+        SELECT s.doc_id,
+               shared AS shared_shingles,
+               total AS total_shingles,
+               shared * 1.0 / total AS contamination
+        FROM shared s JOIN sizes USING (doc_id)
+        """,
+    ),
     QuerySpec(
         "doc_train_test_split",
         doc_train_test_split,

@@ -351,6 +351,55 @@ def test_simhash_and_minhash_on_synthetic_dups(spark):
     assert (1, 3) not in cands and (2, 3) not in cands
 
 
+def test_chunk_documents_boundaries(spark):
+    """Chunk i covers tokens [i*stride, i*stride+chunk); short docs get
+    exactly one chunk; every token is covered and consecutive chunks
+    overlap by chunk-stride."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.text import (
+        chunk_documents,
+    )
+
+    docs = [
+        (1, " ".join(f"t{i}" for i in range(10))),   # 10 tokens -> 1 chunk
+        (2, " ".join(f"t{i}" for i in range(100))),  # 100 -> chunks at 0,48,96
+        (3, "single"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = chunk_documents(df, chunk_tokens=64, stride=48).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_token_cnt"] == 10
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_text"] == "single"
+    c2 = sorted(by_doc[2], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_idx"] for r in c2] == [0, 1]
+    assert c2[0]["chunk_text"].split()[:1] == ["t0"] and len(c2[0]["chunk_text"].split()) == 64
+    assert c2[1]["chunk_text"].split()[0] == "t48" and c2[1]["chunk_token_cnt"] == 52
+    # overlap: chunk 1 starts inside chunk 0's token range (64 > 48)
+    assert set(c2[0]["chunk_text"].split()) & set(c2[1]["chunk_text"].split())
+
+
+def test_ngram_contamination_detects_planted_overlap(spark):
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        ngram_contamination,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    evals = spark.createDataFrame(
+        [
+            (10, "the quick brown fox appears here too"),   # shares 2 leading trigrams
+            (11, "wholly disjoint vocabulary nothing shared at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in ngram_contamination(train, evals).collect()}
+    assert set(got) == {10}
+    assert got[10]["shared_shingles"] == 2 and got[10]["total_shingles"] == 5
+    assert abs(got[10]["contamination"] - 0.4) < 1e-12
+
+
 def test_dedup_operators_leave_no_cached_dataframes(spark, sf_dir):
     """The dedup/kmeans operators persist() large intermediates (shingle
     index, banded signatures, cached points) internally; each must
