@@ -379,6 +379,42 @@ def test_chunk_documents_boundaries(spark):
     assert set(c2[0]["chunk_text"].split()) & set(c2[1]["chunk_text"].split())
 
 
+def test_chunk_documents_tiles_every_token(spark):
+    """Property: for any token count n >= 1, chunks exactly tile
+    [0, n): chunk i holds tokens [i*stride, min(i*stride+chunk, n)),
+    the union covers every token, and no chunk is empty."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.text import (
+        chunk_documents,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(st.integers(min_value=1, max_value=300), min_size=1, max_size=6))
+    def check(lengths):
+        docs = [(i, " ".join(f"w{j}" for j in range(n))) for i, n in enumerate(lengths)]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        rows = chunk_documents(df, chunk_tokens=64, stride=48).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for i, n in enumerate(lengths):
+            chunks = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+            expected_chunks = max(-(-(n - 64) // 48) + 1, 1)
+            assert [r["chunk_idx"] for r in chunks] == list(range(expected_chunks))
+            covered = set()
+            for r in chunks:
+                toks = r["chunk_text"].split()
+                assert 1 <= len(toks) == r["chunk_token_cnt"] <= 64
+                start = r["chunk_idx"] * 48
+                assert toks == [f"w{j}" for j in range(start, min(start + 64, n))]
+                covered.update(range(start, start + len(toks)))
+            assert covered == set(range(n))
+
+    check()
+
+
 def test_ngram_contamination_detects_planted_overlap(spark):
     from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
         ngram_contamination,

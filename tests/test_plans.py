@@ -82,8 +82,10 @@ def test_topk_cosine_is_take_ordered(spark, sf_dir):
 
 
 def test_whole_stage_codegen_everywhere_hot(spark, sf_dir):
-    """Aggregation pipelines must run inside WholeStageCodegen."""
-    df = all_specs()["purchase_stats"].fn(spark, sf_dir)
-    codegen = plan_of(df, "codegen")
-    assert "WholeStageCodegen subtree" in codegen
-    assert "BatchEvalPython" not in plan_of(df), "no row-at-a-time Python in the hot path"
+    """Aggregation pipelines must run inside WholeStageCodegen and
+    never fall back to row-at-a-time Python."""
+    for name in ["purchase_stats", "q1_pricing_summary", "doc_token_stats", "doc_chunks"]:
+        df = all_specs()[name].fn(spark, sf_dir)
+        codegen = plan_of(df, "codegen")
+        assert "WholeStageCodegen subtree" in codegen, name
+        assert "BatchEvalPython" not in plan_of(df), f"{name}: row Python in the hot path"
