@@ -51,14 +51,13 @@ def score_and_filter(
     langs: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Attach quality_score + predicted_lang, keep rows passing both
-    gates.  Pure projections + one join; no shuffle beyond the join."""
-    quality = text.quality_score(docs)
-    lang = text.lang_id_heuristic(docs)
-    kept = (
-        docs.join(quality, "doc_id")
-        .join(lang, "doc_id")
-        .filter(F.col("quality_score") >= min_quality)
-    )
+    gates.  Both features are pure column expressions, so this whole
+    stage is one NARROW projection+filter — attaching per-doc features
+    must never shuffle the corpus (the join formulation would shuffle
+    it twice)."""
+    kept = docs.withColumn("quality_score", text.quality_score_col("text")).withColumn(
+        "predicted_lang", text.predicted_lang_col("text")
+    ).filter(F.col("quality_score") >= min_quality)
     if langs:
         kept = kept.filter(F.col("predicted_lang").isin(list(langs)))
     return kept

@@ -48,18 +48,33 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def quality_score_col(text_col: str = "text") -> Column:
+    """quality_score as a pure COLUMN over the text — composable into a
+    projection with zero joins (what curation.score_and_filter uses:
+    attaching per-doc features must never shuffle the corpus)."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stopword_ratio = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast(
+        "double"
+    ) / n_tokens
+    punct_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), r"[\w\s]", "")).cast("double")
+        / F.length(text_col)
+    )
+    length_ok = (n_tokens >= 10) & (n_tokens <= 100000)
+    return (
+        F.when(length_ok, F.lit(0.5)).otherwise(F.lit(0.0))
+        + F.when(stopword_ratio >= 0.01, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+
+
 def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Deterministic heuristic quality score in [0,1]: rewards moderate
     length and the presence of function words; penalizes punctuation
     soup.  (Gopher-rules-style filtering, SQL-expressible.)"""
-    stats = token_stats(df, id_col, text_col)
-    length_ok = (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000)
-    score = (
-        F.when(length_ok, F.lit(0.5)).otherwise(F.lit(0.0))
-        + F.when(F.col("stopword_ratio") >= 0.01, F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when(F.col("punct_ratio") <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
-    )
-    return stats.select(id_col, score.alias("quality_score"))
+    return df.select(F.col(id_col), quality_score_col(text_col).alias("quality_score"))
 
 
 def bpe_ish_token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -72,11 +87,8 @@ def bpe_ish_token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     return df.select(F.col(id_col), F.size(arr).alias("bpe_token_count"))
 
 
-def lang_id_heuristic(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """N-gram/marker language-ID heuristic.  Scores each candidate
-    language by marker-token hits and picks the argmax (ties → 'und').
-    Deterministic and fully columnar; real corpora would swap in a
-    trained n-gram table, same plan shape."""
+def predicted_lang_col(text_col: str = "text") -> Column:
+    """Language-ID as a pure COLUMN (see quality_score_col)."""
     markers = {
         "en": ("the", "and", "of", "is"),
         "es": ("el", "la", "los", "es"),
@@ -95,10 +107,15 @@ def lang_id_heuristic(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
             )
         )
     best = F.array_max(F.array(*scores))
-    return df.select(
-        F.col(id_col),
-        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("predicted_lang"),
-    )
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def lang_id_heuristic(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """N-gram/marker language-ID heuristic.  Scores each candidate
+    language by marker-token hits and picks the argmax (ties → 'und').
+    Deterministic and fully columnar; real corpora would swap in a
+    trained n-gram table, same plan shape."""
+    return df.select(F.col(id_col), predicted_lang_col(text_col).alias("predicted_lang"))
 
 
 def chunk_documents(
