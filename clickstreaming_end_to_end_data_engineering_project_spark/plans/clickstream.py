@@ -218,6 +218,31 @@ def sql_event_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_user_ltv_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-SQL surface depth: CTE + window function + top-k submitted
+    as ONE SQL text (the reference's arbitrary-SELECT path must handle
+    analytic SQL, not just aggregates).  Catalyst plans it identically
+    to the DataFrame form — top-10 via rank over lifetime value."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("_ev_sql_surface")
+    return spark.sql(
+        """
+        WITH ltv AS (
+            SELECT user_id,
+                   CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS lifetime_value,
+                   count(*) AS event_cnt
+            FROM _ev_sql_surface
+            WHERE event_type = 'purchase'
+            GROUP BY user_id
+        )
+        SELECT user_id, lifetime_value, event_cnt,
+               rank() OVER (ORDER BY lifetime_value DESC, user_id) AS ltv_rank
+        FROM ltv
+        ORDER BY ltv_rank
+        LIMIT 10
+        """
+    )
+
+
 def event_type_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapType surface: per-user map<event_type, count> built with
     map_from_entries, then exploded back to rows — the map is a real
@@ -428,6 +453,25 @@ SPECS = [
                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value,
                count(DISTINCT user_id)                              AS unique_users
         FROM events GROUP BY event_type
+        """,
+    ),
+    QuerySpec(
+        "sql_user_ltv_rank",
+        sql_user_ltv_rank,
+        """
+        WITH ltv AS (
+            SELECT user_id,
+                   CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS lifetime_value,
+                   count(*) AS event_cnt
+            FROM events
+            WHERE event_type = 'purchase'
+            GROUP BY user_id
+        )
+        SELECT user_id, lifetime_value, event_cnt,
+               rank() OVER (ORDER BY lifetime_value DESC, user_id) AS ltv_rank
+        FROM ltv
+        ORDER BY ltv_rank
+        LIMIT 10
         """,
     ),
     QuerySpec(
