@@ -243,6 +243,14 @@ def sql_user_ltv_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column profile of the events table (null +
+    exact distinct counts) — the DESCRIBE/ANALYZE data-quality surface."""
+    from ..operators.profile import profile
+
+    return profile(_events(spark, sf_dir), ["user_id", "event_type", "value", "props"])
+
+
 def event_type_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapType surface: per-user map<event_type, count> built with
     map_from_entries, then exploded back to rows — the map is a real
@@ -472,6 +480,28 @@ SPECS = [
         FROM ltv
         ORDER BY ltv_rank
         LIMIT 10
+        """,
+    ),
+    QuerySpec(
+        "events_profile",
+        events_profile,
+        """
+        SELECT 'user_id' AS column_name, count(*) AS row_cnt,
+               count(*) FILTER (user_id IS NULL) AS null_cnt,
+               count(DISTINCT user_id) AS distinct_cnt
+        FROM events
+        UNION ALL
+        SELECT 'event_type', count(*),
+               count(*) FILTER (event_type IS NULL), count(DISTINCT event_type)
+        FROM events
+        UNION ALL
+        SELECT 'value', count(*),
+               count(*) FILTER (value IS NULL), count(DISTINCT value)
+        FROM events
+        UNION ALL
+        SELECT 'props', count(*),
+               count(*) FILTER (props IS NULL), count(DISTINCT props)
+        FROM events
         """,
     ),
     QuerySpec(
