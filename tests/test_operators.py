@@ -351,6 +351,27 @@ def test_simhash_and_minhash_on_synthetic_dups(spark):
     assert (1, 3) not in cands and (2, 3) not in cands
 
 
+def test_profile_null_and_distinct_semantics(spark):
+    """NULLs count into null_cnt, never distinct_cnt; approx variant
+    stays within HLL tolerance of exact."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.profile import (
+        profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, "b"), (5, None)], "id int, v string"
+    )
+    got = {r["column_name"]: r for r in profile(df).collect()}
+    assert got["id"]["row_cnt"] == 5 and got["id"]["null_cnt"] == 0 and got["id"]["distinct_cnt"] == 5
+    assert got["v"]["null_cnt"] == 2 and got["v"]["distinct_cnt"] == 2
+
+    approx = {r["column_name"]: r for r in profile(df, exact=False).collect()}
+    for c in ("id", "v"):
+        exact_d = got[c]["distinct_cnt"]
+        assert abs(approx[c]["distinct_cnt"] - exact_d) <= max(1, 0.05 * exact_d)
+        assert approx[c]["null_cnt"] == got[c]["null_cnt"]
+
+
 def test_chunk_documents_boundaries(spark):
     """Chunk i covers tokens [i*stride, i*stride+chunk); short docs get
     exactly one chunk; every token is covered and consecutive chunks
