@@ -445,6 +445,30 @@ def test_kafka_source_option_wiring():
     assert "maxOffsetsPerTrigger" not in kafka_source_options("b", max_offsets_per_trigger=None)
 
 
+def test_anomaly_sink_alerts_on_spike(spark):
+    """Stable traffic builds history silently; a 5x spike alerts with
+    the right sign, and the stats keep accumulating afterwards."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.sinks import (
+        AnomalySink,
+    )
+
+    sink = AnomalySink(key_col="page", value_col="cnt", threshold=3.0, min_history=5)
+    steady = [10.0, 11.0, 9.0, 10.0, 10.0, 11.0]
+    for i, v in enumerate(steady):
+        sink(spark.createDataFrame([("home", v)], ["page", "cnt"]), i)
+    assert sink.alerts == []
+
+    sink(spark.createDataFrame([("home", 50.0)], ["page", "cnt"]), 99)
+    assert len(sink.alerts) == 1
+    alert = sink.alerts[0]
+    assert alert["key"] == "home" and alert["batch_id"] == 99 and alert["zscore"] > 3.0
+
+    # unknown key: no history, never alerts
+    sink(spark.createDataFrame([("cart", 1000.0)], ["page", "cnt"]), 100)
+    assert len(sink.alerts) == 1
+    assert sink.stats["cart"][0] == 1
+
+
 def test_metrics_sink_retry_is_idempotent(spark, monkeypatch):
     """A failure mid-write must leave the metrics store untouched so the
     retry in Sink.__call__ counts each batch exactly once.  A NULL
