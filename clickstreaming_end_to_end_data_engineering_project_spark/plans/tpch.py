@@ -142,6 +142,28 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate subquery (orders with
+    > 300 total quantity) driving the join — the aggregate runs FIRST
+    and shrinks the join input to the rare heavy orders; customer
+    broadcasts; top-20 as TakeOrderedAndProject."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(money("l_quantity")).cast("double").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300.0)
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
 def top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per group via row_number window — partitioned by brand, so
     the window shuffle is on a low-skew key; no global sort."""
@@ -404,6 +426,21 @@ SPECS = [
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1997-09-01'
           AND l_shipdate <  TIMESTAMP '1997-10-01'
+        """,
+    ),
+    QuerySpec(
+        "q18_large_volume_customers",
+        q18_large_volume_customers,
+        """
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+        HAVING CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 300.0
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
         """,
     ),
     QuerySpec(
