@@ -59,7 +59,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):  # min-of-2: damp scheduler/load noise
+        for _ in range(3):  # min-of-3: damp scheduler/load noise (~±10% observed)
             t0 = time.perf_counter()
             specs[name].fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
