@@ -469,6 +469,47 @@ def test_anomaly_sink_alerts_on_spike(spark):
     assert sink.stats["cart"][0] == 1
 
 
+def test_anomaly_sink_through_streaming_query(spark, tmp_path):
+    """End-to-end: file stream, one micro-batch per file (ordered by
+    mtime), foreachBatch into AnomalySink — steady files build history,
+    the final spike file raises exactly one alert."""
+    import os
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.sinks import (
+        AnomalySink,
+    )
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    counts = [10.0, 11.0, 9.0, 10.0, 10.0, 11.0, 100.0]
+    base = 1_700_000_000
+    for i, cnt in enumerate(counts):
+        p = str(src / f"f{i}")
+        spark.createDataFrame([("home", cnt)], ["page", "cnt"]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        # file source processes oldest-first by mtime; pin the order
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (base + i, base + i))
+        os.utime(p, (base + i, base + i))
+
+    sink = AnomalySink(key_col="page", value_col="cnt", threshold=3.0, min_history=5)
+    q = (
+        spark.readStream.schema("page string, cnt double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(sink.alerts) == 1, sink.alerts
+    assert sink.alerts[0]["key"] == "home" and sink.alerts[0]["value"] == 100.0
+    assert sink.stats["home"][0] == len(counts)
+
+
 def test_metrics_sink_retry_is_idempotent(spark, monkeypatch):
     """A failure mid-write must leave the metrics store untouched so the
     retry in Sink.__call__ counts each batch exactly once.  A NULL
