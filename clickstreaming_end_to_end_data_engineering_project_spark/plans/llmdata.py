@@ -124,6 +124,27 @@ def exact_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAX_SHINGLE_DOC_FREQ = 50
 
 
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (Gopher/C4-style quality rule): the
+    fraction of trigram slots occupied by repeats of an earlier
+    trigram.  0 = no repetition.  Pure array expressions; docs shorter
+    than 3 tokens score 0."""
+    docs = _docs(spark, sf_dir)
+    toks = text.tokens("text")
+    m = F.size(toks) - 2
+    parts = [F.slice(toks, j + 1, m) for j in range(3)]
+    tri = F.zip_with(
+        F.zip_with(parts[0], parts[1], lambda a, b: F.concat_ws(" ", a, b)),
+        parts[2],
+        lambda ab, c: F.concat_ws(" ", ab, c),
+    )
+    rep = F.when(
+        F.size(toks) >= 3,
+        (F.size(tri) - F.size(F.array_distinct(tri))).cast("double") / F.size(tri),
+    ).otherwise(F.lit(0.0))
+    return docs.select("doc_id", rep.alias("repetition_ratio"))
+
+
 def doc_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-5-token prefix dedup: catches shared boilerplate openings
     (the fixture corpus has none of the byte-identical duplicates
@@ -469,6 +490,26 @@ SPECS = [
         """
         SELECT md5(text) AS fingerprint, count(*) AS dup_count, min(doc_id) AS first_doc
         FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+    ),
+    QuerySpec(
+        "doc_repetition_scores",
+        doc_repetition_scores,
+        f"""
+        WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+        tri AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 3
+                        THEN list_transform(range(len(toks) - 2),
+                             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+                        ELSE NULL END AS g
+            FROM t
+        )
+        SELECT doc_id,
+               CASE WHEN g IS NULL THEN 0.0
+                    ELSE CAST(len(g) - len(list_distinct(g)) AS DOUBLE) / len(g)
+               END AS repetition_ratio
+        FROM tri
         """,
     ),
     QuerySpec(
