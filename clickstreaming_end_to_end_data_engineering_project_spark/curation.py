@@ -78,14 +78,27 @@ def drop_near_dups(
     max_doc_freq: int | None = 50,
     id_col: str = "doc_id",
     text_col: str = "text",
+    method: str = "jaccard",
 ) -> DataFrame:
-    """Drop non-canonical members of n-gram-Jaccard near-dup clusters
-    (cluster minimum survives).  Anti-join against the loser set — tiny
-    relative to the corpus, but NOT broadcast-hinted: at corpus scale
-    its size is data-dependent, so AQE decides."""
-    pairs = dedup.ngram_jaccard_pairs(
-        df, id_col=id_col, text_col=text_col, threshold=threshold, max_doc_freq=max_doc_freq
-    )
+    """Drop non-canonical members of near-dup clusters (cluster minimum
+    survives).  ``method="jaccard"`` computes exact capped-Jaccard pairs
+    (the default; exact similarities, still hot-shingle-safe);
+    ``method="minhash"`` routes candidates through banded MinHash LSH
+    and thresholds the signature-agreement estimate — the sub-quadratic
+    path for corpora where even the capped inverted-index join is too
+    wide.  Anti-join against the loser set — tiny relative to the
+    corpus, but NOT broadcast-hinted: at corpus scale its size is
+    data-dependent, so AQE decides."""
+    if method == "jaccard":
+        pairs = dedup.ngram_jaccard_pairs(
+            df, id_col=id_col, text_col=text_col, threshold=threshold, max_doc_freq=max_doc_freq
+        )
+    elif method == "minhash":
+        pairs = dedup.minhash_lsh_candidates(df, id_col=id_col, text_col=text_col).filter(
+            F.col("est_jaccard") >= threshold
+        )
+    else:
+        raise ValueError(f"unknown near-dup method: {method!r} (jaccard|minhash)")
     losers = (
         components.dup_clusters(pairs)
         .filter(~F.col("is_canonical"))

@@ -55,3 +55,6 @@ def test_curation_dedup_stages_on_synthetic_dups(spark):
     assert {r["doc_id"] for r in exact.collect()} == {1, 3, 4}
     deduped = drop_near_dups(exact, threshold=0.2)
     assert {r["doc_id"] for r in deduped.collect()} == {1, 4}
+    # the sub-quadratic MinHash path finds the same clusters here
+    via_minhash = drop_near_dups(exact, threshold=0.2, method="minhash")
+    assert {r["doc_id"] for r in via_minhash.collect()} == {1, 4}
