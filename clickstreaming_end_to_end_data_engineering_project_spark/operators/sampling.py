@@ -59,6 +59,46 @@ def stratified_sample_exact(
     )
 
 
+def balance_labels(df: DataFrame, label_col: str, key_col: str) -> DataFrame:
+    """Class-balanced downsample: every label keeps exactly the size of
+    the SMALLEST class, rows chosen by hash order (deterministic across
+    engines/partitionings).  One shuffle for the per-class window plus
+    a broadcast one-row minimum — the standard label-balancing step
+    before training.  Skew-safe: the window partitions on the label,
+    whose per-partition size is the class size (bounded by the corpus's
+    class distribution, not by a hot join key)."""
+    min_cnt = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("_c")).agg(
+        F.min("_c").alias("_min_c")
+    )
+    w = Window.partitionBy(label_col).orderBy(_key_digest(key_col), F.col(key_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(min_cnt))
+        .filter(F.col("_rn") <= F.col("_min_c"))
+        .drop("_rn", "_min_c")
+    )
+
+
+def winsorize(
+    df: DataFrame, value_col: str, group_col: str | None = None, lo: float = 0.05, hi: float = 0.95
+) -> DataFrame:
+    """Percentile winsorization (clamp to the [lo, hi] exact-percentile
+    fences, optionally per group) — the outlier-taming twin of the
+    IQR filter: instead of DROPPING extreme rows it clips them, keeping
+    row counts stable for downstream joins.  Adds ``{value_col}_w``.
+    Fences are a tiny aggregate (one row per group) broadcast back."""
+    keys = [group_col] if group_col else []
+    fences = df.groupBy(*keys).agg(
+        F.percentile(value_col, lo).alias("_lo"),
+        F.percentile(value_col, hi).alias("_hi"),
+    )
+    joined = (
+        df.join(F.broadcast(fences), keys) if keys else df.crossJoin(F.broadcast(fences))
+    )
+    clipped = F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi"))
+    return joined.withColumn(f"{value_col}_w", clipped).drop("_lo", "_hi")
+
+
 def length_histogram(df: DataFrame, value_col: str, bucket_width: int) -> DataFrame:
     """Fixed-width histogram of a numeric column."""
     bucket = (F.floor(F.col(value_col) / bucket_width) * bucket_width).cast("long")

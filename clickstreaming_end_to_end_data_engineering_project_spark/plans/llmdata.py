@@ -246,6 +246,22 @@ def lang_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lang_balanced_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced corpus: every language downsampled to the
+    smallest language's count, deterministic hash order."""
+    return sampling.balance_labels(_docs(spark, sf_dir), "lang", "doc_id").select(
+        "doc_id", "lang"
+    )
+
+
+def doc_nchars_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language 5/95-percentile winsorization of document length —
+    clip, don't drop."""
+    return sampling.winsorize(_docs(spark, sf_dir), "n_chars", "lang").select(
+        "doc_id", "lang", "n_chars", "n_chars_w"
+    )
+
+
 def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.length_histogram(_docs(spark, sf_dir), "n_chars", 100)
 
@@ -624,6 +640,35 @@ SPECS = [
                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
             FROM documents
         ) WHERE rn <= 5
+        """,
+    ),
+    QuerySpec(
+        "lang_balanced_docs",
+        lang_balanced_docs,
+        """
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents
+        )
+        WHERE rn <= (SELECT min(c) FROM
+                     (SELECT count(*) AS c FROM documents GROUP BY lang))
+        """,
+    ),
+    QuerySpec(
+        "doc_nchars_winsorized",
+        doc_nchars_winsorized,
+        """
+        WITH f AS (
+            SELECT lang,
+                   quantile_cont(n_chars, 0.05) AS lo,
+                   quantile_cont(n_chars, 0.95) AS hi
+            FROM documents GROUP BY lang
+        )
+        SELECT doc_id, d.lang, n_chars,
+               least(greatest(CAST(n_chars AS DOUBLE), lo), hi) AS n_chars_w
+        FROM documents d JOIN f ON d.lang = f.lang
         """,
     ),
     QuerySpec(
