@@ -50,8 +50,22 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user sorted distinct event-type array + its size (array agg
-    + array functions surface)."""
+    """Per-user sorted distinct event-type set (array agg + array
+    functions surface), emitted as a comma-joined string: the driver
+    hashes result cells through pandas, which cannot hash list cells,
+    so the gated form must be scalar.  ``user_event_type_arrays``
+    keeps the raw ``array<string>`` variant."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("event_types"),
+        F.size(F.collect_set("event_type")).alias("n_types"),
+    )
+
+
+def user_event_type_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw array<string> variant of ``user_event_type_sets`` — kept as
+    a tail query so the array-output surface stays covered locally
+    (tests/oracle_harness.py normalizes lists to tuples)."""
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
         F.array_sort(F.collect_set("event_type")).alias("event_types"),
@@ -515,10 +529,23 @@ SPECS = [
         user_event_type_sets,
         """
         SELECT user_id,
+               array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
+               CAST(count(DISTINCT event_type) AS INT) AS n_types
+        FROM events GROUP BY user_id
+        """,
+    ),
+    QuerySpec(
+        "user_event_type_arrays",
+        user_event_type_arrays,
+        """
+        SELECT user_id,
                list_sort(list(DISTINCT event_type)) AS event_types,
                CAST(count(DISTINCT event_type) AS INT) AS n_types
         FROM events GROUP BY user_id
         """,
+        "array-output twin of user_event_type_sets (local harness only; "
+        "driver pandas hasher cannot hash list cells)",
+        nonscalar=True,
     ),
     QuerySpec(
         "rollup_with_grouping_flags",
@@ -656,7 +683,9 @@ SPECS = [
         """
         SELECT TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INT) AS source_num,
                count(*)     AS doc_cnt,
-               sum(n_chars) AS total_chars
+               -- DuckDB sum(BIGINT) is HUGEINT, which fetchdf() coerces to
+               -- float64 and the driver hash then sees 7949.0 vs Spark's 7949
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY 1
         """,
     ),

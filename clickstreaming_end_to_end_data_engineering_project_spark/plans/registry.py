@@ -27,20 +27,38 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None = None
     doc: str = ""
+    # True for queries whose output schema contains array/map/struct
+    # cells: the driver's pandas hasher cannot hash those, so the query
+    # must never occupy one of the 50 recorded gate slots.  The local
+    # harness compares it with the Python-native (list→tuple) path.
+    nonscalar: bool = False
 
 
 # The driver records CORRECTNESS entries for only the FIRST 50 registry
 # queries, so insertion order decides which get hard driver verification.
-# These flagship queries (reference-parity clickstream core, TPC-H
-# shapes, LLM-data dedup/similarity anchors) are pinned to the front of
-# the gate; the remainder follows oracle-backed-first in module order
-# funnel -> extras -> llmdata -> tpch -> clickstream (never-driver-
-# verified modules first).  Every oracle-backed query additionally gets
-# the identical rows+schema+value check locally in
-# tests/test_correctness.py, so the >50 tail is still covered — just
-# not driver-recorded.
+# GATE_PRIORITY explicitly names all 50 gate slots.
+#
+# Rotation policy (round 4+): the bar is a green driver CORRECTNESS row
+# for EVERY oracle-backed query, achieved by rotating the gate across
+# rounds while pinning a stable flagship core.
+#   - PINNED every round (26): the 7 reference-parity clickstream
+#     queries, the 5 benched TPC-H shapes, the 12 LLM-data
+#     dedup/similarity anchors, and any query fixed in the previous
+#     round (needs a fresh driver row to prove the fix).
+#   - ROTATING (24): never-driver-verified queries, oldest-first;
+#     once a query has a green driver row in some CORRECTNESS_r*.json
+#     it is eligible to rotate out for the next never-verified one.
+#   - NEVER GATED: queries whose output schema is non-scalar
+#     (array/map/struct cells — e.g. user_event_type_arrays).  The
+#     driver hashes cells through pandas factorize, which raises
+#     `unhashable type: 'list'` on them; they keep local-harness
+#     coverage only.  tests/test_correctness.py asserts every gated
+#     schema is scalar.
+# Round-4 rotation: 24 never-verified queries promoted (driver-verified
+# history: r1-r3 green rows recorded in CORRECTNESS_r0{1,2,3}.json for
+# the 24 demoted extras-module queries).
 GATE_PRIORITY = [
-    # reference-parity clickstream core
+    # reference-parity clickstream core (pinned)
     "page_view_counts",
     "user_sessions",
     "purchase_stats",
@@ -48,13 +66,16 @@ GATE_PRIORITY = [
     "session_stats",
     "user_journey_transitions",
     "sql_event_summary",
-    # general-SQL flagships
+    # fixed in round 4 — need fresh driver rows (pinned this round)
+    "user_event_type_sets",
+    "source_number_stats",
+    # general-SQL flagships (pinned, benched)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q10_returned_items",
     "q14_promo_revenue",
-    # funnel + LLM-data anchors
+    # funnel + LLM-data anchors (pinned)
     "conversion_funnel",
     "exact_dup_docs",
     "doc_prefix_dups",
@@ -67,7 +88,36 @@ GATE_PRIORITY = [
     "lang_stratified_sample",
     "doc_chunks",
     "doc_split_contamination",
+    # round-4 rotation: never-driver-verified, benched-first
+    "anomaly_minutes",
+    "top3_parts_per_brand",
+    "word_freq_top20",
+    "q18_large_volume_customers",
+    "sql_user_ltv_rank",
+    "json_props_stats",
+    "json_props_topk",
+    "events_profile",
+    "revenue_rollup_region_nation",
+    "order_cumulative_revenue",
+    "doc_lang_id",
+    "doc_fingerprints",
+    "doc_fingerprints_rolling",
+    "lang_source_stats",
+    "doc_repetition_scores",
+    "doc_sample_10pct",
+    "lang_balanced_docs",
+    "doc_nchars_winsorized",
+    "doc_length_histogram",
+    "embedding_label_pairs",
+    "embedding_label_centroids",
+    "brand_best_part",
+    "nation_revenue_share",
+    "order_priority_cube",
 ]
+
+# Gate size the driver records; GATE_PRIORITY must fill it exactly so
+# no query auto-promotes into a recorded slot by module ordering alone.
+DRIVER_GATE_SLOTS = 50
 
 
 def all_specs() -> dict[str, QuerySpec]:
@@ -83,9 +133,20 @@ def all_specs() -> dict[str, QuerySpec]:
     missing = [n for n in GATE_PRIORITY if n not in specs]
     if missing:
         raise ValueError(f"GATE_PRIORITY names unknown queries: {missing}")
+    if len(GATE_PRIORITY) != DRIVER_GATE_SLOTS:
+        raise ValueError(
+            f"GATE_PRIORITY must fill all {DRIVER_GATE_SLOTS} driver gate "
+            f"slots exactly, got {len(GATE_PRIORITY)}"
+        )
+    nonscalar_gated = [n for n in GATE_PRIORITY if specs[n].nonscalar]
+    if nonscalar_gated:
+        raise ValueError(
+            f"non-scalar-output queries cannot be driver-gated: {nonscalar_gated}"
+        )
     prio = {n: i for i, n in enumerate(GATE_PRIORITY)}
-    # stable sort: priority block first, then oracle-backed in module
-    # order, rows-only sink to the end
+    # explicit 50-slot gate first; the tail keeps oracle-backed queries
+    # before rows-only ones in module order (all tail queries get the
+    # identical check locally via tests/test_correctness.py)
     ordered = sorted(
         specs.values(), key=lambda s: (prio.get(s.name, len(prio)), s.oracle is None)
     )

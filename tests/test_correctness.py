@@ -24,29 +24,93 @@ def duck(sf_dir):
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_oracle_match(spark, sf_dir, duck, name):
     spec = SPECS[name]
-    ok, msg = compare(spec.fn(spark, sf_dir), duck, spec.oracle)
+    # driver-strict (pandas-coerced) for everything the driver could
+    # gate; Python-native for deliberate array-output tail queries
+    ok, msg = compare(spec.fn(spark, sf_dir), duck, spec.oracle, driver_strict=not spec.nonscalar)
     assert ok, f"{name}: {msg}"
 
 
-def test_registry_gate_order_is_oracle_first():
+def test_registry_gate_is_exactly_gate_priority():
     """The driver records CORRECTNESS for only the first 50 registry
-    entries; the registry must spend every gated slot on an
-    oracle-backed query (rows-only specs sink to the tail)."""
+    entries; GATE_PRIORITY must fill those slots exactly (rotation
+    policy documented in registry.py), every gated query must be
+    oracle-backed, and none may be flagged non-scalar."""
     from clickstreaming_end_to_end_data_engineering_project_spark.plans.registry import (
+        DRIVER_GATE_SLOTS,
         GATE_PRIORITY,
     )
 
     specs = list(all_specs().values())
-    gated = specs[:50]
+    gated = specs[:DRIVER_GATE_SLOTS]
+    assert [s.name for s in gated] == GATE_PRIORITY
     assert all(s.oracle for s in gated), [s.name for s in gated if not s.oracle]
-    gated_names = {s.name for s in gated}
-    # every flagship plus the queries the round-2 verdict called out
-    for name in GATE_PRIORITY + [
-        "q4_late_order_priorities",
-        "parts_above_avg_price",
-        "q6_forecast_revenue",
-    ]:
-        assert name in gated_names, name
+    assert not any(s.nonscalar for s in gated), [s.name for s in gated if s.nonscalar]
+
+
+_DRIVER_HASHABLE = (
+    "string",
+    "int",
+    "bigint",
+    "smallint",
+    "tinyint",
+    "double",
+    "float",
+    "boolean",
+    "date",
+    "timestamp",
+    "timestamp_ntz",
+)
+
+
+def test_gated_schemas_are_driver_hashable(spark, sf_dir):
+    """Round-3 driver fail #1 was an array<string> cell ERRing the
+    driver's pandas hasher.  Every gated query's Spark schema must
+    contain only scalar driver-hashable types — no array/map/struct,
+    and no DECIMAL surviving to the final projection (DuckDB fetchdf
+    coerces DECIMAL differently than Spark's toPandas)."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.plans.registry import (
+        DRIVER_GATE_SLOTS,
+    )
+
+    gated = list(all_specs().values())[:DRIVER_GATE_SLOTS]
+    bad = []
+    for spec in gated:
+        for field in spec.fn(spark, sf_dir).schema.fields:
+            t = field.dataType.simpleString()
+            if t not in _DRIVER_HASHABLE:
+                bad.append(f"{spec.name}.{field.name}: {t}")
+    assert not bad, f"non-driver-hashable gated output columns: {bad}"
+
+
+def test_strict_harness_fails_on_array_cells(spark, duck):
+    """Regression for round-3 driver ERR `unhashable type: 'list'`:
+    the strict harness must FAIL (not pass) when a result carries
+    array cells, exactly as the driver's hasher would."""
+    duck.execute("CREATE OR REPLACE VIEW _arr AS SELECT [1, 2] AS xs, 1 AS k")
+    sdf = spark.sql("SELECT array(1, 2) AS xs, 1 AS k")
+    ok, msg = compare(sdf, duck, "SELECT xs, k FROM _arr", driver_strict=True)
+    assert not ok and "driver-unhashable" in msg, msg
+    # the native path (tail-query mode) still compares them by value
+    ok, _ = compare(sdf, duck, "SELECT xs, CAST(k AS INT) AS k FROM _arr", driver_strict=False)
+    assert ok
+
+
+def test_strict_harness_fails_on_hugeint_sum_coercion(spark, duck):
+    """Regression for round-3 driver fail #2: DuckDB sum(BIGINT) yields
+    HUGEINT which fetchdf() coerces to float64 (7949.0) while Spark
+    returns int64 (7949) — numerically equal, hash-distinct.  The
+    strict harness must catch it; CAST(... AS BIGINT) fixes it."""
+    duck.execute("CREATE OR REPLACE VIEW _t AS SELECT * FROM (VALUES (1, 100), (1, 200)) v(g, n)")
+    sdf = spark.createDataFrame([(1, 300)], "g int, total bigint")
+    uncast = "SELECT CAST(g AS INT) AS g, sum(CAST(n AS BIGINT)) AS total FROM _t GROUP BY g"
+    ok, msg = compare(sdf, duck, uncast, driver_strict=True)
+    assert not ok, f"expected HUGEINT→float64 mismatch to fail: {msg}"
+    cast = (
+        "SELECT CAST(g AS INT) AS g, CAST(sum(CAST(n AS BIGINT)) AS BIGINT) AS total "
+        "FROM _t GROUP BY g"
+    )
+    ok, msg = compare(sdf, duck, cast, driver_strict=True)
+    assert ok, msg
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
@@ -57,14 +121,20 @@ def test_rows_only_runs(spark, sf_dir, name):
     assert len(df.columns) > 0
 
 
-def test_zz_no_cached_dataframes_leak_across_registry_run(spark):
-    """Runs last in this module, after every registry query above has
-    executed in this session: no operator may leave a persisted
-    DataFrame behind (the driver runs all 86 queries in one session, so
-    leaked caches would accumulate for its whole run).  localCheckpoint
-    blocks are RDD-level, GC-reclaimed, and small (query results), so
-    the SQL cache manager is the contract surface."""
-    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+@pytest.fixture(scope="module", autouse=True)
+def _no_cached_dataframes_leak(spark):
+    """After every registry query in this module has executed: no
+    operator may leave a persisted DataFrame behind (the driver runs
+    the whole registry in one session, so leaked caches would
+    accumulate for its entire run).  localCheckpoint blocks are
+    RDD-level, GC-reclaimed, and small (query results), so the SQL
+    cache manager is the contract surface.  A module-scoped finalizer
+    (not a name-ordered test) so it holds under pytest randomization
+    or xdist distribution."""
+    yield
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "a registry query left a persisted DataFrame behind"
+    )
 
 
 def test_event_time_queries_survive_foreign_session_timezone(spark, sf_dir, duck):
