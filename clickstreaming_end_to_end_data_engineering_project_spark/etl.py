@@ -50,12 +50,17 @@ def silver_refine(spark: SparkSession, out_dir: str, event_date: str | None = No
     (null ts / negative value) instead of dropping silently.
 
     ``event_date`` scopes an incremental run to one bronze partition;
-    with dynamic partition overwrite, both silver and the quarantine
-    rewrite ONLY that date — other dates' rows (including quarantined
-    ones) survive.  Caveat of dynamic mode: a rerun that produces zero
-    quarantine rows for the date leaves the date's old quarantine
-    partition in place (untouched partitions are never deleted)."""
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    dynamic partition overwrite is then applied PER-WRITE (never on the
+    shared session conf, which would leak into every later partitioned
+    overwrite in the session) so both silver and the quarantine rewrite
+    ONLY that date — other dates' rows (including quarantined ones)
+    survive.  A full refresh (no ``event_date``) keeps static mode: the
+    whole layer is truncated and rewritten, so partitions absent from
+    the new input do not silently survive.  Caveat of dynamic mode: an
+    incremental rerun that produces zero quarantine rows for the date
+    leaves the date's old quarantine partition in place (untouched
+    partitions are never deleted)."""
+    overwrite_mode = "dynamic" if event_date is not None else "static"
     bronze = spark.read.parquet(f"{out_dir}/bronze/events")
     if event_date is not None:
         bronze = bronze.filter(F.col("event_date") == F.lit(event_date).cast("date"))
@@ -66,14 +71,14 @@ def silver_refine(spark: SparkSession, out_dir: str, event_date: str | None = No
     valid = parsed.filter(ok)
     invalid = parsed.filter(~ok)
     deduped = valid.dropDuplicates(["event_id"])
-    deduped.drop("props").write.mode("overwrite").partitionBy("event_date").parquet(
-        f"{out_dir}/silver/events"
-    )
+    deduped.drop("props").write.mode("overwrite").option(
+        "partitionOverwriteMode", overwrite_mode
+    ).partitionBy("event_date").parquet(f"{out_dir}/silver/events")
     # partitioned like silver: a plain overwrite would wipe OTHER
     # dates' quarantined rows on every incremental rerun
-    invalid.write.mode("overwrite").partitionBy("event_date").parquet(
-        f"{out_dir}/silver/_quarantine"
-    )
+    invalid.write.mode("overwrite").option(
+        "partitionOverwriteMode", overwrite_mode
+    ).partitionBy("event_date").parquet(f"{out_dir}/silver/_quarantine")
     return spark.read.parquet(f"{out_dir}/silver/events")
 
 
@@ -122,10 +127,10 @@ def gold_publish(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFram
 
 
 def run_events_etl(spark: SparkSession, sf_dir: str, out_dir: str) -> EtlResult:
-    # dynamic partition overwrite: an incremental run filtered to one
-    # date rewrites ONLY that partition (static mode would truncate the
-    # whole layer — the silent-data-loss default)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # a full refresh: every layer is rewritten whole under static
+    # overwrite (the default).  Dynamic partition overwrite is applied
+    # per-write inside silver_refine for event_date-scoped incremental
+    # runs only — never set on the shared session conf.
     bronze = bronze_land(spark, sf_dir, out_dir)
     silver = silver_refine(spark, out_dir)
     daily, users = gold_publish(spark, out_dir)

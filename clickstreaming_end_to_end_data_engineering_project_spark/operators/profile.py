@@ -23,13 +23,29 @@ def profile(df: DataFrame, cols: list[str] | None = None, exact: bool = True) ->
     semantics on both engines)."""
     cols = cols or df.columns
     distinct = F.count_distinct if exact else F.approx_count_distinct
+    # internal aliases are INDEX-based, and the unpivot is built from
+    # struct/explode expressions (column labels only ever appear as
+    # literals) — profiled column names may contain spaces, quotes,
+    # dots, or any other non-identifier characters
+    def ref(name: str):
+        # backtick-quote so a dotted label is a column, not a struct path
+        return df["`" + name.replace("`", "``") + "`"]
+
     aggs = [F.count(F.lit(1)).alias("__rows")]
-    for c in cols:
-        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__n_{c}"))
-        aggs.append(distinct(F.col(c)).alias(f"__d_{c}"))
+    for i, c in enumerate(cols):
+        aggs.append(F.count(F.when(ref(c).isNull(), 1)).alias(f"__n_{i}"))
+        aggs.append(distinct(ref(c)).alias(f"__d_{i}"))
     one_row = df.agg(*aggs)
-    stack_args = ", ".join(f"'{c}', __n_{c}, __d_{c}" for c in cols)
-    return one_row.selectExpr(
-        f"stack({len(cols)}, {stack_args}) AS (column_name, null_cnt, distinct_cnt)",
-        "__rows AS row_cnt",
-    ).select("column_name", "row_cnt", "null_cnt", "distinct_cnt")
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"__n_{i}").alias("null_cnt"),
+                F.col(f"__d_{i}").alias("distinct_cnt"),
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    return one_row.select(
+        F.col("__rows").alias("row_cnt"), F.explode(entries).alias("e")
+    ).select("e.column_name", "row_cnt", "e.null_cnt", "e.distinct_cnt")

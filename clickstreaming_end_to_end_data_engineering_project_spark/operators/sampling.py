@@ -86,11 +86,19 @@ def winsorize(
     fences, optionally per group) — the outlier-taming twin of the
     IQR filter: instead of DROPPING extreme rows it clips them, keeping
     row counts stable for downstream joins.  Adds ``{value_col}_w``.
-    Fences are a tiny aggregate (one row per group) broadcast back."""
+    Fences are a tiny aggregate (one row per group) broadcast back.
+
+    Fences are rounded to 6dp (the repo's ``dround`` discipline, same
+    as bigram PMI): Spark ``percentile`` and an external engine's
+    ``quantile_cont`` both interpolate in double and are not guaranteed
+    bit-identical, so a 1-ulp fence difference would otherwise leak
+    into the clipped values on unfriendly inputs."""
+    from ..functions import dround
+
     keys = [group_col] if group_col else []
     fences = df.groupBy(*keys).agg(
-        F.percentile(value_col, lo).alias("_lo"),
-        F.percentile(value_col, hi).alias("_hi"),
+        dround(F.percentile(value_col, lo), 6).alias("_lo"),
+        dround(F.percentile(value_col, hi), 6).alias("_hi"),
     )
     joined = (
         df.join(F.broadcast(fences), keys) if keys else df.crossJoin(F.broadcast(fences))

@@ -662,8 +662,8 @@ SPECS = [
         """
         WITH f AS (
             SELECT lang,
-                   quantile_cont(n_chars, 0.05) AS lo,
-                   quantile_cont(n_chars, 0.95) AS hi
+                   floor(quantile_cont(n_chars, 0.05) * 1000000.0 + 0.5) / 1000000.0 AS lo,
+                   floor(quantile_cont(n_chars, 0.95) * 1000000.0 + 0.5) / 1000000.0 AS hi
             FROM documents GROUP BY lang
         )
         SELECT doc_id, d.lang, n_chars,

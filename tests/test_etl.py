@@ -70,7 +70,11 @@ def test_quarantine_survives_incremental_rerun(spark, tmp_path):
         .drop("ts_s")
         .withColumn("event_date", F.to_date("ts"))
     )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # deliberately NO session-level partitionOverwriteMode: the
+    # incremental path must work through the per-write option alone
+    # (a session-level set would leak into every later partitioned
+    # overwrite in the shared session — the round-3 advice finding)
+    mode_before = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     df.write.mode("overwrite").partitionBy("event_date").parquet(f"{out}/bronze/events")
 
     silver_refine(spark, out)
@@ -81,6 +85,7 @@ def test_quarantine_survives_incremental_rerun(spark, tmp_path):
     silver_refine(spark, out, event_date="2024-01-02")
     q2 = {r["event_id"] for r in read_quarantine(spark, out).collect()}
     assert q2 == {"e2", "e4"}
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == mode_before
 
     # and silver itself still holds both dates' valid rows
     silver = spark.read.parquet(f"{out}/silver/events")

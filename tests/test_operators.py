@@ -372,6 +372,29 @@ def test_profile_null_and_distinct_semantics(spark):
         assert approx[c]["null_cnt"] == got[c]["null_cnt"]
 
 
+def test_profile_handles_non_identifier_column_names(spark):
+    """Column labels with spaces, quotes, dots, and hyphens must
+    profile cleanly — the unpivot is struct/explode-built, never
+    interpolated into SQL text."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.profile import (
+        profile,
+    )
+
+    import pyspark.sql.functions as F
+
+    base = spark.createDataFrame([(1, "a"), (2, None)], "id int, v string")
+    funky = ["user id", "it's", "a.b", "hy-phen"]
+    df = base.select(
+        F.col("id").alias(funky[0]),
+        F.col("v").alias(funky[1]),
+        F.col("v").alias(funky[2]),
+        F.col("id").alias(funky[3]),
+    )
+    got = {r["column_name"]: r for r in profile(df).collect()}
+    assert set(got) == set(funky)
+    assert got["user id"]["distinct_cnt"] == 2 and got["it's"]["null_cnt"] == 1
+
+
 def test_chunk_documents_boundaries(spark):
     """Chunk i covers tokens [i*stride, i*stride+chunk); short docs get
     exactly one chunk; every token is covered and consecutive chunks
