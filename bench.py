@@ -66,7 +66,18 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    stream_metrics = _stream_metrics(spark, sf_dir)
+    # r5 lesson: a crash in any stream leg must not zero out the batch
+    # evidence — each leg degrades to null independently (see
+    # _stream_metrics), and a wholesale failure degrades all three.
+    try:
+        stream_metrics = _stream_metrics(spark, sf_dir)
+    except Exception as exc:  # pragma: no cover - defensive
+        stream_metrics = {
+            "stream_events_per_sec": None,
+            "stream_session_events_per_sec": None,
+            "stream_anomaly_events_per_sec": None,
+            "stream_error": f"{type(exc).__name__}: {exc}"[:300],
+        }
     print(
         json.dumps(
             {
@@ -151,11 +162,19 @@ def _stream_metrics(spark, sf_dir: str) -> dict[str, float]:
                 .start()
             )
 
-        return {
-            "stream_events_per_sec": _best_stream_rate(spark, page_view_leg, n_events),
-            "stream_session_events_per_sec": _best_stream_rate(spark, session_leg, n_events),
-            "stream_anomaly_events_per_sec": _best_stream_rate(spark, anomaly_leg, n_events),
+        legs = {
+            "stream_events_per_sec": page_view_leg,
+            "stream_session_events_per_sec": session_leg,
+            "stream_anomaly_events_per_sec": anomaly_leg,
         }
+        out: dict[str, object] = {}
+        for metric, leg in legs.items():
+            try:
+                out[metric] = _best_stream_rate(spark, leg, n_events)
+            except Exception as exc:
+                out[metric] = None
+                out[metric + "_error"] = f"{type(exc).__name__}: {exc}"[:300]
+        return out
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
 

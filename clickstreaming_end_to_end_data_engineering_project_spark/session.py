@@ -31,6 +31,10 @@ def get_spark(app_name: str = "clickstream-engine", cpus: str | None = None) -> 
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.session.timeZone", "UTC")
+        # the testdata stores tz-less parquet timestamps; Spark 4.x would
+        # otherwise infer TIMESTAMP_NTZ, which withWatermark() rejects —
+        # read them as session-tz (UTC) timestamps like Spark 3.x did
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.shuffle.partitions", str(int(cpus)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -52,9 +56,9 @@ def ensure_session_defaults(spark: SparkSession) -> SparkSession:
     who built the session.  Only runtime-mutable confs are touched.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # the driver testdata stores events.ts as TIMESTAMP(NANOS), which the
-    # parquet reader rejects; read as long and convert in the loader
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # tz-less parquet timestamps must load as TIMESTAMP (UTC session tz),
+    # not TIMESTAMP_NTZ: event-time ops (withWatermark, window) reject NTZ
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # performance-only knobs (all runtime-mutable): externally created
     # sessions often carry the 200-partition default, which at test SFs
     # is pure scheduling overhead; AQE coalescing makes the width safe

@@ -22,14 +22,19 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (lazy parquet scan).
 
-    Nanosecond parquet timestamps (events.ts) surface as LongType under
-    ``nanosAsLong`` and are truncated to microseconds — the same
-    precision DuckDB's TIMESTAMP uses, so oracle comparisons agree.
+    Tz-less parquet timestamps are normalized to TIMESTAMP (session tz =
+    UTC, so values are oracle-identical to DuckDB's tz-naive reads).
+    ``ensure_session_defaults`` disables NTZ inference for sessions we
+    configure, but an externally built session may already have read
+    footers with inference on — the defensive cast below covers that,
+    and is a no-op (pruned by Catalyst) when the column is already
+    TIMESTAMP.
     """
     ensure_session_defaults(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
