@@ -57,6 +57,12 @@ class QuerySpec:
 # Round-4 rotation: 24 never-verified queries promoted (driver-verified
 # history: r1-r3 green rows recorded in CORRECTNESS_r0{1,2,3}.json for
 # the 24 demoted extras-module queries).
+# Round-6 rotation: the last 2 never-driver-verified oracle queries
+# (customers_without_urgent_orders, customers_never_big_purchase)
+# promoted; user_event_type_sets + source_number_stats demoted (green
+# in r4 AND r5 — the round-4 fix is proven).  After this round every
+# oracle-backed scalar query has a green driver row in some
+# CORRECTNESS_r*.json.
 GATE_PRIORITY = [
     # reference-parity clickstream core (pinned)
     "page_view_counts",
@@ -66,9 +72,9 @@ GATE_PRIORITY = [
     "session_stats",
     "user_journey_transitions",
     "sql_event_summary",
-    # fixed in round 4 — need fresh driver rows (pinned this round)
-    "user_event_type_sets",
-    "source_number_stats",
+    # round-6 rotation: last never-driver-verified queries (anti-joins)
+    "customers_without_urgent_orders",
+    "customers_never_big_purchase",
     # general-SQL flagships (pinned, benched)
     "q1_pricing_summary",
     "q3_shipping_priority",
