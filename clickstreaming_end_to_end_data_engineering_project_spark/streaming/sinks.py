@@ -100,8 +100,11 @@ class IdempotentParquetSink(Sink):
 class JdbcSink(Sink):
     """JDBC append sink — the defined semantics of the reference's
     undefined ``save_dataframe(df, table, mode="append")``
-    (stream_processor.py:310).  Gated: requires a JDBC driver jar on
-    the classpath; tests use MemorySink/ParquetSink instead."""
+    (stream_processor.py:310).  Integration-tested end-to-end against
+    embedded Derby (bundled with Spark) in
+    ``test_jdbc_sink_roundtrip_embedded_derby``; point ``url`` /
+    ``properties`` at Postgres + its driver jar for the reference's
+    deployment shape."""
 
     def __init__(self, url: str, table: str, properties: dict | None = None, mode: str = "append"):
         self.url = url

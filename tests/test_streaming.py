@@ -589,6 +589,54 @@ def test_kafka_source_option_wiring():
     assert "maxOffsetsPerTrigger" not in kafka_source_options("b", max_offsets_per_trigger=None)
 
 
+def test_jdbc_sink_roundtrip_embedded_derby(spark, tmp_path):
+    """JdbcSink against a LIVE JDBC database: Spark bundles embedded
+    Derby (the Hive-metastore engine), so the sink's write path — the
+    defined semantics of the reference's undefined
+    ``save_dataframe(df, table, mode='append')`` — runs end-to-end:
+    stream micro-batches through foreachBatch(JdbcSink) into Derby,
+    then read the table back over the same JDBC URL and compare."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.sinks import (
+        JdbcSink,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/sinkdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    src_dir = tempfile.mkdtemp(prefix="jdbc_src_")
+    ckpt = tempfile.mkdtemp(prefix="jdbc_ckpt_")
+    base = dt.datetime(2024, 1, 1, 9, 0, 0)
+    batch1 = [(i, base + dt.timedelta(minutes=i), i, "view", float(i), "{}") for i in range(5)]
+    batch2 = [(9, base + dt.timedelta(hours=1), 9, "purchase", 99.0, "{}")]
+    try:
+        spark.createDataFrame(batch1, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        spark.createDataFrame(batch2, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+        sink = JdbcSink(url, "events_out", properties=props)
+        q = (
+            read_file_stream(spark, src_dir, EVENTS_SCHEMA)
+            .select("event_id", "user_id", "value")  # numeric cols: avoid CLOB compare quirks
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .option("maxFilesPerTrigger", 1)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        back = spark.read.jdbc(url, "events_out", properties=props)
+        rows = {r["EVENT_ID"] if "EVENT_ID" in back.columns else r["event_id"]: r for r in back.collect()}
+        assert len(rows) == 6, rows
+        assert rows[9][2] == 99.0  # (event_id, user_id, value)
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def test_anomaly_sink_alerts_on_spike(spark):
     """Stable traffic builds history silently; a 5x spike alerts with
     the right sign, and the stats keep accumulating afterwards."""
