@@ -224,6 +224,75 @@ class AnomalySink(Sink):
         self.alerts.extend(new_alerts)
 
 
+class RedisMetricsSink(Sink):
+    """Redis-backed twin of MetricsSink — the reference's actual
+    deployment shape (redis_connector.py:39-86: pipeline().incrby +
+    time-series append + expire, one execute per batch).
+
+    The client is INJECTED rather than constructed here: anything with
+    redis-py's ``pipeline(transaction=...)`` surface works, so the
+    sink is fully testable without a server (tests inject a fake) and
+    a production deployment passes ``redis.Redis(...)``.  Use
+    ``from_url`` when redis-py is importable.
+
+    Exactly-once discipline: the whole batch delta goes into ONE
+    MULTI/EXEC pipeline (transaction=True), so a retry after a failed
+    ``execute()`` re-applies nothing (the failed transaction wrote
+    nothing) — same all-or-nothing contract as MetricsSink's staged
+    dict apply.  Driver-side by contract, like every metrics adapter:
+    the input is the already-reduced per-key aggregate, never raw
+    events."""
+
+    def __init__(
+        self,
+        client,
+        key_col: str,
+        count_col: str,
+        ttl_seconds: int | None = None,
+        counter_prefix: str = "page_views",
+    ):
+        from ..config import MetricsConfig
+
+        if ttl_seconds is None:
+            ttl_seconds = MetricsConfig().ttl_seconds
+        self.client = client
+        self.key_col = key_col
+        self.count_col = count_col
+        self.ttl_seconds = ttl_seconds
+        self.counter_prefix = counter_prefix
+
+    @classmethod
+    def from_url(cls, url: str, key_col: str, count_col: str, **kwargs) -> "RedisMetricsSink":
+        """Build from a redis:// URL — requires redis-py (not shipped
+        in this sandbox; the injected-client path is always available)."""
+        try:
+            import redis
+        except ImportError as exc:  # pragma: no cover - env-gated
+            raise ImportError(
+                "redis-py is required for RedisMetricsSink.from_url; "
+                "construct with an injected client instead"
+            ) from exc
+        return cls(redis.Redis.from_url(url), key_col, count_col, **kwargs)
+
+    def write(self, df: DataFrame, batch_id: int) -> None:
+        rows = df.groupBy(self.key_col).sum(self.count_col).collect()
+        now = time.time()
+        delta = [
+            (r[self.key_col], int(r[f"sum({self.count_col})"]))
+            for r in rows
+            if r[f"sum({self.count_col})"] is not None
+        ]
+        pipe = self.client.pipeline(transaction=True)
+        for key, cnt in delta:
+            counter_key = f"{self.counter_prefix}:{key}"
+            series_key = f"{self.counter_prefix}_ts:{key}"
+            pipe.incrby(counter_key, cnt)
+            pipe.zadd(series_key, {f"{now}:{cnt}": now})
+            pipe.expire(counter_key, self.ttl_seconds)
+            pipe.expire(series_key, self.ttl_seconds)
+        pipe.execute()
+
+
 class MetricsSink(Sink):
     """Counter + time-series metrics sink — the defined semantics of
     the reference's undefined Redis pipeline API
