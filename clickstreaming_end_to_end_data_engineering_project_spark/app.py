@@ -38,7 +38,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--sink-dir", default=None, help="write parquet here (else in-memory)")
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--trigger-seconds", type=int, default=min(cfg.spark.batch_duration_s, 2))
+    ap.add_argument(
+        "--serve-port",
+        type=int,
+        default=None,
+        help="serve the live web dashboard on this port while running "
+        "(requires --sink-dir; 0 picks an ephemeral port)",
+    )
     args = ap.parse_args(argv)
+    if args.serve_port is not None and not args.sink_dir:
+        ap.error("--serve-port requires --sink-dir (the dashboard reads the parquet sinks)")
 
     spark = get_spark("clickstream-app")
     spark.sparkContext.setLogLevel("WARN")
@@ -82,6 +91,12 @@ def main(argv: list[str] | None = None) -> int:
 
     mgr = ClickstreamPipelines(spark, ckpt, trigger={"processingTime": f"{args.trigger_seconds} seconds"})
     mgr.start(events, sinks)
+    server = None
+    if args.serve_port is not None:
+        from .webdash import DashboardServer
+
+        server = DashboardServer(spark, args.sink_dir, port=args.serve_port).start()
+        print(f"dashboard serving on http://127.0.0.1:{server.port}/")
     print(f"started {len(mgr.queries)} queries; running {args.duration}s "
           f"({'kafka:' + args.kafka if args.kafka else 'rate source'})")
     try:
@@ -90,6 +105,8 @@ def main(argv: list[str] | None = None) -> int:
             time.sleep(1.0)
     finally:
         mgr.stop_all()
+        if server is not None:
+            server.stop()
 
     rows = sum(p.num_input_rows for p in mon.progress)
     rates = [p.processed_rows_per_second for p in mon.progress if p.processed_rows_per_second]
