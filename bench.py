@@ -72,12 +72,15 @@ def main() -> None:
     try:
         stream_metrics = _stream_metrics(spark, sf_dir)
     except Exception as exc:  # pragma: no cover - defensive
-        stream_metrics = {
-            "stream_events_per_sec": None,
-            "stream_session_events_per_sec": None,
-            "stream_anomaly_events_per_sec": None,
-            "stream_error": f"{type(exc).__name__}: {exc}"[:300],
-        }
+        err = f"{type(exc).__name__}: {exc}"[:300]
+        stream_metrics = {}
+        for m in (
+            "stream_events_per_sec",
+            "stream_session_events_per_sec",
+            "stream_anomaly_events_per_sec",
+        ):
+            stream_metrics[m] = None
+            stream_metrics[m + "_error"] = err
     print(
         json.dumps(
             {
@@ -95,7 +98,7 @@ def main() -> None:
     spark.stop()
 
 
-def _stream_metrics(spark, sf_dir: str) -> dict[str, float]:
+def _stream_metrics(spark, sf_dir: str, reps: int = 3) -> "dict[str, float | str | None]":
     """Events/sec through three streaming pipelines, each the full
     events table via the file-stream source with availableNow, counted
     via the progress listener (rows / trigger-execution time — the
@@ -167,10 +170,10 @@ def _stream_metrics(spark, sf_dir: str) -> dict[str, float]:
             "stream_session_events_per_sec": session_leg,
             "stream_anomaly_events_per_sec": anomaly_leg,
         }
-        out: dict[str, object] = {}
+        out: dict[str, float | str | None] = {}
         for metric, leg in legs.items():
             try:
-                out[metric] = _best_stream_rate(spark, leg, n_events)
+                out[metric] = _best_stream_rate(spark, leg, n_events, reps=reps)
             except Exception as exc:
                 out[metric] = None
                 out[metric + "_error"] = f"{type(exc).__name__}: {exc}"[:300]

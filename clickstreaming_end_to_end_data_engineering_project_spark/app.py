@@ -89,17 +89,22 @@ def main(argv: list[str] | None = None) -> int:
             "event_stats": MemorySink(key_cols=["window_start", "event_type"]),
         }
 
-    mgr = ClickstreamPipelines(spark, ckpt, trigger={"processingTime": f"{args.trigger_seconds} seconds"})
-    mgr.start(events, sinks)
+    # bind the dashboard socket BEFORE starting queries: a bind failure
+    # (port in use) must not leave streaming queries to die ungracefully
     server = None
     if args.serve_port is not None:
         from .webdash import DashboardServer
 
-        server = DashboardServer(spark, args.sink_dir, port=args.serve_port).start()
-        print(f"dashboard serving on http://127.0.0.1:{server.port}/")
-    print(f"started {len(mgr.queries)} queries; running {args.duration}s "
-          f"({'kafka:' + args.kafka if args.kafka else 'rate source'})")
+        server = DashboardServer(spark, args.sink_dir, port=args.serve_port)
+
+    mgr = ClickstreamPipelines(spark, ckpt, trigger={"processingTime": f"{args.trigger_seconds} seconds"})
+    mgr.start(events, sinks)
     try:
+        if server is not None:
+            server.start()
+            print(f"dashboard serving on http://127.0.0.1:{server.port}/")
+        print(f"started {len(mgr.queries)} queries; running {args.duration}s "
+              f"({'kafka:' + args.kafka if args.kafka else 'rate source'})")
         deadline = time.time() + args.duration
         while time.time() < deadline and any(q.isActive for q in mgr.queries):
             time.sleep(1.0)

@@ -19,23 +19,29 @@ from ..session import ensure_session_defaults
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table as a DataFrame (lazy parquet scan).
-
-    Tz-less parquet timestamps are normalized to TIMESTAMP (session tz =
-    UTC, so values are oracle-identical to DuckDB's tz-naive reads).
-    ``ensure_session_defaults`` disables NTZ inference for sessions we
-    configure, but an externally built session may already have read
-    footers with inference on — the defensive cast below covers that,
-    and is a no-op (pruned by Catalyst) when the column is already
-    TIMESTAMP.
-    """
-    ensure_session_defaults(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to TIMESTAMP (session tz; UTC
+    here, so values are oracle-identical to DuckDB's tz-naive reads).
+    No-op when nothing is NTZ.  Needed for DataFrames that were read
+    with ``spark.sql.parquet.inferTimestampNTZ.enabled=true`` — e.g.
+    handed in by an externally built session — because event-time ops
+    (withWatermark, window) reject NTZ columns."""
     ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     for c in ntz_cols:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a DataFrame (lazy parquet scan).
+
+    ``ensure_session_defaults`` disables NTZ inference before the read,
+    so the scan itself yields TIMESTAMP columns; ``normalize_ntz`` is
+    belt-and-suspenders for any engine change that re-introduces NTZ
+    (it is exercised directly in tests/test_sources.py on a
+    deliberately inference-on read)."""
+    ensure_session_defaults(spark)
+    return normalize_ntz(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -24,6 +24,20 @@ from collections import defaultdict
 from pyspark.sql import DataFrame
 
 
+def _batch_delta(df: DataFrame, key_col: str, count_col: str) -> list[tuple]:
+    """Stage a micro-batch as per-key summed deltas: one groupBy/sum
+    collect, NULL sums dropped.  Shared by every metrics-style sink so
+    the staging (and its NULL handling) cannot drift between twins;
+    everything that can raise happens here, BEFORE any sink state is
+    touched, which is what makes the retry wrapper safe."""
+    rows = df.groupBy(key_col).sum(count_col).collect()
+    return [
+        (r[key_col], r[f"sum({count_col})"])
+        for r in rows
+        if r[f"sum({count_col})"] is not None
+    ]
+
+
 class Sink(ABC):
     """A foreachBatch target.  ``write`` receives a *batch* DataFrame
     (micro-batch of a streaming query, or a whole batch DF)."""
@@ -195,12 +209,7 @@ class AnomalySink(Sink):
         self.alerts: list[dict] = []
 
     def write(self, df: DataFrame, batch_id: int) -> None:
-        rows = df.groupBy(self.key_col).sum(self.value_col).collect()
-        staged = [
-            (r[self.key_col], float(r[f"sum({self.value_col})"]))
-            for r in rows
-            if r[f"sum({self.value_col})"] is not None
-        ]
+        staged = [(k, float(v)) for k, v in _batch_delta(df, self.key_col, self.value_col)]
         new_alerts = []
         new_stats = dict(self.stats)
         for key, value in staged:
@@ -230,18 +239,26 @@ class RedisMetricsSink(Sink):
     time-series append + expire, one execute per batch).
 
     The client is INJECTED rather than constructed here: anything with
-    redis-py's ``pipeline(transaction=...)`` surface works, so the
-    sink is fully testable without a server (tests inject a fake) and
-    a production deployment passes ``redis.Redis(...)``.  Use
-    ``from_url`` when redis-py is importable.
+    redis-py's ``pipeline(transaction=...)`` / ``get`` surface works,
+    so the sink is fully testable without a server (tests inject a
+    fake) and a production deployment passes ``redis.Redis(...)``.
+    Use ``from_url`` when redis-py is importable.
 
-    Exactly-once discipline: the whole batch delta goes into ONE
-    MULTI/EXEC pipeline (transaction=True), so a retry after a failed
-    ``execute()`` re-applies nothing (the failed transaction wrote
-    nothing) — same all-or-nothing contract as MetricsSink's staged
-    dict apply.  Driver-side by contract, like every metrics adapter:
-    the input is the already-reduced per-key aggregate, never raw
-    events."""
+    Exactly-once discipline, two layers:
+    1. The whole batch delta goes into ONE MULTI/EXEC pipeline
+       (transaction=True): a transaction that fails before EXEC
+       applies nothing, so the retry wrapper re-runs against clean
+       state.
+    2. A per-batch idempotency marker (``{prefix}:applied:{batch_id}``)
+       is written INSIDE the same transaction and checked before
+       applying.  This covers the EXEC-applied-but-reply-lost network
+       failure (execute() raises AFTER Redis committed) and streaming
+       batch REPLAY after checkpoint recovery — both would otherwise
+       double-count.  Safe because foreachBatch delivers each batch_id
+       from one thread at a time.
+
+    Driver-side by contract, like every metrics adapter: the input is
+    the already-reduced per-key aggregate, never raw events."""
 
     def __init__(
         self,
@@ -275,13 +292,11 @@ class RedisMetricsSink(Sink):
         return cls(redis.Redis.from_url(url), key_col, count_col, **kwargs)
 
     def write(self, df: DataFrame, batch_id: int) -> None:
-        rows = df.groupBy(self.key_col).sum(self.count_col).collect()
+        marker = f"{self.counter_prefix}:applied:{batch_id}"
+        if self.client.get(marker):
+            return  # batch already committed (replay or lost EXEC reply)
+        delta = [(k, int(v)) for k, v in _batch_delta(df, self.key_col, self.count_col)]
         now = time.time()
-        delta = [
-            (r[self.key_col], int(r[f"sum({self.count_col})"]))
-            for r in rows
-            if r[f"sum({self.count_col})"] is not None
-        ]
         pipe = self.client.pipeline(transaction=True)
         for key, cnt in delta:
             counter_key = f"{self.counter_prefix}:{key}"
@@ -290,6 +305,9 @@ class RedisMetricsSink(Sink):
             pipe.zadd(series_key, {f"{now}:{cnt}": now})
             pipe.expire(counter_key, self.ttl_seconds)
             pipe.expire(series_key, self.ttl_seconds)
+        # marker committed atomically WITH the data; TTL outlives the
+        # streaming query's replay horizon, not the metrics themselves
+        pipe.setex(marker, self.ttl_seconds, 1)
         pipe.execute()
 
 
@@ -317,15 +335,13 @@ class MetricsSink(Sink):
         self.series: dict[str, list[tuple[float, int]]] = defaultdict(list)
 
     def write(self, df: DataFrame, batch_id: int) -> None:
-        # re-aggregate per batch like the reference (stream_processor.py:369)
-        rows = df.groupBy(self.key_col).sum(self.count_col).collect()
+        # re-aggregate per batch like the reference (stream_processor.py:369);
+        # _batch_delta stages the FULL mutation delta before touching
+        # shared state: Sink.__call__ re-runs write() on failure, so a
+        # half-applied row loop would double-count already-applied keys
+        # on retry.  The apply loop below is pure dict mutation.
+        delta = [(k, int(v)) for k, v in _batch_delta(df, self.key_col, self.count_col)]
         now = time.time()
-        # stage the FULL mutation delta before touching shared state:
-        # Sink.__call__ re-runs write() on failure, so a half-applied
-        # row loop would double-count the already-applied keys on retry.
-        # Anything that can raise (collect, conversion) happens above;
-        # the apply loop below is pure dict mutation and all-or-nothing.
-        delta = [(r[self.key_col], int(r[f"sum({self.count_col})"])) for r in rows]
         for key, cnt in delta:
             self.counters[f"page_views:{key}"] += cnt
             self.series[f"page_views_ts:{key}"].append((now, cnt))

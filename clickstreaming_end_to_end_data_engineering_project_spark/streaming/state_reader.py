@@ -57,16 +57,27 @@ def state_skew(
 ) -> DataFrame:
     """Rows per state shard, hottest first, with each shard's share of
     total state — the direct probe for grouping-key skew in stateful
-    streaming.  Aggregation happens executor-side; the result is one
-    row per shard (= spark.sql.shuffle.partitions of the writing
-    query), tiny at any scale."""
+    streaming.  EVERY shard appears, including empty ones (a fully
+    skewed store is one hot shard among N-1 zeros; dropping the zeros
+    would make it look like a healthy 1-partition query), so the
+    result is exactly one row per shard of the writing query.
+    Aggregation happens executor-side; only the single-row shard count
+    from the metadata touches the driver."""
+    meta = state_metadata(spark, checkpoint).filter(F.col("operatorId") == operator_id)
+    if store_name is not None:
+        meta = meta.filter(F.col("stateStoreName") == store_name)
+    n_shards = meta.agg(F.max("numPartitions")).first()[0]
     counts = (
         read_state(spark, checkpoint, operator_id, store_name)
         .groupBy(F.col("partition_id"))
         .agg(F.count(F.lit(1)).alias("state_rows"))
     )
+    shards = spark.range(int(n_shards)).select(
+        F.col("id").cast(dict(counts.dtypes)["partition_id"]).alias("partition_id")
+    )
+    full = shards.join(counts, "partition_id", "left").fillna(0, subset=["state_rows"])
     total = F.sum("state_rows").over(Window.partitionBy())
     return (
-        counts.withColumn("share", (F.col("state_rows") / total).cast("double"))
+        full.withColumn("share", (F.col("state_rows") / total).cast("double"))
         .orderBy(F.col("state_rows").desc(), F.col("partition_id"))
     )

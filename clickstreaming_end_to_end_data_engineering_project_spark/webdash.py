@@ -50,21 +50,29 @@ _HTML = """<!doctype html>
 <script>
 const SECTIONS = ["top_pages", "busiest_windows", "revenue_over_time", "event_mix"];
 async function refresh() {
-  const root = document.getElementById("panels");
-  root.innerHTML = "";
+  // build off-DOM, swap once: a slow refresh never shows a half-page
+  const next = document.createElement("div");
   for (const s of SECTIONS) {
     const rows = await (await fetch("/api/" + s)).json();
-    const h = document.createElement("h2"); h.textContent = s; root.appendChild(h);
+    const h = document.createElement("h2"); h.textContent = s; next.appendChild(h);
     const t = document.createElement("table");
-    if (rows.length) {
+    if (Array.isArray(rows) && rows.length) {
       const head = t.insertRow();
       Object.keys(rows[0]).forEach(c => { const th = document.createElement("th"); th.textContent = c; head.appendChild(th); });
       rows.forEach(r => { const tr = t.insertRow(); Object.values(r).forEach(v => tr.insertCell().textContent = v); });
     }
-    root.appendChild(t);
+    next.appendChild(t);
   }
+  const root = document.getElementById("panels");
+  root.replaceChildren(...next.children);
 }
-refresh(); setInterval(refresh, 5000);
+// re-arm only after the previous refresh finishes: overlapping refreshes
+// would interleave DOM writes and stack concurrent Spark jobs
+async function loop() {
+  try { await refresh(); } catch (e) { /* endpoint may 503 while sinks warm up */ }
+  setTimeout(loop, 5000);
+}
+loop();
 </script></body></html>"""
 
 

@@ -24,8 +24,10 @@ def test_stream_leg_failure_degrades_to_null(spark, monkeypatch):
 
 def test_stream_metrics_real_legs_report(spark):
     """All three legs produce a positive rate on the current Spark —
-    the exact surface that silently broke in round 5."""
-    out = bench._stream_metrics(spark, "/root/testdata/sf0.001")
+    the exact surface that silently broke in round 5.  reps=1: the
+    goal is 'does each leg run at all', not a stable rate, so don't
+    pay the bench's best-of-3 (9 streaming runs) in the unit suite."""
+    out = bench._stream_metrics(spark, "/root/testdata/sf0.001", reps=1)
     for metric in (
         "stream_events_per_sec",
         "stream_session_events_per_sec",

@@ -26,15 +26,28 @@ def test_events_ts_is_timestamp(spark, sf_dir):
     assert dict(load(spark, sf_dir, "events").dtypes)["ts"] == "timestamp"
 
 
-def test_load_normalizes_even_with_ntz_inference_on(spark, sf_dir):
-    """An externally built session may carry inferTimestampNTZ=true;
-    load() must still produce TIMESTAMP (conf reset + defensive cast)."""
+def test_normalize_ntz_casts_inference_on_read(spark, sf_dir):
+    """normalize_ntz must actually convert an NTZ column: read events
+    with inference forced ON (bypassing load()'s conf reset), confirm
+    the raw scan yields TIMESTAMP_NTZ on this testdata, then confirm
+    the helper rewrites it to TIMESTAMP."""
+    import os
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import (
+        normalize_ntz,
+    )
+
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     try:
-        dtypes = dict(load(spark, sf_dir, "events").dtypes)
+        raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        assert dict(raw.dtypes)["ts"] == "timestamp_ntz", (
+            "precondition: this testdata must infer NTZ when inference is on"
+        )
+        fixed = normalize_ntz(raw)
     finally:
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    assert dtypes["ts"] == "timestamp"
+    assert dict(fixed.dtypes)["ts"] == "timestamp"
+    assert fixed.withWatermark("ts", "1 minute").count() > 0
 
 
 def test_load_is_watermarkable(spark, sf_dir):

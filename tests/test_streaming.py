@@ -362,6 +362,8 @@ def test_state_reader_inspects_checkpoint(spark):
         assert "stateStoreSave" in ops, ops
 
         skew = state_skew(spark, ckpt).collect()
+        n_shards = meta.filter(F.col("operatorId") == 0).agg(F.max("numPartitions")).first()[0]
+        assert len(skew) == n_shards, "every shard must appear, including empty ones"
         assert sum(r["state_rows"] for r in skew) == n_state
         assert abs(sum(r["share"] for r in skew) - 1.0) < 1e-9
         assert skew == sorted(skew, key=lambda r: (-r["state_rows"], r["partition_id"]))
@@ -606,10 +608,10 @@ class _FakeRedisPipeline:
     def expire(self, key, ttl):
         self._ops.append(("expire", key, ttl))
 
-    def execute(self):
-        if self._store.get("_fail_next"):
-            self._store["_fail_next"] = False
-            raise ConnectionError("synthetic redis outage")
+    def setex(self, key, ttl, value):
+        self._ops.append(("setex", key, ttl, value))
+
+    def _apply(self):
         for op in self._ops:
             if op[0] == "incrby":
                 self._store["counters"][op[1]] = self._store["counters"].get(op[1], 0) + op[2]
@@ -617,12 +619,36 @@ class _FakeRedisPipeline:
                 self._store["series"].setdefault(op[1], {}).update(op[2])
             elif op[0] == "expire":
                 self._store["ttls"][op[1]] = op[2]
+            elif op[0] == "setex":
+                self._store["kv"][op[1]] = op[3]
+                self._store["ttls"][op[1]] = op[2]
         self._ops = []
+
+    def execute(self):
+        if self._store.get("_fail_before_apply"):
+            self._store["_fail_before_apply"] = False
+            self._ops = []
+            raise ConnectionError("synthetic outage before EXEC")
+        if self._store.get("_fail_after_apply"):
+            self._store["_fail_after_apply"] = False
+            self._apply()  # Redis committed EXEC ...
+            raise ConnectionError("synthetic lost EXEC reply")  # ... reply lost
+        self._apply()
 
 
 class _FakeRedis:
     def __init__(self):
-        self.store = {"counters": {}, "series": {}, "ttls": {}, "_fail_next": False}
+        self.store = {
+            "counters": {},
+            "series": {},
+            "ttls": {},
+            "kv": {},
+            "_fail_before_apply": False,
+            "_fail_after_apply": False,
+        }
+
+    def get(self, key):
+        return self.store["kv"].get(key)
 
     def pipeline(self, transaction=False):
         assert transaction, "RedisMetricsSink must use MULTI/EXEC pipelines"
@@ -630,10 +656,12 @@ class _FakeRedis:
 
 
 def test_redis_metrics_sink_semantics_and_retry(spark):
-    """RedisMetricsSink: one MULTI/EXEC pipeline per batch carrying
-    INCRBY + series-append + TTL for every key; a failed execute()
-    applies nothing, and the Sink retry wrapper then lands the batch
-    exactly once."""
+    """RedisMetricsSink exactly-once, all three failure shapes:
+    clean apply; transaction failed BEFORE EXEC (nothing applied,
+    retry lands it once); execute() raising AFTER Redis committed
+    (lost reply — the batch_id marker inside the same transaction
+    makes the retry a no-op instead of a double-count).  Marker also
+    short-circuits checkpoint-replay of an already-applied batch."""
     from clickstreaming_end_to_end_data_engineering_project_spark.streaming.sinks import (
         RedisMetricsSink,
     )
@@ -649,11 +677,20 @@ def test_redis_metrics_sink_semantics_and_retry(spark):
     assert fake.store["ttls"]["page_views:home"] == 60
     assert len(fake.store["series"]["page_views_ts:cart"]) == 1
 
-    fake.store["_fail_next"] = True  # transaction fails once, then retry succeeds
+    fake.store["_fail_before_apply"] = True  # fails once, retry succeeds
     sink(df, batch_id=1)
     assert fake.store["counters"] == {"page_views:home": 10, "page_views:cart": 14}, (
         "failed MULTI/EXEC must apply nothing; retry must apply exactly once"
     )
+
+    fake.store["_fail_after_apply"] = True  # EXEC committed, reply lost
+    sink(df, batch_id=2)
+    assert fake.store["counters"] == {"page_views:home": 15, "page_views:cart": 21}, (
+        "lost-reply retry must be deduplicated by the batch marker"
+    )
+
+    sink(df, batch_id=2)  # checkpoint replay of a committed batch
+    assert fake.store["counters"] == {"page_views:home": 15, "page_views:cart": 21}
 
 
 def test_web_dashboard_serves_readme_analyses(spark, sf_dir, events_dir, tmp_path):
@@ -825,13 +862,13 @@ def test_anomaly_sink_through_streaming_query(spark, tmp_path):
 
 
 def test_metrics_sink_retry_is_idempotent(spark, monkeypatch):
-    """A failure mid-write must leave the metrics store untouched so the
-    retry in Sink.__call__ counts each batch exactly once.  A NULL
-    aggregate (sum of all-NULL counts) raises during delta staging —
-    before the fix it raised halfway through mutation, and retries
-    re-applied the rows that had already landed."""
+    """A failure during delta staging must leave the metrics store
+    untouched so the retry in Sink.__call__ counts each batch exactly
+    once; a NULL aggregate (sum of all-NULL counts) is dropped, not a
+    crash (shared _batch_delta semantics across all metrics sinks)."""
     import time as _time
 
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming import sinks as sinks_mod
     from clickstreaming_end_to_end_data_engineering_project_spark.streaming.sinks import (
         MetricsSink,
     )
@@ -842,15 +879,30 @@ def test_metrics_sink_retry_is_idempotent(spark, monkeypatch):
     sink(good, 0)
     assert sink.counters == {"page_views:home": 3, "page_views:cart": 2}
 
-    # "home" converts fine; "bad" has a NULL sum -> int(None) raises.
+    # NULL sums are filtered, never crash — uniform across sink twins
     poisoned = spark.createDataFrame(
         [("home", 5), ("bad", None)], "page string, cnt int"
     )
-    with pytest.raises(TypeError):
-        sink(poisoned, 1)
-    # three retry attempts ran; none may have leaked a partial delta
-    assert sink.counters == {"page_views:home": 3, "page_views:cart": 2}
-    assert len(sink.series["page_views_ts:home"]) == 1
+    sink(poisoned, 1)
+    assert sink.counters == {"page_views:home": 8, "page_views:cart": 2}
+    assert "page_views:bad" not in sink.counters
+
+    # staging failure: first two attempts die BEFORE mutation; the
+    # third lands — each batch counted exactly once, no partial deltas
+    real_delta = sinks_mod._batch_delta
+    calls = {"n": 0}
+
+    def flaky_delta(df, key_col, count_col):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise ConnectionError("synthetic staging failure")
+        return real_delta(df, key_col, count_col)
+
+    monkeypatch.setattr(sinks_mod, "_batch_delta", flaky_delta)
+    sink(good, 2)
+    assert calls["n"] == 3
+    assert sink.counters == {"page_views:home": 11, "page_views:cart": 4}
+    assert len(sink.series["page_views_ts:home"]) == 3
 
 
 def test_dashboard_reads_over_parquet_sinks(spark, sf_dir, events_dir, tmp_path):
