@@ -35,13 +35,32 @@ def normalize_ntz(df: DataFrame) -> DataFrame:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (lazy parquet scan).
 
-    ``ensure_session_defaults`` disables NTZ inference before the read,
-    so the scan itself yields TIMESTAMP columns; ``normalize_ntz`` is
-    belt-and-suspenders for any engine change that re-introduces NTZ
-    (it is exercised directly in tests/test_sources.py on a
-    deliberately inference-on read)."""
+    Timestamp-layout resilience — the driver has shipped BOTH of these
+    layouts across rounds, so the loader handles both:
+
+    - tz-less ``timestamp[us]`` (current): ``ensure_session_defaults``
+      disables NTZ inference before the read, and ``normalize_ntz`` is
+      belt-and-suspenders for any engine change that re-introduces NTZ
+      (exercised in tests/test_sources.py on an inference-on read).
+    - ``TIMESTAMP(NANOS)`` (rounds 1-4): Spark's parquet reader rejects
+      it outright; on that specific error the fallback enables
+      ``nanosAsLong``, re-reads, and truncates the ``ts`` long to
+      microseconds (DuckDB's TIMESTAMP precision, so oracle
+      comparisons agree).  Exercised against a pyarrow-written nanos
+      fixture in tests/test_sources.py.
+    """
     ensure_session_defaults(spark)
-    return normalize_ntz(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        df = spark.read.parquet(path)
+    except Exception as exc:
+        if "TIMESTAMP(NANOS" not in str(exc):
+            raise
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":  # nanos read as long
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_ntz(df)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -54,3 +54,42 @@ def test_load_is_watermarkable(spark, sf_dir):
     """The exact op that crashed BENCH_r05: withWatermark on events.ts."""
     df = load(spark, sf_dir, "events").withWatermark("ts", "1 minute")
     assert df.count() > 0
+
+
+def test_load_handles_nanos_layout(spark, tmp_path):
+    """Rounds 1-4 testdata stored events.ts as TIMESTAMP(NANOS), which
+    Spark's reader rejects outright; the loader's guarded fallback
+    (nanosAsLong + µs truncation) must still produce a watermarkable
+    TIMESTAMP column if that layout ever returns."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = dt.datetime(2024, 1, 1, 9, 0, 0)
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime([base, base + dt.timedelta(minutes=1), base + dt.timedelta(minutes=2)]),
+            "user_id": [1, 1, 2],
+        }
+    )
+    table = pa.Table.from_pandas(pdf, preserve_index=False).set_column(
+        1, "ts", pa.Array.from_pandas(pdf["ts"]).cast(pa.timestamp("ns"))
+    )
+    sf_dir = str(tmp_path)
+    pq.write_table(table, f"{sf_dir}/events.parquet", coerce_timestamps=None)
+
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    try:
+        df = load(spark, sf_dir, "events")
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        rows = sorted(r["ts"] for r in df.collect())
+        assert rows[0] == base and rows[-1] == base + dt.timedelta(minutes=2)
+        assert df.withWatermark("ts", "1 minute").count() == 3
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
