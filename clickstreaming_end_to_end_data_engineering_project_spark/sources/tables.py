@@ -32,6 +32,23 @@ def normalize_ntz(df: DataFrame) -> DataFrame:
     return df
 
 
+def _nanos_parquet_columns(path: str) -> list[str]:
+    """Names of columns physically stored as ``timestamp[ns]`` in the
+    parquet footer at ``path`` (file or directory).  Drives the nanos
+    fallback in ``load`` so ONLY genuinely-nanos columns get the
+    long→timestamp rebuild — a table with a legitimate bigint column
+    that happens to be named ``ts`` is left alone."""
+    import pyarrow as pa
+    import pyarrow.dataset as ds
+
+    schema = ds.dataset(path, format="parquet").schema
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (lazy parquet scan).
 
@@ -44,10 +61,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       (exercised in tests/test_sources.py on an inference-on read).
     - ``TIMESTAMP(NANOS)`` (rounds 1-4): Spark's parquet reader rejects
       it outright; on that specific error the fallback enables
-      ``nanosAsLong``, re-reads, and truncates the ``ts`` long to
-      microseconds (DuckDB's TIMESTAMP precision, so oracle
-      comparisons agree).  Exercised against a pyarrow-written nanos
-      fixture in tests/test_sources.py.
+      ``nanosAsLong`` FOR THE DURATION OF THE RE-READ ONLY (restored in
+      a finally, so one nanos table can't silently change how every
+      later table in the session loads), re-reads, and rebuilds exactly
+      the columns the parquet footer says were nanos — truncated to
+      microseconds (DuckDB's TIMESTAMP precision, so oracle comparisons
+      agree).  Exercised against a pyarrow-written nanos fixture in
+      tests/test_sources.py, including a collect AFTER the conf restore
+      to pin that the captured relation still executes.
     """
     ensure_session_defaults(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -56,10 +77,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception as exc:
         if "TIMESTAMP(NANOS" not in str(exc):
             raise
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":  # nanos read as long
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+        dtypes = dict(df.dtypes)
+        for col in _nanos_parquet_columns(path):
+            if dtypes.get(col) == "bigint":
+                # integer div, not `/`: ns epochs (~1.7e18) overflow a
+                # double's 53-bit mantissa
+                df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     return normalize_ntz(df)
 
 

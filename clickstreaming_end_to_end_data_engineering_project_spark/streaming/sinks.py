@@ -257,8 +257,23 @@ class RedisMetricsSink(Sink):
        double-count.  Safe because foreachBatch delivers each batch_id
        from one thread at a time.
 
+    **Sizing rule — ``marker_ttl_seconds`` must be ≥ the streaming
+    query's checkpoint-replay horizon** (how far back a recovered
+    query can re-deliver an old batch_id; in practice the checkpoint
+    retention window).  A replayed batch whose marker has expired is
+    indistinguishable from a new batch and WILL double-count.  The
+    marker TTL is therefore decoupled from the metrics ``ttl_seconds``
+    (which models data retention, e.g. the reference's 24 h) and
+    defaults to ``max(ttl_seconds, 7 days)`` so that shrinking the
+    metrics TTL can never silently shrink the replay-safety window.
+
     Driver-side by contract, like every metrics adapter: the input is
     the already-reduced per-key aggregate, never raw events."""
+
+    #: default replay-safety window: 7 days, a conservative upper bound
+    #: on Structured Streaming checkpoint retention in any deployment
+    #: this sink targets.
+    DEFAULT_MARKER_TTL_SECONDS = 7 * 86400
 
     def __init__(
         self,
@@ -267,15 +282,19 @@ class RedisMetricsSink(Sink):
         count_col: str,
         ttl_seconds: int | None = None,
         counter_prefix: str = "page_views",
+        marker_ttl_seconds: int | None = None,
     ):
         from ..config import MetricsConfig
 
         if ttl_seconds is None:
             ttl_seconds = MetricsConfig().ttl_seconds
+        if marker_ttl_seconds is None:
+            marker_ttl_seconds = max(ttl_seconds, self.DEFAULT_MARKER_TTL_SECONDS)
         self.client = client
         self.key_col = key_col
         self.count_col = count_col
         self.ttl_seconds = ttl_seconds
+        self.marker_ttl_seconds = marker_ttl_seconds
         self.counter_prefix = counter_prefix
 
     @classmethod
@@ -305,9 +324,10 @@ class RedisMetricsSink(Sink):
             pipe.zadd(series_key, {f"{now}:{cnt}": now})
             pipe.expire(counter_key, self.ttl_seconds)
             pipe.expire(series_key, self.ttl_seconds)
-        # marker committed atomically WITH the data; TTL outlives the
-        # streaming query's replay horizon, not the metrics themselves
-        pipe.setex(marker, self.ttl_seconds, 1)
+        # marker committed atomically WITH the data, on its own TTL:
+        # marker_ttl_seconds ≥ the checkpoint-replay horizon (see class
+        # docstring), independent of the metrics' data-retention TTL
+        pipe.setex(marker, self.marker_ttl_seconds, 1)
         pipe.execute()
 
 

@@ -63,10 +63,23 @@ def state_skew(
     result is exactly one row per shard of the writing query.
     Aggregation happens executor-side; only the single-row shard count
     from the metadata touches the driver."""
-    meta = state_metadata(spark, checkpoint).filter(F.col("operatorId") == operator_id)
+    all_meta = state_metadata(spark, checkpoint)
+    meta = all_meta.filter(F.col("operatorId") == operator_id)
     if store_name is not None:
         meta = meta.filter(F.col("stateStoreName") == store_name)
     n_shards = meta.agg(F.max("numPartitions")).first()[0]
+    if n_shards is None:
+        available = [
+            (r["operatorId"], r["operatorName"], r["stateStoreName"])
+            for r in all_meta.select(
+                "operatorId", "operatorName", "stateStoreName"
+            ).collect()
+        ]
+        raise ValueError(
+            f"no state store matches operator_id={operator_id} "
+            f"store_name={store_name!r} in checkpoint {checkpoint!r}; "
+            f"available (operatorId, operatorName, stateStoreName): {available}"
+        )
     counts = (
         read_state(spark, checkpoint, operator_id, store_name)
         .groupBy(F.col("partition_id"))

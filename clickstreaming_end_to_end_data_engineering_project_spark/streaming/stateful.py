@@ -54,6 +54,18 @@ _STATE_SCHEMA = StructType(
 )
 
 
+def _ts_micros(ts: pd.Series) -> pd.Series:
+    """Event timestamps as int64 µs epochs, whatever unit pandas
+    delivers.  applyInPandasWithState hands datetime64[ns] today, but
+    the Arrow path is allowed to hand datetime64[us] (and does under
+    some transformWithStateInPandas configurations) — deriving the
+    scale from the dtype instead of hardcoding ns→µs avoids a silent
+    1000× timestamp/timer skew if the delivery unit ever changes."""
+    if pd.api.types.is_datetime64_any_dtype(ts):
+        return ts.dt.as_unit("us").astype("int64")
+    return ts.astype("int64") // 1000  # raw ns epoch longs
+
+
 def _accumulate(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     """Fold new events into per-user state; emit + clear on timeout."""
     (user_id,) = key
@@ -75,7 +87,7 @@ def _accumulate(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
 
     ec, pc, tv, first_us, last_us = state.get if state.exists else (0, 0, 0.0, None, None)
     for pdf in pdfs:
-        ts_us = pdf["ts"].astype("int64") // 1000  # ns -> us
+        ts_us = _ts_micros(pdf["ts"])
         ec += len(pdf)
         pc += int((pdf["event_type"] == "purchase").sum())
         tv += float(pdf.loc[pdf["event_type"] == "purchase", "value"].sum())

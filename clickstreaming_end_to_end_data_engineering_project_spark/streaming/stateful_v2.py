@@ -41,7 +41,7 @@ from pyspark.sql.streaming.stateful_processor import (
     TimerValues,
 )
 
-from .stateful import _STATE_SCHEMA, USER_PROFILE_SCHEMA
+from .stateful import _STATE_SCHEMA, USER_PROFILE_SCHEMA, _ts_micros
 
 INACTIVITY_MS = 30 * 60 * 1000
 
@@ -71,7 +71,7 @@ class EngagementProfileProcessor(StatefulProcessor):
             self._profile.get() if self._profile.exists() else (0, 0, 0.0, None, None)
         )
         for pdf in rows:
-            ts_us = pdf["ts"].astype("int64") // 1000  # ns -> us
+            ts_us = _ts_micros(pdf["ts"])  # unit derived from dtype
             ec += len(pdf)
             pc += int((pdf["event_type"] == "purchase").sum())
             tv += float(pdf.loc[pdf["event_type"] == "purchase", "value"].sum())

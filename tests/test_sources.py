@@ -84,7 +84,11 @@ def test_load_handles_nanos_layout(spark, tmp_path):
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     try:
         df = load(spark, sf_dir, "events")
+        # the fallback must restore the session conf (one nanos table
+        # must not change how every later table loads) ...
+        assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) == prev
         assert dict(df.dtypes)["ts"] == "timestamp"
+        # ... and the captured relation must still execute post-restore
         rows = sorted(r["ts"] for r in df.collect())
         assert rows[0] == base and rows[-1] == base + dt.timedelta(minutes=2)
         assert df.withWatermark("ts", "1 minute").count() == 3
@@ -93,3 +97,56 @@ def test_load_handles_nanos_layout(spark, tmp_path):
             spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
         else:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+
+
+def test_load_leaves_genuine_bigint_ts_alone(spark, tmp_path):
+    """A table with a legitimate bigint column named ``ts`` (no nanos
+    layout anywhere) must NOT be reinterpreted as timestamps — the
+    conversion is gated on the parquet footer saying the column was
+    TIMESTAMP(NANOS), not on the column's name."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.DataFrame({"event_id": [1, 2], "ts": [1000, 2000]})
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), f"{tmp_path}/events.parquet")
+    df = load(spark, str(tmp_path), "events")
+    assert dict(df.dtypes)["ts"] == "bigint"
+    assert sorted(r["ts"] for r in df.collect()) == [1000, 2000]
+
+
+def test_load_nanos_fallback_converts_all_nanos_columns(spark, tmp_path):
+    """The nanos fallback rebuilds EVERY column the footer marks as
+    timestamp[ns] — not just one named ``ts`` — while leaving genuine
+    bigint columns as-is."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = dt.datetime(2024, 1, 1, 9, 0, 0)
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.to_datetime([base, base + dt.timedelta(minutes=1)]),
+            "updated_at": pd.to_datetime([base, base + dt.timedelta(hours=1)]),
+            "seq": [10, 20],
+        }
+    )
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    for name in ("ts", "updated_at"):
+        i = table.schema.get_field_index(name)
+        table = table.set_column(
+            i, name, pa.Array.from_pandas(pdf[name]).cast(pa.timestamp("ns"))
+        )
+    pq.write_table(table, f"{tmp_path}/events.parquet", coerce_timestamps=None)
+
+    df = load(spark, str(tmp_path), "events")
+    dtypes = dict(df.dtypes)
+    assert dtypes["ts"] == "timestamp"
+    assert dtypes["updated_at"] == "timestamp"
+    assert dtypes["seq"] == "bigint"
+    row = df.orderBy("event_id").collect()[-1]
+    assert row["updated_at"] == base + dt.timedelta(hours=1)
+    assert row["seq"] == 20

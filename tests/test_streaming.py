@@ -372,6 +372,78 @@ def test_state_reader_inspects_checkpoint(spark):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_state_skew_surfaces_hot_shard(spark):
+    """state_skew's entire point is skew, so probe a deliberately
+    skewed store: a session_window agg where ONE hot user holds ~95% of
+    open sessions (each event 2h apart → its own open session row)
+    while 5 cold users hold one session each.  The hot user's shard
+    must sort first with the dominant share.  Also pins the unknown-
+    operator error path (ValueError naming what IS in the checkpoint,
+    instead of the old opaque TypeError on int(None))."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.state_reader import (
+        state_skew,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="state_skew_src_")
+    ckpt = tempfile.mkdtemp(prefix="state_skew_ckpt_")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    hot_user = 7
+    # 95 events for the hot user, 2h apart: every one stays an open
+    # session (gap 30min < 2h, watermark far behind the max ts)
+    rows = [
+        (i, base + dt.timedelta(hours=2 * i), hot_user, "view", 1.0, "{}")
+        for i in range(95)
+    ]
+    # 5 cold users: one session each, near the stream's end so the
+    # watermark can't close them
+    end = base + dt.timedelta(hours=2 * 95)
+    rows += [
+        (1000 + u, end + dt.timedelta(minutes=u), 100 + u, "view", 1.0, "{}")
+        for u in range(5)
+    ]
+    try:
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        src = read_file_stream(spark, tmp, EVENTS_SCHEMA)
+        # watermark delay >> the data's time span: no session is ever
+        # closed, so ALL sessions stay in the store — session-window
+        # state shards by user_id alone, so the hot user's 95 open
+        # sessions land on one shard
+        agg = (
+            src.withWatermark("ts", "365 days")
+            .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .count()
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        skew = state_skew(spark, ckpt).collect()
+        total = sum(r["state_rows"] for r in skew)
+        assert total > 0
+        hottest = skew[0]
+        # the hot user's sessions all hash to one shard; cold users may
+        # or may not share it, so its share is ≥ 95/total
+        assert hottest["state_rows"] >= 95, (
+            f"hot user's shard should hold ≥95 open sessions, got {hottest}"
+        )
+        assert hottest["share"] >= 95 / total - 1e-9
+        # a skewed store: the hottest shard dominates every other shard
+        assert all(hottest["state_rows"] >= r["state_rows"] for r in skew[1:])
+
+        with pytest.raises(ValueError, match=r"operator_id=9 .*available .*StateStoreSave"):
+            state_skew(spark, ckpt, operator_id=9)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def _protobuf_available() -> bool:
     try:
         from google.protobuf import descriptor  # noqa: F401
@@ -401,6 +473,28 @@ def test_stateful_v2_plan_construction(spark):
         assert out.schema == USER_PROFILE_SCHEMA
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stateful_ts_micros_unit_derived_from_dtype():
+    """Both stateful operators convert event timestamps via _ts_micros,
+    which derives the epoch scale from the pandas dtype.  A
+    datetime64[us] delivery (possible under transformWithStateInPandas,
+    whose execution leg is env-gated here) must NOT be divided by 1000
+    as if it were ns — that was a latent 1000× timer skew."""
+    import pandas as pd
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.stateful import (
+        _ts_micros,
+    )
+
+    t = pd.Timestamp("2024-01-01 09:00:00")
+    want = t.value // 1000  # µs epoch
+    ns_series = pd.Series([t]).astype("datetime64[ns]")
+    us_series = pd.Series([t]).astype("datetime64[us]")
+    raw_ns = pd.Series([t.value], dtype="int64")
+    assert _ts_micros(ns_series).tolist() == [want]
+    assert _ts_micros(us_series).tolist() == [want]
+    assert _ts_micros(raw_ns).tolist() == [want]
 
 
 @pytest.mark.skipif(
@@ -612,6 +706,7 @@ class _FakeRedisPipeline:
         self._ops.append(("setex", key, ttl, value))
 
     def _apply(self):
+        now = self._store["clock"]
         for op in self._ops:
             if op[0] == "incrby":
                 self._store["counters"][op[1]] = self._store["counters"].get(op[1], 0) + op[2]
@@ -619,9 +714,11 @@ class _FakeRedisPipeline:
                 self._store["series"].setdefault(op[1], {}).update(op[2])
             elif op[0] == "expire":
                 self._store["ttls"][op[1]] = op[2]
+                self._store["deadlines"][op[1]] = now + op[2]
             elif op[0] == "setex":
                 self._store["kv"][op[1]] = op[3]
                 self._store["ttls"][op[1]] = op[2]
+                self._store["deadlines"][op[1]] = now + op[2]
         self._ops = []
 
     def execute(self):
@@ -637,15 +734,30 @@ class _FakeRedisPipeline:
 
 
 class _FakeRedis:
+    """Duck-typed redis-py client with a fake clock: TTLs become
+    absolute deadlines; advance() lazily expires keys, like Redis."""
+
     def __init__(self):
         self.store = {
             "counters": {},
             "series": {},
             "ttls": {},
+            "deadlines": {},
             "kv": {},
+            "clock": 0.0,
             "_fail_before_apply": False,
             "_fail_after_apply": False,
         }
+
+    def advance(self, seconds):
+        self.store["clock"] += seconds
+        now = self.store["clock"]
+        for key, deadline in list(self.store["deadlines"].items()):
+            if deadline <= now:
+                del self.store["deadlines"][key]
+                self.store["kv"].pop(key, None)
+                self.store["counters"].pop(key, None)
+                self.store["series"].pop(key, None)
 
     def get(self, key):
         return self.store["kv"].get(key)
@@ -691,6 +803,52 @@ def test_redis_metrics_sink_semantics_and_retry(spark):
 
     sink(df, batch_id=2)  # checkpoint replay of a committed batch
     assert fake.store["counters"] == {"page_views:home": 15, "page_views:cart": 21}
+
+
+def test_redis_marker_ttl_decoupled_from_metrics_ttl(spark):
+    """Replay safety across the marker TTL boundary (fake clock):
+
+    - the idempotency marker's TTL defaults to max(ttl_seconds, 7 d),
+      decoupled from the metrics' data-retention TTL, so a short
+      METRICS_TTL_SECONDS cannot shrink the replay-safety window;
+    - a replay AFTER the metrics expired but INSIDE the marker TTL is
+      still a no-op (the scenario the r6 review flagged);
+    - a replay after the MARKER itself expired double-counts — pinned
+      here as the documented failure mode the sizing rule
+      (marker_ttl_seconds ≥ checkpoint retention) exists to prevent."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.sinks import (
+        RedisMetricsSink,
+    )
+
+    fake = _FakeRedis()
+    sink = RedisMetricsSink(fake, key_col="page", count_col="cnt", ttl_seconds=60)
+    assert sink.marker_ttl_seconds == RedisMetricsSink.DEFAULT_MARKER_TTL_SECONDS
+    assert sink.marker_ttl_seconds > sink.ttl_seconds
+
+    df = spark.createDataFrame([("home", 5)], "page string, cnt int")
+    sink(df, batch_id=0)
+    assert fake.store["counters"]["page_views:home"] == 5
+
+    # metrics (60 s TTL) expire; the 7-day marker survives → replay no-op
+    fake.advance(3600)
+    assert "page_views:home" not in fake.store["counters"]
+    sink(df, batch_id=0)
+    assert "page_views:home" not in fake.store["counters"], (
+        "replay inside the marker TTL must be a no-op even after the "
+        "metrics themselves expired"
+    )
+
+    # beyond the marker TTL the replay is indistinguishable from a new
+    # batch: it re-applies (the documented constraint, not a bug)
+    fake.advance(RedisMetricsSink.DEFAULT_MARKER_TTL_SECONDS)
+    sink(df, batch_id=0)
+    assert fake.store["counters"]["page_views:home"] == 5
+
+    # explicit override is honored
+    custom = RedisMetricsSink(
+        _FakeRedis(), key_col="page", count_col="cnt", ttl_seconds=60, marker_ttl_seconds=120
+    )
+    assert custom.marker_ttl_seconds == 120
 
 
 def test_web_dashboard_serves_readme_analyses(spark, sf_dir, events_dir, tmp_path):
