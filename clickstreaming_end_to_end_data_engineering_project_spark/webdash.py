@@ -7,8 +7,10 @@ HTTP server exposing the README-promised analyses as JSON endpoints
 plus a single self-contained HTML page that renders them as tables
 (auto-refreshing, so it is a live view of the growing sinks).
 
-Endpoints (all recomputed per request over the parquet sinks, so the
-page tracks a running ``app.py --sink-dir`` session):
+Endpoints (computed over the parquet sinks at most once per
+``cache_ttl_seconds`` — default 5 s, the page's refresh interval — so a
+dashboard open in N tabs costs one Spark job per analysis per interval,
+not N; the page still tracks a running ``app.py --sink-dir`` session):
 
 - ``/``                        HTML dashboard
 - ``/api/top_pages``           README "Page popularity"
@@ -31,6 +33,7 @@ from __future__ import annotations
 import datetime as _dt
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql import DataFrame, SparkSession
@@ -87,9 +90,43 @@ def _df_json(df: DataFrame) -> bytes:
     return json.dumps(rows).encode()
 
 
+class _TTLCache:
+    """Per-endpoint payload cache with single-flight semantics: within
+    one TTL window the first request computes, every concurrent and
+    subsequent request gets the cached bytes.  Concurrency is handled
+    with one lock per endpoint, held across the compute — waiters block
+    briefly, then read the entry the leader just filled, so N tabs
+    polling the dashboard cost ONE Spark job per analysis per interval.
+    Failures are never cached: a 503 while the sinks warm up clears on
+    the next request, not after a TTL."""
+
+    def __init__(self, ttl_seconds: float, clock=time.monotonic):
+        self.ttl = ttl_seconds
+        self._clock = clock
+        self._entries: dict[str, tuple[float, bytes]] = {}
+        self._locks: dict[str, threading.Lock] = {}
+        self._guard = threading.Lock()
+
+    def get(self, name: str, compute) -> bytes:
+        with self._guard:
+            lock = self._locks.setdefault(name, threading.Lock())
+        with lock:
+            entry = self._entries.get(name)
+            if entry is not None and entry[0] > self._clock():
+                return entry[1]
+            payload = compute()
+            self._entries[name] = (self._clock() + self.ttl, payload)
+            return payload
+
+
 class DashboardServer:
     """Threaded HTTP server over a sink directory.  ``port=0`` picks an
-    ephemeral port; read it from ``.port`` after ``start()``."""
+    ephemeral port; read it from ``.port`` after ``start()``.
+
+    ``cache_ttl_seconds`` bounds driver load: each analysis is computed
+    at most once per TTL window regardless of how many clients poll
+    (the HTML page refreshes every 5 s, so the default TTL of 5 s means
+    the steady-state cost is one Spark job per analysis per refresh)."""
 
     ROUTES = {
         "top_pages": dashboard.top_pages,
@@ -98,10 +135,19 @@ class DashboardServer:
         "event_mix": dashboard.event_mix,
     }
 
-    def __init__(self, spark: SparkSession, sink_dir: str, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        spark: SparkSession,
+        sink_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        cache_ttl_seconds: float = 5.0,
+    ):
         self.spark = spark
         self.sink_dir = sink_dir
-        routes = self.ROUTES
+        self.routes = dict(self.ROUTES)
+        self._cache = _TTLCache(cache_ttl_seconds)
+        routes = self.routes
 
         outer = self
 
@@ -116,7 +162,9 @@ class DashboardServer:
                         body, ctype, code = b'{"error": "unknown endpoint"}', "application/json", 404
                     else:
                         try:
-                            body = _df_json(fn(outer.spark, outer.sink_dir))
+                            body = outer._cache.get(
+                                name, lambda: _df_json(fn(outer.spark, outer.sink_dir))
+                            )
                             ctype, code = "application/json", 200
                         except Exception as exc:  # sink table may not exist yet
                             body = json.dumps({"error": str(exc)[:300]}).encode()

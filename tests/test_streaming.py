@@ -7,6 +7,7 @@ from __future__ import annotations
 import datetime as dt
 import shutil
 import tempfile
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -902,6 +903,65 @@ def test_web_dashboard_serves_readme_analyses(spark, sf_dir, events_dir, tmp_pat
             raise AssertionError("unknown endpoint should 404")
         except urllib.error.HTTPError as e:
             assert e.code == 404
+    finally:
+        server.stop()
+
+
+def test_web_dashboard_caches_one_computation_per_interval(spark):
+    """N concurrent clients polling an endpoint within one TTL window
+    must cost ONE Spark computation, not N (the r6 review's dashboard-
+    at-cluster-scale concern): 8 parallel requests → 1 compute; after
+    the TTL expires → exactly one more; errors are never cached."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.webdash import (
+        DashboardServer,
+    )
+
+    calls = {"n": 0}
+
+    def counting_analysis(spark_, sink_dir_):
+        calls["n"] += 1
+        return spark_.createDataFrame([(calls["n"],)], "compute_seq int")
+
+    failures = {"n": 0}
+
+    def failing_analysis(spark_, sink_dir_):
+        failures["n"] += 1
+        raise RuntimeError("sink not ready")
+
+    server = DashboardServer(spark, "/nonexistent", cache_ttl_seconds=1.5)
+    server.routes["top_pages"] = counting_analysis
+    server.routes["event_mix"] = failing_analysis
+    server.start()
+    try:
+        base = f"http://127.0.0.1:{server.port}"
+
+        def fetch(_):
+            return _json.loads(
+                urllib.request.urlopen(f"{base}/api/top_pages", timeout=60).read()
+            )
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            results = list(ex.map(fetch, range(8)))
+        assert calls["n"] == 1, f"8 concurrent requests cost {calls['n']} computations"
+        assert all(r == [{"compute_seq": 1}] for r in results), results
+
+        time.sleep(2.0)  # TTL (1.5 s) expires
+        assert fetch(0) == [{"compute_seq": 2}]
+        assert calls["n"] == 2
+
+        # 503s are not cached: each errored request recomputes
+        for _ in range(2):
+            try:
+                urllib.request.urlopen(f"{base}/api/event_mix", timeout=60)
+                raise AssertionError("failing analysis should 503")
+            except urllib.error.HTTPError as e:
+                assert e.code == 503
+        assert failures["n"] == 2, "errors must not be cached"
     finally:
         server.stop()
 
