@@ -16,8 +16,16 @@ Stage shapes (why this survives a 100 TB corpus):
                connected components; non-canonical cluster members
                dropped).  Ordering matters: exact dedup shrinks the
                expensive candidate join's input for free.
-  4. split   — content-hash train/test (engine/partitioning-stable).
-  5. write   — parquet partitioned by split, so training readers scan
+  4. scrub   — PII redaction (chained regexp_replace, pure codegen
+               expressions).  AFTER dedup on purpose: placeholders
+               would otherwise make distinct documents byte-identical
+               and merge unrelated dedup clusters; and running it on
+               the survivors only does least work.  Fused into the
+               same stage as the split projection — zero extra passes.
+  5. split   — id-hash train/test (engine/partitioning-stable; keyed
+               on doc_id, so membership is identical whether or not
+               scrubbing is enabled).
+  6. write   — parquet partitioned by split, so training readers scan
                only their slice.
 
 Counts are computed from the WRITTEN output (one scan), so the result
@@ -31,7 +39,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import components, dedup, sampling, text
+from .operators import components, dedup, pii, sampling, text
 from .sources.tables import load
 
 
@@ -116,6 +124,7 @@ def curate_corpus(
     jaccard_threshold: float = 0.2,
     max_doc_freq: int | None = 50,
     train_frac: float = 0.8,
+    scrub: bool = True,
 ) -> CurationResult:
     docs = load(spark, sf_dir, "documents")
     input_docs = docs.count()
@@ -127,6 +136,8 @@ def curate_corpus(
     after_exact = exact.count()
 
     deduped = drop_near_dups(exact, jaccard_threshold, max_doc_freq)
+    if scrub:
+        deduped = pii.scrub_pii(deduped)
 
     split = sampling.train_test_split(deduped, "doc_id", train_frac)
     split.write.mode("overwrite").partitionBy("split").parquet(f"{out_dir}/corpus")

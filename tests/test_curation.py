@@ -58,3 +58,38 @@ def test_curation_dedup_stages_on_synthetic_dups(spark):
     # the sub-quadratic MinHash path finds the same clusters here
     via_minhash = drop_near_dups(exact, threshold=0.2, method="minhash")
     assert {r["doc_id"] for r in via_minhash.collect()} == {1, 4}
+
+
+def test_curation_scrubs_pii_from_written_corpus(spark, sf_dir, tmp_path):
+    """The scrub stage redacts PII from the WRITTEN corpus (a synthetic
+    sf_dir whose documents carry emails/phones), and scrub=False
+    bypasses it — with identical split membership either way (split
+    hashes doc_id, not text)."""
+    import shutil
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.pii import (
+        pii_audit,
+    )
+
+    # synthetic sf_dir: the driver corpus is digit-free, so seed PII
+    # into copies of real docs to keep quality/lang gates passable
+    syn = str(tmp_path / "sfpii")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    seeded = docs.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" contact bob@example.com or 415-555-2671"))
+    )
+    seeded.write.mode("overwrite").parquet(f"{syn}/documents.parquet")
+
+    out = str(tmp_path / "curated_pii")
+    res = curate_corpus(spark, syn, out, min_quality=0.0, langs=None)
+    assert res.train_docs + res.test_docs > 0
+    written = spark.read.parquet(f"{out}/corpus")
+    audit = pii_audit(written).collect()[0].asDict()
+    assert all(v == 0 for v in audit.values()), f"PII survived curation: {audit}"
+    assert written.filter(F.col("text").contains("|||EMAIL|||")).count() == written.count()
+
+    shutil.rmtree(out, ignore_errors=True)
+    res_raw = curate_corpus(spark, syn, out, min_quality=0.0, langs=None, scrub=False)
+    raw = spark.read.parquet(f"{out}/corpus")
+    assert raw.filter(F.col("text").contains("bob@example.com")).count() == raw.count()
+    assert (res_raw.train_docs, res_raw.test_docs) == (res.train_docs, res.test_docs)

@@ -772,3 +772,92 @@ def test_grouped_map_custom_group_col(spark, sf_dir):
     out = normalize_per_group(docs, group_col="source")
     assert "source" in out.columns
     assert out.count() == docs.count()
+
+
+def test_pii_scrub_matches_duckdb_oracle(spark, tmp_path):
+    """PII scrubbing differential: the identical patterns run through
+    Spark (java.util.regex) and DuckDB (RE2, 'g' flag) on the same
+    parquet fixture must produce byte-identical scrubbed text — the
+    patterns are deliberately restricted to the two engines' common
+    dialect (operators/pii.py).  The driver corpus contains no digits,
+    so this synthetic fixture is the family's evidence (COVERAGE.md)."""
+    import duckdb
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.pii import (
+        PII_PATTERNS,
+        PII_REPLACEMENTS,
+        pii_audit,
+        scrub_pii,
+    )
+
+    docs = [
+        (0, "contact jane.doe+spam@example.co.uk or call 415-555-2671 today"),
+        (1, "host 10.0.254.3 served https://internal.example.com/u?id=5&mail=a@b.io fine"),
+        (2, "leak: ssn 123-45-6789 beside (415) 555-2671 and +1 212.555.0100"),
+        (3, "clean text, bare integers 1234567890 and a1b2c3 must survive"),
+        (4, "sentence-final email@domain.io. and permissive quad 999.999.999.999"),
+        (5, ""),
+        (6, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    path = str(tmp_path / "pii.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    src = spark.read.parquet(path)
+
+    got = {r["doc_id"]: r["text"] for r in scrub_pii(src).collect()}
+
+    expr = "text"
+    for name, pat in PII_PATTERNS.items():
+        expr = f"regexp_replace({expr}, '{pat}', '{PII_REPLACEMENTS[name]}', 'g')"
+    con = duckdb.connect()
+    try:
+        exp = dict(
+            con.execute(
+                f"SELECT doc_id, {expr} FROM read_parquet('{path}/*.parquet') ORDER BY doc_id"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == exp
+
+    # semantic spot checks, independent of both engines
+    assert "|||EMAIL|||" in got[0] and "|||PHONE|||" in got[0]
+    assert "|||IPV4|||" in got[1] and "|||URL|||" in got[1]
+    assert "a@b.io" not in got[1], "URL rule must consume embedded address"
+    assert "|||SSN|||" in got[2] and got[2].count("|||PHONE|||") == 2
+    assert got[3] == docs[3][1], "bare integers and clean text untouched"
+    assert got[5] == "" and got[6] is None
+
+    # post-condition: nothing matches after scrubbing (idempotent pass)
+    after = pii_audit(scrub_pii(src)).collect()[0].asDict()
+    assert all(v == 0 for v in after.values()), after
+
+    # audit on the raw fixture: exact per-type totals.  Unlike the
+    # scrub (sequential, URL consumes its embedded address), the audit
+    # counts each pattern independently on the raw text, so doc1's
+    # URL-embedded address counts as an email here.
+    audit = pii_audit(src).collect()[0].asDict()
+    assert audit["email_matches"] == 3  # doc0, doc1 (inside URL), doc4
+    assert audit["phone_matches"] == 3 and audit["phone_docs"] == 2
+    assert audit["ssn_matches"] == 1 and audit["ipv4_matches"] == 2
+    assert audit["url_matches"] == 1
+
+
+def test_pii_scrub_on_driver_corpus_is_noop(spark, sf_dir):
+    """The driver documents corpus is digit-free word salad: scrubbing
+    must be a byte-for-byte no-op there (why this family has no gate
+    row), and the audit must report zero matches for every type."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.pii import (
+        pii_audit,
+        scrub_pii,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    audit = pii_audit(docs).collect()[0].asDict()
+    assert all(v == 0 for v in audit.values()), audit
+    changed = (
+        scrub_pii(docs, out_col="scrubbed")
+        .filter(F.col("scrubbed") != F.col("text"))
+        .count()
+    )
+    assert changed == 0
