@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import dround
+from ..functions import dround, sql_snippets
 from ..operators import components, dedup, kmeans, sampling, similarity, text
 from ..sources.tables import load
 from .registry import QuerySpec
@@ -106,6 +106,44 @@ def word_freq_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("word_count"))
         .orderBy(F.col("word_count").desc(), F.col("word"))
         .limit(20)
+    )
+
+
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal (Wenzek et al. 2020; the
+    perplexity-filter stage every CommonCrawl pipeline runs): per-doc
+    mean token log-probability under the corpus's OWN unigram
+    distribution, plus the corresponding perplexity.  Spark shape: one
+    explode (narrow), one vocab-sized count shuffle, token⋈vocab join
+    (AQE picks broadcast — the vocabulary is tiny relative to the
+    corpus), a single-row total broadcast via crossJoin (the
+    scalar-subquery pattern), and one per-doc agg shuffle.  At 100 TB
+    the vocab count frame is the only globally-shared state and it is
+    bounded by |vocabulary|, not corpus size.
+
+    Determinism: mean_logprob is dround-ed to 6 dp BEFORE exp(), so
+    both engines exponentiate the identical double; the 1-ulp libm
+    divergence between Math.exp and C exp is then absorbed by the
+    outer dround."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(text.tokens("text")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tok_count"))
+    total = toks.agg(F.count(F.lit(1)).alias("_total"))
+    logp = F.log(F.col("tok_count").cast("double")) - F.log(F.col("_total").cast("double"))
+    per_doc = (
+        toks.join(counts, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            dround(F.avg(logp), 6).alias("mean_logprob"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "mean_logprob",
+        dround(F.exp(-F.col("mean_logprob")), 6).alias("perplexity"),
     )
 
 
@@ -505,6 +543,28 @@ SPECS = [
         ORDER BY word_count DESC, word
         LIMIT 20
         """,
+    ),
+    QuerySpec(
+        "doc_unigram_logprob",
+        doc_unigram_logprob,
+        f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+        ), counts AS (
+            SELECT token, count(*) AS tok_count FROM toks GROUP BY token
+        ), total AS (
+            SELECT count(*) AS _total FROM toks
+        ), per_doc AS (
+            SELECT doc_id, count(*) AS n_tokens,
+                   {sql_snippets.dround('avg(ln(tok_count) - ln(_total))', 6)} AS mean_logprob
+            FROM toks JOIN counts USING (token) CROSS JOIN total
+            GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, mean_logprob,
+               {sql_snippets.dround('exp(-mean_logprob)', 6)} AS perplexity
+        FROM per_doc
+        """,
+        "CCNet-style unigram-LM quality signal (mean log-prob + perplexity)",
     ),
     QuerySpec(
         "exact_dup_docs",

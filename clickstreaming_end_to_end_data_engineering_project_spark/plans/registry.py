@@ -63,6 +63,9 @@ class QuerySpec:
 # in r4 AND r5 — the round-4 fix is proven).  After this round every
 # oracle-backed scalar query has a green driver row in some
 # CORRECTNESS_r*.json.
+# Round-7 rotation: NEW query doc_unigram_logprob (CCNet perplexity
+# signal) promoted for its first driver row; doc_sample_10pct demoted
+# (green r4+r5+r6).
 GATE_PRIORITY = [
     # reference-parity clickstream core (pinned)
     "page_view_counts",
@@ -110,7 +113,8 @@ GATE_PRIORITY = [
     "doc_fingerprints_rolling",
     "lang_source_stats",
     "doc_repetition_scores",
-    "doc_sample_10pct",
+    # round-7 rotation: new CCNet-style perplexity signal, first driver row
+    "doc_unigram_logprob",
     "lang_balanced_docs",
     "doc_nchars_winsorized",
     "doc_length_histogram",
