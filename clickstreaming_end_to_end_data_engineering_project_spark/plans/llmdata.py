@@ -147,6 +147,45 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by TF-IDF (ln(N/df) idf) — keyword
+    extraction for corpus browsing/labeling.  Shape: per-(doc,token)
+    count shuffle, vocab-sized doc-frequency agg joined back (AQE
+    broadcast), single-row N broadcast, then a row_number window
+    partitioned by doc_id — partition cardinality is per-doc vocab,
+    so no skew at corpus scale.
+
+    Determinism: tfidf is dround-ed to 6 dp BEFORE ranking so both
+    engines rank identical doubles (mathematically-tied scores — e.g.
+    tf=1,df=N/4 vs tf=2,df=N/2 — would otherwise flip on sub-ulp libm
+    differences); remaining ties break on the token string."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(text.tokens("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(docfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            dround(
+                F.col("tf").cast("double")
+                * (F.log(F.col("_n").cast("double")) - F.log(F.col("df").cast("double"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= 3)
+        .select("doc_id", "token", "tf", "df", "tfidf", "term_rank")
+    )
+
+
 def exact_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dup_groups(_docs(spark, sf_dir))
 
@@ -565,6 +604,32 @@ SPECS = [
         FROM per_doc
         """,
         "CCNet-style unigram-LM quality signal (mean log-prob + perplexity)",
+    ),
+    QuerySpec(
+        "doc_tfidf_top_terms",
+        doc_tfidf_top_terms,
+        f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+        ), tf AS (
+            SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+        ), docfreq AS (
+            SELECT token, count(*) AS df FROM tf GROUP BY 1
+        ), n AS (
+            SELECT count(*) AS _n FROM documents
+        ), scored AS (
+            SELECT doc_id, token, tf, df,
+                   {sql_snippets.dround('tf * (ln(_n) - ln(df))', 6)} AS tfidf
+            FROM tf JOIN docfreq USING (token) CROSS JOIN n
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, token
+            ) AS term_rank FROM scored
+        )
+        SELECT doc_id, token, tf, df, tfidf, term_rank
+        FROM ranked WHERE term_rank <= 3
+        """,
+        "per-doc top-3 TF-IDF terms (keyword extraction)",
     ),
     QuerySpec(
         "exact_dup_docs",

@@ -65,7 +65,8 @@ class QuerySpec:
 # CORRECTNESS_r*.json.
 # Round-7 rotation: NEW query doc_unigram_logprob (CCNet perplexity
 # signal) promoted for its first driver row; doc_sample_10pct demoted
-# (green r4+r5+r6).
+# (green r4+r5+r6).  Also-new doc_tfidf_top_terms stays in the tail
+# (local oracle coverage) pending an r8 slot.
 GATE_PRIORITY = [
     # reference-parity clickstream core (pinned)
     "page_view_counts",
