@@ -73,7 +73,10 @@ def scrub_pii(
     PII_PATTERNS for why order matters).  ``out_col=None`` rewrites
     ``text_col`` in place, the curation-pipeline shape."""
     patterns = PII_PATTERNS if patterns is None else patterns
-    replacements = PII_REPLACEMENTS if replacements is None else replacements
+    if replacements is None:
+        # derive from the ACTUAL patterns so custom pattern sets get
+        # matching placeholder tokens instead of a KeyError
+        replacements = {name: f"|||{name.upper()}|||" for name in patterns}
     col: Column = F.col(text_col)
     for name, pattern in patterns.items():
         col = F.regexp_replace(col, pattern, replacements[name])
@@ -88,8 +91,15 @@ def pii_audit(
     a single pass, no shuffle beyond the final single-row combine."""
     patterns = PII_PATTERNS if patterns is None else patterns
     aggs = []
+    zero = F.lit(0).cast("long")
     for name, pattern in patterns.items():
         matches = F.regexp_count(F.col(text_col), F.lit(pattern))
-        aggs.append(F.sum(matches).cast("long").alias(f"{name}_matches"))
-        aggs.append(F.sum((matches > 0).cast("long")).cast("long").alias(f"{name}_docs"))
+        # coalesce: sum over zero rows (empty corpus) is NULL, and the
+        # audit's consumers compare counts against 0
+        aggs.append(F.coalesce(F.sum(matches).cast("long"), zero).alias(f"{name}_matches"))
+        aggs.append(
+            F.coalesce(F.sum((matches > 0).cast("long")).cast("long"), zero).alias(
+                f"{name}_docs"
+            )
+        )
     return df.agg(*aggs)

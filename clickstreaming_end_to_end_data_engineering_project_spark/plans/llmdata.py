@@ -128,7 +128,10 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     toks = docs.select("doc_id", F.explode(text.tokens("text")).alias("token"))
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tok_count"))
-    total = toks.agg(F.count(F.lit(1)).alias("_total"))
+    # total from the vocab-sized counts frame, NOT another toks.agg():
+    # toks is uncached, so aggregating it directly would re-tokenize
+    # the whole corpus a third time
+    total = counts.agg(F.sum("tok_count").alias("_total"))
     logp = F.log(F.col("tok_count").cast("double")) - F.log(F.col("_total").cast("double"))
     per_doc = (
         toks.join(counts, "token")

@@ -72,8 +72,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     ensure_session_defaults(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos_read = False
     try:
         df = spark.read.parquet(path)
+        # an externally built session may already run nanosAsLong=true
+        # (so the read succeeds with raw bigint nanos and the fallback
+        # below never fires) — treat that exactly like the fallback
+        nanos_read = (
+            spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true"
+            and any(t == "bigint" for _, t in df.dtypes)
+        )
     except Exception as exc:
         if "TIMESTAMP(NANOS" not in str(exc):
             raise
@@ -86,6 +94,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
             else:
                 spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+        nanos_read = True
+    if nanos_read:
         dtypes = dict(df.dtypes)
         for col in _nanos_parquet_columns(path):
             if dtypes.get(col) == "bigint":

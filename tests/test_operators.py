@@ -861,3 +861,26 @@ def test_pii_scrub_on_driver_corpus_is_noop(spark, sf_dir):
         .count()
     )
     assert changed == 0
+
+
+def test_pii_custom_patterns_and_empty_corpus(spark):
+    """scrub_pii with a custom pattern set derives matching placeholder
+    tokens (no KeyError against the built-in replacement table), and
+    pii_audit over an empty corpus reports zeros, not NULLs."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.pii import (
+        pii_audit,
+        scrub_pii,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "pay to DE44500105175407324931 today")], "doc_id long, text string"
+    )
+    iban = {"iban": r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b"}
+    out = scrub_pii(df, patterns=iban).collect()[0]["text"]
+    assert out == "pay to |||IBAN||| today"
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    audit = pii_audit(empty).collect()[0].asDict()
+    assert all(v == 0 for v in audit.values()), audit
+    audit_iban = pii_audit(empty, patterns=iban).collect()[0].asDict()
+    assert audit_iban == {"iban_matches": 0, "iban_docs": 0}

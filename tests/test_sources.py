@@ -150,3 +150,39 @@ def test_load_nanos_fallback_converts_all_nanos_columns(spark, tmp_path):
     row = df.orderBy("event_id").collect()[-1]
     assert row["updated_at"] == base + dt.timedelta(hours=1)
     assert row["seq"] == 20
+
+
+def test_load_converts_nanos_when_conf_preset_true(spark, tmp_path):
+    """An externally built session may already run nanosAsLong=true, so
+    the first read SUCCEEDS with raw bigint nanos and the exception
+    fallback never fires — load() must still rebuild the footer-nanos
+    columns into timestamps (regression: the conversion used to live
+    only in the except branch)."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = dt.datetime(2024, 1, 1, 9, 0, 0)
+    pdf = pd.DataFrame(
+        {"event_id": [1, 2], "ts": pd.to_datetime([base, base + dt.timedelta(minutes=1)])}
+    )
+    table = pa.Table.from_pandas(pdf, preserve_index=False).set_column(
+        1, "ts", pa.Array.from_pandas(pdf["ts"]).cast(pa.timestamp("ns"))
+    )
+    pq.write_table(table, f"{tmp_path}/events.parquet", coerce_timestamps=None)
+
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        df = load(spark, str(tmp_path), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        assert sorted(r["ts"] for r in df.collect())[0] == base
+        # genuine bigints (event_id) untouched
+        assert dict(df.dtypes)["event_id"] == "bigint"
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
