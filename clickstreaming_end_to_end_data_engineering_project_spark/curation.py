@@ -6,7 +6,11 @@ way a corpus-scale curation job runs.
 Stage shapes (why this survives a 100 TB corpus):
   1. score   — quality + language-ID are pure projections (codegen
                expressions, no shuffle); the two feature frames join
-               back on doc_id (AQE picks the strategy).
+               back on doc_id (AQE picks the strategy).  The optional
+               perplexity gate (max_perplexity) adds the CCNet-style
+               corpus-unigram LM pass: one vocab-bounded count shuffle
+               + a semi-join of survivors — the only stage-1 path that
+               shuffles, and only when asked for.
   2. filter  — quality/lang predicates run before anything expensive;
                at scale they also prune whole partitions when the
                corpus is written bucketed/partitioned by those keys.
@@ -57,17 +61,31 @@ def score_and_filter(
     docs: DataFrame,
     min_quality: float = 0.75,
     langs: tuple[str, ...] | None = None,
+    max_perplexity: float | None = None,
 ) -> DataFrame:
     """Attach quality_score + predicted_lang, keep rows passing both
     gates.  Both features are pure column expressions, so this whole
     stage is one NARROW projection+filter — attaching per-doc features
     must never shuffle the corpus (the join formulation would shuffle
-    it twice)."""
+    it twice).
+
+    ``max_perplexity`` additionally applies the CCNet-style unigram-LM
+    gate (drop docs whose perplexity under the corpus's own unigram
+    distribution exceeds the cap — repetitive junk scores LOW, rare-
+    token noise scores HIGH).  Implemented as a left-semi join against
+    the survivor id set so the corpus rows pass through unwidened."""
     kept = docs.withColumn("quality_score", text.quality_score_col("text")).withColumn(
         "predicted_lang", text.predicted_lang_col("text")
     ).filter(F.col("quality_score") >= min_quality)
     if langs:
         kept = kept.filter(F.col("predicted_lang").isin(list(langs)))
+    if max_perplexity is not None:
+        ok = (
+            text.unigram_logprob(kept)
+            .filter(F.col("perplexity") <= max_perplexity)
+            .select("doc_id")
+        )
+        kept = kept.join(ok, "doc_id", "left_semi")
     return kept
 
 
@@ -125,11 +143,12 @@ def curate_corpus(
     max_doc_freq: int | None = 50,
     train_frac: float = 0.8,
     scrub: bool = True,
+    max_perplexity: float | None = None,
 ) -> CurationResult:
     docs = load(spark, sf_dir, "documents")
     input_docs = docs.count()
 
-    kept = score_and_filter(docs, min_quality, langs)
+    kept = score_and_filter(docs, min_quality, langs, max_perplexity)
     after_filter = kept.count()
 
     exact = drop_exact_dups(kept)

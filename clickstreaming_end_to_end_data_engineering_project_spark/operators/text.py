@@ -172,3 +172,44 @@ def fingerprint_rolling(df: DataFrame, id_col: str = "doc_id", text_col: str = "
         lambda acc, ch: (acc * F.lit(31) + F.ascii(ch)) % F.lit(2147483647),
     )
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style LM quality signal (Wenzek et al. 2020): per-doc mean
+    token log-probability under the corpus's OWN unigram distribution,
+    plus perplexity — the filter stage CommonCrawl pipelines run with a
+    reference LM, self-trained here so it needs no external model.
+
+    Shape: explode (narrow) → vocab count shuffle → token⋈vocab join
+    (AQE broadcast; the vocabulary is the only globally-shared state
+    and is bounded by |vocab|, not corpus size) → single-row total via
+    the broadcast scalar pattern → per-doc agg.  mean_logprob is
+    dround-ed to 6 dp BEFORE exp() so any two engines exponentiate the
+    identical double (see plans/llmdata.doc_unigram_logprob's oracle).
+    """
+    from ..functions import dround
+
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tok_count"))
+    # total from the vocab-sized counts frame, NOT another toks.agg():
+    # toks is uncached, so aggregating it directly would re-tokenize
+    # the whole corpus a third time
+    total = counts.agg(F.sum("tok_count").alias("_total"))
+    logp = F.log(F.col("tok_count").cast("double")) - F.log(F.col("_total").cast("double"))
+    per_doc = (
+        toks.join(counts, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            dround(F.avg(logp), 6).alias("mean_logprob"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        "mean_logprob",
+        dround(F.exp(-F.col("mean_logprob")), 6).alias("perplexity"),
+    )

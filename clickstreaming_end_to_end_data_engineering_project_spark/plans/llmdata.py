@@ -111,43 +111,10 @@ def word_freq_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality signal (Wenzek et al. 2020; the
-    perplexity-filter stage every CommonCrawl pipeline runs): per-doc
-    mean token log-probability under the corpus's OWN unigram
-    distribution, plus the corresponding perplexity.  Spark shape: one
-    explode (narrow), one vocab-sized count shuffle, token⋈vocab join
-    (AQE picks broadcast — the vocabulary is tiny relative to the
-    corpus), a single-row total broadcast via crossJoin (the
-    scalar-subquery pattern), and one per-doc agg shuffle.  At 100 TB
-    the vocab count frame is the only globally-shared state and it is
-    bounded by |vocabulary|, not corpus size.
-
-    Determinism: mean_logprob is dround-ed to 6 dp BEFORE exp(), so
-    both engines exponentiate the identical double; the 1-ulp libm
-    divergence between Math.exp and C exp is then absorbed by the
-    outer dround."""
-    docs = _docs(spark, sf_dir)
-    toks = docs.select("doc_id", F.explode(text.tokens("text")).alias("token"))
-    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tok_count"))
-    # total from the vocab-sized counts frame, NOT another toks.agg():
-    # toks is uncached, so aggregating it directly would re-tokenize
-    # the whole corpus a third time
-    total = counts.agg(F.sum("tok_count").alias("_total"))
-    logp = F.log(F.col("tok_count").cast("double")) - F.log(F.col("_total").cast("double"))
-    per_doc = (
-        toks.join(counts, "token")
-        .crossJoin(F.broadcast(total))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            dround(F.avg(logp), 6).alias("mean_logprob"),
-        )
-    )
-    return per_doc.select(
-        "doc_id",
-        "n_tokens",
-        "mean_logprob",
-        dround(F.exp(-F.col("mean_logprob")), 6).alias("perplexity"),
-    )
+    perplexity-filter stage every CommonCrawl pipeline runs) — see
+    operators/text.unigram_logprob for the plan-shape and determinism
+    notes; the oracle below mirrors it term-for-term."""
+    return text.unigram_logprob(_docs(spark, sf_dir))
 
 
 def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:

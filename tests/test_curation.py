@@ -93,3 +93,29 @@ def test_curation_scrubs_pii_from_written_corpus(spark, sf_dir, tmp_path):
     raw = spark.read.parquet(f"{out}/corpus")
     assert raw.filter(F.col("text").contains("bob@example.com")).count() == raw.count()
     assert (res_raw.train_docs, res_raw.test_docs) == (res.train_docs, res.test_docs)
+
+
+def test_curation_perplexity_gate_drops_rare_token_noise(spark):
+    """The CCNet-style max_perplexity gate keeps docs made of common
+    corpus tokens and drops rare-token noise (every token unique to the
+    doc → minimal unigram probability → maximal perplexity)."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.curation import (
+        score_and_filter,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.text import (
+        unigram_logprob,
+    )
+
+    common = "the cat sat on the mat and the dog sat on the rug near the door"
+    rows = [(i, common) for i in range(9)]
+    rows.append((99, "zyx qwv jkl pqr stu vwx abc def ghi mno zzz yyy xxx www vvv uuu"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    ppl = {r["doc_id"]: r["perplexity"] for r in unigram_logprob(df).collect()}
+    assert ppl[99] > ppl[0], "rare-token doc must score higher perplexity"
+
+    cap = (ppl[0] + ppl[99]) / 2
+    kept = score_and_filter(df, min_quality=0.0, max_perplexity=cap)
+    assert {r["doc_id"] for r in kept.collect()} == set(range(9))
+    # without the gate everything passes
+    assert score_and_filter(df, min_quality=0.0).count() == 10
