@@ -196,6 +196,85 @@ def _jaccard_pairs_anti_join(doc: DataFrame, max_doc_freq: int, threshold: float
     return _pairs_from_index(ds, threshold).localCheckpoint(eager=True)
 
 
+def dedup_new_against_corpus(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+    max_doc_freq: int | None = 50,
+) -> DataFrame:
+    """Incremental-ingestion dedup: the production path for appending a
+    crawl increment to an existing corpus.  Returns the rows of
+    ``new_docs`` that survive BOTH gates:
+
+    1. exact — drop docs byte-identical to any corpus doc (md5
+       anti-join against the corpus fingerprint set) or to an earlier
+       doc in the same batch (keep min id per fingerprint);
+    2. near — drop docs whose word-``n``-gram Jaccard vs ANY corpus
+       doc ≥ ``threshold``, via an ASYMMETRIC inverted-index join
+       (new-batch index ⋈ corpus index on the shingle hash) — never a
+       corpus self-join, so the cost is |batch index| ⋈ |corpus
+       index|, linear in the corpus for a bounded batch.
+
+    ``max_doc_freq`` caps hot shingles by their CORPUS doc-frequency
+    (boilerplate lives in the corpus): shingles above the cap are
+    anti-joined out of both sides before the candidate join, same
+    skew-safety story as ``ngram_jaccard_pairs``.  Near-dups WITHIN
+    the new batch are out of scope here — run the batch through
+    ``ngram_jaccard_pairs``/clustering first if that matters; at
+    ingestion scale the corpus side dominates and this operator keeps
+    its plan to the asymmetric join only.
+
+    At 100 TB the corpus fingerprint set and shingle index are the
+    reusable artifacts: persist both as parquet once per corpus
+    version and hand them in here instead of ``corpus`` (the operator
+    only derives them when given raw text)."""
+    fp = F.md5(F.col(text_col).cast("binary"))
+    corpus_fps = corpus.select(fp.alias("_fp")).distinct()
+    batch_fp = new_docs.select(F.col(id_col), fp.alias("_fp"))
+    batch_keep = (
+        batch_fp.join(corpus_fps, "_fp", "left_anti")
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    exact_ok = new_docs.join(batch_keep, id_col, "left_semi")
+
+    new_idx = _doc_shingles(exact_ok, id_col, text_col, n)
+    corp_idx = _doc_shingles(corpus, id_col, text_col, n)
+    if max_doc_freq is not None:
+        hot = (
+            corp_idx.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("shingle")
+        )
+        new_idx = new_idx.join(F.broadcast(hot), "shingle", "left_anti")
+        corp_idx = corp_idx.join(F.broadcast(hot), "shingle", "left_anti")
+    new_sizes = new_idx.groupBy("_id").agg(F.count(F.lit(1)).alias("_n_new"))
+    corp_sizes = corp_idx.groupBy("_id").agg(F.count(F.lit(1)).alias("_n_corp"))
+    inter = (
+        new_idx.alias("a")
+        .join(corp_idx.alias("b"), F.col("a.shingle") == F.col("b.shingle"))
+        .groupBy(F.col("a._id").alias("_new_id"), F.col("b._id").alias("_corp_id"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    near_losers = (
+        inter.join(new_sizes.withColumnRenamed("_id", "_new_id"), "_new_id")
+        .join(corp_sizes.withColumnRenamed("_id", "_corp_id"), "_corp_id")
+        .withColumn(
+            "_jaccard",
+            F.col("_inter") / (F.col("_n_new") + F.col("_n_corp") - F.col("_inter")),
+        )
+        .filter(F.col("_jaccard") >= threshold)
+        .select(F.col("_new_id").alias(id_col))
+        .distinct()
+    )
+    return exact_ok.join(near_losers, id_col, "left_anti")
+
+
 def ngram_contamination(
     train: DataFrame,
     eval_df: DataFrame,

@@ -884,3 +884,45 @@ def test_pii_custom_patterns_and_empty_corpus(spark):
     assert all(v == 0 for v in audit.values()), audit
     audit_iban = pii_audit(empty, patterns=iban).collect()[0].asDict()
     assert audit_iban == {"iban_matches": 0, "iban_docs": 0}
+
+
+def test_dedup_new_against_corpus(spark):
+    """Incremental-ingestion dedup: exact corpus dup, within-batch
+    exact dup, and near-dup-of-corpus all drop; distinct docs and a
+    near-dup OF ANOTHER NEW DOC (out of scope by contract) survive."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        dedup_new_against_corpus,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "one two three four five six seven eight nine ten eleven twelve"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # exact corpus dup
+            (11, "one two three four five six seven eight nine ten eleven thirteen"),  # near-dup of 2
+            (12, "completely different words about entirely unrelated topics here now"),  # keep
+            (13, "completely different words about entirely unrelated topics here now"),  # batch dup of 12
+            (14, "fresh unique content with no overlap whatsoever anywhere in sight"),  # keep
+        ],
+        ["doc_id", "text"],
+    )
+    kept = {r["doc_id"] for r in dedup_new_against_corpus(new, corpus, threshold=0.2).collect()}
+    assert kept == {12, 14}
+
+    # threshold=1.01 disables the near gate; only exact dups drop
+    kept_exact_only = {
+        r["doc_id"] for r in dedup_new_against_corpus(new, corpus, threshold=1.01).collect()
+    }
+    assert kept_exact_only == {11, 12, 14}
+
+    # empty corpus: only within-batch exact dedup applies
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    kept_no_corpus = {
+        r["doc_id"] for r in dedup_new_against_corpus(new, empty, threshold=0.2).collect()
+    }
+    assert kept_no_corpus == {10, 11, 12, 14}
