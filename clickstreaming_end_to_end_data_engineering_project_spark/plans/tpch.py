@@ -164,6 +164,67 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of orders that have at least
+    one late-shipped lineitem (EXISTS correlated subquery → left-semi
+    join; this testdata has no l_commitdate, so "late" is shipped more
+    than 60 days after the order date).  The semi-join shrinks to one
+    boolean per order BEFORE the count aggregate; lineitem⋈orders is
+    the only real shuffle, the 5-group count is map-side partial."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01")) & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    ).select("l_orderkey")
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: two-way CASE-sum classification — per lineitem
+    status (standing in for the absent l_shipmode), how many 1997-
+    shipped lines belong to critical (1-URGENT/2-HIGH) vs other
+    orders.  One lineitem⋈orders shuffle; the two conditional sums are
+    a single pass with map-side partials."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a DISJUNCTION of brand/size/
+    quantity predicate bundles (adapted to this schema's columns).
+    The p_partkey equi-join is shared across the OR arms so Catalyst
+    keeps ONE broadcast hash join and evaluates the disjunction as a
+    post-join filter; the per-arm part predicates stay pushable into
+    the part scan as an OR-of-ANDs."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    arm1 = (F.col("p_brand") == "Brand#11") & (F.col("p_size") <= 15) & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    arm2 = (F.col("p_brand") == "Brand#22") & (F.col("p_size") <= 25) & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 40)
+    arm3 = (F.col("p_brand") == "Brand#33") & (F.col("p_size") <= 35) & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 50)
+    return j.filter(arm1 | arm2 | arm3).agg(
+        F.sum(_REV()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
 def top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per group via row_number window — partitioned by brand, so
     the window shuffle is on a low-skew key; no global sort."""
@@ -427,6 +488,49 @@ SPECS = [
         WHERE l_shipdate >= TIMESTAMP '1997-09-01'
           AND l_shipdate <  TIMESTAMP '1997-10-01'
         """,
+    ),
+    QuerySpec(
+        "q4_order_priority_checking",
+        q4_order_priority_checking,
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-04-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority
+        """,
+        "TPC-H Q4 shape: EXISTS semi-join + priority counts",
+    ),
+    QuerySpec(
+        "q12_priority_by_linestatus",
+        q12_priority_by_linestatus,
+        """
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_linestatus
+        """,
+        "TPC-H Q12 shape: two-way CASE-sum classification",
+    ),
+    QuerySpec(
+        "q19_disjunctive_revenue",
+        q19_disjunctive_revenue,
+        f"""
+        SELECT {_SUM_REV_SQL} AS revenue, count(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#11' AND p_size <= 15 AND l_quantity BETWEEN 1 AND 30)
+           OR (p_brand = 'Brand#22' AND p_size <= 25 AND l_quantity BETWEEN 10 AND 40)
+           OR (p_brand = 'Brand#33' AND p_size <= 35 AND l_quantity BETWEEN 20 AND 50)
+        """,
+        "TPC-H Q19 shape: disjunctive predicate bundles over one join",
     ),
     QuerySpec(
         "q18_large_volume_customers",
