@@ -72,30 +72,31 @@ def score_and_filter(
     ``max_perplexity`` additionally applies the CCNet-style unigram-LM
     gate (drop docs whose perplexity under the corpus's own unigram
     distribution exceeds the cap — repetitive junk scores LOW, rare-
-    token noise scores HIGH).  Implemented as a left-semi join against
-    the survivor id set so the corpus rows pass through unwidened."""
+    token noise scores HIGH).  Implemented as an ANTI-join against the
+    over-cap id set, so docs the LM cannot score at all (zero tokens —
+    they produce no unigram_logprob row) pass through rather than being
+    silently dropped by a gate that never evaluated them; corpus rows
+    pass through unwidened either way."""
     kept = docs.withColumn("quality_score", text.quality_score_col("text")).withColumn(
         "predicted_lang", text.predicted_lang_col("text")
     ).filter(F.col("quality_score") >= min_quality)
     if langs:
         kept = kept.filter(F.col("predicted_lang").isin(list(langs)))
     if max_perplexity is not None:
-        ok = (
+        too_perplexed = (
             text.unigram_logprob(kept)
-            .filter(F.col("perplexity") <= max_perplexity)
+            .filter(F.col("perplexity") > max_perplexity)
             .select("doc_id")
         )
-        kept = kept.join(ok, "doc_id", "left_semi")
+        kept = kept.join(too_perplexed, "doc_id", "left_anti")
     return kept
 
 
 def drop_exact_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Keep the smallest id per byte-identical text.  groupBy+semi-join
-    (map-side partial agg on the 16-byte fingerprint) rather than a
-    window over the full corpus."""
-    fp = df.select(F.col(id_col), F.md5(F.col(text_col).cast("binary")).alias("_fp"))
-    keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col)).select(id_col)
-    return df.join(keep, id_col, "left_semi")
+    """Keep the smallest id per byte-identical text — delegates to the
+    shared ``dedup.keep_first_per_fingerprint`` (groupBy+semi-join on
+    the md5 fingerprint; NULL texts are never duplicates)."""
+    return dedup.keep_first_per_fingerprint(df, id_col, text_col)
 
 
 def drop_near_dups(

@@ -135,7 +135,15 @@ def ngram_jaccard_pairs(
     on executor loss — fine at fixture scale; at corpus scale write
     the pair list to parquet instead (same pattern as the signature
     table note in ``minhash_lsh_candidates``)."""
-    doc = df.select(F.col(id_col).alias("_id"), _shingle_array(text_col, n).alias("_sh")).persist()
+    doc_cached = df.select(
+        F.col(id_col).alias("_id"), _shingle_array(text_col, n).alias("_sh")
+    ).persist()
+    # NB: later steps derive new frames from doc_cached; unpersist must
+    # target the ORIGINAL persisted frame (unpersisting a withColumn
+    # derivative silently leaves the cache entry behind — the leak
+    # test_dedup_operators_leave_no_cached_dataframes pins with a
+    # capped corpus)
+    doc = doc_cached
     try:
         if max_doc_freq is not None:
             hot_rows = (
@@ -155,7 +163,7 @@ def ngram_jaccard_pairs(
         ds = doc.select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("shingle"))
         return _pairs_from_index(ds, threshold).localCheckpoint(eager=True)
     finally:
-        doc.unpersist()
+        doc_cached.unpersist()
 
 
 def _pairs_from_index(ds: DataFrame, threshold: float) -> DataFrame:
@@ -196,6 +204,26 @@ def _jaccard_pairs_anti_join(doc: DataFrame, max_doc_freq: int, threshold: float
     return _pairs_from_index(ds, threshold).localCheckpoint(eager=True)
 
 
+def keep_first_per_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup: keep the smallest id per byte-identical text (md5
+    of the bytes) via groupBy+semi-join — map-side partial agg on the
+    16-byte fingerprint, no window over the corpus.  NULL texts are
+    never duplicates of anything (SQL equality semantics: md5(NULL) is
+    NULL, and NULL ≠ NULL), so they all pass through.  Shared by
+    ``curation.drop_exact_dups`` and ``dedup_new_against_corpus``."""
+    fp = df.select(F.col(id_col), F.md5(F.col(text_col).cast("binary")).alias("_fp"))
+    keep = (
+        fp.filter(F.col("_fp").isNotNull())
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+        .unionByName(fp.filter(F.col("_fp").isNull()).select(id_col))
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
 def dedup_new_against_corpus(
     new_docs: DataFrame,
     corpus: DataFrame,
@@ -230,17 +258,24 @@ def dedup_new_against_corpus(
     At 100 TB the corpus fingerprint set and shingle index are the
     reusable artifacts: persist both as parquet once per corpus
     version and hand them in here instead of ``corpus`` (the operator
-    only derives them when given raw text)."""
+    only derives them when given raw text).  Within one call the two
+    capped indexes are cached — the corpus index feeds the hot-shingle
+    agg, the sizes agg and the candidate join, and re-deriving it per
+    consumer would re-tokenize the corpus three times (the same rule
+    ``ngram_jaccard_pairs`` documents); the loser id set is
+    materialized eagerly so no cache entry outlives the call."""
     fp = F.md5(F.col(text_col).cast("binary"))
     corpus_fps = corpus.select(fp.alias("_fp")).distinct()
     batch_fp = new_docs.select(F.col(id_col), fp.alias("_fp"))
-    batch_keep = (
-        batch_fp.join(corpus_fps, "_fp", "left_anti")
-        .groupBy("_fp")
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
+    # vs-corpus: NULL fingerprints never equi-join, so NULL-text docs
+    # survive this anti-join; keep_first_per_fingerprint applies the
+    # matching NULL-is-never-a-dup rule within the batch
+    not_in_corpus = (
+        batch_fp.join(corpus_fps, "_fp", "left_anti").select(id_col)
     )
-    exact_ok = new_docs.join(batch_keep, id_col, "left_semi")
+    exact_ok = keep_first_per_fingerprint(
+        new_docs.join(not_in_corpus, id_col, "left_semi"), id_col, text_col
+    )
 
     new_idx = _doc_shingles(exact_ok, id_col, text_col, n)
     corp_idx = _doc_shingles(corpus, id_col, text_col, n)
@@ -253,25 +288,32 @@ def dedup_new_against_corpus(
         )
         new_idx = new_idx.join(F.broadcast(hot), "shingle", "left_anti")
         corp_idx = corp_idx.join(F.broadcast(hot), "shingle", "left_anti")
-    new_sizes = new_idx.groupBy("_id").agg(F.count(F.lit(1)).alias("_n_new"))
-    corp_sizes = corp_idx.groupBy("_id").agg(F.count(F.lit(1)).alias("_n_corp"))
-    inter = (
-        new_idx.alias("a")
-        .join(corp_idx.alias("b"), F.col("a.shingle") == F.col("b.shingle"))
-        .groupBy(F.col("a._id").alias("_new_id"), F.col("b._id").alias("_corp_id"))
-        .agg(F.count(F.lit(1)).alias("_inter"))
-    )
-    near_losers = (
-        inter.join(new_sizes.withColumnRenamed("_id", "_new_id"), "_new_id")
-        .join(corp_sizes.withColumnRenamed("_id", "_corp_id"), "_corp_id")
-        .withColumn(
-            "_jaccard",
-            F.col("_inter") / (F.col("_n_new") + F.col("_n_corp") - F.col("_inter")),
+    new_idx = new_idx.persist()
+    corp_idx = corp_idx.persist()
+    try:
+        new_sizes = new_idx.groupBy("_id").agg(F.count(F.lit(1)).alias("_n_new"))
+        corp_sizes = corp_idx.groupBy("_id").agg(F.count(F.lit(1)).alias("_n_corp"))
+        inter = (
+            new_idx.alias("a")
+            .join(corp_idx.alias("b"), F.col("a.shingle") == F.col("b.shingle"))
+            .groupBy(F.col("a._id").alias("_new_id"), F.col("b._id").alias("_corp_id"))
+            .agg(F.count(F.lit(1)).alias("_inter"))
         )
-        .filter(F.col("_jaccard") >= threshold)
-        .select(F.col("_new_id").alias(id_col))
-        .distinct()
-    )
+        near_losers = (
+            inter.join(new_sizes.withColumnRenamed("_id", "_new_id"), "_new_id")
+            .join(corp_sizes.withColumnRenamed("_id", "_corp_id"), "_corp_id")
+            .withColumn(
+                "_jaccard",
+                F.col("_inter") / (F.col("_n_new") + F.col("_n_corp") - F.col("_inter")),
+            )
+            .filter(F.col("_jaccard") >= threshold)
+            .select(F.col("_new_id").alias(id_col))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        new_idx.unpersist()
+        corp_idx.unpersist()
     return exact_ok.join(near_losers, id_col, "left_anti")
 
 

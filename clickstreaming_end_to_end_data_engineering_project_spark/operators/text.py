@@ -38,13 +38,15 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     n_punct = F.length(F.regexp_replace(F.col(text_col), r"[\w\s]", ""))
     # raw int/int double divisions: inputs are exact integers, so the
     # result is bit-identical across engines — no rounding needed (and
-    # native round() would reintroduce engine-specific .5 behavior)
+    # native round() would reintroduce engine-specific .5 behavior).
+    # try_divide: a zero-token/empty doc yields NULL ratios instead of
+    # an ANSI DIVIDE_BY_ZERO crash (Spark 4 defaults to ANSI mode).
     return df.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
-        (total_len / n_tokens).alias("avg_token_len"),
-        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
-        (n_punct.cast("double") / F.length(text_col)).alias("punct_ratio"),
+        F.try_divide(total_len, n_tokens).alias("avg_token_len"),
+        F.try_divide(n_stop.cast("double"), n_tokens).alias("stopword_ratio"),
+        F.try_divide(n_punct.cast("double"), F.length(text_col)).alias("punct_ratio"),
     )
 
 
@@ -55,12 +57,16 @@ def quality_score_col(text_col: str = "text") -> Column:
     toks = tokens(text_col)
     n_tokens = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    stopword_ratio = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast(
-        "double"
-    ) / n_tokens
-    punct_ratio = (
-        F.length(F.regexp_replace(F.col(text_col), r"[\w\s]", "")).cast("double")
-        / F.length(text_col)
+    # try_divide: empty/zero-token docs get NULL ratios (→ both ratio
+    # bonuses fall to the otherwise-0 branch, score 0.0) instead of an
+    # ANSI DIVIDE_BY_ZERO crash under Spark 4's default mode
+    stopword_ratio = F.try_divide(
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("double"),
+        n_tokens,
+    )
+    punct_ratio = F.try_divide(
+        F.length(F.regexp_replace(F.col(text_col), r"[\w\s]", "")).cast("double"),
+        F.length(text_col),
     )
     length_ok = (n_tokens >= 10) & (n_tokens <= 100000)
     return (

@@ -175,8 +175,11 @@ def q4_order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1997-01-01")) & (F.col("o_orderdate") < F.lit("1997-04-01"))
     )
     li = load(spark, sf_dir, "lineitem")
+    # timestamp + INTERVAL, not date_add: date_add truncates to a DATE,
+    # which would silently diverge from the oracle's `+ INTERVAL 60 DAY`
+    # if the driver ever ships non-midnight order timestamps
     late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
-        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     ).select("l_orderkey")
     return (
         orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")

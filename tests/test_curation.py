@@ -119,3 +119,12 @@ def test_curation_perplexity_gate_drops_rare_token_noise(spark):
     assert {r["doc_id"] for r in kept.collect()} == set(range(9))
     # without the gate everything passes
     assert score_and_filter(df, min_quality=0.0).count() == 10
+
+    # zero-token docs produce no unigram_logprob row; the gate must
+    # pass them through (anti-join shape), not silently drop them
+    with_empty = df.union(spark.createDataFrame([(50, ""), (51, "   ")], ["doc_id", "text"]))
+    kept_e = {
+        r["doc_id"]
+        for r in score_and_filter(with_empty, min_quality=0.0, max_perplexity=cap).collect()
+    }
+    assert {50, 51} <= kept_e, "unscorable docs must not be dropped by the perplexity cap"

@@ -496,13 +496,27 @@ def test_dedup_operators_leave_no_cached_dataframes(spark, sf_dir):
     )
     from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
 
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        dedup_new_against_corpus,
+    )
+
     spark.catalog.clearCache()
     cm = spark._jsparkSession.sharedState().cacheManager()
     docs = load(spark, sf_dir, "documents")
     assert ngram_jaccard_pairs(docs, threshold=0.2, max_doc_freq=50).count() >= 0
     assert cm.isEmpty(), "ngram_jaccard_pairs leaked a cached DataFrame"
+    # the CAPPED path (non-empty hot list → array_except rebind) is the
+    # historical leak: unpersist used to target the rebound derivative,
+    # leaving the original cached frame behind
+    hot_docs = spark.createDataFrame(
+        [(i, f"a b c u{i} v{i} w{i}") for i in range(5)], ["doc_id", "text"]
+    )
+    assert ngram_jaccard_pairs(hot_docs, threshold=0.1, max_doc_freq=4).count() == 0
+    assert cm.isEmpty(), "capped ngram_jaccard_pairs leaked the pre-rebind cache entry"
     assert minhash_lsh_candidates(docs).count() >= 0
     assert cm.isEmpty(), "minhash_lsh_candidates leaked a cached DataFrame"
+    assert dedup_new_against_corpus(hot_docs, docs.limit(50)).count() >= 0
+    assert cm.isEmpty(), "dedup_new_against_corpus leaked a cached DataFrame"
     embs = load(spark, sf_dir, "embeddings")
     assert kmeans_assign(embs, k=4, iterations=2).count() > 0
     assert cm.isEmpty(), "kmeans_assign leaked a cached DataFrame"
@@ -889,7 +903,9 @@ def test_pii_custom_patterns_and_empty_corpus(spark):
 def test_dedup_new_against_corpus(spark):
     """Incremental-ingestion dedup: exact corpus dup, within-batch
     exact dup, and near-dup-of-corpus all drop; distinct docs and a
-    near-dup OF ANOTHER NEW DOC (out of scope by contract) survive."""
+    within-batch NEAR-dup (out of scope by contract — doc 15 is a
+    non-identical near-dup of doc 12 with no corpus counterpart)
+    survive.  NULL-text docs are never duplicates of anything."""
     from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
         dedup_new_against_corpus,
     )
@@ -906,23 +922,26 @@ def test_dedup_new_against_corpus(spark):
             (10, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # exact corpus dup
             (11, "one two three four five six seven eight nine ten eleven thirteen"),  # near-dup of 2
             (12, "completely different words about entirely unrelated topics here now"),  # keep
-            (13, "completely different words about entirely unrelated topics here now"),  # batch dup of 12
+            (13, "completely different words about entirely unrelated topics here now"),  # batch EXACT dup of 12
             (14, "fresh unique content with no overlap whatsoever anywhere in sight"),  # keep
+            (15, "completely different words about entirely unrelated topics here today"),  # batch NEAR dup of 12: kept by contract
+            (16, None),  # NULL text: never a dup
+            (17, None),  # NULL text: not a dup of 16 either
         ],
         ["doc_id", "text"],
     )
     kept = {r["doc_id"] for r in dedup_new_against_corpus(new, corpus, threshold=0.2).collect()}
-    assert kept == {12, 14}
+    assert kept == {12, 14, 15, 16, 17}
 
     # threshold=1.01 disables the near gate; only exact dups drop
     kept_exact_only = {
         r["doc_id"] for r in dedup_new_against_corpus(new, corpus, threshold=1.01).collect()
     }
-    assert kept_exact_only == {11, 12, 14}
+    assert kept_exact_only == {11, 12, 14, 15, 16, 17}
 
     # empty corpus: only within-batch exact dedup applies
     empty = spark.createDataFrame([], "doc_id long, text string")
     kept_no_corpus = {
         r["doc_id"] for r in dedup_new_against_corpus(new, empty, threshold=0.2).collect()
     }
-    assert kept_no_corpus == {10, 11, 12, 14}
+    assert kept_no_corpus == {10, 11, 12, 14, 15, 16, 17}

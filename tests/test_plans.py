@@ -103,3 +103,32 @@ def test_whole_stage_codegen_everywhere_hot(spark, sf_dir):
         codegen = plan_of(df, "codegen")
         assert "WholeStageCodegen subtree" in codegen, name
         assert "BatchEvalPython" not in plan_of(df), f"{name}: row Python in the hot path"
+
+
+def test_q4_semi_join_and_date_pushdown(spark, sf_dir):
+    """Q4 shape pins: the EXISTS resolves to a left-semi join, and the
+    quarter date-range predicate reaches the orders parquet scan."""
+    plan = plan_of(all_specs()["q4_order_priority_checking"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan, "EXISTS must compile to a left-semi join"
+    pushed = plan.split("PushedFilters")
+    assert any("o_orderdate" in seg[:300] for seg in pushed[1:]), (
+        "order-date range must reach the orders scan"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_or_bundles_pushed_to_both_scans(spark, sf_dir):
+    """Q19 shape pins: Catalyst derives the per-side OR-of-ANDs from
+    the disjunction and pushes one bundle into EACH scan (quantity arms
+    to lineitem, brand/size arms to part), keeping a single broadcast
+    hash join — the evidence COVERAGE.md cites."""
+    plan = plan_of(all_specs()["q19_disjunctive_revenue"].fn(spark, sf_dir))
+    pushed_segments = [seg[:400] for seg in plan.split("PushedFilters")[1:]]
+    assert any("l_quantity" in s and "Or(" in s for s in pushed_segments), (
+        "quantity OR-bundle must reach the lineitem scan"
+    )
+    assert any("p_brand" in s and "Or(" in s for s in pushed_segments), (
+        "brand/size OR-bundle must reach the part scan"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
