@@ -164,30 +164,6 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q4_order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape: per-priority count of orders that have at least
-    one late-shipped lineitem (EXISTS correlated subquery → left-semi
-    join; this testdata has no l_commitdate, so "late" is shipped more
-    than 60 days after the order date).  The semi-join shrinks to one
-    boolean per order BEFORE the count aggregate; lineitem⋈orders is
-    the only real shuffle, the 5-group count is map-side partial."""
-    orders = load(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01")) & (F.col("o_orderdate") < F.lit("1997-04-01"))
-    )
-    li = load(spark, sf_dir, "lineitem")
-    # timestamp + INTERVAL, not date_add: date_add truncates to a DATE,
-    # which would silently diverge from the oracle's `+ INTERVAL 60 DAY`
-    # if the driver ever ships non-midnight order timestamps
-    late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    ).select("l_orderkey")
-    return (
-        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
-    )
-
-
 def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: two-way CASE-sum classification — per lineitem
     status (standing in for the absent l_shipmode), how many 1997-
@@ -225,6 +201,38 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(arm1 | arm2 | arm3).agg(
         F.sum(_REV()).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between DISTINCT nation pairs for
+    one ship year — the self-joined dimension pattern (nation enters
+    the plan twice, as the supplier's n1 and the customer's n2, both
+    broadcast under independent aliases).  lineitem⋈orders is the one
+    real shuffle; supplier/customer/nation×2 all broadcast; the
+    (supp_nation, cust_nation, year) agg is a handful of groups with
+    map-side partials."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(F.sum(_REV()).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
     )
 
 
@@ -493,21 +501,23 @@ SPECS = [
         """,
     ),
     QuerySpec(
-        "q4_order_priority_checking",
-        q4_order_priority_checking,
-        """
-        SELECT o_orderpriority, count(*) AS order_count
-        FROM orders o
-        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
-          AND o_orderdate <  TIMESTAMP '1997-04-01'
-          AND EXISTS (
-            SELECT 1 FROM lineitem l
-            WHERE l.l_orderkey = o.o_orderkey
-              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
-          )
-        GROUP BY o_orderpriority
+        "q7_nation_pair_volume",
+        q7_nation_pair_volume,
+        f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               {_SUM_REV_SQL} AS revenue, count(*) AS n_lines
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND n1.n_name <> n2.n_name
+        GROUP BY supp_nation, cust_nation
         """,
-        "TPC-H Q4 shape: EXISTS semi-join + priority counts",
+        "TPC-H Q7 shape: self-joined dimension (nation twice), nation-pair volume",
     ),
     QuerySpec(
         "q12_priority_by_linestatus",

@@ -107,8 +107,8 @@ def test_whole_stage_codegen_everywhere_hot(spark, sf_dir):
 
 def test_q4_semi_join_and_date_pushdown(spark, sf_dir):
     """Q4 shape pins: the EXISTS resolves to a left-semi join, and the
-    quarter date-range predicate reaches the orders parquet scan."""
-    plan = plan_of(all_specs()["q4_order_priority_checking"].fn(spark, sf_dir))
+    year date-range predicate reaches the orders parquet scan."""
+    plan = plan_of(all_specs()["q4_late_order_priorities"].fn(spark, sf_dir))
     assert "LeftSemi" in plan, "EXISTS must compile to a left-semi join"
     pushed = plan.split("PushedFilters")
     assert any("o_orderdate" in seg[:300] for seg in pushed[1:]), (
