@@ -114,3 +114,48 @@ def length_histogram(df: DataFrame, value_col: str, bucket_width: int) -> DataFr
         df.groupBy(bucket.alias("bucket_lo"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def cluster_aware_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train_frac: float = 0.8,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Near-dup-aware train/test split: every member of a duplicate
+    cluster inherits the split of its CLUSTER REPRESENTATIVE (the
+    cluster-minimum id), so near-duplicates can never straddle the
+    split boundary — the leakage mode a plain id-hash split permits
+    (a test doc nearly identical to a train doc silently inflates
+    eval metrics; the standard fix in dedup-aware corpus pipelines).
+    Docs in no cluster split by their own id, so for a dup-free corpus
+    the result is byte-identical to ``train_test_split``.
+
+    Shape: ``components.dup_clusters`` over the pair list (O(log d)
+    label-propagation rounds), then a left join of the cluster map
+    back onto the corpus — the cluster map is |clustered docs| rows,
+    tiny relative to the corpus, so AQE broadcasts it.  Determinism is
+    inherited: the split key is a cluster-min id hashed with the same
+    md5 rule, stable across engines/partitionings."""
+    if not 0.0 < train_frac < 1.0:
+        raise ValueError(f"train_frac must be in (0, 1), got {train_frac}")
+    from .components import dup_clusters
+
+    clusters = dup_clusters(pairs, id_a, id_b).select(
+        F.col("doc_id").alias(id_col), "cluster_id"
+    )
+    keyed = docs.join(clusters, id_col, "left").withColumn(
+        "_split_key", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    threshold = format(min(255, int(train_frac * 256)), "02x")
+    return (
+        keyed.withColumn(
+            "split",
+            F.when(_key_digest("_split_key") < F.lit(threshold), F.lit("train")).otherwise(
+                F.lit("test")
+            ),
+        )
+        .drop("_split_key")
+    )

@@ -215,6 +215,22 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return components.dup_clusters(pairs)
 
 
+def doc_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/test split: dup-cluster members inherit the
+    cluster representative's split so near-duplicates never straddle
+    the boundary (the train→test leakage mode a plain id-hash split
+    permits).  split_key is the non-null effective key (cluster min id,
+    or the doc's own id outside any cluster)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.2, max_doc_freq=MAX_SHINGLE_DOC_FREQ
+    )
+    out = sampling.cluster_aware_split(docs, pairs)
+    return out.select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("split_key"), "split"
+    )
+
+
 def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(_docs(spark, sf_dir))
 
@@ -647,6 +663,35 @@ SPECS = [
         doc_dup_clusters,
         _CLUSTERS_ORACLE,
         "dedup clustering via connected components (recursive-CTE oracle)",
+    ),
+    QuerySpec(
+        "doc_cluster_aware_split",
+        doc_cluster_aware_split,
+        f"""
+        WITH RECURSIVE {_JACCARD_CTES}, pairs AS (
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2
+        ), edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION
+            SELECT doc_b AS u, doc_a AS v FROM pairs
+        ), reach(node, label) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node
+        ), clusters AS (
+            SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node
+        )
+        SELECT d.doc_id,
+               coalesce(c.cluster_id, d.doc_id) AS split_key,
+               CASE WHEN md5(CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)) < 'cc'
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+        """,
+        "near-dup-aware split (cluster members inherit the representative's split)",
     ),
     QuerySpec("simhash_dups", simhash_dups, None, "SimHash dup groups (rows-only)"),
     QuerySpec(

@@ -945,3 +945,46 @@ def test_dedup_new_against_corpus(spark):
         r["doc_id"] for r in dedup_new_against_corpus(new, empty, threshold=0.2).collect()
     }
     assert kept_no_corpus == {10, 11, 12, 14, 15, 16, 17}
+
+
+def test_cluster_aware_split_keeps_near_dups_together(spark):
+    """Every member of a dup cluster must land in the SAME split (the
+    anti-leakage contract), across many clusters so both train and test
+    outcomes occur; docs outside any cluster split exactly as the plain
+    id-hash split does."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.sampling import (
+        cluster_aware_split,
+        train_test_split,
+    )
+
+    # 40 clusters of 3 near-dup ids + 80 singletons
+    pairs = spark.createDataFrame(
+        [(i, i + 1000) for i in range(40)] + [(i + 1000, i + 2000) for i in range(40)],
+        ["doc_a", "doc_b"],
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in range(40)]
+        + [(i + 1000,) for i in range(40)]
+        + [(i + 2000,) for i in range(40)]
+        + [(i + 9000,) for i in range(80)],
+        ["doc_id"],
+    )
+    out = cluster_aware_split(docs, pairs).collect()
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    assert len(split_of) == 200
+    for i in range(40):
+        assert split_of[i] == split_of[i + 1000] == split_of[i + 2000], (
+            f"cluster {i} straddles the split boundary"
+        )
+    assert {split_of[i] for i in range(40)} == {"train", "test"}, (
+        "fixture should produce clusters in both splits"
+    )
+    # singletons: identical to the plain split
+    naive = {r["doc_id"]: r["split"] for r in train_test_split(docs, "doc_id").collect()}
+    for i in range(80):
+        assert split_of[9000 + i] == naive[9000 + i]
+    # the plain split DOES straddle some cluster (the leakage this
+    # operator exists to prevent) — otherwise the test proves nothing
+    assert any(
+        len({naive[i], naive[i + 1000], naive[i + 2000]}) > 1 for i in range(40)
+    ), "fixture too small to exhibit naive-split leakage"
