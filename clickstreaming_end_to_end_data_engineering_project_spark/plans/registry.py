@@ -133,10 +133,10 @@ DRIVER_GATE_SLOTS = 50
 
 def all_specs() -> dict[str, QuerySpec]:
     """Registry in driver-gate order (see GATE_PRIORITY)."""
-    from . import clickstream, extras, funnel, llmdata, tpch
+    from . import clickstream, extras, funnel, llmdata, tpch, tpch_deep
 
     specs: dict[str, QuerySpec] = {}
-    for mod in (funnel, extras, llmdata, tpch, clickstream):
+    for mod in (funnel, extras, llmdata, tpch, tpch_deep, clickstream):
         for spec in mod.SPECS:
             if spec.name in specs:
                 raise ValueError(f"duplicate query name: {spec.name}")

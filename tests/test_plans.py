@@ -132,3 +132,54 @@ def test_q19_or_bundles_pushed_to_both_scans(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q21_single_lineitem_orders_shuffle(spark, sf_dir):
+    """Q21 shape pins: the EXISTS/NOT-EXISTS double correlation is
+    decorrelated into ONE aggregation over lineitem⋈orders (per-order
+    supplier stats) — no second lineitem scan pass per correlation arm,
+    no cartesian product, supplier broadcast, and the top-20 never a
+    global sort."""
+    plan = plan_of(all_specs()["q21_late_sole_suppliers"].fn(spark, sf_dir))
+    assert plan.count("Scan parquet") <= 2 * 3, (
+        "lineitem must be scanned once, not re-scanned per correlation arm"
+    )
+    assert "BroadcastHashJoin" in plan, "supplier must broadcast"
+    assert "TakeOrderedAndProject" in plan, "top-20 must not be a global Sort"
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_correlated_avg_is_window_not_rescan(spark, sf_dir):
+    """Q17 shape pins: the correlated per-part average decorrelates to
+    a window over the single joined pass (lineitem appears once), with
+    the brand filter pushed into the part scan."""
+    plan = plan_of(all_specs()["q17_small_quantity_revenue"].fn(spark, sf_dir))
+    assert plan.count("Scan parquet") <= 2 * 2, (
+        "one lineitem scan + one part scan — the correlated avg must not re-scan"
+    )
+    pushed = plan.split("PushedFilters")
+    assert any("p_brand" in seg[:300] for seg in pushed[1:]), (
+        "brand filter must reach the part scan"
+    )
+    assert "Window" in plan, "the correlated avg must be a window, not a join-back"
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark, sf_dir):
+    """Q16 shape pins: the NOT IN exclusion compiles to a broadcast
+    left-anti join on the flagged-supplier list; distinct-count is the
+    two-phase expand plan, not a per-group re-scan."""
+    plan = plan_of(all_specs()["q16_part_supplier_counts"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan, "NOT IN must compile to a left-anti join"
+    assert "CartesianProduct" not in plan
+
+
+def test_q15_scalar_max_is_single_row_broadcast(spark, sf_dir):
+    """Q15 shape pins: the max-revenue scalar subquery joins back as a
+    1-row broadcast (nested-loop over one row is fine), and the decimal
+    revenue agg shuffles once on l_suppkey."""
+    plan = plan_of(all_specs()["q15_top_supplier"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    pushed = plan.split("PushedFilters")
+    assert any("l_shipdate" in seg[:300] for seg in pushed[1:]), (
+        "ship-date range must reach the lineitem scan"
+    )
