@@ -159,3 +159,69 @@ def cluster_aware_split(
         )
         .drop("_split_key")
     )
+
+
+def sample_to_token_budget(
+    df: DataFrame, key_col: str, weight_col: str, budget: int
+) -> DataFrame:
+    """Greedy deterministic budget fill: rows in content-hash order are
+    kept while the running weight total is under ``budget`` (the row
+    that crosses the budget is included, standard greedy fill) — the
+    "give me N training tokens" sampler.  Adds ``cum_weight``.
+
+    Scale shape: a single global ordered cumsum would be a one-task
+    window.  Instead the digest's first byte buckets rows into ≤256
+    groups whose (bucket, digest) order EQUALS global digest order (the
+    bucket is a digest prefix): per-bucket windows run in parallel, and
+    the cross-bucket offsets come from a ≤256-row aggregate broadcast
+    back — two narrow shuffles bounded by the bucket count, never a
+    global sort.  Weights are summed as integers, so the cumsum is
+    exact and engine-identical."""
+    if budget <= 0:
+        return df.withColumn("cum_weight", F.lit(0).cast("bigint")).limit(0)
+    d = df.withColumn("_dig", _key_digest(key_col)).withColumn(
+        "_bkt", F.substring("_dig", 1, 2)
+    )
+    totals = d.groupBy("_bkt").agg(F.sum(weight_col).alias("_btot"))
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_btot").over(w_off), F.lit(0))
+    ).select("_bkt", "_off")
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy("_dig", key_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.join(F.broadcast(offsets), "_bkt")
+        .withColumn("cum_weight", F.col("_off") + F.sum(weight_col).over(w_in))
+        .filter(F.col("cum_weight") - F.col(weight_col) < F.lit(budget))
+        .drop("_dig", "_bkt", "_off")
+    )
+
+
+def mixture_weights(df: DataFrame, group_col: str, weight_col: str) -> DataFrame:
+    """Temperature-smoothed source-mixture weights (count^0.5, i.e.
+    T=2 smoothing à la multilingual-LM sampling): per group, the doc
+    count, exact token total, natural share, and the smoothed weight
+    RELATIVE to the largest group.  The exponent is fixed at 0.5
+    because sqrt is IEEE-correctly-rounded in every engine (a general
+    pow(x, α) differs by ulps across libm implementations and would
+    break oracle bit-equality).
+
+    One shuffle on the group key; the totals are a 1-row broadcast."""
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(weight_col).alias("n_tokens")
+    )
+    tot = per.agg(F.sum("n_tokens").alias("_tot"), F.max("n_tokens").alias("_mx"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("_tot").cast("double")).alias(
+            "natural_share"
+        ),
+        F.sqrt(F.col("n_tokens").cast("double") / F.col("_mx").cast("double")).alias(
+            "smoothed_rel_weight"
+        ),
+    )

@@ -219,3 +219,41 @@ def unigram_logprob(
         "mean_logprob",
         dround(F.exp(-F.col("mean_logprob")), 6).alias("perplexity"),
     )
+
+
+def repeated_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Cross-document repeated n-gram spans — boilerplate mining (the
+    'remove any span seen in many documents' pre-step of C4-style
+    cleaning).  Returns the top-k word n-grams by distinct-document
+    count.
+
+    Scale shape: the explode IS the inverted index (≈ tokens-per-doc
+    rows), but per-doc DISTINCT runs map-side before the global gram
+    aggregate, the ``min_docs`` HAVING prunes the long unique tail
+    during the partial agg, and top-k is TakeOrderedAndProject — no
+    global sort, no pair join.  All columnar (split/transform/slice),
+    no UDFs."""
+    toks = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    per_doc = (
+        df.filter(F.size(toks) >= n)
+        .select(F.col(id_col).alias("_id"), F.explode(F.array_distinct(grams)).alias("gram"))
+        .distinct()
+    )
+    return (
+        per_doc.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_cnt"))
+        .filter(F.col("doc_cnt") >= min_docs)
+        .orderBy(F.col("doc_cnt").desc(), F.col("gram"))
+        .limit(k)
+    )

@@ -441,6 +441,59 @@ list_reduce(list_transform(range(len(e.embedding)),
             (x, y) -> x + y)))
 """
 
+
+def doc_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10k-token training sample: docs in content-hash
+    order fill the budget greedily (the crossing doc is kept whole).
+    The bucketed two-phase cumsum in ``sampling.sample_to_token_budget``
+    keeps the window parallel at corpus scale."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(text.tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    out = sampling.sample_to_token_budget(docs, "doc_id", "n_tokens", 10_000)
+    return out.select("doc_id", "n_tokens", F.col("cum_weight").alias("cum_tokens"))
+
+
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling mixture for training: exact token totals,
+    natural share, and T=2 (count^0.5) smoothed relative weight — the
+    up-weight-the-tail schedule multilingual/多-domain pretraining uses."""
+    docs = _docs(spark, sf_dir).select(
+        "source", F.size(text.tokens("text")).cast("bigint").alias("n_tok")
+    )
+    return sampling.mixture_weights(docs, "source", "n_tok")
+
+
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 8-gram spans shared across documents — the boilerplate
+    span miner (what you would subtract before training)."""
+    return text.repeated_ngrams(_docs(spark, sf_dir), n=8, min_docs=2, k=20)
+
+
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor counts per curation stage (input → quality ≥ 0.75 →
+    predicted-lang en → exact dedup) in ONE pass: conditional sums plus
+    a distinct-fingerprint count, unpivoted with stack().  The
+    pipeline-observability twin of ``curation.curate_corpus`` (whose
+    near-dup and write stages are e2e-tested in test_curation): at
+    100 TB you run THIS to size each stage before paying for the run."""
+    docs = _docs(spark, sf_dir)
+    passes_q = text.quality_score_col("text") >= 0.75
+    passes_l = passes_q & (text.predicted_lang_col("text") == "en")
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("_input"),
+        F.sum(passes_q.cast("bigint")).alias("_q"),
+        F.sum(passes_l.cast("bigint")).alias("_l"),
+        F.countDistinct(F.when(passes_l, F.col("text"))).alias("_d"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, 0, 'input', _input, 1, 'quality', _q, "
+            "2, 'lang', _l, 3, 'exact_dedup', _d) AS (stage_idx, stage, docs)"
+        )
+    )
+
+
 SPECS = [
     QuerySpec(
         "doc_token_stats",
@@ -877,5 +930,113 @@ SPECS = [
         SELECT label, floor(sum(mean_v) * 1000000.0 + 0.5) / 1000000.0 AS centroid_sum, count(*) AS n_dims
         FROM flat GROUP BY label
         """,
+    ),
+    QuerySpec(
+        "doc_token_budget_sample",
+        doc_token_budget_sample,
+        f"""
+        WITH t AS (SELECT doc_id,
+                          CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+                   FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+                     CAST(sum(n_tokens) OVER (
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+              FROM t)
+        SELECT doc_id, n_tokens, cum_tokens
+        FROM c WHERE cum_tokens - n_tokens < 10000
+        """,
+        "greedy deterministic token-budget sample (10k tokens)",
+    ),
+    QuerySpec(
+        "source_mixture_weights",
+        source_mixture_weights,
+        f"""
+        WITH per AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ), tot AS (
+            SELECT CAST(sum(n_tokens) AS BIGINT) AS t,
+                   CAST(max(n_tokens) AS BIGINT) AS mx
+            FROM per
+        )
+        SELECT source, n_docs, n_tokens,
+               CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE) AS natural_share,
+               sqrt(CAST(n_tokens AS DOUBLE) / CAST(mx AS DOUBLE))
+                   AS smoothed_rel_weight
+        FROM per, tot
+        """,
+        "T=2 smoothed source-mixture sampling weights",
+    ),
+    QuerySpec(
+        "boilerplate_ngrams",
+        boilerplate_ngrams,
+        f"""
+        WITH w AS (SELECT doc_id, {_TOKENS_SQL} AS ws FROM documents),
+        i AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 6, 1))) AS i
+              FROM w WHERE len(ws) >= 8),
+        g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+              FROM i)
+        SELECT gram, CAST(count(*) AS BIGINT) AS doc_cnt
+        FROM g GROUP BY gram HAVING count(*) >= 2
+        ORDER BY doc_cnt DESC, gram
+        LIMIT 20
+        """,
+        "cross-document repeated 8-gram boilerplate spans",
+    ),
+    QuerySpec(
+        "curation_funnel_report",
+        curation_funnel_report,
+        f"""
+        WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents),
+        s AS (
+            SELECT text,
+                   len(toks) AS n_tokens,
+                   len(list_filter(toks, x -> x IN ({STOP_SQL}))) * 1.0
+                       / len(toks) AS stopword_ratio,
+                   len(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1.0
+                       / len(text) AS punct_ratio,
+                   len(list_filter(toks, x -> x IN ('the', 'and', 'of', 'is'))) AS s_en,
+                   len(list_filter(toks, x -> x IN ('el', 'la', 'los', 'es'))) AS s_es,
+                   len(list_filter(toks, x -> x IN ('le', 'la', 'les', 'est'))) AS s_fr,
+                   len(list_filter(toks, x -> x IN ('der', 'die', 'das', 'und'))) AS s_de,
+                   len(list_filter(toks, x -> x IN ('的', '是', '了', '我'))) AS s_zh,
+                   greatest(len(list_filter(toks, x -> x IN ('the','and','of','is'))),
+                            len(list_filter(toks, x -> x IN ('el','la','los','es'))),
+                            len(list_filter(toks, x -> x IN ('le','la','les','est'))),
+                            len(list_filter(toks, x -> x IN ('der','die','das','und'))),
+                            len(list_filter(toks, x -> x IN ('的','是','了','我')))) AS m
+            FROM t
+        ), f AS (
+            SELECT text,
+                   (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END
+                    + CASE WHEN stopword_ratio >= 0.01 THEN 0.25 ELSE 0.0 END
+                    + CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END) >= 0.75
+                       AS pq,
+                   (CASE WHEN m <= 0 THEN 'und'
+                        WHEN s_zh = m THEN 'zh'
+                        WHEN s_fr = m THEN 'fr'
+                        WHEN s_es = m THEN 'es'
+                        WHEN s_en = m THEN 'en'
+                        ELSE 'de' END) = 'en' AS pl_en
+            FROM s
+        )
+        SELECT * FROM (
+            SELECT 0 AS stage_idx, 'input' AS stage,
+                   CAST(count(*) AS BIGINT) AS docs FROM f
+            UNION ALL
+            SELECT 1, 'quality',
+                   CAST(coalesce(sum(CASE WHEN pq THEN 1 ELSE 0 END), 0) AS BIGINT) FROM f
+            UNION ALL
+            SELECT 2, 'lang',
+                   CAST(coalesce(sum(CASE WHEN pq AND pl_en THEN 1 ELSE 0 END), 0) AS BIGINT) FROM f
+            UNION ALL
+            SELECT 3, 'exact_dedup',
+                   CAST(count(DISTINCT CASE WHEN pq AND pl_en THEN text END) AS BIGINT) FROM f
+        )
+        """,
+        "per-stage curation survivor counts in one pass",
     ),
 ]

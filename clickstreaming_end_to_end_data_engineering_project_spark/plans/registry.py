@@ -63,10 +63,24 @@ class QuerySpec:
 # in r4 AND r5 — the round-4 fix is proven).  After this round every
 # oracle-backed scalar query has a green driver row in some
 # CORRECTNESS_r*.json.
-# Round-7 rotation: NEW query doc_unigram_logprob (CCNet perplexity
-# signal) promoted for its first driver row; doc_sample_10pct demoted
-# (green r4+r5+r6).  Also-new doc_tfidf_top_terms stays in the tail
-# (local oracle coverage) pending an r8 slot.
+# Round-7 rotation (large): this round ADDED 21 oracle-backed queries
+# (the tpch_deep decision-support module Q2/Q8/Q9/Q11/Q13/Q15/Q16/Q17/
+# Q20/Q21/Q22, the earlier-in-round Q4/Q7/Q12/Q19 +
+# doc_cluster_aware_split + doc_tfidf_top_terms, and the LLM-data
+# quartet doc_token_budget_sample / source_mixture_weights /
+# boilerplate_ngrams / curation_funnel_report).  All 21 rotate in for
+# their first driver rows; demoted to the tail are the 21 queries green
+# in r4+r5+r6 (customers_without_urgent_orders,
+# customers_never_big_purchase, q18, sql_user_ltv_rank, json_props_*,
+# events_profile, revenue_rollup_region_nation, order_cumulative_revenue,
+# doc_lang_id, doc_fingerprints*, lang_source_stats,
+# doc_repetition_scores, lang_balanced_docs, doc_nchars_winsorized,
+# doc_length_histogram, embedding_label_centroids, brand_best_part,
+# nation_revenue_share, order_priority_cube).  Retained beyond the
+# pinned core: the 3 benched analytics legs (anomaly_minutes,
+# top3_parts_per_brand, word_freq_top20), doc_unigram_logprob (new in
+# r7, still needs its first row) and embedding_label_pairs (r6 fix —
+# one extra confirming row).
 GATE_PRIORITY = [
     # reference-parity clickstream core (pinned)
     "page_view_counts",
@@ -76,9 +90,6 @@ GATE_PRIORITY = [
     "session_stats",
     "user_journey_transitions",
     "sql_event_summary",
-    # round-6 rotation: last never-driver-verified queries (anti-joins)
-    "customers_without_urgent_orders",
-    "customers_never_big_purchase",
     # general-SQL flagships (pinned, benched)
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -98,32 +109,36 @@ GATE_PRIORITY = [
     "lang_stratified_sample",
     "doc_chunks",
     "doc_split_contamination",
-    # round-4 rotation: never-driver-verified, benched-first
+    # new in r7, first driver row pending
+    "doc_unigram_logprob",
+    # benched analytics legs (retained)
     "anomaly_minutes",
     "top3_parts_per_brand",
     "word_freq_top20",
-    "q18_large_volume_customers",
-    "sql_user_ltv_rank",
-    "json_props_stats",
-    "json_props_topk",
-    "events_profile",
-    "revenue_rollup_region_nation",
-    "order_cumulative_revenue",
-    "doc_lang_id",
-    "doc_fingerprints",
-    "doc_fingerprints_rolling",
-    "lang_source_stats",
-    "doc_repetition_scores",
-    # round-7 rotation: new CCNet-style perplexity signal, first driver row
-    "doc_unigram_logprob",
-    "lang_balanced_docs",
-    "doc_nchars_winsorized",
-    "doc_length_histogram",
+    # r6 threshold fix — one extra confirming row
     "embedding_label_pairs",
-    "embedding_label_centroids",
-    "brand_best_part",
-    "nation_revenue_share",
-    "order_priority_cube",
+    # round-7 rotation: never-driver-verified, added this round
+    "q2_cheapest_supplier_per_part",
+    "q4_late_order_priorities",
+    "q7_nation_pair_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_priority_by_linestatus",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_promotable_part_suppliers",
+    "q21_late_sole_suppliers",
+    "q22_idle_customers",
+    "doc_cluster_aware_split",
+    "doc_tfidf_top_terms",
+    "doc_token_budget_sample",
+    "source_mixture_weights",
+    "boilerplate_ngrams",
+    "curation_funnel_report",
 ]
 
 # Gate size the driver records; GATE_PRIORITY must fill it exactly so

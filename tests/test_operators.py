@@ -988,3 +988,79 @@ def test_cluster_aware_split_keeps_near_dups_together(spark):
     assert any(
         len({naive[i], naive[i + 1000], naive[i + 2000]}) > 1 for i in range(40)
     ), "fixture too small to exhibit naive-split leakage"
+
+
+def test_sample_to_token_budget_greedy_fill(spark):
+    """The bucketed two-phase cumsum must equal the naive single-window
+    greedy fill: rows in (md5(key), key) order are kept while the
+    PRECEDING total is under the budget (the crossing row is included);
+    and the kept set is always a prefix of the hash order."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import sampling
+
+    rows = [(i, 10 + (i * 7) % 23) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    budget = 500
+    out = sampling.sample_to_token_budget(df, "doc_id", "n_tok", budget).collect()
+    # naive twin on the driver
+    import hashlib
+
+    ordered = sorted(rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))
+    cum, expect = 0, {}
+    for k, w in ordered:
+        if cum >= budget:
+            break
+        cum += w
+        expect[k] = cum
+    got = {r.doc_id: r.cum_weight for r in out}
+    assert got == expect
+    assert 0 < len(got) < len(rows), "budget must select a strict subset"
+    # crossing row included: last kept row's cum exceeds or hits budget
+    assert max(expect.values()) >= budget
+
+
+def test_sample_to_token_budget_edge_budgets(spark):
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import sampling
+
+    df = spark.createDataFrame([(1, 5), (2, 5)], ["doc_id", "n_tok"])
+    assert sampling.sample_to_token_budget(df, "doc_id", "n_tok", 0).count() == 0
+    big = sampling.sample_to_token_budget(df, "doc_id", "n_tok", 10**9)
+    assert big.count() == 2, "a huge budget keeps everything"
+
+
+def test_mixture_weights_properties(spark):
+    """Largest source gets relative weight exactly 1.0; smoothing
+    compresses the range (smoothed ≥ natural share for every
+    non-largest source); shares sum to 1."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import sampling
+
+    rows = [("a", 100), ("a", 100), ("b", 50), ("c", 10)]
+    df = spark.createDataFrame(rows, ["source", "n_tok"])
+    out = {r.source: r for r in sampling.mixture_weights(df, "source", "n_tok").collect()}
+    assert out["a"].smoothed_rel_weight == 1.0
+    assert abs(sum(r.natural_share for r in out.values()) - 1.0) < 1e-12
+    for s in ("b", "c"):
+        assert out[s].smoothed_rel_weight > out[s].n_tokens / out["a"].n_tokens, (
+            "T=2 smoothing must up-weight smaller sources relative to the head"
+        )
+    assert out["c"].n_tokens == 10 and out["c"].n_docs == 1
+
+
+def test_repeated_ngrams_finds_planted_boilerplate(spark):
+    """A planted 8-word span shared by 3 docs must surface with
+    doc_cnt=3; a span repeated WITHIN one doc only must not count
+    twice; unique tails must be pruned by min_docs."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import text as t
+
+    span = "one two three four five six seven eight"
+    docs = [
+        (1, span + " alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "x y " + span),
+        (3, span + " " + span),  # internal repeat: still ONE doc
+        (4, "p q r s t u v w unique tail words only here now"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = t.repeated_ngrams(df, n=8, min_docs=2, k=50).collect()
+    by_gram = {r.gram: r.doc_cnt for r in out}
+    assert by_gram[span] == 3
+    assert all(c >= 2 for c in by_gram.values())
+    assert "p q r s t u v w" not in by_gram, "min_docs must prune unique grams"
