@@ -241,3 +241,45 @@ def pairwise_above_threshold(
         .select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def int8_quant_error(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization round-trip error — the
+    sizing study for storing an ANN index at 1/4 the float32 footprint
+    (scale = max|x|/127, q = halfup-round(x/scale) clamped to ±127,
+    reconstruction x̂ = q·scale).  Emits per-vector stats only, so every
+    number is a deterministic left-to-right fold — no cross-row double
+    sums, hence bit-exact against the SQL oracle with no rounding
+    fudge.
+
+    Rounding is floor(x+0.5) SPELLED OUT (not the engine's round()):
+    Spark rounds half-up, DuckDB half-even — the explicit form makes
+    both engines compute the identical integer.  Zero vectors quantize
+    to all-zero with scale 0 (guarded, no division).
+
+    Scale shape: pure per-row array expressions (transform/aggregate),
+    one scan, zero shuffles — embarrassingly parallel at any corpus
+    size."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, F.abs))
+    scale = mx / F.lit(127.0)
+    q = F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-127.0), F.least(F.lit(127.0), F.floor(x / scale + F.lit(0.5)))
+        ),
+    )
+    err = F.zip_with(v, q, lambda x, qi: F.abs(x - qi * scale))
+    zero = mx == F.lit(0.0)
+    return df.select(
+        F.col(id_col),
+        F.when(zero, F.lit(0.0)).otherwise(scale).alias("qscale"),
+        F.when(zero, F.lit(0.0)).otherwise(F.array_max(err)).alias("max_abs_err"),
+        F.when(zero, F.lit(0.0))
+        .otherwise(
+            F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e * e)
+        )
+        .alias("sse"),
+    )

@@ -494,6 +494,14 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def embedding_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization round-trip error over the corpus —
+    what you measure before shrinking the ANN index to a quarter of the
+    float32 footprint."""
+    return similarity.int8_quant_error(_embs(spark, sf_dir))
+
+
 SPECS = [
     QuerySpec(
         "doc_token_stats",
@@ -1038,5 +1046,33 @@ SPECS = [
         )
         """,
         "per-stage curation survivor counts in one pass",
+    ),
+    QuerySpec(
+        "embedding_quant_error",
+        embedding_quant_error,
+        """
+        WITH v AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+                   FROM embeddings),
+        m AS (SELECT vec_id, xs,
+                     list_max(list_transform(xs, x -> abs(x))) AS mx
+              FROM v),
+        s AS (SELECT vec_id, xs, mx, mx / 127.0 AS scale FROM m),
+        e AS (SELECT vec_id, mx, scale,
+                     list_transform(xs, x ->
+                         abs(x - greatest(-127.0,
+                                 least(127.0, floor(x / scale + 0.5))) * scale))
+                         AS errs
+              FROM s)
+        SELECT vec_id,
+               CASE WHEN mx = 0 THEN 0.0 ELSE scale END AS qscale,
+               CASE WHEN mx = 0 THEN 0.0 ELSE list_max(errs) END AS max_abs_err,
+               CASE WHEN mx = 0 THEN 0.0
+                    ELSE list_reduce(list_prepend(0.0,
+                             list_transform(errs, e -> e * e)), (a, b) -> a + b)
+               END AS sse
+        FROM e
+        """,
+        "symmetric int8 quantization round-trip error per vector",
     ),
 ]

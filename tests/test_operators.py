@@ -1064,3 +1064,25 @@ def test_repeated_ngrams_finds_planted_boilerplate(spark):
     assert by_gram[span] == 3
     assert all(c >= 2 for c in by_gram.values())
     assert "p q r s t u v w" not in by_gram, "min_docs must prune unique grams"
+
+
+def test_int8_quant_error_bounds(spark):
+    """Quantization invariants: per-component error ≤ scale/2 (so
+    max_abs_err ≤ qscale/2 + ulp), sse ≤ dims·(scale/2)², zero vectors
+    yield all-zero stats, and a constant vector quantizes exactly to
+    ±127 steps (error 0)."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import similarity
+
+    rows = [
+        (1, [0.5, -0.25, 0.125, 0.33]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [2.54, -2.54, 2.54, -2.54]),  # constant magnitude → exact
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in similarity.int8_quant_error(df).collect()}
+    assert out[2].qscale == 0.0 and out[2].max_abs_err == 0.0 and out[2].sse == 0.0
+    for vid in (1, 3):
+        r = out[vid]
+        assert r.max_abs_err <= r.qscale / 2 + 1e-12, (vid, r)
+        assert r.sse <= 4 * (r.qscale / 2) ** 2 + 1e-12
+    assert out[3].max_abs_err < 1e-7, "max-magnitude components are exact lattice points"
