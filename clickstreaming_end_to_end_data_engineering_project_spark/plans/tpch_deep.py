@@ -325,26 +325,37 @@ def q21_late_sole_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_commitdate/l_receiptdate, so 'late' is shipping >60 days after
     the order date.
 
-    Plan: instead of two correlated re-scans of lineitem, ONE
-    aggregation over lineitem⋈orders computes per order: the distinct
-    supplier count, the distinct LATE supplier count, the sole late
-    supplier (max over a singleton set), and its late-line count.
-    Orders with >1 supplier and exactly 1 late supplier attribute their
-    late lines to that supplier — semantically identical to the
-    EXISTS/NOT-EXISTS pair, with one shuffle on orderkey and one tiny
-    re-agg on suppkey.  Top-20 is TakeOrderedAndProject with the
-    deterministic (numwait desc, s_name) order."""
+    Plan: instead of two correlated re-scans of lineitem, TWO stacked
+    hash aggregates over one lineitem⋈orders pass — first per
+    (order, supplier) (did this supplier ship late? how many late
+    lines?), then per order (supplier count, late-supplier count, the
+    sole late supplier, its late-line total).  Deliberately NOT a
+    single groupBy with two countDistincts: that plans an Expand that
+    triples the shuffled row count, where the stacked form's first agg
+    combines map-side and re-shuffles nothing (both aggs share the
+    l_orderkey-prefixed key).  Orders with >1 supplier and exactly 1
+    late supplier attribute their late lines to that supplier —
+    semantically identical to the EXISTS/NOT-EXISTS pair.  Top-20 is
+    TakeOrderedAndProject with the deterministic (numwait desc,
+    s_name) order."""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    per_order = (
+    per_order_supp = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("_n_supp"),
-            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("_n_late_supp"),
-            F.max(F.when(late, F.col("l_suppkey"))).alias("_late_supp"),
-            F.sum(F.when(late, 1).otherwise(0)).alias("_late_lines"),
+            F.max(late.cast("int")).alias("_any_late"),
+            F.sum(late.cast("int")).alias("_late_lines_s"),
+        )
+    )
+    per_order = (
+        per_order_supp.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("_n_supp"),
+            F.sum("_any_late").alias("_n_late_supp"),
+            F.max(F.when(F.col("_any_late") == 1, F.col("l_suppkey"))).alias("_late_supp"),
+            F.sum("_late_lines_s").alias("_late_lines"),
         )
         .filter((F.col("_n_supp") > 1) & (F.col("_n_late_supp") == 1))
     )
