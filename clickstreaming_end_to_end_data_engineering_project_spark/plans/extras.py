@@ -404,6 +404,40 @@ _PIVOT_CASE = ",\n               ".join(
     for t in EVENT_TYPES
 )
 
+
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users, TRAILING-7-day active users, and the
+    DAU/WAU stickiness ratio — the rolling DISTINCT count product
+    dashboards need.
+
+    Scale shape: a rolling distinct cannot use a sum-over-window (the
+    same user on two days must count once), and the naive per-day
+    re-scan is O(days × corpus).  Instead each distinct (day, user)
+    row is SMEARED onto the 7 days it keeps the user active for
+    (explode of a 7-element date sequence — a bounded ×7 row
+    multiplier), then one count-distinct per day.  Two shuffles total
+    (the distinct, the per-day agg), independent of the window length's
+    re-scan cost; the inner join back to observed days prunes the
+    smear's overhang past the last day."""
+    ev = load(spark, sf_dir, "events")
+    de = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = de.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        de.select(
+            F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("day"),
+            "user_id",
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau").cast("double")).alias("stickiness"),
+    )
+
+
 SPECS = [
     QuerySpec(
         "event_split_union_by_name",
@@ -708,5 +742,20 @@ SPECS = [
         EXCEPT ALL
         SELECT o_custkey AS c_custkey FROM orders WHERE year(o_orderdate) = 1997
         """,
+    ),
+    QuerySpec(
+        "dau_wau_stickiness",
+        dau_wau_stickiness,
+        """
+        WITH de AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        dau AS (SELECT day, CAST(count(*) AS BIGINT) AS n_dau FROM de GROUP BY day),
+        sm AS (SELECT DISTINCT day + CAST(x AS INTEGER) AS day, user_id
+               FROM de, unnest(generate_series(0, 6)) t(x)),
+        wau AS (SELECT day, CAST(count(*) AS BIGINT) AS n_wau FROM sm GROUP BY day)
+        SELECT dau.day AS day, n_dau AS dau, n_wau AS wau,
+               CAST(n_dau AS DOUBLE) / CAST(n_wau AS DOUBLE) AS stickiness
+        FROM dau JOIN wau ON dau.day = wau.day
+        """,
+        "rolling-distinct DAU/WAU + stickiness via the smear trick",
     ),
 ]

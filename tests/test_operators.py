@@ -1086,3 +1086,85 @@ def test_int8_quant_error_bounds(spark):
         assert r.max_abs_err <= r.qscale / 2 + 1e-12, (vid, r)
         assert r.sse <= 4 * (r.qscale / 2) ** 2 + 1e-12
     assert out[3].max_abs_err < 1e-7, "max-magnitude components are exact lattice points"
+
+
+def test_sample_to_token_budget_property_matches_naive(spark):
+    """Property (hypothesis): for ANY key set, weight assignment, and
+    budget, the bucketed two-phase cumsum selects exactly the rows the
+    naive driver-side greedy fill selects, with identical cumulative
+    totals — the bucket decomposition must be invisible."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import sampling
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(min_value=0, max_value=10**6), st.integers(1, 500)),
+            min_size=1,
+            max_size=60,
+            unique_by=lambda t: t[0],
+        ),
+        st.integers(min_value=1, max_value=5000),
+    )
+    def check(rows, budget):
+        df = spark.createDataFrame(rows, ["doc_id", "w"])
+        got = {
+            r.doc_id: r.cum_weight
+            for r in sampling.sample_to_token_budget(df, "doc_id", "w", budget).collect()
+        }
+        ordered = sorted(
+            rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0])
+        )
+        cum, expect = 0, {}
+        for k, w in ordered:
+            if cum >= budget:
+                break
+            cum += w
+            expect[k] = cum
+        assert got == expect
+
+    check()
+
+
+def test_dau_wau_smear_matches_naive_rolling_distinct(spark):
+    """The smear-trick rolling distinct must equal a naive per-day
+    'distinct users in the trailing 7 days' computed on the driver —
+    including users active on several days of one window (must count
+    once) and gaps in the day range."""
+    import datetime as dt
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.plans.extras import (
+        dau_wau_stickiness,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources import tables
+
+    base = dt.datetime(2024, 3, 1)
+    events = []
+    # user 1 active every day 0..9; user 2 on days 0 and 3 (same window);
+    # user 3 only day 8 (appears after a gap for most windows)
+    for d in range(10):
+        events.append((len(events), base + dt.timedelta(days=d, hours=1), 1, "view", 1.0, "{}"))
+    for d in (0, 3):
+        events.append((len(events), base + dt.timedelta(days=d, hours=2), 2, "view", 1.0, "{}"))
+    events.append((len(events), base + dt.timedelta(days=8, hours=3), 3, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        events, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import tempfile, os
+
+    tmp = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+    out = {r.day: (r.dau, r.wau) for r in dau_wau_stickiness(spark, tmp).collect()}
+    daily = {}
+    for _, ts, uid, *_ in events:
+        daily.setdefault(ts.date(), set()).add(uid)
+    for day, users in daily.items():
+        window_users = set()
+        for back in range(7):
+            window_users |= daily.get(day - dt.timedelta(days=back), set())
+        assert out[day] == (len(users), len(window_users)), day
+    assert set(out) == set(daily), "every observed day appears exactly once"
