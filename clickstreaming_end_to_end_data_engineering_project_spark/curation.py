@@ -83,10 +83,16 @@ def score_and_filter(
     if langs:
         kept = kept.filter(F.col("predicted_lang").isin(list(langs)))
     if max_perplexity is not None:
+        # materialize the over-cap id set ONCE (eager localCheckpoint —
+        # same discipline as dedup's loser sets): curate_corpus triggers
+        # several actions downstream (counts, dedup's collects, the
+        # write), and without this each one would re-run the full
+        # corpus-wide unigram-LM subplan embedded in the anti-join
         too_perplexed = (
             text.unigram_logprob(kept)
             .filter(F.col("perplexity") > max_perplexity)
             .select("doc_id")
+            .localCheckpoint(eager=True)
         )
         kept = kept.join(too_perplexed, "doc_id", "left_anti")
     return kept

@@ -277,8 +277,16 @@ def dedup_new_against_corpus(
         new_docs.join(not_in_corpus, id_col, "left_semi"), id_col, text_col
     )
 
-    new_idx = _doc_shingles(exact_ok, id_col, text_col, n)
-    corp_idx = _doc_shingles(corpus, id_col, text_col, n)
+    # NULL texts are never near-dups of anything (matching the exact
+    # gate's NULL rule): excluded from BOTH indexes — otherwise the
+    # short-doc fallback shingle of a NULL (hash of '') would collide
+    # with empty/whitespace corpus docs and silently drop the batch doc
+    new_idx = _doc_shingles(
+        exact_ok.filter(F.col(text_col).isNotNull()), id_col, text_col, n
+    )
+    corp_idx = _doc_shingles(
+        corpus.filter(F.col(text_col).isNotNull()), id_col, text_col, n
+    )
     if max_doc_freq is not None:
         hot = (
             corp_idx.groupBy("shingle")

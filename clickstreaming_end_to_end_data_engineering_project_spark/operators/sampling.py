@@ -218,10 +218,13 @@ def mixture_weights(df: DataFrame, group_col: str, weight_col: str) -> DataFrame
         group_col,
         "n_docs",
         "n_tokens",
-        (F.col("n_tokens").cast("double") / F.col("_tot").cast("double")).alias(
-            "natural_share"
-        ),
-        F.sqrt(F.col("n_tokens").cast("double") / F.col("_mx").cast("double")).alias(
-            "smoothed_rel_weight"
-        ),
+        # try_divide: an all-zero-weight corpus has _tot=_mx=0; the
+        # weights are NULL for that degenerate case instead of NaN.
+        # Normal path divides identically, so oracle equality holds.
+        F.try_divide(
+            F.col("n_tokens").cast("double"), F.col("_tot").cast("double")
+        ).alias("natural_share"),
+        F.sqrt(
+            F.try_divide(F.col("n_tokens").cast("double"), F.col("_mx").cast("double"))
+        ).alias("smoothed_rel_weight"),
     )

@@ -245,10 +245,12 @@ def repeated_ngrams(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
-    per_doc = (
-        df.filter(F.size(toks) >= n)
-        .select(F.col(id_col).alias("_id"), F.explode(F.array_distinct(grams)).alias("gram"))
-        .distinct()
+    # (_id, gram) is already unique here — array_distinct dedups grams
+    # within the one row each doc contributes — so no .distinct(): it
+    # would re-shuffle the largest intermediate for nothing.  Callers
+    # must pass a unique id_col (a duplicated id would double-count).
+    per_doc = df.filter(F.size(toks) >= n).select(
+        F.col(id_col).alias("_id"), F.explode(F.array_distinct(grams)).alias("gram")
     )
     return (
         per_doc.groupBy("gram")

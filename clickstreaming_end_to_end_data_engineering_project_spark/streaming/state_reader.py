@@ -91,6 +91,9 @@ def state_skew(
     full = shards.join(counts, "partition_id", "left").fillna(0, subset=["state_rows"])
     total = F.sum("state_rows").over(Window.partitionBy())
     return (
-        full.withColumn("share", (F.col("state_rows") / total).cast("double"))
+        # try_divide: a valid-but-EMPTY store (all state evicted) has
+        # total=0; a raw bigint divide would raise DIVIDE_BY_ZERO under
+        # Spark 4's default ANSI mode — shares are NULL for that case
+        full.withColumn("share", F.try_divide(F.col("state_rows"), total).cast("double"))
         .orderBy(F.col("state_rows").desc(), F.col("partition_id"))
     )

@@ -168,7 +168,12 @@ def test_event_time_queries_survive_foreign_session_timezone(spark, sf_dir, duck
     forces UTC (runtime conf) on every access."""
     original = spark.conf.get("spark.sql.session.timeZone")
     try:
-        for name in ["page_view_counts", "revenue_by_month", "daily_event_stats"]:
+        for name in [
+            "page_view_counts",
+            "revenue_by_month",
+            "daily_event_stats",
+            "dau_wau_stickiness",  # to_date() is session-tz-sensitive
+        ]:
             # re-poison before EVERY query: the loader resets to UTC, so
             # setting once would only exercise the first iteration
             spark.conf.set("spark.sql.session.timeZone", "America/New_York")

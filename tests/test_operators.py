@@ -1168,3 +1168,22 @@ def test_dau_wau_smear_matches_naive_rolling_distinct(spark):
             window_users |= daily.get(day - dt.timedelta(days=back), set())
         assert out[day] == (len(users), len(window_users)), day
     assert set(out) == set(daily), "every observed day appears exactly once"
+
+
+def test_dedup_new_against_corpus_null_text_survives_near_gate(spark):
+    """Code-review regression: a NULL-text batch doc must survive BOTH
+    gates even when the corpus contains an empty/whitespace doc (the
+    short-doc fallback shingle of NULL is hash('') and used to collide
+    with them, silently dropping the batch doc at the near gate)."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, None), (11, "totally novel words here now")],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in dedup.dedup_new_against_corpus(batch, corpus, threshold=0.2).collect()}
+    assert kept == {10, 11}
