@@ -502,6 +502,25 @@ def embedding_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.int8_quant_error(_embs(spark, sf_dir))
 
 
+
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint summary per doc — count, minimum,
+    and exact integer checksum of the distinct window-min k-gram
+    hashes (scalar projection of the fingerprint set so the driver
+    gate can hash it; explode the operator's array output to build the
+    inverted index instead).  Portable polynomial hash, so unlike the
+    MinHash/SimHash family this fingerprint IS oracle-checkable."""
+    fps = text.winnow_fingerprints(_docs(spark, sf_dir), k=5, w=4)
+    return fps.select(
+        "doc_id",
+        F.size("fingerprints").alias("n_fp"),
+        F.array_min("fingerprints").alias("fp_min"),
+        F.aggregate(
+            F.col("fingerprints"), F.lit(0).cast("long"), lambda a, b: a + b
+        ).alias("fp_sum"),
+    )
+
+
 SPECS = [
     QuerySpec(
         "doc_token_stats",
@@ -1074,5 +1093,37 @@ SPECS = [
         FROM e
         """,
         "symmetric int8 quantization round-trip error per vector",
+    ),
+    QuerySpec(
+        "doc_winnow_fingerprints",
+        doc_winnow_fingerprints,
+        """
+        WITH c AS (
+            SELECT doc_id,
+                   list_transform(str_split(text, ''), ch -> ord(ch)) AS codes
+            FROM documents
+        ),
+        k AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(codes) - 5 + 2), i ->
+                       list_reduce(
+                           list_prepend(CAST(0 AS BIGINT), codes[i:i+4]),
+                           (a, b) -> (a * 31 + b) % 2147483647)) AS kh
+            FROM c WHERE len(codes) >= 8
+        ),
+        wm AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(kh) - 4 + 2), j ->
+                       list_min(kh[j:j+3]))) AS fps
+            FROM k
+        )
+        SELECT doc_id,
+               CAST(len(fps) AS BIGINT) AS n_fp,
+               CAST(list_min(fps) AS BIGINT) AS fp_min,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), fps),
+                    (a, b) -> a + b) AS BIGINT) AS fp_sum
+        FROM wm
+        """,
+        "winnowing (MOSS) fingerprint summary, portable rolling hash",
     ),
 ]

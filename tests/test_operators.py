@@ -1187,3 +1187,27 @@ def test_dedup_new_against_corpus_null_text_survives_near_gate(spark):
     )
     kept = {r.doc_id for r in dedup.dedup_new_against_corpus(batch, corpus, threshold=0.2).collect()}
     assert kept == {10, 11}
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee (Schleimer et al. 2003): two documents
+    sharing a substring of length >= k+w-1 (= 8 chars at k=5, w=4)
+    must share at least one fingerprint; docs shorter than k+w-1
+    produce none; identical docs have identical fingerprint sets; and
+    disjoint-alphabet docs share nothing."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import text as t
+
+    shared = "common-substring-here"
+    docs = [
+        (1, "prefix one " + shared + " suffix alpha"),
+        (2, shared + " entirely different ending"),
+        (3, "zzzz"),  # < 8 chars → omitted
+        (4, "prefix one " + shared + " suffix alpha"),  # identical to 1
+        (5, "qqqqqqqqqqqqqqqqqqqq"),  # disjoint alphabet
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: set(r.fingerprints) for r in t.winnow_fingerprints(df).collect()}
+    assert 3 not in out
+    assert out[1] & out[2], "shared >=k+w-1 substring must share a fingerprint"
+    assert out[1] == out[4], "identical docs → identical fingerprint sets"
+    assert not (out[1] & out[5]), "disjoint docs must not collide"
