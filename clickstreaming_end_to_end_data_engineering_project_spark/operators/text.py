@@ -308,3 +308,54 @@ def winnow_fingerprints(
     return df.filter(F.size(codes) >= k + w - 1).select(
         F.col(id_col), F.array_distinct(wmins).alias("fingerprints")
     )
+
+
+def winnow_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_overlap: float = 0.5,
+    max_doc_freq: int | None = 50,
+) -> DataFrame:
+    """Near-duplicate pairs by winnowing-fingerprint overlap — the
+    oracle-checkable alternative to MinHash (portable hash, exact
+    overlap counts; MinHash trades exactness for fixed-size
+    signatures).  Pair score = |shared fingerprints| / min(|A|, |B|);
+    pairs at or above ``min_overlap`` are returned as
+    (doc_a < doc_b, shared, overlap).
+
+    Scale shape: same inverted-index discipline as the Jaccard
+    detector — explode fingerprints, drop fingerprints appearing in
+    more than ``max_doc_freq`` docs (boilerplate spans, the skew
+    guard), self-join on the fingerprint, count per pair.  Never an
+    all-pairs join; candidate count is bounded by the per-fingerprint
+    posting lists the cap enforces."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    idx = fps.select(F.col(id_col).alias("_id"), F.explode("fingerprints").alias("fp"))
+    if max_doc_freq is not None:
+        hot = (
+            idx.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("fp")
+        )
+        idx = idx.join(F.broadcast(hot), "fp", "left_anti")
+    sizes = idx.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    pairs = (
+        idx.alias("a")
+        .join(idx.alias("b"), (F.col("a.fp") == F.col("b.fp")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("_id", "doc_a").withColumnRenamed("_n", "_na"), "doc_a")
+        .join(sizes.withColumnRenamed("_id", "doc_b").withColumnRenamed("_n", "_nb"), "doc_b")
+        .withColumn(
+            "overlap",
+            F.col("shared").cast("double") / F.least("_na", "_nb").cast("double"),
+        )
+        .filter(F.col("overlap") >= min_overlap)
+        .select("doc_a", "doc_b", "shared", "overlap")
+    )

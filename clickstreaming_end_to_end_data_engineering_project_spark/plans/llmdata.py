@@ -521,6 +521,14 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def doc_winnow_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by winnowing-fingerprint overlap — the
+    oracle-checkable (portable-hash) member of the near-dup family,
+    complementing the exact-Jaccard and hash-dependent MinHash paths."""
+    return text.winnow_dups(_docs(spark, sf_dir))
+
+
 SPECS = [
     QuerySpec(
         "doc_token_stats",
@@ -1125,5 +1133,47 @@ SPECS = [
         FROM wm
         """,
         "winnowing (MOSS) fingerprint summary, portable rolling hash",
+    ),
+    QuerySpec(
+        "doc_winnow_dups",
+        doc_winnow_dups,
+        """
+        WITH c AS (
+            SELECT doc_id,
+                   list_transform(str_split(text, ''), ch -> ord(ch)) AS codes
+            FROM documents
+        ),
+        k AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(codes) - 5 + 2), i ->
+                       list_reduce(
+                           list_prepend(CAST(0 AS BIGINT), codes[i:i+4]),
+                           (a, b) -> (a * 31 + b) % 2147483647)) AS kh
+            FROM c WHERE len(codes) >= 8
+        ),
+        wm AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(kh) - 4 + 2), j ->
+                       list_min(kh[j:j+3]))) AS fps
+            FROM k
+        ),
+        idx0 AS (SELECT doc_id, unnest(fps) AS fp FROM wm),
+        idx AS (SELECT * FROM idx0
+                WHERE fp NOT IN (SELECT fp FROM idx0
+                                 GROUP BY fp HAVING count(*) > 50)),
+        sz AS (SELECT doc_id, count(*) AS n FROM idx GROUP BY doc_id),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS shared
+              FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+        SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared,
+               CAST(shared AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE)
+                   AS overlap
+        FROM p
+        JOIN sz na ON p.doc_a = na.doc_id
+        JOIN sz nb ON p.doc_b = nb.doc_id
+        WHERE CAST(shared AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE) >= 0.5
+        """,
+        "winnowing-overlap near-dup pairs (portable hash, doc-freq cap)",
     ),
 ]

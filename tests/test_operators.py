@@ -1211,3 +1211,22 @@ def test_winnow_fingerprints_guarantee(spark):
     assert out[1] & out[2], "shared >=k+w-1 substring must share a fingerprint"
     assert out[1] == out[4], "identical docs → identical fingerprint sets"
     assert not (out[1] & out[5]), "disjoint docs must not collide"
+
+
+def test_winnow_dups_detects_planted_near_dups(spark):
+    """A doc differing from another by one edit far into the text must
+    pair with high overlap; an unrelated doc must not pair with either;
+    doc_a < doc_b ordering holds."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import text as t
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = [
+        (1, base),
+        (2, base[:-5] + "night"),  # near-dup: one tail edit
+        (3, "completely unrelated words with zero char overlap qqq vvv"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    pairs = {(r.doc_a, r.doc_b): r.overlap for r in t.winnow_dups(df, min_overlap=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.8, pairs
+    assert all(3 not in p for p in pairs)
+    assert all(a < b for a, b in pairs)
