@@ -228,3 +228,21 @@ def mixture_weights(df: DataFrame, group_col: str, weight_col: str) -> DataFrame
             F.try_divide(F.col("n_tokens").cast("double"), F.col("_mx").cast("double"))
         ).alias("smoothed_rel_weight"),
     )
+
+
+def weighted_sample(df: DataFrame, key_col: str, prob_col) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: keep a row iff the
+    uniform-in-[0,1) fraction derived from the key's md5 is below the
+    row's keep-probability — importance resampling (e.g. keep docs
+    with probability = quality score) that is content-deterministic
+    like every sampler here: same row, same verdict, on any engine,
+    partitioning, or run.
+
+    The uniform variate is the first 8 hex digits of the digest scaled
+    by 2^-32 — exactly representable arithmetic, so the comparison is
+    engine-identical.  Pure filter, no shuffle."""
+    prob = F.col(prob_col) if isinstance(prob_col, str) else prob_col
+    u = F.conv(F.substring(_key_digest(key_col), 1, 8), 16, 10).cast("double") / F.lit(
+        4294967296.0
+    )
+    return df.filter(u < prob)

@@ -529,6 +529,21 @@ def doc_winnow_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.winnow_dups(_docs(spark, sf_dir))
 
 
+
+def doc_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance resampling by quality: each doc survives with
+    probability equal to its quality score (content-deterministic
+    Bernoulli — the soft alternative to a hard quality threshold that
+    keeps SOME low-quality data, the mix most pretraining recipes
+    actually want)."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "quality_score", text.quality_score_col("text")
+    )
+    return sampling.weighted_sample(docs, "doc_id", "quality_score").select(
+        "doc_id", "quality_score"
+    )
+
+
 SPECS = [
     QuerySpec(
         "doc_token_stats",
@@ -1175,5 +1190,36 @@ SPECS = [
         WHERE CAST(shared AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE) >= 0.5
         """,
         "winnowing-overlap near-dup pairs (portable hash, doc-freq cap)",
+    ),
+    QuerySpec(
+        "doc_quality_weighted_sample",
+        doc_quality_weighted_sample,
+        f"""
+        WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents),
+        s AS (
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   len(list_filter(toks, x -> x IN ({STOP_SQL}))) * 1.0
+                       / len(toks) AS stopword_ratio,
+                   len(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1.0
+                       / len(text) AS punct_ratio
+            FROM t
+        ), q AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END
+                       + CASE WHEN stopword_ratio >= 0.01 THEN 0.25 ELSE 0.0 END
+                       + CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END AS DOUBLE)
+                       AS quality_score,
+                   list_reduce(list_transform(
+                       str_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
+                       c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                       (a, b) -> a * 16 + b) AS u_int
+            FROM s
+        )
+        SELECT doc_id, quality_score
+        FROM q
+        WHERE CAST(u_int AS DOUBLE) / 4294967296.0 < quality_score
+        """,
+        "deterministic quality-weighted Bernoulli resampling",
     ),
 ]

@@ -1230,3 +1230,30 @@ def test_winnow_dups_detects_planted_near_dups(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] >= 0.8, pairs
     assert all(3 not in p for p in pairs)
     assert all(a < b for a, b in pairs)
+
+
+def test_weighted_sample_is_probability_faithful_and_deterministic(spark):
+    """p=0 keeps nothing, p=1 keeps everything, p=0.5 keeps ~half
+    (binomial 3σ bound), repeated runs keep the IDENTICAL set, and the
+    kept set under p=0.3 is a subset of the kept set under p=0.7 (the
+    uniform variate is per-key, so keep-sets are nested in p)."""
+    from pyspark.sql import functions as F
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import sampling
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+
+    def kept(p):
+        return {
+            r.doc_id
+            for r in sampling.weighted_sample(
+                df.withColumn("p", F.lit(p)), "doc_id", "p"
+            ).collect()
+        }
+
+    assert kept(0.0) == set()
+    assert len(kept(1.0)) == 4000
+    half = kept(0.5)
+    assert abs(len(half) - 2000) < 3 * (4000 * 0.25) ** 0.5
+    assert kept(0.5) == half, "re-run must keep the identical set"
+    assert kept(0.3) <= kept(0.7), "keep-sets must be nested in p"
