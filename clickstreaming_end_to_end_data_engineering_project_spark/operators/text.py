@@ -326,36 +326,72 @@ def winnow_dups(
     pairs at or above ``min_overlap`` are returned as
     (doc_a < doc_b, shared, overlap).
 
-    Scale shape: same inverted-index discipline as the Jaccard
-    detector — explode fingerprints, drop fingerprints appearing in
-    more than ``max_doc_freq`` docs (boilerplate spans, the skew
-    guard), self-join on the fingerprint, count per pair.  Never an
-    all-pairs join; candidate count is bounded by the per-fingerprint
-    posting lists the cap enforces."""
-    fps = winnow_fingerprints(df, id_col, text_col, k, w)
-    idx = fps.select(F.col(id_col).alias("_id"), F.explode("fingerprints").alias("fp"))
-    if max_doc_freq is not None:
-        hot = (
-            idx.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_doc_freq)
-            .select("fp")
+    Scale shape: the DOC-LEVEL-persist discipline of
+    ``dedup.ngram_jaccard_pairs`` (its round-4 rework — see that
+    docstring for the measurements): the per-doc fingerprint arrays
+    (the expensive O(len·(k+w)) char-hash work) are computed ONCE into
+    a persisted one-row-per-doc frame; the hot-fingerprint cap is
+    collected from it and applied as an ``array_except`` projection
+    (distributed anti-join fallback for a pathological list); per-doc
+    sizes are ``size(array)`` projections riding THROUGH the self-join
+    and out of the pair aggregation (min) — no groupBy-on-id shuffle,
+    no post-join size joins.  Never an all-pairs join; the pair list
+    is materialized eagerly so no cache entry outlives the call."""
+    from .dedup import _HOT_LIST_EXPR_CAP
+
+    doc_cached = winnow_fingerprints(df, id_col, text_col, k, w).select(
+        F.col(id_col).alias("_id"), F.col("fingerprints").alias("_fp")
+    ).persist()
+    doc = doc_cached
+    try:
+        if max_doc_freq is not None:
+            hot_rows = (
+                doc.select(F.explode("_fp").alias("fp"))
+                .groupBy("fp")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") > max_doc_freq)
+                .select("fp")
+                .limit(_HOT_LIST_EXPR_CAP + 1)
+                .collect()
+            )
+            if len(hot_rows) > _HOT_LIST_EXPR_CAP:
+                raw = doc.select("_id", F.explode("_fp").alias("fp"))
+                hot = (
+                    raw.groupBy("fp")
+                    .agg(F.count(F.lit(1)).alias("_df"))
+                    .filter(F.col("_df") > max_doc_freq)
+                    .select("fp")
+                )
+                capped = raw.join(F.broadcast(hot), "fp", "left_anti")
+                sizes = capped.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+                ds = capped.join(sizes, "_id").select("_id", "_n", "fp")
+            else:
+                if hot_rows:
+                    hot_lit = F.array(*[F.lit(int(r[0])) for r in hot_rows])
+                    doc = doc.withColumn("_fp", F.array_except("_fp", hot_lit))
+                ds = doc.select(
+                    "_id", F.size("_fp").alias("_n"), F.explode("_fp").alias("fp")
+                )
+        else:
+            ds = doc.select(
+                "_id", F.size("_fp").alias("_n"), F.explode("_fp").alias("fp")
+            )
+        a, b = ds.alias("a"), ds.alias("b")
+        pairs = (
+            a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a._id") < F.col("b._id")))
+            .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+            .agg(
+                F.count(F.lit(1)).alias("shared"),
+                F.min("a._n").alias("_na"),
+                F.min("b._n").alias("_nb"),
+            )
+            .withColumn(
+                "overlap",
+                F.col("shared").cast("double") / F.least("_na", "_nb").cast("double"),
+            )
+            .filter(F.col("overlap") >= min_overlap)
+            .select("doc_a", "doc_b", "shared", "overlap")
         )
-        idx = idx.join(F.broadcast(hot), "fp", "left_anti")
-    sizes = idx.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-    pairs = (
-        idx.alias("a")
-        .join(idx.alias("b"), (F.col("a.fp") == F.col("b.fp")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    return (
-        pairs.join(sizes.withColumnRenamed("_id", "doc_a").withColumnRenamed("_n", "_na"), "doc_a")
-        .join(sizes.withColumnRenamed("_id", "doc_b").withColumnRenamed("_n", "_nb"), "doc_b")
-        .withColumn(
-            "overlap",
-            F.col("shared").cast("double") / F.least("_na", "_nb").cast("double"),
-        )
-        .filter(F.col("overlap") >= min_overlap)
-        .select("doc_a", "doc_b", "shared", "overlap")
-    )
+        return pairs.localCheckpoint(eager=True)
+    finally:
+        doc_cached.unpersist()

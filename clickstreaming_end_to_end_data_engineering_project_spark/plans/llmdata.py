@@ -371,6 +371,32 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKENS_SQL = "list_filter(str_split_regex(text, '\\s+'), x -> x <> '')"
 
+# Shared quality-score CTE chain — the ONE SQL copy of the quality
+# formula (Spark twin: operators/text.quality_score_col).  Exposes
+# `t(doc_id, text, toks)` and `qs(doc_id, text, quality_score)`;
+# oracles append their own CTEs after it.  Keeping a single copy means
+# a threshold tweak cannot silently diverge between the three oracles
+# that gate on quality.
+_QUALITY_CTES_SQL = f"""
+        t AS (SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents),
+        s_q AS (
+            SELECT doc_id, text,
+                   len(toks) AS n_tokens,
+                   len(list_filter(toks, x -> x IN ({STOP_SQL}))) * 1.0
+                       / len(toks) AS stopword_ratio,
+                   len(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1.0
+                       / len(text) AS punct_ratio
+            FROM t
+        ),
+        qs AS (
+            SELECT doc_id, text,
+                   CAST(CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END
+                       + CASE WHEN stopword_ratio >= 0.01 THEN 0.25 ELSE 0.0 END
+                       + CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END AS DOUBLE)
+                       AS quality_score
+            FROM s_q
+        )"""
+
 _JACCARD_CTES = f"""toks AS (
     SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
 ), sh_all AS (
@@ -565,22 +591,8 @@ SPECS = [
         "doc_quality_scores",
         doc_quality_scores,
         f"""
-        WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents),
-        s AS (
-            SELECT doc_id,
-                   len(toks) AS n_tokens,
-                   len(list_filter(toks, x -> x IN ({STOP_SQL}))) * 1.0 / len(toks)
-                         AS stopword_ratio,
-                   len(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1.0 / len(text)
-                         AS punct_ratio
-            FROM t
-        )
-        SELECT doc_id,
-               CAST(CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END
-                   + CASE WHEN stopword_ratio >= 0.01 THEN 0.25 ELSE 0.0 END
-                   + CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END AS DOUBLE)
-                   AS quality_score
-        FROM s
+        WITH {_QUALITY_CTES_SQL}
+        SELECT doc_id, quality_score FROM qs
         """,
     ),
     QuerySpec(
@@ -1040,14 +1052,9 @@ SPECS = [
         "curation_funnel_report",
         curation_funnel_report,
         f"""
-        WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents),
-        s AS (
-            SELECT text,
-                   len(toks) AS n_tokens,
-                   len(list_filter(toks, x -> x IN ({STOP_SQL}))) * 1.0
-                       / len(toks) AS stopword_ratio,
-                   len(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1.0
-                       / len(text) AS punct_ratio,
+        WITH {_QUALITY_CTES_SQL},
+        ls AS (
+            SELECT doc_id,
                    len(list_filter(toks, x -> x IN ('the', 'and', 'of', 'is'))) AS s_en,
                    len(list_filter(toks, x -> x IN ('el', 'la', 'los', 'es'))) AS s_es,
                    len(list_filter(toks, x -> x IN ('le', 'la', 'les', 'est'))) AS s_fr,
@@ -1060,18 +1067,15 @@ SPECS = [
                             len(list_filter(toks, x -> x IN ('的','是','了','我')))) AS m
             FROM t
         ), f AS (
-            SELECT text,
-                   (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END
-                    + CASE WHEN stopword_ratio >= 0.01 THEN 0.25 ELSE 0.0 END
-                    + CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END) >= 0.75
-                       AS pq,
+            SELECT qs.text,
+                   qs.quality_score >= 0.75 AS pq,
                    (CASE WHEN m <= 0 THEN 'und'
                         WHEN s_zh = m THEN 'zh'
                         WHEN s_fr = m THEN 'fr'
                         WHEN s_es = m THEN 'es'
                         WHEN s_en = m THEN 'en'
                         ELSE 'de' END) = 'en' AS pl_en
-            FROM s
+            FROM qs JOIN ls USING (doc_id)
         )
         SELECT * FROM (
             SELECT 0 AS stage_idx, 'input' AS stage,
@@ -1195,26 +1199,14 @@ SPECS = [
         "doc_quality_weighted_sample",
         doc_quality_weighted_sample,
         f"""
-        WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents),
-        s AS (
-            SELECT doc_id,
-                   len(toks) AS n_tokens,
-                   len(list_filter(toks, x -> x IN ({STOP_SQL}))) * 1.0
-                       / len(toks) AS stopword_ratio,
-                   len(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1.0
-                       / len(text) AS punct_ratio
-            FROM t
-        ), q AS (
-            SELECT doc_id,
-                   CAST(CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END
-                       + CASE WHEN stopword_ratio >= 0.01 THEN 0.25 ELSE 0.0 END
-                       + CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END AS DOUBLE)
-                       AS quality_score,
+        WITH {_QUALITY_CTES_SQL},
+        q AS (
+            SELECT doc_id, quality_score,
                    list_reduce(list_transform(
                        str_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
                        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
                        (a, b) -> a * 16 + b) AS u_int
-            FROM s
+            FROM qs
         )
         SELECT doc_id, quality_score
         FROM q
