@@ -1314,3 +1314,107 @@ def test_checkpoint_recovery_continues_state(spark, sf_dir):
     )
     shutil.rmtree(src_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_corpus_ingest_matches_batch_curation(spark, sf_dir):
+    """The streaming curation pipeline (file-stream increments →
+    quality/lang gate → stateful exact dedup → split → partitioned
+    parquet) must agree with the batch pipeline on the survivor
+    FINGERPRINT set and count — including duplicates planted ACROSS
+    increments (the cross-batch state the batch anti-join can't see
+    incrementally).  Kept-row identity may differ (stream keeps first
+    arrival, batch keeps min id) — documented in corpus_ingest.py."""
+    import os
+
+    from clickstreaming_end_to_end_data_engineering_project_spark import curation
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming import (
+        corpus_ingest,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    # plant cross-increment byte-identical dups: 5 docs cloned with new ids
+    clones = (
+        docs.orderBy("doc_id")
+        .limit(5)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+    )
+    full = docs.unionByName(clones)
+
+    src = tempfile.mkdtemp(prefix="corpus_src_")
+    out = tempfile.mkdtemp(prefix="corpus_out_")
+    ckpt = tempfile.mkdtemp(prefix="corpus_ckpt_")
+    try:
+        # three increments: two document chunks, then the clone batch
+        half = docs.filter(F.col("doc_id") % 2 == 0)
+        other = docs.filter(F.col("doc_id") % 2 == 1)
+        half.write.parquet(os.path.join(src, "inc1"))
+        other.write.parquet(os.path.join(src, "inc2"))
+        clones.write.parquet(os.path.join(src, "inc3"))
+        for inc in ("inc1", "inc2", "inc3"):
+            for f in os.listdir(os.path.join(src, inc)):
+                if f.endswith(".parquet"):
+                    shutil.move(os.path.join(src, inc, f), os.path.join(src, f"{inc}_{f}"))
+            shutil.rmtree(os.path.join(src, inc))
+
+        q = corpus_ingest.start_corpus_ingest(
+            spark, src, out, ckpt, available_now=True, min_quality=0.75
+        )
+        q.awaitTermination(120)
+
+        streamed = spark.read.parquet(out)
+        batch = curation.score_and_filter(full, min_quality=0.75)
+        batch = curation.drop_exact_dups(batch)
+
+        s_fps = {r.fingerprint for r in streamed.select("fingerprint").collect()}
+        b_fps = {
+            r.fp
+            for r in batch.select(F.md5(F.col("text").cast("binary")).alias("fp")).collect()
+        }
+        assert s_fps == b_fps, "survivor fingerprint sets must match batch curation"
+        assert streamed.count() == batch.count()
+        # the planted clones must NOT have added any fingerprint
+        assert streamed.count() <= docs.count()
+        # split column written as a partition with both outcomes present
+        splits = {r.split for r in streamed.select("split").distinct().collect()}
+        assert splits == {"train", "test"}
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_corpus_ingest_horizon_dedup(spark):
+    """The bounded-state path (dedup_horizon → ingest-time watermark +
+    dropDuplicatesWithinWatermark) must still drop duplicates arriving
+    within the horizon — the state-eviction trade documented in
+    corpus_ingest.py, exercised end-to-end."""
+    import os
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming import (
+        corpus_ingest,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs on today"
+    rows = [(i, base + f" tail{i}", "en", "s", 60) for i in range(10)]
+    rows += [(100 + i, rows[i][1], "en", "s", 60) for i in range(3)]  # dups
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    src = tempfile.mkdtemp(prefix="hz_src_")
+    out = tempfile.mkdtemp(prefix="hz_out_")
+    ckpt = tempfile.mkdtemp(prefix="hz_ckpt_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(src)
+        q = corpus_ingest.start_corpus_ingest(
+            spark, src, out, ckpt, available_now=True,
+            min_quality=0.0, dedup_horizon="1 hour",
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(out)
+        assert got.count() == 10, "the 3 within-horizon dups must be dropped"
+        assert got.select("fingerprint").distinct().count() == 10
+    finally:
+        import shutil as sh
+
+        for d in (src, out, ckpt):
+            sh.rmtree(d, ignore_errors=True)
