@@ -81,6 +81,11 @@ class QuerySpec:
 # top3_parts_per_brand, word_freq_top20), doc_unigram_logprob (new in
 # r7, still needs its first row) and embedding_label_pairs (r6 fix —
 # one extra confirming row).
+# r8 rotation queue (oracle-backed, never driver-verified, added late
+# in r7 after the gate filled): dau_wau_stickiness,
+# doc_winnow_fingerprints, doc_winnow_dups, doc_quality_weighted_sample,
+# embedding_quant_error.  Rotate these in next round, demoting r7-green
+# rows per the policy above.
 GATE_PRIORITY = [
     # reference-parity clickstream core (pinned)
     "page_view_counts",
