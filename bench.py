@@ -43,6 +43,32 @@ HEADLINE = [
     "embedding_topk_cosine",
 ]
 
+# Recorded alongside the headline but NOT in its total, so the
+# headline stays directly comparable to the r1 baseline while the
+# bench log still carries perf evidence for the r7 surface (the deep
+# decision-support shapes and the new LLM-data operators).  min-of-2
+# (not 3) keeps the added wall-clock bounded.
+EXTENDED = [
+    "q2_cheapest_supplier_per_part",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q20_promotable_part_suppliers",
+    "q21_late_sole_suppliers",
+    "q22_idle_customers",
+    "dau_wau_stickiness",
+    "doc_token_budget_sample",
+    "source_mixture_weights",
+    "boilerplate_ngrams",
+    "curation_funnel_report",
+    "embedding_quant_error",
+    "doc_winnow_dups",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -66,6 +92,17 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        try:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                specs[name].fn(spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+            extended[name] = round(best, 3)
+        except Exception:  # an extended-leg failure must not kill the bench
+            extended[name] = None
     # r5 lesson: a crash in any stream leg must not zero out the batch
     # evidence — each leg degrades to null independently (see
     # _stream_metrics), and a wholesale failure degrades all three.
@@ -91,6 +128,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "warmup_sec": round(warmup, 3),
                 "n_queries": len(timings),
+                "extended_queries": extended,
                 **stream_metrics,
             }
         )
