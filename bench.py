@@ -92,17 +92,6 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    extended: dict[str, float] = {}
-    for name in EXTENDED:
-        try:
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                specs[name].fn(spark, sf_dir).count()
-                best = min(best, time.perf_counter() - t0)
-            extended[name] = round(best, 3)
-        except Exception:  # an extended-leg failure must not kill the bench
-            extended[name] = None
     # r5 lesson: a crash in any stream leg must not zero out the batch
     # evidence — each leg degrades to null independently (see
     # _stream_metrics), and a wholesale failure degrades all three.
@@ -118,6 +107,21 @@ def main() -> None:
         ):
             stream_metrics[m] = None
             stream_metrics[m + "_error"] = err
+    # Extended legs run LAST: some of their plans persist/localCheckpoint
+    # (winnow_dups' doc frame, curation paths), and running them before
+    # the stream legs would add executor memory/GC pressure no earlier
+    # round's stream measurement had — order preserves comparability.
+    extended: dict[str, float | None] = {}
+    for name in EXTENDED:
+        best = float("inf")
+        for _ in range(2):
+            try:
+                t0 = time.perf_counter()
+                specs[name].fn(spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+            except Exception:  # a failed rep must not discard a good one
+                pass
+        extended[name] = round(best, 3) if best != float("inf") else None
     print(
         json.dumps(
             {

@@ -18,8 +18,12 @@ Scale notes:
 - Exact dedup is ``dropDuplicates`` on the md5 fingerprint: one
   stateful shuffle keyed by fingerprint.  Without a watermark the
   state holds one entry per distinct document ever seen — exact
-  forever, sized by corpus cardinality (RocksDB state store holds
-  this fine; it is the same cardinality the batch anti-join scans).
+  forever, sized by corpus cardinality.  That sizing argument assumes
+  the RocksDB state store provider (spills to local disk); Spark's
+  DEFAULT provider is heap-backed and would OOM on a large corpus —
+  pass ``rocksdb=True`` to ``start_corpus_ingest`` (applies
+  ``stateful_v2.rocksdb_session_conf`` to the session) or set
+  ``spark.sql.streaming.stateStore.providerClass`` yourself.
   Pass ``dedup_horizon`` to bound state instead: an ingest-time
   watermark lets the store evict fingerprints older than the horizon,
   trading exactness for bounded state (a dup of a doc ingested more
@@ -95,16 +99,24 @@ def curate_stream(
     if langs:
         kept = kept.filter(F.col("predicted_lang").isin(list(langs)))
     kept = kept.withColumn("fingerprint", F.md5(F.col("text").cast("binary")))
+    # NULL texts are never duplicates of anything (the batch rule —
+    # dedup.keep_first_per_fingerprint): md5(NULL) is NULL and
+    # dropDuplicates would collapse ALL null-text docs into one state
+    # key, so each gets a synthetic per-doc dedup key instead
+    dedup_key = F.coalesce(
+        F.col("fingerprint"), F.concat(F.lit("null:"), F.col("doc_id").cast("string"))
+    )
+    kept = kept.withColumn("_dedup_key", dedup_key)
     if dedup_horizon is not None:
         kept = (
             kept.withColumn("ingest_ts", F.current_timestamp())
             .withWatermark("ingest_ts", dedup_horizon)
-            .dropDuplicatesWithinWatermark(["fingerprint"])
+            .dropDuplicatesWithinWatermark(["_dedup_key"])
             .drop("ingest_ts")
         )
     else:
-        kept = kept.dropDuplicates(["fingerprint"])
-    return train_test_split(kept, "doc_id", train_frac)
+        kept = kept.dropDuplicates(["_dedup_key"])
+    return train_test_split(kept.drop("_dedup_key"), "doc_id", train_frac)
 
 
 def start_corpus_ingest(
@@ -113,12 +125,28 @@ def start_corpus_ingest(
     out_dir: str,
     checkpoint_dir: str,
     available_now: bool = False,
+    max_files_per_trigger: int | None = None,
+    rocksdb: bool = False,
     **curate_kwargs,
 ) -> StreamingQuery:
     """Wire the stream end-to-end: drop-zone → curate → parquet
     partitioned by split, exactly-once via the checkpoint (the file
-    sink's log makes replayed batches idempotent)."""
-    curated = curate_stream(read_document_stream(spark, source_dir), **curate_kwargs)
+    sink's log makes replayed batches idempotent).
+
+    ``max_files_per_trigger`` is the ingest throttle (one increment
+    per micro-batch with 1).  ``rocksdb=True`` applies the RocksDB
+    state-store provider to the SESSION (a session-wide conf — see
+    the module docstring for why exact-forever dedup state needs it
+    at corpus scale)."""
+    if rocksdb:
+        from .stateful_v2 import rocksdb_session_conf
+
+        for key, value in rocksdb_session_conf().items():
+            spark.conf.set(key, value)
+    curated = curate_stream(
+        read_document_stream(spark, source_dir, max_files_per_trigger),
+        **curate_kwargs,
+    )
     writer = (
         curated.writeStream.format("parquet")
         .option("path", out_dir)

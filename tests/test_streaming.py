@@ -1357,9 +1357,18 @@ def test_streaming_corpus_ingest_matches_batch_curation(spark, sf_dir):
             shutil.rmtree(os.path.join(src, inc))
 
         q = corpus_ingest.start_corpus_ingest(
-            spark, src, out, ckpt, available_now=True, min_quality=0.75
+            spark, src, out, ckpt, available_now=True,
+            max_files_per_trigger=1,  # one increment per micro-batch:
+            # the cross-batch dedup STATE is the thing under test, and
+            # availableNow without a throttle folds every file into
+            # micro-batch 0 (within-batch dedup alone would pass)
+            min_quality=0.75,
         )
         q.awaitTermination(120)
+        committed = os.listdir(os.path.join(ckpt, "offsets"))
+        assert len([f for f in committed if not f.startswith(".")]) >= 3, (
+            f"increments must land in separate micro-batches, got {committed}"
+        )
 
         streamed = spark.read.parquet(out)
         batch = curation.score_and_filter(full, min_quality=0.75)
@@ -1414,7 +1423,37 @@ def test_streaming_corpus_ingest_horizon_dedup(spark):
         assert got.count() == 10, "the 3 within-horizon dups must be dropped"
         assert got.select("fingerprint").distinct().count() == 10
     finally:
-        import shutil as sh
-
         for d in (src, out, ckpt):
-            sh.rmtree(d, ignore_errors=True)
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_corpus_ingest_null_texts_all_survive(spark):
+    """Second-review regression: md5(NULL) is NULL, and a plain
+    dropDuplicates on the fingerprint would collapse EVERY null-text
+    doc into one state key — the stream must apply the batch rule
+    (NULL texts are never duplicates) and keep them all."""
+    import os
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming import (
+        corpus_ingest,
+    )
+
+    rows = [(1, None, "en", "s", 0), (2, None, "en", "s", 0), (3, None, "en", "s", 0)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    src = tempfile.mkdtemp(prefix="null_src_")
+    out = tempfile.mkdtemp(prefix="null_out_")
+    ckpt = tempfile.mkdtemp(prefix="null_ckpt_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(src)
+        q = corpus_ingest.start_corpus_ingest(
+            spark, src, out, ckpt, available_now=True, min_quality=0.0
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(out)
+        assert got.count() == 3, "all NULL-text docs must survive the dedup"
+        assert got.filter(F.col("fingerprint").isNull()).count() == 3
+    finally:
+        for d in (src, out, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
