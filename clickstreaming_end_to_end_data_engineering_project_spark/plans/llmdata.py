@@ -25,6 +25,23 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "documents")
 
 
+def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, repartitioned to the session's parallelism ONLY when
+    the parquet scan yields fewer splits than cores.  For the
+    char-level heavyweights (winnowing fingerprints, gram mining) the
+    map work is 10-100× the cost of one pass over the text bytes, so
+    when the fixture is a single small file (one input split) the
+    repartition trades one narrow shuffle for full-core map
+    parallelism.  At corpus scale the scan arrives in thousands of
+    splits, the condition is false, and this is exactly ``_docs`` —
+    no shuffle is ever added to a well-split input."""
+    df = load(spark, sf_dir, "documents")
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
+
+
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "embeddings")
 
@@ -493,7 +510,7 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 8-gram spans shared across documents — the boilerplate
     span miner (what you would subtract before training)."""
-    return text.repeated_ngrams(_docs(spark, sf_dir), n=8, min_docs=2, k=20)
+    return text.repeated_ngrams(_docs_parallel(spark, sf_dir), n=8, min_docs=2, k=20)
 
 
 def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -536,7 +553,7 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate can hash it; explode the operator's array output to build the
     inverted index instead).  Portable polynomial hash, so unlike the
     MinHash/SimHash family this fingerprint IS oracle-checkable."""
-    fps = text.winnow_fingerprints(_docs(spark, sf_dir), k=5, w=4)
+    fps = text.winnow_fingerprints(_docs_parallel(spark, sf_dir), k=5, w=4)
     return fps.select(
         "doc_id",
         F.size("fingerprints").alias("n_fp"),
@@ -552,7 +569,7 @@ def doc_winnow_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by winnowing-fingerprint overlap — the
     oracle-checkable (portable-hash) member of the near-dup family,
     complementing the exact-Jaccard and hash-dependent MinHash paths."""
-    return text.winnow_dups(_docs(spark, sf_dir))
+    return text.winnow_dups(_docs_parallel(spark, sf_dir))
 
 
 
