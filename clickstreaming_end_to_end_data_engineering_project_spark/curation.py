@@ -178,3 +178,68 @@ def curate_corpus(
         train_docs=per_split.get("train", 0),
         test_docs=per_split.get("test", 0),
     )
+
+
+KNOWN_LANGS = ("en", "es", "fr", "de", "zh")
+
+
+def _violation_checks() -> "dict[str, F.Column]":
+    """Named validation predicates over a documents frame.  NULL-safe:
+    every predicate resolves to a concrete boolean (a NULL input can
+    never silently skip a check via three-valued logic)."""
+    text_col, lang_col, nchars_col = "text", "lang", "n_chars"
+    return {
+        "null_text": F.col(text_col).isNull(),
+        "empty_text": F.coalesce(F.length(text_col) == 0, F.lit(False)),
+        "nchars_mismatch": F.coalesce(
+            F.col(nchars_col) != F.length(text_col), F.lit(False)
+        ),
+        "unknown_lang": F.coalesce(
+            ~F.col(lang_col).isin(*KNOWN_LANGS), F.lit(True)
+        ),
+        "null_id": F.col("doc_id").isNull(),
+    }
+
+
+def validation_report(docs: DataFrame) -> DataFrame:
+    """Corpus intake validation — the documents twin of etl.py's
+    bronze→silver quarantine gate, as a ONE-PASS report: per named
+    check the violation count, plus total rows and distinct ids (their
+    difference is the duplicate-id count).  Conditional sums + a
+    distinct count, stack()-unpivoted; at 100 TB this is the scan you
+    run on a new crawl drop BEFORE admitting it to the pipeline."""
+    checks = _violation_checks()
+    aggs = [
+        F.sum(pred.cast("bigint")).alias(f"_{name}") for name, pred in checks.items()
+    ] + [
+        F.count(F.lit(1)).alias("_rows"),
+        F.countDistinct("doc_id").alias("_ids"),
+    ]
+    agg = docs.agg(*aggs)
+    stack_args = ", ".join(
+        f"{i}, '{name}', _{name}" for i, name in enumerate(checks)
+    )
+    n = len(checks)
+    return agg.select(
+        F.expr(
+            f"stack({n + 2}, {stack_args}, {n}, 'total_rows', _rows, "
+            f"{n + 1}, 'distinct_ids', _ids) AS (check_idx, check_name, n)"
+        )
+    )
+
+
+def validate_and_quarantine(docs: DataFrame) -> "tuple[DataFrame, DataFrame]":
+    """Split a document frame into (valid, quarantined) — quarantined
+    rows carry a ``reasons`` CSV of every failed check (not just the
+    first: an operator triaging a bad crawl wants the full diagnosis).
+    Pure projections + one filter each; duplicate-id detection is a
+    REPORT-level concern (validation_report) because row-level dedup
+    is the dedup family's job."""
+    checks = _violation_checks()
+    reasons = F.concat_ws(
+        ",", *[F.when(pred, F.lit(name)) for name, pred in checks.items()]
+    )
+    tagged = docs.withColumn("reasons", reasons)
+    valid = tagged.filter(F.col("reasons") == "").drop("reasons")
+    quarantined = tagged.filter(F.col("reasons") != "")
+    return valid, quarantined

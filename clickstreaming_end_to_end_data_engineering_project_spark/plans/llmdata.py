@@ -587,6 +587,18 @@ def doc_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def doc_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus intake validation report (curation.validation_report) —
+    per-check violation counts plus total/distinct-id rows, one pass.
+    The fixture corpus is clean, so the violation rows are 0 by
+    construction (the totals prove the scan ran); planted-violation
+    behavior is pinned by tests/test_curation.py."""
+    from .. import curation
+
+    return curation.validation_report(_docs(spark, sf_dir))
+
+
 SPECS = [
     QuerySpec(
         "doc_token_stats",
@@ -1230,5 +1242,44 @@ SPECS = [
         WHERE CAST(u_int AS DOUBLE) / 4294967296.0 < quality_score
         """,
         "deterministic quality-weighted Bernoulli resampling",
+    ),
+    QuerySpec(
+        "doc_validation_report",
+        doc_validation_report,
+        """
+        SELECT * FROM (
+            SELECT 0 AS check_idx, 'null_text' AS check_name,
+                   CAST(coalesce(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n
+            FROM documents
+            UNION ALL
+            SELECT 1, 'empty_text',
+                   CAST(coalesce(sum(CASE WHEN len(text) = 0 THEN 1 ELSE 0 END), 0)
+                        AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 2, 'nchars_mismatch',
+                   CAST(coalesce(sum(CASE WHEN n_chars <> len(text) THEN 1 ELSE 0 END), 0)
+                        AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 3, 'unknown_lang',
+                   CAST(coalesce(sum(CASE WHEN lang IS NULL
+                                          OR lang NOT IN ('en','es','fr','de','zh')
+                                     THEN 1 ELSE 0 END), 0) AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 4, 'null_id',
+                   CAST(coalesce(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END), 0)
+                        AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 5, 'total_rows', CAST(count(*) AS BIGINT) FROM documents
+            UNION ALL
+            SELECT 6, 'distinct_ids', CAST(count(DISTINCT doc_id) AS BIGINT)
+            FROM documents
+        )
+        """,
+        "one-pass corpus intake validation report",
     ),
 ]

@@ -128,3 +128,56 @@ def test_curation_perplexity_gate_drops_rare_token_noise(spark):
         for r in score_and_filter(with_empty, min_quality=0.0, max_perplexity=cap).collect()
     }
     assert {50, 51} <= kept_e, "unscorable docs must not be dropped by the perplexity cap"
+
+
+def test_validation_report_counts_planted_violations(spark):
+    """Every named check must count exactly its planted violations —
+    including the NULL-lang row (three-valued logic must not let a
+    NULL skip the lang check) and duplicate ids via the
+    total_rows/distinct_ids pair."""
+    from clickstreaming_end_to_end_data_engineering_project_spark import curation
+
+    rows = [
+        (1, "good text here", "en", 14),
+        (2, None, "en", 0),            # null_text
+        (3, "", "en", 0),              # empty_text
+        (4, "abc", "en", 99),          # nchars_mismatch
+        (5, "fine", "xx", 4),          # unknown_lang
+        (6, "fine", None, 4),          # unknown_lang via NULL
+        (None, "fine", "en", 4),       # null_id
+        (1, "dup id row", "en", 10),   # duplicate id
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    ).withColumn("source", F.lit("s"))
+    got = {r.check_name: r.n for r in curation.validation_report(df).collect()}
+    assert got["null_text"] == 1
+    assert got["empty_text"] == 1
+    assert got["nchars_mismatch"] == 1
+    assert got["unknown_lang"] == 2
+    assert got["null_id"] == 1
+    assert got["total_rows"] == 8
+    # distinct counts ignore the NULL id; 1 appears twice → 6 distinct
+    assert got["distinct_ids"] == 6
+
+
+def test_validate_and_quarantine_splits_with_full_reasons(spark):
+    """Quarantined rows carry EVERY failed check (CSV), valid rows
+    carry none, and the two partitions tile the input."""
+    from clickstreaming_end_to_end_data_engineering_project_spark import curation
+
+    rows = [
+        (1, "good text here", "en", 14),
+        (2, None, "zz", 0),  # null_text + unknown_lang (+nchars can't eval on NULL)
+        (3, "abc", "xx", 9),  # nchars_mismatch + unknown_lang
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    )
+    valid, quarantined = curation.validate_and_quarantine(df)
+    assert [r.doc_id for r in valid.collect()] == [1]
+    bad = {r.doc_id: r.reasons for r in quarantined.collect()}
+    assert set(bad) == {2, 3}
+    assert "null_text" in bad[2] and "unknown_lang" in bad[2]
+    assert bad[3] == "nchars_mismatch,unknown_lang"
+    assert valid.count() + quarantined.count() == df.count()
