@@ -142,3 +142,85 @@ def run_events_etl(spark: SparkSession, sf_dir: str, out_dir: str) -> EtlResult:
         gold_daily_rows=daily.count(),
         gold_user_rows=users.count(),
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    partition_cols: tuple[str, ...] = (),
+) -> int:
+    """Small-file compaction — the maintenance job every streaming
+    parquet sink needs: micro-batches write one-file-per-trigger-per-
+    partition, and a month of 10 s triggers leaves millions of tiny
+    files whose open/footer costs dominate reads.  Rewrites the
+    dataset into ``ceil(bytes / target_file_mb)`` files (per the whole
+    dataset; partition columns are preserved in the layout when
+    given), via a staging directory + atomic-ish rename so a crashed
+    compaction never leaves the table half-rewritten.  Returns the new
+    file count.
+
+    Scale notes: the rewrite is one shuffle-free coalesce when
+    shrinking file counts (coalesce narrows; repartition is only
+    needed to GROW parallelism, which compaction never does); sizing
+    comes from the filesystem, not a sample.  On object stores, swap
+    the rename for a manifest/metastore pointer flip — the staging
+    pattern is the same."""
+    import math
+    import os
+    import shutil
+
+    src_bytes = 0
+    for root, _dirs, files in os.walk(path):
+        src_bytes += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    n_files = max(1, math.ceil(src_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + ".compact_staging"
+    writer = df.coalesce(n_files).write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(staging)
+    old = path.rstrip("/") + ".compact_old"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return sum(
+        1
+        for root, _dirs, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+def delete_user_data(
+    spark: SparkSession, path: str, user_ids: "list[int]", user_col: str = "user_id"
+) -> int:
+    """Right-to-be-forgotten rewrite: remove every row belonging to
+    ``user_ids`` from a parquet dataset, via the same staging+rename
+    discipline as ``compact_parquet`` (a crashed deletion never leaves
+    a half-rewritten table — the request either fully applied or
+    fully didn't).  Returns the number of rows removed.
+
+    Scale notes: the anti-filter is a pushed-down IN over the id list
+    (broadcast join it instead past ~thousands of ids); with the
+    dataset partitioned/bucketed on ``user_col`` only the touched
+    partitions need rewriting — this whole-dataset rewrite is the
+    unpartitioned fallback.  Erasure must also cover derived sinks
+    (gold rollups, metrics stores) — compose per-layer calls."""
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    before = df.count()
+    kept = df.filter(~F.col(user_col).isin([int(u) for u in user_ids]))
+    staging = path.rstrip("/") + ".erase_staging"
+    kept.write.mode("overwrite").parquet(staging)
+    old = path.rstrip("/") + ".erase_old"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return before - spark.read.parquet(path).count()

@@ -90,3 +90,44 @@ def test_quarantine_survives_incremental_rerun(spark, tmp_path):
     # and silver itself still holds both dates' valid rows
     silver = spark.read.parquet(f"{out}/silver/events")
     assert {r["event_id"] for r in silver.collect()} == {"e1", "e3"}
+
+
+def test_compact_parquet_shrinks_file_count(spark, tmp_path):
+    """Many tiny files → one (dataset ≪ target size); data identical
+    byte-for-byte (same rows); partition layout preserved when asked."""
+    import os
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.etl import compact_parquet
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).withColumn("k", F.col("id") % 7)
+    df.repartition(40).write.parquet(path)
+    n_before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n_before >= 30, "fixture must actually be fragmented"
+    expected = sorted(r.id for r in spark.read.parquet(path).collect())
+
+    n_after = compact_parquet(spark, path, target_file_mb=128)
+    assert n_after == 1
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == expected
+    assert not os.path.exists(path + ".compact_staging")
+    assert not os.path.exists(path + ".compact_old")
+
+
+def test_delete_user_data_removes_only_target_rows(spark, tmp_path):
+    import os
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.etl import delete_user_data
+
+    path = str(tmp_path / "ev")
+    df = spark.createDataFrame(
+        [(i, i % 5, f"e{i}") for i in range(100)], "event_id long, user_id long, t string"
+    )
+    df.write.parquet(path)
+    removed = delete_user_data(spark, path, [1, 3])
+    assert removed == 40
+    left = spark.read.parquet(path)
+    assert left.count() == 60
+    assert left.filter(F.col("user_id").isin(1, 3)).count() == 0
+    assert left.filter(F.col("user_id") == 2).count() == 20, "other users untouched"
+    assert not os.path.exists(path + ".erase_staging")
+    assert not os.path.exists(path + ".erase_old")
