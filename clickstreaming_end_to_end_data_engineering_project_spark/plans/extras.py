@@ -430,8 +430,12 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("wau"))
     )
+    # day emitted as midnight TIMESTAMP, not DATE: pandas coerces Spark
+    # DateType to datetime.date objects but DuckDB DATE to datetime64,
+    # which would hash-mismatch in the driver gate (revenue_by_month's
+    # established pattern)
     return dau.join(wau, "day").select(
-        "day",
+        F.col("day").cast("timestamp").alias("day"),
         "dau",
         "wau",
         (F.col("dau").cast("double") / F.col("wau").cast("double")).alias("stickiness"),
@@ -752,7 +756,7 @@ SPECS = [
         sm AS (SELECT DISTINCT day + CAST(x AS INTEGER) AS day, user_id
                FROM de, unnest(generate_series(0, 6)) t(x)),
         wau AS (SELECT day, CAST(count(*) AS BIGINT) AS n_wau FROM sm GROUP BY day)
-        SELECT dau.day AS day, n_dau AS dau, n_wau AS wau,
+        SELECT CAST(dau.day AS TIMESTAMP) AS day, n_dau AS dau, n_wau AS wau,
                CAST(n_dau AS DOUBLE) / CAST(n_wau AS DOUBLE) AS stickiness
         FROM dau JOIN wau ON dau.day = wau.day
         """,

@@ -173,6 +173,12 @@ def test_event_time_queries_survive_foreign_session_timezone(spark, sf_dir, duck
             "revenue_by_month",
             "daily_event_stats",
             "dau_wau_stickiness",  # to_date() is session-tz-sensitive
+            "hourly_event_stats",
+            "user_sessions",
+            "anomaly_minutes",
+            "gap_filled_minute_views",
+            "weekly_moving_revenue",
+            "q1_pricing_summary",  # string-literal timestamp bounds
         ]:
             # re-poison before EVERY query: the loader resets to UTC, so
             # setting once would only exercise the first iteration

@@ -186,3 +186,41 @@ def test_load_converts_nanos_when_conf_preset_true(spark, tmp_path):
             spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
         else:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+
+
+def test_entry_surface_under_foreign_os_timezone(sf_dir):
+    """The driver process may run under ANY OS timezone (TZ env → JVM
+    default zone).  A fresh subprocess with TZ=Pacific/Kiritimati
+    (UTC+14, the most extreme offset) must still produce oracle-exact
+    results for an event-time query through the __spark_entry__
+    surface — the loader's per-access UTC forcing must cover the JVM
+    default-zone axis, not just the session conf."""
+    import os
+    import subprocess
+    import sys
+
+    script = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+from pyspark.sql import SparkSession
+
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4").getOrCreate())
+import __spark_entry__ as mod
+from oracle_harness import compare, duck_connection
+
+sf = %(sf)r
+con = duck_connection(sf)
+qs, os_ = mod.queries(), mod.oracle_sql()
+for name in ["page_view_counts", "revenue_by_month", "dau_wau_stickiness",
+             "hourly_event_stats", "q1_pricing_summary"]:
+    ok, msg = compare(qs[name](spark, sf), con, os_[name], driver_strict=True)
+    assert ok, f"{name}: {msg}"
+print("TZ-OK")
+""" % {"sf": sf_dir}
+    env = dict(os.environ, TZ="Pacific/Kiritimati")
+    out = subprocess.run(
+        [sys.executable, "-c", script], env=env, capture_output=True, text=True, timeout=300
+    )
+    assert out.returncode == 0 and "TZ-OK" in out.stdout, out.stderr[-2000:]
