@@ -144,7 +144,8 @@ def daily_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     table as a registry query — etl.py gold_publish)."""
     ev = _events(spark, sf_dir)
     return (
-        ev.groupBy(F.to_date("ts").alias("event_date"), "event_type")
+        # midnight TIMESTAMP, not DATE (driver-gate dtype discipline)
+        ev.groupBy(F.to_date("ts").cast("timestamp").alias("event_date"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("event_cnt"),
             sum_money("value").alias("total_value"),
@@ -390,7 +391,7 @@ SPECS = [
         "daily_event_stats",
         daily_event_stats,
         """
-        SELECT CAST(ts AS DATE) AS event_date, event_type,
+        SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date, event_type,
                count(*) AS event_cnt,
                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
                count(DISTINCT user_id) AS unique_users

@@ -30,8 +30,10 @@ def weekly_moving_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.orderBy(F.col("order_day").cast("timestamp").cast("long"))
         .rangeBetween(-6 * 86400, 0)
     )
+    # midnight TIMESTAMP output, not DATE — driver-gate dtype
+    # discipline (see dau_wau_stickiness)
     return daily.select(
-        "order_day",
+        F.col("order_day").cast("timestamp").alias("order_day"),
         F.col("_rev_dec").cast("double").alias("day_revenue"),
         F.sum("_rev_dec").over(w).cast("double").alias("trailing_7d_revenue"),
     )
@@ -538,7 +540,7 @@ SPECS = [
                    sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec
             FROM orders GROUP BY 1
         )
-        SELECT order_day,
+        SELECT CAST(order_day AS TIMESTAMP) AS order_day,
                CAST(rev_dec AS DOUBLE) AS day_revenue,
                CAST(sum(rev_dec) OVER (
                    ORDER BY order_day
