@@ -197,6 +197,7 @@ def _violation_checks() -> "dict[str, F.Column]":
         "unknown_lang": F.coalesce(
             ~F.col(lang_col).isin(*KNOWN_LANGS), F.lit(True)
         ),
+        "null_nchars": F.col(text_col).isNotNull() & F.col(nchars_col).isNull(),
         "null_id": F.col("doc_id").isNull(),
     }
 
@@ -209,8 +210,11 @@ def validation_report(docs: DataFrame) -> DataFrame:
     distinct count, stack()-unpivoted; at 100 TB this is the scan you
     run on a new crawl drop BEFORE admitting it to the pipeline."""
     checks = _violation_checks()
+    # coalesce: F.sum over ZERO rows is NULL — an empty crawl drop must
+    # report 0 violations, not NULL (and must match the oracle's 0s)
     aggs = [
-        F.sum(pred.cast("bigint")).alias(f"_{name}") for name, pred in checks.items()
+        F.coalesce(F.sum(pred.cast("bigint")), F.lit(0)).alias(f"_{name}")
+        for name, pred in checks.items()
     ] + [
         F.count(F.lit(1)).alias("_rows"),
         F.countDistinct("doc_id").alias("_ids"),

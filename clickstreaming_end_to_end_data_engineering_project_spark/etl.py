@@ -180,11 +180,15 @@ def compact_parquet(
     n_files = max(1, math.ceil(src_bytes / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
     staging = path.rstrip("/") + ".compact_staging"
+    old = path.rstrip("/") + ".compact_old"
+    # recover from a previous crashed run: a leftover old/staging dir
+    # would make the renames below fail forever
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
     writer = df.coalesce(n_files).write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(staging)
-    old = path.rstrip("/") + ".compact_old"
     os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old)
@@ -201,9 +205,11 @@ def delete_user_data(
 ) -> int:
     """Right-to-be-forgotten rewrite: remove every row belonging to
     ``user_ids`` from a parquet dataset, via the same staging+rename
-    discipline as ``compact_parquet`` (a crashed deletion never leaves
-    a half-rewritten table — the request either fully applied or
-    fully didn't).  Returns the number of rows removed.
+    discipline (and crash-recovery pre-clean) as ``compact_parquet``.
+    Rows with a NULL ``user_col`` are PRESERVED — three-valued logic
+    would otherwise silently delete every anonymous row (the
+    silver_refine coalesce rule).  Returns the number of rows
+    removed.
 
     Scale notes: the anti-filter is a pushed-down IN over the id list
     (broadcast join it instead past ~thousands of ids); with the
@@ -216,10 +222,15 @@ def delete_user_data(
 
     df = spark.read.parquet(path)
     before = df.count()
-    kept = df.filter(~F.col(user_col).isin([int(u) for u in user_ids]))
+    kept = df.filter(
+        ~F.col(user_col).isin([int(u) for u in user_ids])
+        | F.col(user_col).isNull()
+    )
     staging = path.rstrip("/") + ".erase_staging"
-    kept.write.mode("overwrite").parquet(staging)
     old = path.rstrip("/") + ".erase_old"
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    kept.write.mode("overwrite").parquet(staging)
     os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old)

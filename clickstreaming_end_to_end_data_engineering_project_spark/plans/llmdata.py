@@ -35,7 +35,7 @@ def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism.  At corpus scale the scan arrives in thousands of
     splits, the condition is false, and this is exactly ``_docs`` —
     no shuffle is ever added to a well-split input."""
-    df = load(spark, sf_dir, "documents")
+    df = _docs(spark, sf_dir)
     cores = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < cores:
         return df.repartition(cores)
@@ -1269,14 +1269,19 @@ SPECS = [
                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
             FROM documents
             UNION ALL
-            SELECT 4, 'null_id',
+            SELECT 4, 'null_nchars',
+                   CAST(coalesce(sum(CASE WHEN text IS NOT NULL AND n_chars IS NULL
+                                     THEN 1 ELSE 0 END), 0) AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 5, 'null_id',
                    CAST(coalesce(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END), 0)
                         AS BIGINT)
             FROM documents
             UNION ALL
-            SELECT 5, 'total_rows', CAST(count(*) AS BIGINT) FROM documents
+            SELECT 6, 'total_rows', CAST(count(*) AS BIGINT) FROM documents
             UNION ALL
-            SELECT 6, 'distinct_ids', CAST(count(DISTINCT doc_id) AS BIGINT)
+            SELECT 7, 'distinct_ids', CAST(count(DISTINCT doc_id) AS BIGINT)
             FROM documents
         )
         """,

@@ -144,6 +144,7 @@ def test_validation_report_counts_planted_violations(spark):
         (4, "abc", "en", 99),          # nchars_mismatch
         (5, "fine", "xx", 4),          # unknown_lang
         (6, "fine", None, 4),          # unknown_lang via NULL
+        (7, "fine", "en", None),       # null_nchars
         (None, "fine", "en", 4),       # null_id
         (1, "dup id row", "en", 10),   # duplicate id
     ]
@@ -155,10 +156,11 @@ def test_validation_report_counts_planted_violations(spark):
     assert got["empty_text"] == 1
     assert got["nchars_mismatch"] == 1
     assert got["unknown_lang"] == 2
+    assert got["null_nchars"] == 1
     assert got["null_id"] == 1
-    assert got["total_rows"] == 8
+    assert got["total_rows"] == 9
     # distinct counts ignore the NULL id; 1 appears twice → 6 distinct
-    assert got["distinct_ids"] == 6
+    assert got["distinct_ids"] == 7
 
 
 def test_validate_and_quarantine_splits_with_full_reasons(spark):

@@ -112,6 +112,23 @@ def test_compact_parquet_shrinks_file_count(spark, tmp_path):
     assert not os.path.exists(path + ".compact_staging")
     assert not os.path.exists(path + ".compact_old")
 
+    # partitioned layout: preserved through compaction, one file per
+    # partition directory afterwards
+    ppath = str(tmp_path / "part_frag")
+    df.repartition(20).write.partitionBy("k").parquet(ppath)
+    expected_k = sorted(
+        (r.id, r.k) for r in spark.read.parquet(ppath).collect()
+    )
+    compact_parquet(spark, ppath, target_file_mb=128, partition_cols=("k",))
+    got = spark.read.parquet(ppath)
+    assert sorted((r.id, r.k) for r in got.collect()) == expected_k
+    kdirs = [d for d in os.listdir(ppath) if d.startswith("k=")]
+    assert len(kdirs) == 7, "partition directories must survive compaction"
+
+    # crash recovery: a stale .compact_old must not wedge the next run
+    os.makedirs(path + ".compact_old/leftover", exist_ok=True)
+    assert compact_parquet(spark, path, target_file_mb=128) == 1
+
 
 def test_delete_user_data_removes_only_target_rows(spark, tmp_path):
     import os
@@ -122,11 +139,17 @@ def test_delete_user_data_removes_only_target_rows(spark, tmp_path):
     df = spark.createDataFrame(
         [(i, i % 5, f"e{i}") for i in range(100)], "event_id long, user_id long, t string"
     )
+    df = df.union(
+        spark.createDataFrame([(1000, None, "anon")], "event_id long, user_id long, t string")
+    )
     df.write.parquet(path)
     removed = delete_user_data(spark, path, [1, 3])
     assert removed == 40
     left = spark.read.parquet(path)
-    assert left.count() == 60
+    assert left.count() == 61
+    assert left.filter(F.col("user_id").isNull()).count() == 1, (
+        "NULL-user (anonymous) rows must be PRESERVED by erasure"
+    )
     assert left.filter(F.col("user_id").isin(1, 3)).count() == 0
     assert left.filter(F.col("user_id") == 2).count() == 20, "other users untouched"
     assert not os.path.exists(path + ".erase_staging")

@@ -1158,9 +1158,14 @@ def test_dau_wau_smear_matches_naive_rolling_distinct(spark):
 
     tmp = tempfile.mkdtemp()
     df.write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
-    # day is a midnight TIMESTAMP in the output (driver-gate dtype
-    # discipline) — key the naive twin by its date part
-    out = {r.day.date(): (r.dau, r.wau) for r in dau_wau_stickiness(spark, tmp).collect()}
+    # day is a midnight-UTC TIMESTAMP; collect() renders it in OS-local
+    # wall time (TimestampType.fromInternal), so convert back to UTC
+    # before taking the date part or any box west of UTC keys the
+    # previous day
+    out = {
+        r.day.astimezone(dt.timezone.utc).date(): (r.dau, r.wau)
+        for r in dau_wau_stickiness(spark, tmp).collect()
+    }
     daily = {}
     for _, ts, uid, *_ in events:
         daily.setdefault(ts.date(), set()).add(uid)

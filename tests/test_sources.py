@@ -199,10 +199,11 @@ def test_entry_surface_under_foreign_os_timezone(sf_dir):
     import subprocess
     import sys
 
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = r"""
 import sys
-sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/root/repo/tests")
+sys.path.insert(0, %(root)r)
+sys.path.insert(0, %(root)r + "/tests")
 from pyspark.sql import SparkSession
 
 spark = (SparkSession.builder.master("local[4]")
@@ -218,7 +219,7 @@ for name in ["page_view_counts", "revenue_by_month", "dau_wau_stickiness",
     ok, msg = compare(qs[name](spark, sf), con, os_[name], driver_strict=True)
     assert ok, f"{name}: {msg}"
 print("TZ-OK")
-""" % {"sf": sf_dir}
+""" % {"sf": sf_dir, "root": repo_root}
     env = dict(os.environ, TZ="Pacific/Kiritimati")
     out = subprocess.run(
         [sys.executable, "-c", script], env=env, capture_output=True, text=True, timeout=300
