@@ -599,6 +599,34 @@ def doc_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.validation_report(_docs(spark, sf_dir))
 
 
+
+def text_embedding_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal consistency QA: every lexical near-dup pair (exact
+    capped Jaccard ≥ 0.2) scored against its embeddings' cosine — rows
+    where the embedding space DISAGREES with the lexical signal (low
+    cosine on near-identical text) indicate a broken embedding or
+    chunk-alignment pipeline, caught before training on it.  Returned
+    ascending by cosine so the worst disagreements lead.
+
+    Plan: the pair list is tiny relative to the embeddings table, so
+    it broadcasts into both embedding joins; the cosine is the same
+    left-to-right double fold as embedding_topk_cosine (bit-exact vs
+    the oracle)."""
+    pairs = dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.2, max_doc_freq=MAX_SHINGLE_DOC_FREQ
+    )
+    embs = _embs(spark, sf_dir)
+    e1 = embs.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("_ea"))
+    e2 = embs.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("_eb"))
+    cos = similarity.cosine(F.col("_ea"), F.col("_eb"))
+    return (
+        pairs.join(e1, "doc_a")
+        .join(e2, "doc_b")
+        .select("doc_a", "doc_b", "jaccard", cos.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").asc(), "doc_a", "doc_b")
+    )
+
+
 SPECS = [
     QuerySpec(
         "doc_token_stats",
@@ -1286,5 +1314,36 @@ SPECS = [
         )
         """,
         "one-pass corpus intake validation report",
+    ),
+    QuerySpec(
+        "text_embedding_disagreement",
+        text_embedding_disagreement,
+        f"""
+        WITH {_JACCARD_CTES}, p AS (
+            SELECT doc_a, doc_b,
+                   i * 1.0 / (sa.n + sb.n - i) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2
+        )
+        SELECT p.doc_a, p.doc_b, p.jaccard,
+               list_reduce(list_transform(range(len(ea.embedding)),
+                           i2 -> CAST(ea.embedding[i2+1] AS DOUBLE)
+                                 * CAST(eb.embedding[i2+1] AS DOUBLE)),
+                           (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(range(len(ea.embedding)),
+                           i2 -> CAST(ea.embedding[i2+1] AS DOUBLE)
+                                 * CAST(ea.embedding[i2+1] AS DOUBLE)),
+                           (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(range(len(eb.embedding)),
+                           i2 -> CAST(eb.embedding[i2+1] AS DOUBLE)
+                                 * CAST(eb.embedding[i2+1] AS DOUBLE)),
+                           (x, y) -> x + y))) AS cos_sim
+        FROM p
+        JOIN embeddings ea ON ea.vec_id = p.doc_a
+        JOIN embeddings eb ON eb.vec_id = p.doc_b
+        """,
+        "cross-modal QA: lexical near-dups vs their embedding cosine",
     ),
 ]

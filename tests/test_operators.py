@@ -1264,3 +1264,53 @@ def test_weighted_sample_is_probability_faithful_and_deterministic(spark):
     assert abs(len(half) - 2000) < 3 * (4000 * 0.25) ** 0.5
     assert kept(0.5) == half, "re-run must keep the identical set"
     assert kept(0.3) <= kept(0.7), "keep-sets must be nested in p"
+
+
+def test_winnow_fingerprints_property_matches_python_twin(spark):
+    """Property (hypothesis): the columnar winnowing pipeline (shifted
+    slices + zip_with folds) produces EXACTLY the fingerprint set a
+    direct Python implementation of the algorithm produces, for
+    arbitrary ASCII strings — pins the k-gram hash fold, the window
+    minima, and the length cutoff bit-for-bit."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import text as t
+
+    K, W, MOD = 5, 4, 2147483647
+
+    def py_winnow(s: str):
+        codes = [ord(c) for c in s]
+        if len(codes) < K + W - 1:
+            return None
+        kh = []
+        for i in range(len(codes) - K + 1):
+            acc = 0
+            for c in codes[i : i + K]:
+                acc = (acc * 31 + c) % MOD
+            kh.append(acc)
+        return sorted({min(kh[j : j + W]) for j in range(len(kh) - W + 1)})
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                min_size=0,
+                max_size=60,
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def check(texts):
+        rows = [(i, s) for i, s in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: sorted(r.fingerprints)
+            for r in t.winnow_fingerprints(df, k=K, w=W).collect()
+        }
+        expect = {i: py_winnow(s) for i, s in rows if py_winnow(s) is not None}
+        assert got == expect
+
+    check()
