@@ -84,8 +84,9 @@ class QuerySpec:
 # r8 rotation queue (oracle-backed, never driver-verified, added late
 # in r7 after the gate filled): dau_wau_stickiness,
 # doc_winnow_fingerprints, doc_winnow_dups, doc_quality_weighted_sample,
-# embedding_quant_error, doc_validation_report.  Rotate these in next
-# round, demoting r7-green rows per the policy above.
+# embedding_quant_error, doc_validation_report,
+# text_embedding_disagreement.  Rotate these in next round, demoting
+# r7-green rows per the policy above.
 GATE_PRIORITY = [
     # reference-parity clickstream core (pinned)
     "page_view_counts",
