@@ -1457,3 +1457,89 @@ def test_streaming_corpus_ingest_null_texts_all_survive(spark):
     finally:
         for d in (src, out, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_trending_sink_decay_and_ranking(spark):
+    """Decay math pinned exactly: a key hot early then idle must fall
+    below a key with recent activity once enough half-lives pass; a
+    retried batch must not double-count (copy-on-write staging); top()
+    with as_of_batch decays idle keys forward."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.sinks import (
+        TrendingSink,
+    )
+
+    sink = TrendingSink(key_col="page", count_col="n", half_life_batches=2.0)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "page string, n long")
+
+    # batch 0: 'old' very hot; batch 4 (2 half-lives later): 'new' mildly hot
+    sink(batch([("old", 100)]), 0)
+    sink(batch([("new", 40)]), 4)
+    top = sink.top(2, as_of_batch=4)
+    scores = dict(top)
+    assert scores["old"] == 100 * 0.5 ** (4 / 2.0), "two half-lives must quarter the score"
+    assert top[0][0] == "new", "recent moderate heat must outrank decayed big heat"
+
+    # replay safety: Sink.__call__ retry on a failing first attempt
+    class Boom(Exception):
+        pass
+
+    calls = {"n": 0}
+    orig = TrendingSink.write
+
+    def flaky(self, df, batch_id):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise Boom()
+        orig(self, df, batch_id)
+
+    TrendingSink.write = flaky
+    try:
+        sink(batch([("old", 10)]), 5)
+    finally:
+        TrendingSink.write = orig
+    assert calls["n"] == 2
+    expected_old = (100 * 0.5 ** (5 / 2.0)) + 10
+    assert dict(sink.top(2))["old"] == expected_old, "retried batch applied exactly once"
+
+    # as_of decay: far future → everything near zero, ordering stable
+    far = sink.top(2, as_of_batch=100)
+    assert far[0][1] < 1e-9 and len(far) == 2
+
+
+def test_trending_sink_streaming_end_to_end(spark, sf_dir, events_dir):
+    """TrendingSink through a real availableNow streaming query: final
+    scores must be positive for every observed event type and the
+    top-1 must be the type with the highest (decay-weighted) count."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.pipelines import (
+        read_file_stream,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.sinks import (
+        TrendingSink,
+    )
+
+    events = load(spark, sf_dir, "events")
+    sink = TrendingSink(key_col="event_type", count_col="one", half_life_batches=10.0)
+    ckpt = tempfile.mkdtemp(prefix="trend_ckpt_")
+    try:
+        q = (
+            read_file_stream(spark, events_dir, events.schema)
+            .select("event_type", F.lit(1).alias("one"))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        top = sink.top(10)
+        assert len(top) == 5, "all five event types must be scored"
+        assert all(score > 0 for _, score in top)
+        # single batch → no decay: scores equal raw counts
+        batch_counts = {
+            r.event_type: r.cnt
+            for r in events.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        assert top[0][0] == max(batch_counts, key=lambda k: (batch_counts[k], k))
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
