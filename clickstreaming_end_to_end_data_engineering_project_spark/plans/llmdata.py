@@ -472,17 +472,23 @@ SELECT node AS doc_id,
 FROM reach GROUP BY node
 """
 
-_COSINE_EXPR = """
-list_reduce(list_transform(range(len(e.embedding)),
-            i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(q.embedding[i+1] AS DOUBLE)),
-            (x, y) -> x + y)
-/ (sqrt(list_reduce(list_transform(range(len(e.embedding)),
-            i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)),
-            (x, y) -> x + y))
- * sqrt(list_reduce(list_transform(range(len(q.embedding)),
-            i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(q.embedding[i+1] AS DOUBLE)),
-            (x, y) -> x + y)))
-"""
+def _cosine_sql(a: str, b: str) -> str:
+    """Bit-exact SQL twin of similarity.cosine for two table aliases —
+    left-to-right double fold, dot/(sqrt(aa)*sqrt(bb)) association.
+    ONE definition so every oracle that compares cosines stays in
+    lockstep with the Spark-side fold."""
+
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(len({x}.embedding)), "
+            f"i2 -> CAST({x}.embedding[i2+1] AS DOUBLE) * CAST({y}.embedding[i2+1] AS DOUBLE)), "
+            f"(xx, yy) -> xx + yy)"
+        )
+
+    return f"{dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)}))"
+
+
+_COSINE_EXPR = _cosine_sql("e", "q")
 
 
 def doc_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -608,12 +614,16 @@ def text_embedding_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk-alignment pipeline, caught before training on it.  Returned
     ascending by cosine so the worst disagreements lead.
 
-    Plan: the pair list is tiny relative to the embeddings table, so
-    it broadcasts into both embedding joins; the cosine is the same
-    left-to-right double fold as embedding_topk_cosine (bit-exact vs
-    the oracle)."""
-    pairs = dedup.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), threshold=0.2, max_doc_freq=MAX_SHINGLE_DOC_FREQ
+    Plan: the pair list is tiny relative to the embeddings table and
+    BROADCAST-HINTED into both embedding joins (its localCheckpointed
+    lineage carries no size stats, so without the hint the static plan
+    would sort-merge-shuffle the embeddings table twice and only AQE
+    could rescue it); the cosine is the same left-to-right double fold
+    as embedding_topk_cosine (bit-exact vs the oracle)."""
+    pairs = F.broadcast(
+        dedup.ngram_jaccard_pairs(
+            _docs(spark, sf_dir), threshold=0.2, max_doc_freq=MAX_SHINGLE_DOC_FREQ
+        )
     )
     embs = _embs(spark, sf_dir)
     e1 = embs.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("_ea"))
@@ -1328,18 +1338,7 @@ SPECS = [
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2
         )
         SELECT p.doc_a, p.doc_b, p.jaccard,
-               list_reduce(list_transform(range(len(ea.embedding)),
-                           i2 -> CAST(ea.embedding[i2+1] AS DOUBLE)
-                                 * CAST(eb.embedding[i2+1] AS DOUBLE)),
-                           (x, y) -> x + y)
-               / (sqrt(list_reduce(list_transform(range(len(ea.embedding)),
-                           i2 -> CAST(ea.embedding[i2+1] AS DOUBLE)
-                                 * CAST(ea.embedding[i2+1] AS DOUBLE)),
-                           (x, y) -> x + y))
-                * sqrt(list_reduce(list_transform(range(len(eb.embedding)),
-                           i2 -> CAST(eb.embedding[i2+1] AS DOUBLE)
-                                 * CAST(eb.embedding[i2+1] AS DOUBLE)),
-                           (x, y) -> x + y))) AS cos_sim
+               {_cosine_sql("ea", "eb")} AS cos_sim
         FROM p
         JOIN embeddings ea ON ea.vec_id = p.doc_a
         JOIN embeddings eb ON eb.vec_id = p.doc_b

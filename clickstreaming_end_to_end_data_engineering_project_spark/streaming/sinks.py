@@ -397,6 +397,7 @@ class TrendingSink(Sink):
         self.half_life = float(half_life_batches)
         # key -> (score, last_batch_id)
         self.scores: dict[str, tuple[float, int]] = {}
+        self.last_batch: int | None = None
 
     def write(self, df: DataFrame, batch_id: int) -> None:
         staged = [(k, float(v)) for k, v in _batch_delta(df, self.key_col, self.count_col)]
@@ -406,13 +407,18 @@ class TrendingSink(Sink):
             decay = 0.5 ** ((batch_id - last) / self.half_life)
             new_scores[key] = (score * decay + cnt, batch_id)
         self.scores = new_scores
+        self.last_batch = batch_id if self.last_batch is None else max(self.last_batch, batch_id)
 
     def top(self, k: int = 10, as_of_batch: int | None = None) -> list[tuple[str, float]]:
-        """Top-k keys by decayed score.  ``as_of_batch`` decays every
-        stored score forward to that batch id first, so keys idle since
-        their last observation rank by their CURRENT (decayed) heat,
-        not their heat when last seen."""
+        """Top-k keys by decayed score AS OF ``as_of_batch`` (default:
+        the latest batch the sink has seen) — stored scores only decay
+        at a key's next write, so ranking must decay idle keys forward
+        or an all-time favorite that went quiet would dominate forever,
+        the exact failure this sink exists to prevent."""
         import heapq
+
+        if as_of_batch is None:
+            as_of_batch = self.last_batch
 
         def current(key: str) -> float:
             score, last = self.scores[key]

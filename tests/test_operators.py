@@ -1310,7 +1310,8 @@ def test_winnow_fingerprints_property_matches_python_twin(spark):
             r.doc_id: sorted(r.fingerprints)
             for r in t.winnow_fingerprints(df, k=K, w=W).collect()
         }
-        expect = {i: py_winnow(s) for i, s in rows if py_winnow(s) is not None}
+        fps = ((i, py_winnow(s)) for i, s in rows)
+        expect = {i: fp for i, fp in fps if fp is not None}
         assert got == expect
 
     check()

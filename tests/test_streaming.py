@@ -1459,7 +1459,7 @@ def test_streaming_corpus_ingest_null_texts_all_survive(spark):
             shutil.rmtree(d, ignore_errors=True)
 
 
-def test_trending_sink_decay_and_ranking(spark):
+def test_trending_sink_decay_and_ranking(spark, monkeypatch):
     """Decay math pinned exactly: a key hot early then idle must fall
     below a key with recent activity once enough half-lives pass; a
     retried batch must not double-count (copy-on-write staging); top()
@@ -1482,6 +1482,12 @@ def test_trending_sink_decay_and_ranking(spark):
     assert top[0][0] == "new", "recent moderate heat must outrank decayed big heat"
 
     # replay safety: Sink.__call__ retry on a failing first attempt
+    # (sleep stubbed and write patched via monkeypatch — self-cleaning,
+    # no real backoff delay, same pattern as the sibling retry tests)
+    import clickstreaming_end_to_end_data_engineering_project_spark.streaming.sinks as _sinks
+
+    monkeypatch.setattr(_sinks.time, "sleep", lambda s: None)
+
     class Boom(Exception):
         pass
 
@@ -1494,11 +1500,9 @@ def test_trending_sink_decay_and_ranking(spark):
             raise Boom()
         orig(self, df, batch_id)
 
-    TrendingSink.write = flaky
-    try:
-        sink(batch([("old", 10)]), 5)
-    finally:
-        TrendingSink.write = orig
+    monkeypatch.setattr(TrendingSink, "write", flaky)
+    sink(batch([("old", 10)]), 5)
+    monkeypatch.setattr(TrendingSink, "write", orig)
     assert calls["n"] == 2
     expected_old = (100 * 0.5 ** (5 / 2.0)) + 10
     assert dict(sink.top(2))["old"] == expected_old, "retried batch applied exactly once"
