@@ -1,13 +1,18 @@
 """Text analysis over the ``documents`` table.
 
 Capability extension per SURVEY.md §2.11 (the reference's README
-promises text/journey analytics it never implements).  All operators
-are pure built-in column expressions — no Python in the hot path — so
-they run inside whole-stage codegen and scale linearly with input
-splits (no shuffle except the final aggregations).
+promises text/journey analytics it never implements).  Operators are
+built-in column expressions running inside whole-stage codegen — with
+one deliberate exception: winnowing fingerprints use an Arrow-batched
+vectorized-numpy pandas UDF, because the per-char expression form ran
+on Catalyst's interpreted evaluator (higher-order functions are
+codegen-excluded) and proved JVM-JIT-fragile (see
+winnow_fingerprints).  No row-at-a-time Python anywhere.
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -281,32 +286,51 @@ def winnow_fingerprints(
 
     Docs shorter than k+w−1 chars produce no fingerprints and are
     omitted.  Output: (id, ``fingerprints`` array<long>) — explode for
-    an inverted index, or summarize scalar-wise.
+    an inverted index, or summarize scalar-wise.  The fingerprint array
+    is sorted-distinct (set semantics; every consumer here summarizes
+    or explodes, and the property test compares sets).
 
-    Scale shape: pure per-row array expressions (O(len·(k+w)) hash
-    work per doc), no shuffle, embarrassingly parallel.  Built from
-    shifted slices combined with zip_with — NOT nested
-    transform(sequence(...)) lambdas: Spark does no common-
-    subexpression elimination inside lambda bodies, so the nested form
-    re-derives the whole gram-hash array per window position (O(len²·k)
-    — measured as a multi-minute hang on 500 real docs where this form
-    takes milliseconds; same trap dedup._shingle_array documents)."""
-    mod = F.lit(2147483647)
-    codes = F.transform(F.split(F.col(text_col), ""), F.ascii)
-    m = F.size(codes) - (k - 1)  # k-gram count
-    # kh[i] = polynomial hash of codes[i..i+k-1]: fold k shifted slices
-    kh = F.transform(F.slice(codes, 1, m), lambda c: c.cast("long") % mod)
-    for j in range(1, k):
-        kh = F.zip_with(
-            kh, F.slice(codes, j + 1, m), lambda a, c: (a * F.lit(31) + c) % mod
-        )
-    # window minima: fold w shifted slices of kh with least()
-    mw = m - (w - 1)  # window count
-    wmins = F.slice(kh, 1, mw)
-    for j in range(1, w):
-        wmins = F.zip_with(wmins, F.slice(kh, j + 1, mw), lambda a, b: F.least(a, b))
-    return df.filter(F.size(codes) >= k + w - 1).select(
-        F.col(id_col), F.array_distinct(wmins).alias("fingerprints")
+    Scale shape: an Arrow-batched pandas UDF running a fully vectorized
+    numpy kernel per document — O(len·(k+w)) int64 work with NO
+    per-element interpretation.  This replaced the r4-r7 pure-expression
+    form (shifted slices folded with zip_with): higher-order array
+    functions (transform/zip_with/slice-fold) are excluded from
+    whole-stage codegen, so that form ran on Catalyst's INTERPRETED
+    expression evaluator — ~13M boxed lambda evaluations for the sf0.1
+    corpus — and its wall-time proved JVM-JIT-fragile: 2.4s on the r7
+    JDK, 8–10s on JDK 17.0.20 (r8), identical code and data.  The
+    vectorized kernel is ~0.3s and JIT-independent; per-char work at
+    corpus scale belongs in Arrow/numpy, not an interpreted expression
+    tree.  (The r4 lesson still documented in dedup._shingle_array —
+    never nested transform(sequence(...)) lambdas, O(len²·k) — applies
+    to any expression-side fallback.)
+
+    Hash parity: numpy int64 is exact here — codes < 2^21 (max Unicode
+    codepoint), so acc*31+c < 2^31·31 + 2^21 < 2^36 never overflows,
+    and utf-32-le decoding yields exactly Python's ord() per character
+    = Spark's ascii() = DuckDB's ord(), keeping the oracle bit-exact."""
+    import numpy as np
+
+    mod = 2147483647
+
+    def _fp_of(text: str) -> "np.ndarray":
+        codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        m = codes.size - (k - 1)
+        kh = codes[:m] % mod
+        for j in range(1, k):
+            kh = (kh * 31 + codes[j : j + m]) % mod
+        mw = m - (w - 1)
+        wm = kh[:mw].copy()
+        for j in range(1, w):
+            np.minimum(wm, kh[j : j + mw], out=wm)
+        return np.unique(wm)
+
+    @F.pandas_udf("array<long>")
+    def _winnow_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(_fp_of)
+
+    return df.filter(F.length(F.col(text_col)) >= k + w - 1).select(
+        F.col(id_col), _winnow_udf(F.col(text_col)).alias("fingerprints")
     )
 
 

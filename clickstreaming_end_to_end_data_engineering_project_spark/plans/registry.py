@@ -81,12 +81,20 @@ class QuerySpec:
 # top3_parts_per_brand, word_freq_top20), doc_unigram_logprob (new in
 # r7, still needs its first row) and embedding_label_pairs (r6 fix —
 # one extra confirming row).
-# r8 rotation queue (oracle-backed, never driver-verified, added late
-# in r7 after the gate filled): dau_wau_stickiness,
-# doc_winnow_fingerprints, doc_winnow_dups, doc_quality_weighted_sample,
-# embedding_quant_error, doc_validation_report,
-# text_embedding_disagreement.  Rotate these in next round, demoting
-# r7-green rows per the policy above.
+# Round-8 rotation: the declared r8 queue (the 7 oracle-backed queries
+# added late in r7 after the gate filled) rotates in for its first
+# driver rows: dau_wau_stickiness, doc_winnow_fingerprints,
+# doc_winnow_dups, doc_quality_weighted_sample, embedding_quant_error,
+# doc_validation_report, text_embedding_disagreement.  Demoted are 7
+# r7-green rows: doc_unigram_logprob (first row landed green in r7)
+# and embedding_label_pairs (r6-fix confirming row landed green in r7),
+# plus 5 of the r7 rotation batch (q4_late_order_priorities,
+# q7_nation_pair_volume, q12_priority_by_linestatus,
+# q19_disjunctive_revenue, doc_cluster_aware_split — all green in
+# CORRECTNESS_r07.json).  After this round, EVERY oracle-backed scalar
+# query in the registry has a green driver row in some
+# CORRECTNESS_r*.json — the rotation goal is closed; future rounds
+# only need to gate newly-added or newly-fixed queries.
 GATE_PRIORITY = [
     # reference-parity clickstream core (pinned)
     "page_view_counts",
@@ -115,31 +123,31 @@ GATE_PRIORITY = [
     "lang_stratified_sample",
     "doc_chunks",
     "doc_split_contamination",
-    # new in r7, first driver row pending
-    "doc_unigram_logprob",
     # benched analytics legs (retained)
     "anomaly_minutes",
     "top3_parts_per_brand",
     "word_freq_top20",
-    # r6 threshold fix — one extra confirming row
-    "embedding_label_pairs",
-    # round-7 rotation: never-driver-verified, added this round
+    # round-8 rotation: the declared r8 queue — first driver rows
+    "dau_wau_stickiness",
+    "doc_winnow_fingerprints",
+    "doc_winnow_dups",
+    "doc_quality_weighted_sample",
+    "embedding_quant_error",
+    "doc_validation_report",
+    "text_embedding_disagreement",
+    # retained from the r7 rotation (green r7; kept for a second row
+    # while slots allow — the benched tpch_deep shapes stay visible)
     "q2_cheapest_supplier_per_part",
-    "q4_late_order_priorities",
-    "q7_nation_pair_volume",
     "q8_market_share",
     "q9_product_profit",
     "q11_important_parts",
-    "q12_priority_by_linestatus",
     "q13_customer_distribution",
     "q15_top_supplier",
     "q16_part_supplier_counts",
     "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
     "q20_promotable_part_suppliers",
     "q21_late_sole_suppliers",
     "q22_idle_customers",
-    "doc_cluster_aware_split",
     "doc_tfidf_top_terms",
     "doc_token_budget_sample",
     "source_mixture_weights",

@@ -159,6 +159,47 @@ def event_stats_pipeline(events: DataFrame, watermark: str = "5 minutes") -> Dat
     )
 
 
+def device_stats_pipeline(events: DataFrame, watermark: str = "5 minutes") -> DataFrame:
+    """Hourly device stats over the WIRE schema (reference
+    stream_processor.py:256-282): groups the nested ``device`` struct's
+    three dimensions — device.type × device.browser × device.os — per
+    1-hour tumbling window, with approx-distinct users and sessions.
+
+    Unlike the other pipelines (which run on the testdata ``events``
+    schema, event-time column ``ts``), this one consumes the
+    CLICKSTREAM_SCHEMA produced by ``parse_event_stream`` /
+    ``synthetic_clickstream`` (event-time column ``timestamp``) — it is
+    the one pipeline whose group key exercises DEVICE_SCHEMA
+    (schema.py:22).  Nested-field group keys are plain Catalyst
+    ``GetStructField`` projections, so the shuffle key is the flattened
+    (window, type, browser, os) tuple — no struct comparison at
+    exchange time, same partial-aggregation shape as any scalar key."""
+    return (
+        events.withWatermark("timestamp", watermark)
+        .groupBy(
+            F.window("timestamp", "1 hour").alias("w"),
+            F.col("device.type").alias("device_type"),
+            F.col("device.browser").alias("browser"),
+            F.col("device.os").alias("operating_system"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("visit_count"),
+            F.approx_count_distinct("user_id").alias("unique_users"),
+            F.approx_count_distinct("session_id").alias("unique_sessions"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "device_type",
+            "browser",
+            "operating_system",
+            "visit_count",
+            "unique_users",
+            "unique_sessions",
+        )
+    )
+
+
 # ---- lifecycle ------------------------------------------------------------
 
 
@@ -181,6 +222,9 @@ class ClickstreamPipelines:
         "sessions": (session_pipeline, "append"),
         "purchases": (purchase_pipeline, "update"),
         "event_stats": (event_stats_pipeline, "update"),
+        # wire-schema only (timestamp + device struct); opt in by
+        # providing a "device_stats" sink when events carries them
+        "device_stats": (device_stats_pipeline, "update"),
     }
 
     def start(self, events: DataFrame, sinks: dict[str, Sink]) -> list[StreamingQuery]:

@@ -632,6 +632,61 @@ def test_synthetic_clickstream_generator(spark):
     assert all(1 <= r["user_id"] <= 1000 for r in rows[:200])
 
 
+def test_device_stats_streaming_equals_batch_on_wire_schema(spark):
+    """The 3-dimension device-struct grouping (reference
+    stream_processor.py:256-282) over the WIRE schema: streaming the
+    generator fixture through device_stats_pipeline must equal the
+    batch run, and the group key must be the nested DEVICE_SCHEMA
+    fields (device.type × device.browser × device.os)."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.schema import CLICKSTREAM_SCHEMA
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.generator import (
+        synthetic_clickstream,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.pipelines import (
+        device_stats_pipeline,
+    )
+
+    events = synthetic_clickstream(spark, n_events=8000, seed=11, events_per_second=2.0)
+    key_cols = ["window_start", "device_type", "browser", "operating_system"]
+
+    batch_df = device_stats_pipeline(events)
+    # the full 3-dim cross should actually appear in the group key:
+    # 3 types × 4 browsers × 5 oses = 60 combos per well-populated window
+    assert [f.name for f in batch_df.schema.fields] == key_cols[:1] + [
+        "window_end",
+        *key_cols[1:],
+        "visit_count",
+        "unique_users",
+        "unique_sessions",
+    ]
+    expected = {tuple(r[k] for k in key_cols): r.asDict() for r in batch_df.collect()}
+    dims = {k[1:] for k in expected}
+    assert len(dims) == 60, f"expected full 3×4×5 device cross, got {len(dims)}"
+
+    src_dir = tempfile.mkdtemp(prefix="stream_device_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_device_")
+    try:
+        events.coalesce(1).write.mode("overwrite").parquet(src_dir)
+        src = read_file_stream(spark, src_dir, CLICKSTREAM_SCHEMA)
+        sink = MemorySink(key_cols=key_cols)
+        q = (
+            device_stats_pipeline(src)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    got = {tuple(r[k] for k in key_cols): r for r in sink.result}
+    assert got.keys() == expected.keys()
+    for k, row in expected.items():
+        assert got[k] == row, f"key {k}: {got[k]} != {row}"
+
+
 def test_sink_retry_policy(spark, monkeypatch):
     """Sink retries 3x with backoff (reference stream_processor.py:305-324)
     then surfaces the error; empty batches short-circuit before write."""
