@@ -115,6 +115,58 @@ def lsh_topk(
     )
 
 
+def write_lsh_index(
+    df: DataFrame,
+    path: str,
+    planes: int = 4,
+    dims: int = 64,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the corpus partitioned by LSH bucket — the storage
+    layout ``lsh_topk``'s docstring assumes at scale.  One directory
+    per bucket (2^planes dirs); a probe then reads only the query's
+    directory via static partition pruning (``lsh_topk_indexed``).
+    Writing is one pass over the corpus + a hash-partitioned shuffleless
+    write (partitionBy splits files per task, no exchange)."""
+    df.withColumn("lsh_bucket", lsh_bucket(F.col(vec_col), planes, dims)).write.mode(
+        "overwrite"
+    ).partitionBy("lsh_bucket").parquet(path)
+
+
+def lsh_topk_indexed(
+    spark,
+    path: str,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a pre-bucketed LSH index (``write_lsh_index`` layout):
+    point-read the query row (one bounded head() — the KV-point-read
+    contract), then scan ONLY its bucket's partition directory — the
+    bucket predicate is a literal, so it lands in the parquet scan's
+    PartitionFilters and the other 2^planes − 1 directories are never
+    opened.  This is the written-layout variant of ``lsh_topk`` (which
+    computes buckets on the fly and must scan the whole corpus once);
+    results are identical for the same (planes, dims).  Exact cosine
+    rerank inside the bucket, same (cos_sim desc, id) ordering."""
+    idx = spark.read.parquet(path)
+    qrow = (
+        idx.filter(F.col(id_col) == query_vec_id).select(vec_col, "lsh_bucket").head()
+    )
+    if qrow is None:
+        raise ValueError(f"query vector {query_vec_id} not found in index {path}")
+    qvec, qbucket = qrow[0], qrow[1]
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    sim = cosine(F.col(vec_col), qlit)
+    return (
+        idx.filter((F.col("lsh_bucket") == qbucket) & (F.col(id_col) != query_vec_id))
+        .select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def brute_force_topk_pandas(
     df: DataFrame,
     query_vec_id: int,

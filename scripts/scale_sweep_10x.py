@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""10x scale sweep OUTSIDE the dedup family (r8, VERDICT item 5).
+
+Builds a 10x-inflated twin of the sf0.1 testdata under /tmp and times
+the three priciest TPC-H shapes (q21, q8, q9) plus
+doc_token_budget_sample at both scales (min-of-3, count() action),
+printing one JSON line with the observed scaling exponent
+log(t10/t1)/log(10) per query.
+
+Inflation preserves join semantics instead of naively duplicating rows:
+- orders/lineitem are cloned with o_orderkey/l_orderkey offset by
+  copy_i * (max_orderkey + 1), so each clone set joins within itself
+  (the orders<->lineitem key relationship is intact, 10x the join
+  cardinality) while dimension keys (cust/supp/part) are left as-is —
+  dims stay fixed-size, which is exactly the 100 TB shape (facts grow,
+  dims don't).
+- documents are cloned with doc_id offset the same way (token-budget
+  sampling groups by lang and cumsums by a per-doc hash — new ids give
+  clones distinct sample positions).
+Usage: python scripts/scale_sweep_10x.py [--copies 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from clickstreaming_end_to_end_data_engineering_project_spark.plans.registry import all_specs
+from clickstreaming_end_to_end_data_engineering_project_spark.schema import TABLE_NAMES
+from clickstreaming_end_to_end_data_engineering_project_spark.session import get_spark
+from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+QUERIES = ["q21_late_sole_suppliers", "q8_market_share", "q9_product_profit",
+           "doc_token_budget_sample"]
+
+
+def build_inflated(spark, src_dir: str, dst_dir: str, copies: int) -> None:
+    os.makedirs(dst_dir, exist_ok=True)
+    copy_ids = spark.range(copies).withColumnRenamed("id", "_copy")
+    max_ok = load(spark, src_dir, "orders").agg(F.max("o_orderkey")).collect()[0][0] + 1
+    max_doc = load(spark, src_dir, "documents").agg(F.max("doc_id")).collect()[0][0] + 1
+    for name in TABLE_NAMES:
+        df = load(spark, src_dir, name)
+        out = os.path.join(dst_dir, f"{name}.parquet")
+        if name in ("orders", "lineitem"):
+            key = "o_orderkey" if name == "orders" else "l_orderkey"
+            df = (
+                df.crossJoin(copy_ids)
+                .withColumn(key, F.col(key) + F.col("_copy") * F.lit(max_ok))
+                .drop("_copy")
+            )
+        elif name == "documents":
+            df = (
+                df.crossJoin(copy_ids)
+                .withColumn("doc_id", F.col("doc_id") + F.col("_copy") * F.lit(max_doc))
+                .drop("_copy")
+            )
+        df.write.mode("overwrite").parquet(out)
+
+
+def time_queries(spark, specs, sf_dir: str, reps: int = 3) -> dict[str, float]:
+    out = {}
+    for name in QUERIES:
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            specs[name].fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--base", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    args = ap.parse_args()
+    spark = get_spark("scale_sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_specs()
+    dst = f"/tmp/sweep{args.copies}x"
+    build_inflated(spark, args.base, dst, args.copies)
+    try:
+        # warm up both datasets' footers + JVM
+        load(spark, args.base, "lineitem").count()
+        load(spark, dst, "lineitem").count()
+        t1 = time_queries(spark, specs, args.base)
+        t10 = time_queries(spark, specs, dst)
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+    import math
+
+    report = {
+        name: {
+            "base_sec": t1[name],
+            f"x{args.copies}_sec": t10[name],
+            "growth": round(t10[name] / t1[name], 2),
+            "exponent": round(math.log(t10[name] / t1[name]) / math.log(args.copies), 2),
+        }
+        for name in QUERIES
+    }
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

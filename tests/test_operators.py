@@ -120,6 +120,36 @@ def test_lsh_results_subset_of_bruteforce_universe(spark, sf_dir):
         assert abs(exact[r["vec_id"]] - r["cos_sim"]) < 1e-12
 
 
+def test_lsh_indexed_probe_prunes_partitions_and_matches_on_the_fly(spark, sf_dir, tmp_path):
+    """The written-layout LSH variant the lsh_topk docstring promises:
+    write_lsh_index partitions the corpus by bucket; lsh_topk_indexed
+    must (a) return exactly what the on-the-fly lsh_topk returns for
+    the same (planes, dims), and (b) scan ONLY the query's bucket —
+    the bucket literal must appear in the parquet scan's
+    PartitionFilters, the physical proof the probe reads 1/2^planes
+    of a corpus at any scale."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.similarity import (
+        lsh_topk_indexed,
+        write_lsh_index,
+    )
+
+    embs = load(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "lsh_index")
+    write_lsh_index(embs, path, planes=4, dims=64)
+
+    probe = lsh_topk_indexed(spark, path, 0, k=10)
+    got = [(r["vec_id"], r["cos_sim"]) for r in probe.collect()]
+    want = [(r["vec_id"], r["cos_sim"]) for r in lsh_topk(embs, 0, k=10).collect()]
+    assert [v for v, _ in got] == [v for v, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert abs(a - b) < 1e-12
+
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:200]
+    assert "lsh_bucket" in seg, f"bucket predicate must be a partition filter: {seg}"
+
+
 def test_salted_join_equals_plain_join(spark, sf_dir):
     from clickstreaming_end_to_end_data_engineering_project_spark.operators.skew import salted_join
 
@@ -1237,6 +1267,43 @@ def test_winnow_dups_detects_planted_near_dups(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] >= 0.8, pairs
     assert all(3 not in p for p in pairs)
     assert all(a < b for a, b in pairs)
+
+
+def test_winnow_fingerprints_unicode_ord_parity(spark):
+    """The vectorized kernel decodes text as utf-32-le, which must
+    yield exactly Python's ord() per character (= Spark ascii() =
+    DuckDB ord()) for non-ASCII too — accented chars, CJK, and an
+    astral-plane emoji (surrogate-pair in UTF-16, one codepoint in
+    UTF-32)."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import text as t
+
+    K, W, MOD = 5, 4, 2147483647
+
+    def py_winnow(s: str):
+        codes = [ord(c) for c in s]
+        if len(codes) < K + W - 1:
+            return None
+        kh = []
+        for i in range(len(codes) - K + 1):
+            acc = 0
+            for c in codes[i : i + K]:
+                acc = (acc * 31 + c) % MOD
+            kh.append(acc)
+        return sorted({min(kh[j : j + W]) for j in range(len(kh) - W + 1)})
+
+    texts = [
+        "café déjà-vu naïveté über straße",
+        "日本語のテキストです、漢字とかなが混在",
+        "mixed ascii and 中文 and ωμέγα symbols",
+        "emoji \U0001f600 inside the text stream here",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r.doc_id: sorted(r.fingerprints)
+        for r in t.winnow_fingerprints(df, k=K, w=W).collect()
+    }
+    expect = {i: py_winnow(s) for i, s in enumerate(texts)}
+    assert got == expect
 
 
 def test_weighted_sample_is_probability_faithful_and_deterministic(spark):
