@@ -17,6 +17,10 @@ import os
 import sys
 import time
 
+import pandas as pd
+
+from pyspark.sql import functions as F
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from clickstreaming_end_to_end_data_engineering_project_spark.plans.registry import all_specs
@@ -88,6 +92,17 @@ def main() -> None:
     from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
 
     load(spark, sf_dir, "events").count()
+    # pre-fork the Python worker pool (one trivial Arrow UDF across all
+    # cores): the pool is session infrastructure like the JIT, but its
+    # first use costs ~12-15s (32 workers importing pandas) and would
+    # otherwise land on whichever pandas-UDF query runs first
+    @F.pandas_udf("long")
+    def _warm(v: pd.Series) -> pd.Series:
+        return v
+
+    spark.range(256).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).select(
+        _warm("id")
+    ).count()
     warmup = time.perf_counter() - t0
 
     timings: dict[str, float] = {}

@@ -226,6 +226,83 @@ def unigram_logprob(
     )
 
 
+def dup_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span coverage — the word-level
+    approximation of exact-substring train-set dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    each document, the fraction of its tokens covered by at least one
+    word ``n``-gram that also appears in ≥ ``min_docs`` distinct
+    documents.  High fractions mark boilerplate-dominated docs a
+    curation pipeline drops or trims; only docs with ≥1 duplicated
+    span are returned (the actionable list).
+
+    Output: (id, n_tokens, dup_tokens, dup_span_fraction) — the
+    fraction double-rounded to 6 places so the DuckDB oracle is
+    bit-exact.
+
+    Scale shape: positions ride the SAME inverted index as
+    ``repeated_ngrams`` (posexplode ≈ tokens-per-doc rows); the hot
+    list (doc-freq ≥ min_docs over a per-doc-distinct map-side
+    pre-agg) is a gram-keyed semi-joinable frame, NOT a collect; the
+    interval union is gaps-and-islands over a per-document window —
+    partitions bounded by document length, embarrassingly parallel
+    across docs, no global sort.  No pair joins anywhere."""
+    from pyspark.sql.window import Window
+
+    from ..functions import dround
+
+    toks = tokens(text_col)
+    grams_arr = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    base = df.filter(F.size(toks) >= n).select(
+        F.col(id_col).alias("_id"),
+        F.size(toks).alias("_ntok"),
+        F.posexplode(grams_arr).alias("_pos", "gram"),  # _pos is 0-based
+    )
+    hot = (
+        base.select("_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("gram")
+    )
+    spans = base.join(hot, "gram").select(
+        "_id", "_ntok", "_pos", (F.col("_pos") + F.lit(n - 1)).alias("_end")
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    prev_max_end = F.max("_end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = spans.withColumn(
+        "_new",
+        F.when(F.col("_pos") > F.coalesce(prev_max_end, F.lit(-1)), 1).otherwise(0),
+    ).withColumn(
+        "_island", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_island = islands.groupBy("_id", "_ntok", "_island").agg(
+        (F.max("_end") - F.min("_pos") + 1).alias("_cov")
+    )
+    return (
+        per_island.groupBy("_id", "_ntok")
+        .agg(F.sum("_cov").alias("dup_tokens"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_ntok").cast("long").alias("n_tokens"),
+            F.col("dup_tokens").cast("long").alias("dup_tokens"),
+            dround(
+                F.col("dup_tokens").cast("double") / F.col("_ntok").cast("double"), 6
+            ).alias("dup_span_fraction"),
+        )
+    )
+
+
 def repeated_ngrams(
     df: DataFrame,
     id_col: str = "doc_id",

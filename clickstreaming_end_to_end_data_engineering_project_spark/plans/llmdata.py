@@ -519,6 +519,14 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repeated_ngrams(_docs_parallel(spark, sf_dir), n=8, min_docs=2, k=20)
 
 
+def doc_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-span coverage (word-level exact-substring
+    dedup signal, Lee et al. 2021): fraction of each doc's tokens
+    covered by 8-grams shared with ≥2 documents.  The trim/drop list a
+    C4-style cleaning stage acts on."""
+    return text.dup_span_stats(_docs_parallel(spark, sf_dir), n=8, min_docs=2)
+
+
 def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivor counts per curation stage (input → quality ≥ 0.75 →
     predicted-lang en → exact dedup) in ONE pass: conditional sums plus
@@ -1114,6 +1122,45 @@ SPECS = [
         LIMIT 20
         """,
         "cross-document repeated 8-gram boilerplate spans",
+    ),
+    QuerySpec(
+        "doc_dup_span_fraction",
+        doc_dup_span_fraction,
+        f"""
+        WITH w AS (SELECT doc_id, {_TOKENS_SQL} AS ws FROM documents),
+        i AS (SELECT doc_id, len(ws) AS ntok, ws,
+                     unnest(range(1, greatest(len(ws) - 6, 1))) AS i
+              FROM w WHERE len(ws) >= 8),
+        g AS (SELECT doc_id, ntok, i AS pos,
+                     array_to_string(ws[i:i+7], ' ') AS gram
+              FROM i),
+        hot AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+                GROUP BY gram HAVING count(*) >= 2),
+        s AS (SELECT doc_id, ntok, pos, pos + 7 AS pend
+              FROM g JOIN hot USING (gram)),
+        m AS (SELECT doc_id, ntok, pos, pend,
+                     CASE WHEN pos > coalesce(max(pend) OVER (
+                              PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                              -1)
+                          THEN 1 ELSE 0 END AS newi
+              FROM s),
+        isl AS (SELECT doc_id, ntok, pos, pend,
+                       sum(newi) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS island
+                FROM m),
+        cov AS (SELECT doc_id, ntok, island,
+                       max(pend) - min(pos) + 1 AS covd
+                FROM isl GROUP BY doc_id, ntok, island)
+        SELECT doc_id,
+               CAST(ntok AS BIGINT) AS n_tokens,
+               CAST(sum(covd) AS BIGINT) AS dup_tokens,
+               {sql_snippets.dround('sum(covd) * 1.0 / ntok', 6)}
+                   AS dup_span_fraction
+        FROM cov GROUP BY doc_id, ntok
+        """,
+        "per-doc duplicated-8-gram span coverage (interval union)",
     ),
     QuerySpec(
         "curation_funnel_report",

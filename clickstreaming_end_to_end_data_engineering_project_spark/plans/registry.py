@@ -128,6 +128,10 @@ GATE_PRIORITY = [
     "top3_parts_per_brand",
     "word_freq_top20",
     # round-8 rotation: the declared r8 queue — first driver rows
+    # (+ doc_dup_span_fraction, NEW in r8: per-doc duplicated-span
+    # coverage; q13_customer_distribution demoted to make its slot —
+    # green r7)
+    "doc_dup_span_fraction",
     "dau_wau_stickiness",
     "doc_winnow_fingerprints",
     "doc_winnow_dups",
@@ -141,7 +145,6 @@ GATE_PRIORITY = [
     "q8_market_share",
     "q9_product_profit",
     "q11_important_parts",
-    "q13_customer_distribution",
     "q15_top_supplier",
     "q16_part_supplier_counts",
     "q17_small_quantity_revenue",

@@ -1269,6 +1269,34 @@ def test_winnow_dups_detects_planted_near_dups(spark):
     assert all(a < b for a, b in pairs)
 
 
+def test_dup_span_stats_merges_overlapping_intervals(spark):
+    """Planted spans at n=3, min_docs=2: overlapping duplicated-gram
+    spans must merge into one island (no double counting), disjoint
+    spans must sum, docs with no cross-doc gram must be absent, and
+    within-doc-only repeats must not count."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import text as t
+
+    docs = [
+        (1, "a b c d e f"),    # hot grams at 0,1,2 -> island [0,4] = 5 of 6
+        (2, "x y a b c q"),    # hot gram at 2 -> [2,4] = 3 of 6
+        (3, "zz ww qq vv uu"), # no shared grams -> absent
+        (4, "a b c d a b c"),  # [0,2]+[1,3] merge to [0,3]; [4,6] disjoint -> 7 of 7
+        (5, "a b c d e"),      # [0,2]+[1,3]+[2,4] merge -> 5 of 5
+        (6, "k l m n k l m"),  # "k l m" twice but only in this doc -> absent
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_span_fraction"])
+        for r in t.dup_span_stats(df, n=3, min_docs=2).collect()
+    }
+    assert got == {
+        1: (6, 5, 0.833333),
+        2: (6, 3, 0.5),
+        4: (7, 7, 1.0),
+        5: (5, 5, 1.0),
+    }
+
+
 def test_winnow_fingerprints_unicode_ord_parity(spark):
     """The vectorized kernel decodes text as utf-32-le, which must
     yield exactly Python's ord() per character (= Spark ascii() =
