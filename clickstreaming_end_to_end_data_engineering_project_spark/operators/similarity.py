@@ -120,6 +120,7 @@ def write_lsh_index(
     path: str,
     planes: int = 4,
     dims: int = 64,
+    id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
     """Materialize the corpus partitioned by LSH bucket — the storage
@@ -127,40 +128,92 @@ def write_lsh_index(
     per bucket (2^planes dirs); a probe then reads only the query's
     directory via static partition pruning (``lsh_topk_indexed``).
     Writing is one pass over the corpus + a hash-partitioned shuffleless
-    write (partitionBy splits files per task, no exchange)."""
-    df.withColumn("lsh_bucket", lsh_bucket(F.col(vec_col), planes, dims)).write.mode(
-        "overwrite"
-    ).partitionBy("lsh_bucket").parquet(path)
+    write (partitionBy splits files per task, no exchange).
+
+    Two sidecars make the probe bounded and self-describing (both
+    underscore-prefixed, so Spark's FileIndex and DuckDB ignore them
+    when reading ``path``):
+    - ``_id_map/``: (id, lsh_bucket) parquet — the id→bucket lookup, so
+      an id-only probe never scans vector data (columnar id pushdown
+      over two thin columns instead of opening every bucket directory);
+    - ``_lsh_params.json``: {planes, dims} — read back by the probe so
+      an index written with different parameters can't be silently
+      probed as if it matched (a real deployment would keep this in the
+      table catalog)."""
+    import json
+    import os
+
+    bucketed = df.withColumn("lsh_bucket", lsh_bucket(F.col(vec_col), planes, dims))
+    bucketed.write.mode("overwrite").partitionBy("lsh_bucket").parquet(path)
+    bucketed.select(id_col, "lsh_bucket").write.mode("overwrite").parquet(
+        os.path.join(path, "_id_map")
+    )
+    with open(os.path.join(path, "_lsh_params.json"), "w") as f:
+        json.dump({"planes": planes, "dims": dims}, f)
 
 
 def lsh_topk_indexed(
     spark,
     path: str,
-    query_vec_id: int,
+    query_vec_id: int | None = None,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_vec: "list[float] | None" = None,
 ) -> DataFrame:
-    """Probe a pre-bucketed LSH index (``write_lsh_index`` layout):
-    point-read the query row (one bounded head() — the KV-point-read
-    contract), then scan ONLY its bucket's partition directory — the
-    bucket predicate is a literal, so it lands in the parquet scan's
-    PartitionFilters and the other 2^planes − 1 directories are never
-    opened.  This is the written-layout variant of ``lsh_topk`` (which
-    computes buckets on the fly and must scan the whole corpus once);
-    results are identical for the same (planes, dims).  Exact cosine
+    """Probe a pre-bucketed LSH index (``write_lsh_index`` layout) —
+    total I/O is bounded by ONE bucket directory plus (for id probes)
+    the thin ``_id_map`` sidecar; the bucket predicate is a literal, so
+    it lands in the parquet scan's PartitionFilters and the other
+    2^planes − 1 directories are never opened.
+
+    Query forms:
+    - ``query_vec`` (an out-of-corpus vector, the common ANN-serving
+      case): its bucket is computed with the index's own stored
+      (planes, dims) — one 1-row job, no corpus I/O at all;
+    - ``query_vec_id`` (corpus vector): bucket from the ``_id_map``
+      sidecar (columnar id-pushdown point read), query vector fetched
+      from inside the already-pruned bucket.
+
+    (planes, dims) come from the index's ``_lsh_params.json`` — probing
+    an index written with different parameters than a comparison
+    ``lsh_topk`` run is therefore detectable by the caller, and
+    impossible to get wrong here.  Results are identical to the
+    on-the-fly ``lsh_topk`` for the same parameters; exact cosine
     rerank inside the bucket, same (cos_sim desc, id) ordering."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_lsh_params.json")) as f:
+        params = json.load(f)
+    planes, dims = int(params["planes"]), int(params["dims"])
     idx = spark.read.parquet(path)
-    qrow = (
-        idx.filter(F.col(id_col) == query_vec_id).select(vec_col, "lsh_bucket").head()
-    )
-    if qrow is None:
-        raise ValueError(f"query vector {query_vec_id} not found in index {path}")
-    qvec, qbucket = qrow[0], qrow[1]
-    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    if query_vec is not None:
+        qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+        qbucket = (
+            spark.range(1).select(lsh_bucket(qlit, planes, dims).alias("b")).head()[0]
+        )
+        exclude = F.lit(True) if query_vec_id is None else F.col(id_col) != query_vec_id
+    else:
+        if query_vec_id is None:
+            raise ValueError("provide query_vec_id or query_vec")
+        id_map = spark.read.parquet(os.path.join(path, "_id_map"))
+        brow = id_map.filter(F.col(id_col) == query_vec_id).head()
+        if brow is None:
+            raise ValueError(f"query vector {query_vec_id} not found in index {path}")
+        qbucket = brow["lsh_bucket"]
+        qrow = (
+            idx.filter(
+                (F.col("lsh_bucket") == qbucket) & (F.col(id_col) == query_vec_id)
+            )
+            .select(vec_col)
+            .head()
+        )
+        qlit = F.array(*[F.lit(float(x)) for x in qrow[0]])
+        exclude = F.col(id_col) != query_vec_id
     sim = cosine(F.col(vec_col), qlit)
     return (
-        idx.filter((F.col("lsh_bucket") == qbucket) & (F.col(id_col) != query_vec_id))
+        idx.filter((F.col("lsh_bucket") == qbucket) & exclude)
         .select(F.col(id_col), sim.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)

@@ -226,6 +226,18 @@ def unigram_logprob(
     )
 
 
+def _word_grams(toks: Column, n: int) -> Column:
+    """Space-joined word ``n``-grams of a token array, one per start
+    position — the ONE copy of the gram expression shared by
+    ``repeated_ngrams`` and ``dup_span_stats`` (and mirrored by their
+    DuckDB oracles), so the tokenization/join-delimiter contract can't
+    silently fork."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+
+
 def dup_span_stats(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -258,14 +270,10 @@ def dup_span_stats(
     from ..functions import dround
 
     toks = tokens(text_col)
-    grams_arr = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
     base = df.filter(F.size(toks) >= n).select(
         F.col(id_col).alias("_id"),
         F.size(toks).alias("_ntok"),
-        F.posexplode(grams_arr).alias("_pos", "gram"),  # _pos is 0-based
+        F.posexplode(_word_grams(toks, n)).alias("_pos", "gram"),  # _pos is 0-based
     )
     hot = (
         base.select("_id", "gram")
@@ -323,10 +331,7 @@ def repeated_ngrams(
     global sort, no pair join.  All columnar (split/transform/slice),
     no UDFs."""
     toks = tokens(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+    grams = _word_grams(toks, n)
     # (_id, gram) is already unique here — array_distinct dedups grams
     # within the one row each doc contributes — so no .distinct(): it
     # would re-shuffle the largest intermediate for nothing.  Callers
@@ -391,7 +396,9 @@ def winnow_fingerprints(
     mod = 2147483647
 
     def _fp_of(text: str) -> "np.ndarray":
-        codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        # "<u4" pins little-endian to match the utf-32-le encoding on
+        # any host byte order (np.uint32 would misread on big-endian)
+        codes = np.frombuffer(text.encode("utf-32-le"), dtype="<u4").astype(np.int64)
         m = codes.size - (k - 1)
         kh = codes[:m] % mod
         for j in range(1, k):

@@ -34,7 +34,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from clickstreaming_end_to_end_data_engineering_project_spark.plans.registry import all_specs
-from clickstreaming_end_to_end_data_engineering_project_spark.schema import TABLE_NAMES
 from clickstreaming_end_to_end_data_engineering_project_spark.session import get_spark
 from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
 
@@ -42,12 +41,20 @@ QUERIES = ["q21_late_sole_suppliers", "q8_market_share", "q9_product_profit",
            "doc_token_budget_sample"]
 
 
+# only the tables the four swept queries actually load — copying
+# events/embeddings (the largest non-fact tables) would be wasted I/O
+SWEPT_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "documents",
+)
+
+
 def build_inflated(spark, src_dir: str, dst_dir: str, copies: int) -> None:
     os.makedirs(dst_dir, exist_ok=True)
     copy_ids = spark.range(copies).withColumnRenamed("id", "_copy")
     max_ok = load(spark, src_dir, "orders").agg(F.max("o_orderkey")).collect()[0][0] + 1
     max_doc = load(spark, src_dir, "documents").agg(F.max("doc_id")).collect()[0][0] + 1
-    for name in TABLE_NAMES:
+    for name in SWEPT_TABLES:
         df = load(spark, src_dir, name)
         out = os.path.join(dst_dir, f"{name}.parquet")
         if name in ("orders", "lineitem"):

@@ -149,6 +149,18 @@ def test_lsh_indexed_probe_prunes_partitions_and_matches_on_the_fly(spark, sf_di
     seg = plan.split("PartitionFilters", 1)[1][:200]
     assert "lsh_bucket" in seg, f"bucket predicate must be a partition filter: {seg}"
 
+    # explicit-vector probe (the out-of-corpus ANN-serving form): the
+    # bucket comes from the index's stored params, no corpus lookup —
+    # same results when pointed at the same vector
+    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
+    got_vec = [
+        (r["vec_id"], r["cos_sim"])
+        for r in lsh_topk_indexed(
+            spark, path, query_vec_id=0, k=10, query_vec=qvec
+        ).collect()
+    ]
+    assert got_vec == got
+
 
 def test_salted_join_equals_plain_join(spark, sf_dir):
     from clickstreaming_end_to_end_data_engineering_project_spark.operators.skew import salted_join
