@@ -378,7 +378,7 @@ def minhash_signatures(
     return agg.select("_id", F.array(*[F.col(f"_m{seed}") for seed in range(k)]).alias("signature"))
 
 
-def minhash_lsh_candidates(
+def minhash_bands(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -386,12 +386,15 @@ def minhash_lsh_candidates(
     k: int = 32,
     bands: int = 8,
 ) -> DataFrame:
-    """LSH-banded candidate pairs: docs agreeing on all rows of ≥1 band.
-    Output (doc_a, doc_b, est_jaccard) where est_jaccard = fraction of
-    the K min-hashes that agree (unbiased Jaccard estimate)."""
+    """LSH band keys per doc — (_id, signature, band, bucket), one row
+    per (doc, band), bucket = hash of the band's signature rows.  The
+    ONE copy of the banding expression, shared by the batch candidate
+    join (``minhash_lsh_candidates``) and the streaming near-dedup
+    stage (streaming/near_dedup.py), so band keys computed at ingest
+    time match keys computed in a batch sweep bit-for-bit."""
     rows = k // bands
     sigs = minhash_signatures(df, id_col, text_col, n, k)
-    banded = sigs.select(
+    return sigs.select(
         "_id",
         "signature",
         F.explode(
@@ -406,6 +409,20 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("_id", "signature", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """LSH-banded candidate pairs: docs agreeing on all rows of ≥1 band.
+    Output (doc_a, doc_b, est_jaccard) where est_jaccard = fraction of
+    the K min-hashes that agree (unbiased Jaccard estimate)."""
+    banded = minhash_bands(df, id_col, text_col, n, k, bands)
     # deliberately NOT persisted: the banded signatures are wide rows
     # (k-long arrays) whose cache write costs more than recomputing the
     # codegen hash pipeline for the join's second side (measured ~25%

@@ -1,0 +1,146 @@
+"""Streaming MinHash-LSH near-deduplication — the near-dup twin of
+``corpus_ingest``'s exact dedup stage.
+
+The batch near-dedup family (``operators/dedup.py``) verifies candidate
+pairs (exact Jaccard / signature agreement) before dropping; a
+streaming ingest path can't afford a pair join per micro-batch against
+everything ever seen.  This stage applies the standard aggressive
+streaming approximation: **a document is kept iff every one of its LSH
+band buckets is brand new** — i.e. it shares no band bucket with ANY
+earlier document (kept or dropped, within the batch or in any prior
+batch).  That is exactly MinHash-LSH's candidate rule (any shared band
+→ candidate near-dup) applied greedily in arrival order, trading
+recall-of-uniques for bounded per-batch work; run the batch verified
+sweep (``minhash_lsh_dups`` → jaccard confirm) periodically to audit
+the drop rate.  Band keys are computed by ``operators.dedup.
+minhash_bands`` — the same expression the batch path uses, so ingest
+decisions are reproducible offline bit-for-bit.
+
+Why foreachBatch + a parquet band store instead of a stateful
+streaming operator: the keep/drop decision needs agreement across a
+doc's ``bands`` keys while Spark keyed state partitions by ONE key —
+chaining dropDuplicates(band) with a per-doc re-aggregation means two
+stateful operators whose emission is watermark-delayed.  A band-store
+parquet dir keeps the state DISTRIBUTED (the seen-bucket join is an
+ordinary broadcast/shuffle join, never driver memory), append-only,
+and readable by any batch job.
+
+Exactly-once: survivors land in ``out_dir/batch=<id>`` with
+mode=overwrite, so a replayed batch rewrites the same directory
+(idempotent).  Store appends carry ``batch_id``; the seen-bucket join
+filters ``batch_id < current``, so a replay does not see its own
+earlier append and recomputes the identical survivor set.  Replayed
+store appends leave duplicate band rows behind — harmless for
+semi-join semantics (documented at-least-once on the index, exactly-
+once on the data).
+
+State sizing: the store grows by ≤ ``bands`` rows of 3 longs per
+ingested doc (~100 B/doc at bands=8) — 10 B docs ≈ 1 TB of parquet,
+scanned columnar per batch with the (band, bucket) join keys only;
+compact periodically with ``sources.formats.compact_parquet``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.window import Window
+
+from ..operators.dedup import minhash_bands
+
+_STORE_SCHEMA = StructType(
+    [
+        StructField("band", LongType()),
+        StructField("bucket", LongType()),
+        StructField("batch_id", LongType()),
+    ]
+)
+
+
+class NearDedupIngest:
+    """foreachBatch callable: batch → LSH band keys → drop docs whose
+    buckets were seen (in the store or earlier in the batch by id
+    order) → write survivors → append the batch's buckets to the store.
+
+    Use with ``corpus_ingest.read_document_stream`` (or any stream of
+    (id, text, ...) rows)::
+
+        sink = NearDedupIngest(store_dir, out_dir)
+        q = (read_document_stream(spark, drop_zone)
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+    """
+
+    def __init__(
+        self,
+        store_dir: str,
+        out_dir: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n: int = 3,
+        k: int = 32,
+        bands: int = 8,
+    ):
+        self.store_dir = store_dir
+        self.out_dir = out_dir
+        self.id_col = id_col
+        self.text_col = text_col
+        self.n = n
+        self.k = k
+        self.bands = bands
+
+    def _store(self, spark) -> DataFrame:
+        if os.path.isdir(self.store_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(self.store_dir)
+        ):
+            return spark.read.schema(_STORE_SCHEMA).parquet(self.store_dir)
+        return spark.createDataFrame([], _STORE_SCHEMA)
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        band_keys = minhash_bands(
+            batch, self.id_col, self.text_col, self.n, self.k, self.bands
+        ).select("_id", "band", "bucket")
+        band_keys = band_keys.localCheckpoint(eager=True)  # one signature pass
+        seen = self._store(spark).filter(F.col("batch_id") < batch_id)
+        dup_vs_store = (
+            band_keys.join(seen, ["band", "bucket"], "left_semi")
+            .select("_id")
+            .distinct()
+        )
+        # within-batch, id order = arrival order: only the min id in a
+        # bucket may keep it; every other doc touching the bucket drops
+        w = Window.partitionBy("band", "bucket")
+        dup_within = (
+            band_keys.withColumn("_min", F.min("_id").over(w))
+            .filter(F.col("_id") != F.col("_min"))
+            .select("_id")
+            .distinct()
+        )
+        dups = dup_vs_store.union(dup_within).distinct()
+        survivors = batch.join(
+            dups.withColumnRenamed("_id", self.id_col), self.id_col, "left_anti"
+        )
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(self.out_dir, f"batch={batch_id}")
+        )
+        # ALL buckets become seen (kept or dropped): transitive chains
+        # drop consistently within and across batches
+        (
+            band_keys.select("band", "bucket")
+            .distinct()
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("append")
+            .parquet(self.store_dir)
+        )
+
+
+def read_survivors(spark, out_dir: str) -> DataFrame:
+    """All surviving documents across batches (the curated output)."""
+    return spark.read.option("basePath", out_dir).parquet(out_dir + "/batch=*")

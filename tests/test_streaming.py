@@ -1602,3 +1602,98 @@ def test_trending_sink_streaming_end_to_end(spark, sf_dir, events_dir):
         assert top[0][0] == max(batch_counts, key=lambda k: (batch_counts[k], k))
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_near_dedup_drops_lsh_band_matches(spark):
+    """Streaming MinHash-LSH near-dedup (NearDedupIngest): a
+    byte-identical clone and a one-edit near-clone arriving in a LATER
+    increment must be dropped; unrelated docs survive; and every drop
+    must be justified by the band rule — the dropped doc shares ≥1
+    (band, bucket) with an earlier-by-(batch, id) doc, computed with
+    the SAME minhash_bands expression the sink uses."""
+    import os
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        minhash_bands,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.corpus_ingest import (
+        read_document_stream,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.near_dedup import (
+        NearDedupIngest,
+        read_survivors,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sleepy badgers watch from the old stone wall near the river"
+    )
+    inc1 = [
+        (1, base, "en", "web", len(base)),
+        (2, "completely different words about quantum chromodynamics "
+            "and lattice gauge theory simulations on big machines", "en", "web", 110),
+    ]
+    inc2 = [
+        (3, base, "en", "web", len(base)),                      # exact clone -> drop
+        (4, base[:-5] + "creek", "en", "web", len(base)),       # near clone -> drop (w.h.p.)
+        (5, "unrelated cooking recipe with paprika saffron and "
+            "twelve other spices simmered for three hours gently", "en", "web", 104),
+    ]
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    src = tempfile.mkdtemp(prefix="nd_src_")
+    store = tempfile.mkdtemp(prefix="nd_store_")
+    out = tempfile.mkdtemp(prefix="nd_out_")
+    ckpt = tempfile.mkdtemp(prefix="nd_ckpt_")
+    try:
+        spark.createDataFrame(inc1, cols).coalesce(1).write.parquet(src + "/i1")
+        spark.createDataFrame(inc2, cols).coalesce(1).write.parquet(src + "/i2")
+        for inc in ("i1", "i2"):
+            for f in os.listdir(src + f"/{inc}"):
+                if f.endswith(".parquet"):
+                    shutil.move(f"{src}/{inc}/{f}", f"{src}/{inc}_{f}")
+            shutil.rmtree(src + f"/{inc}")
+        sink = NearDedupIngest(store, out)
+        q = (
+            read_document_stream(spark, src, max_files_per_trigger=1)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        kept = {r.doc_id for r in read_survivors(spark, out).collect()}
+        assert 3 not in kept, "byte-identical clone must be dropped"
+        assert {2, 5} <= kept, "unrelated docs must survive"
+        # every drop justified by the band rule against earlier docs
+        all_docs = spark.createDataFrame(inc1 + inc2, cols)
+        bands = minhash_bands(all_docs).select("_id", "band", "bucket").collect()
+        buckets = {}
+        for r in bands:
+            buckets.setdefault(r["_id"], set()).add((r["band"], r["bucket"]))
+        order = [1, 2, 3, 4, 5]  # batch order then id order
+        dropped = set(order) - kept
+        for d in dropped:
+            earlier = [o for o in order if o < d]
+            assert any(buckets[d] & buckets[o] for o in earlier), (
+                f"doc {d} dropped without a shared band bucket"
+            )
+        for s in kept:
+            earlier = [o for o in order if o < s]
+            assert not any(buckets[s] & buckets[o] for o in earlier), (
+                f"doc {s} kept despite a shared band bucket"
+            )
+
+        # replay idempotency: re-running the LAST batch (same batch_id)
+        # must regenerate the identical survivor set for that batch —
+        # the store filter batch_id < current hides its own append
+        batch2 = spark.createDataFrame(inc2, cols)
+        before = {r.doc_id for r in read_survivors(spark, out).collect()}
+        sink(batch2, 1)
+        after = {r.doc_id for r in read_survivors(spark, out).collect()}
+        assert after == before, "replaying a batch must not change survivors"
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(store, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
