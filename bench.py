@@ -71,6 +71,7 @@ EXTENDED = [
     "curation_funnel_report",
     "embedding_quant_error",
     "doc_winnow_dups",
+    "doc_dup_span_fraction",
 ]
 
 

@@ -211,6 +211,39 @@ def test_parse_event_stream_schema(spark):
     assert by_key["k2"]["user_id"] is None  # malformed -> nulls, no crash
 
 
+def test_json_wire_bytes_through_device_stats_equals_direct(spark):
+    """Full wire-format path: generator events serialized to JSON bytes
+    (what a Kafka `value` carries) → parse_event_stream (cast,
+    from_json vs CLICKSTREAM_SCHEMA, data.* expand) → the 3-dim
+    device_stats_pipeline must equal the pipeline run DIRECTLY on the
+    typed frame — pinning that the wire round-trip loses nothing the
+    device aggregation reads (nested struct, timestamps, ids)."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.generator import (
+        synthetic_clickstream,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.pipelines import (
+        device_stats_pipeline,
+    )
+
+    events = synthetic_clickstream(spark, n_events=3000, seed=23, events_per_second=2.0)
+    wire = events.select(
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.to_json(F.struct(*events.columns)).cast("binary").alias("value"),
+        F.col("timestamp").alias("timestamp"),
+    )
+    parsed = parse_event_stream(wire)
+    key_cols = ["window_start", "device_type", "browser", "operating_system"]
+    via_wire = {
+        tuple(r[k] for k in key_cols): r.asDict()
+        for r in device_stats_pipeline(parsed).collect()
+    }
+    direct = {
+        tuple(r[k] for k in key_cols): r.asDict()
+        for r in device_stats_pipeline(events).collect()
+    }
+    assert via_wire == direct
+
+
 def test_stream_dedup_within_watermark(spark):
     """Duplicate event_ids replayed inside the watermark horizon are
     dropped; the downstream count equals the distinct count."""
