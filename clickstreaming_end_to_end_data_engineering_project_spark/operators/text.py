@@ -238,6 +238,90 @@ def _word_grams(toks: Column, n: int) -> Column:
     )
 
 
+def _dup_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int, min_docs: int
+) -> DataFrame:
+    """(_id, _ntok, _pos, _end) rows — one per position of a word
+    ``n``-gram appearing in ≥ ``min_docs`` distinct documents; the span
+    covers tokens [_pos, _end], 0-based.  Shared by ``dup_span_stats``
+    (the signal) and ``trim_dup_spans`` (the action), so both act on
+    the identical span set."""
+    toks = tokens(text_col)
+    base = df.filter(F.size(toks) >= n).select(
+        F.col(id_col).alias("_id"),
+        F.size(toks).alias("_ntok"),
+        F.posexplode(_word_grams(toks, n)).alias("_pos", "gram"),  # _pos is 0-based
+    )
+    hot = (
+        base.select("_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("gram")
+    )
+    return base.join(hot, "gram").select(
+        "_id", "_ntok", "_pos", (F.col("_pos") + F.lit(n - 1)).alias("_end")
+    )
+
+
+def trim_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The ACTION paired with ``dup_span_stats``'s signal: rewrite each
+    document with every cross-document duplicated ``n``-gram span
+    removed (C4-style boilerplate excision), keeping the tokens no
+    duplicated span covers.  Documents shorter than ``n`` tokens or
+    with no duplicated span pass through intact.  Output text is
+    whitespace-NORMALIZED (kept tokens re-joined with single spaces) —
+    the shape a tokenizer-bound training pipeline consumes anyway.
+
+    Output: (id, n_tokens, kept_tokens, text_clean); kept_tokens == 0
+    yields an empty string (callers typically drop those rows).
+
+    Scale shape: token positions anti-join the span intervals per
+    document (equi on doc id + range predicate — never a cross-doc
+    pair join), then one ordered re-assembly per doc via
+    sort-by-position array fold; all shuffles key on the doc id."""
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(toks).alias("_tpos", "_tok"),
+    )
+    spans = _dup_spans(df, id_col, text_col, n, min_docs).select(
+        F.col("_id").alias("_sid"), "_pos", "_end"
+    )
+    kept = base.join(
+        spans,
+        (F.col("_id") == F.col("_sid"))
+        & (F.col("_tpos") >= F.col("_pos"))
+        & (F.col("_tpos") <= F.col("_end")),
+        "left_anti",
+    )
+    kept_agg = kept.groupBy("_id").agg(
+        F.collect_list(F.struct("_tpos", "_tok")).alias("_kept")
+    )
+    # right-join the doc universe so fully-trimmed / empty / null-text
+    # docs still emit a row (kept_tokens 0, empty text_clean)
+    universe = df.select(
+        F.col(id_col).alias("_id"),
+        F.coalesce(F.size(toks), F.lit(0)).cast("long").alias("_ntok"),
+    )
+    return kept_agg.join(universe, "_id", "right").select(
+        F.col("_id").alias(id_col),
+        F.col("_ntok").alias("n_tokens"),
+        F.coalesce(F.size("_kept"), F.lit(0)).cast("long").alias("kept_tokens"),
+        F.coalesce(
+            F.array_join(F.transform(F.array_sort("_kept"), lambda s: s["_tok"]), " "),
+            F.lit(""),
+        ).alias("text_clean"),
+    )
+
+
 def dup_span_stats(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -269,23 +353,7 @@ def dup_span_stats(
 
     from ..functions import dround
 
-    toks = tokens(text_col)
-    base = df.filter(F.size(toks) >= n).select(
-        F.col(id_col).alias("_id"),
-        F.size(toks).alias("_ntok"),
-        F.posexplode(_word_grams(toks, n)).alias("_pos", "gram"),  # _pos is 0-based
-    )
-    hot = (
-        base.select("_id", "gram")
-        .distinct()
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") >= min_docs)
-        .select("gram")
-    )
-    spans = base.join(hot, "gram").select(
-        "_id", "_ntok", "_pos", (F.col("_pos") + F.lit(n - 1)).alias("_end")
-    )
+    spans = _dup_spans(df, id_col, text_col, n, min_docs)
     w = Window.partitionBy("_id").orderBy("_pos")
     prev_max_end = F.max("_end").over(w.rowsBetween(Window.unboundedPreceding, -1))
     islands = spans.withColumn(

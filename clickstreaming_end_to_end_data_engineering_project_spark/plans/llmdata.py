@@ -527,6 +527,13 @@ def doc_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.dup_span_stats(_docs_parallel(spark, sf_dir), n=8, min_docs=2)
 
 
+def doc_trimmed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus with cross-document duplicated 8-gram spans excised
+    (trim_dup_spans) — the action `doc_dup_span_fraction` signals.
+    Every doc emits a row; fully-boilerplate docs come back empty."""
+    return text.trim_dup_spans(_docs_parallel(spark, sf_dir), n=8, min_docs=2)
+
+
 def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivor counts per curation stage (input → quality ≥ 0.75 →
     predicted-lang en → exact dedup) in ONE pass: conditional sums plus
@@ -1161,6 +1168,41 @@ SPECS = [
         FROM cov GROUP BY doc_id, ntok
         """,
         "per-doc duplicated-8-gram span coverage (interval union)",
+    ),
+    QuerySpec(
+        "doc_trimmed_corpus",
+        doc_trimmed_corpus,
+        f"""
+        WITH w AS (SELECT doc_id, {_TOKENS_SQL} AS ws FROM documents),
+        i AS (SELECT doc_id, ws,
+                     unnest(range(1, greatest(len(ws) - 6, 1))) AS i
+              FROM w WHERE len(ws) >= 8),
+        g AS (SELECT doc_id, i AS pos,
+                     array_to_string(ws[i:i+7], ' ') AS gram
+              FROM i),
+        hot AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+                GROUP BY gram HAVING count(*) >= 2),
+        s AS (SELECT doc_id, pos, pos + 7 AS pend
+              FROM g JOIN hot USING (gram)),
+        tokpos AS (SELECT doc_id, ws,
+                          unnest(range(1, len(ws) + 1)) AS tpos
+                   FROM w),
+        t AS (SELECT doc_id, tpos, ws[tpos] AS tok FROM tokpos),
+        k AS (SELECT t.doc_id, t.tpos, t.tok FROM t
+              WHERE NOT EXISTS (SELECT 1 FROM s
+                                WHERE s.doc_id = t.doc_id
+                                  AND t.tpos BETWEEN s.pos AND s.pend)),
+        agg AS (SELECT doc_id,
+                       count(*) AS kept_tokens,
+                       string_agg(tok, ' ' ORDER BY tpos) AS text_clean
+                FROM k GROUP BY doc_id)
+        SELECT w.doc_id,
+               CAST(coalesce(len(w.ws), 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(agg.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+               coalesce(agg.text_clean, '') AS text_clean
+        FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
+        """,
+        "corpus with duplicated-8-gram spans excised (trim action)",
     ),
     QuerySpec(
         "curation_funnel_report",

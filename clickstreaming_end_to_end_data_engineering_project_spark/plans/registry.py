@@ -95,6 +95,10 @@ class QuerySpec:
 # query in the registry has a green driver row in some
 # CORRECTNESS_r*.json — the rotation goal is closed; future rounds
 # only need to gate newly-added or newly-fixed queries.
+# r9 rotation queue (oracle-backed, added late in r8 after the gate
+# filled): doc_trimmed_corpus (the trim action paired with the gated
+# doc_dup_span_fraction signal).  Rotate it in next round, demoting an
+# r8-green row per the standing policy.
 GATE_PRIORITY = [
     # reference-parity clickstream core (pinned)
     "page_view_counts",

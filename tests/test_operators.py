@@ -1309,6 +1309,37 @@ def test_dup_span_stats_merges_overlapping_intervals(spark):
     }
 
 
+def test_trim_dup_spans_excises_exactly_the_covered_tokens(spark):
+    """The trim ACTION must remove exactly the tokens dup_span_stats
+    counts as covered: kept_tokens == n_tokens − dup_tokens doc-for-doc,
+    untouched docs pass through with their (whitespace-normalized) text
+    intact, and a fully-boilerplate doc still emits a row with empty
+    text_clean."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import text as t
+
+    docs = [
+        (1, "a b c d e f"),
+        (2, "x y a b c q"),
+        (3, "zz ww qq vv uu"),
+        (4, "a b c"),       # fully covered at n=3 (shared with 1,2)
+        (5, "pq"),          # < n tokens: passes through
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    trimmed = {r["doc_id"]: r for r in t.trim_dup_spans(df, n=3, min_docs=2).collect()}
+    stats = {r["doc_id"]: r for r in t.dup_span_stats(df, n=3, min_docs=2).collect()}
+
+    assert set(trimmed) == {1, 2, 3, 4, 5}, "every doc must emit a row"
+    for d, row in trimmed.items():
+        dup = stats[d]["dup_tokens"] if d in stats else 0
+        assert row["kept_tokens"] == row["n_tokens"] - dup, (d, row)
+        assert len([w for w in row["text_clean"].split() if w]) == row["kept_tokens"]
+    assert trimmed[3]["text_clean"] == "zz ww qq vv uu"  # untouched
+    assert trimmed[5]["text_clean"] == "pq"              # too short to gram
+    assert trimmed[4]["text_clean"] == "" and trimmed[4]["kept_tokens"] == 0
+    # kept tokens preserve original order
+    assert trimmed[2]["text_clean"] == "x y q"
+
+
 def test_winnow_fingerprints_unicode_ord_parity(spark):
     """The vectorized kernel decodes text as utf-32-le, which must
     yield exactly Python's ord() per character (= Spark ascii() =
