@@ -16,6 +16,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Small function-word list used for quality scoring. Deliberately tiny
 # and hard-coded so the DuckDB oracle can embed the identical set.
@@ -265,6 +266,32 @@ def _dup_spans(
     )
 
 
+def _dup_islands(
+    df: DataFrame, id_col: str, text_col: str, n: int, min_docs: int
+) -> DataFrame:
+    """Disjoint merged intervals of the duplicated spans — gaps-and-
+    islands over a per-document window.  (_id, _ntok, _start, _end),
+    one row per maximal covered run of tokens.  Shared by
+    ``dup_span_stats`` (sums coverage) and ``trim_dup_spans`` (anti-
+    joins token positions) so both see the identical interval set —
+    and so the trim join touches a handful of DISJOINT intervals per
+    doc instead of the ~one-span-per-gram-position overlapping raw set
+    (which would make the per-doc join O(tokens × spans) on
+    boilerplate-heavy docs)."""
+    spans = _dup_spans(df, id_col, text_col, n, min_docs)
+    w = Window.partitionBy("_id").orderBy("_pos")
+    prev_max_end = F.max("_end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = spans.withColumn(
+        "_new",
+        F.when(F.col("_pos") > F.coalesce(prev_max_end, F.lit(-1)), 1).otherwise(0),
+    ).withColumn(
+        "_island", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return islands.groupBy("_id", "_ntok", "_island").agg(
+        F.min("_pos").alias("_start"), F.max("_end").alias("_end")
+    )
+
+
 def trim_dup_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -292,13 +319,13 @@ def trim_dup_spans(
         F.col(id_col).alias("_id"),
         F.posexplode(toks).alias("_tpos", "_tok"),
     )
-    spans = _dup_spans(df, id_col, text_col, n, min_docs).select(
-        F.col("_id").alias("_sid"), "_pos", "_end"
+    islands = _dup_islands(df, id_col, text_col, n, min_docs).select(
+        F.col("_id").alias("_sid"), "_start", "_end"
     )
     kept = base.join(
-        spans,
+        islands,
         (F.col("_id") == F.col("_sid"))
-        & (F.col("_tpos") >= F.col("_pos"))
+        & (F.col("_tpos") >= F.col("_start"))
         & (F.col("_tpos") <= F.col("_end")),
         "left_anti",
     )
@@ -349,21 +376,10 @@ def dup_span_stats(
     interval union is gaps-and-islands over a per-document window —
     partitions bounded by document length, embarrassingly parallel
     across docs, no global sort.  No pair joins anywhere."""
-    from pyspark.sql.window import Window
-
     from ..functions import dround
 
-    spans = _dup_spans(df, id_col, text_col, n, min_docs)
-    w = Window.partitionBy("_id").orderBy("_pos")
-    prev_max_end = F.max("_end").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    islands = spans.withColumn(
-        "_new",
-        F.when(F.col("_pos") > F.coalesce(prev_max_end, F.lit(-1)), 1).otherwise(0),
-    ).withColumn(
-        "_island", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    per_island = islands.groupBy("_id", "_ntok", "_island").agg(
-        (F.max("_end") - F.min("_pos") + 1).alias("_cov")
+    per_island = _dup_islands(df, id_col, text_col, n, min_docs).select(
+        "_id", "_ntok", (F.col("_end") - F.col("_start") + 1).alias("_cov")
     )
     return (
         per_island.groupBy("_id", "_ntok")

@@ -25,11 +25,19 @@ parquet dir keeps the state DISTRIBUTED (the seen-bucket join is an
 ordinary broadcast/shuffle join, never driver memory), append-only,
 and readable by any batch job.
 
-Exactly-once: survivors land in ``out_dir/batch=<id>`` with
-mode=overwrite, so a replayed batch rewrites the same directory
-(idempotent).  Store appends carry ``batch_id``; the seen-bucket join
-filters ``batch_id < current``, so a replay does not see its own
-earlier append and recomputes the identical survivor set.  Replayed
+Exactly-once: survivors land in ``out_dir/run_id=<run>/batch=<id>``
+with mode=overwrite, so a replayed batch rewrites the same directory
+(idempotent) and distinct runs never clobber each other.  Store
+appends carry ``(run_id, batch_id)``; the seen-bucket join hides only
+THIS run's rows with ``batch_id >= current`` — a replay does not see
+its own earlier append, while every other run's history (and this
+run's earlier batches) stays visible.  Resuming a stream FROM ITS
+CHECKPOINT must construct the sink with the same ``run_id`` (it names
+the logical stream; with a fresh auto-generated id, the one replayed
+batch would match its own prior append and drop everything — the
+documented contract).  A NEW stream over the same long-lived store
+(fresh checkpoint, new drop zone) takes a new ``run_id`` and sees the
+full store — batch ids restarting at 0 cannot hide history.  Replayed
 store appends leave duplicate band rows behind — harmless for
 semi-join semantics (documented at-least-once on the index, exactly-
 once on the data).
@@ -43,10 +51,11 @@ compact periodically with ``sources.formats.compact_parquet``.
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 from pyspark.sql.window import Window
 
 from ..operators.dedup import minhash_bands
@@ -55,6 +64,7 @@ _STORE_SCHEMA = StructType(
     [
         StructField("band", LongType()),
         StructField("bucket", LongType()),
+        StructField("run_id", StringType()),
         StructField("batch_id", LongType()),
     ]
 )
@@ -84,6 +94,7 @@ class NearDedupIngest:
         n: int = 3,
         k: int = 32,
         bands: int = 8,
+        run_id: str | None = None,
     ):
         self.store_dir = store_dir
         self.out_dir = out_dir
@@ -92,13 +103,22 @@ class NearDedupIngest:
         self.n = n
         self.k = k
         self.bands = bands
+        # names the logical stream: pass the SAME id when resuming from
+        # a checkpoint (module docstring, replay contract)
+        self.run_id = run_id or uuid.uuid4().hex
 
     def _store(self, spark) -> DataFrame:
-        if os.path.isdir(self.store_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(self.store_dir)
-        ):
+        """The band store, empty if nothing has been written yet.  The
+        existence probe is Spark's own read (works on any filesystem a
+        cluster mounts — s3a/hdfs/local — unlike a driver-local
+        os.path check, which would silently disable cross-batch dedup
+        on remote stores)."""
+        from pyspark.errors import AnalysisException
+
+        try:
             return spark.read.schema(_STORE_SCHEMA).parquet(self.store_dir)
-        return spark.createDataFrame([], _STORE_SCHEMA)
+        except AnalysisException:  # path does not exist yet
+            return spark.createDataFrame([], _STORE_SCHEMA)
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -107,40 +127,61 @@ class NearDedupIngest:
         band_keys = minhash_bands(
             batch, self.id_col, self.text_col, self.n, self.k, self.bands
         ).select("_id", "band", "bucket")
-        band_keys = band_keys.localCheckpoint(eager=True)  # one signature pass
-        seen = self._store(spark).filter(F.col("batch_id") < batch_id)
-        dup_vs_store = (
-            band_keys.join(seen, ["band", "bucket"], "left_semi")
-            .select("_id")
-            .distinct()
-        )
-        # within-batch, id order = arrival order: only the min id in a
-        # bucket may keep it; every other doc touching the bucket drops
-        w = Window.partitionBy("band", "bucket")
-        dup_within = (
-            band_keys.withColumn("_min", F.min("_id").over(w))
-            .filter(F.col("_id") != F.col("_min"))
-            .select("_id")
-            .distinct()
-        )
-        dups = dup_vs_store.union(dup_within).distinct()
-        survivors = batch.join(
-            dups.withColumnRenamed("_id", self.id_col), self.id_col, "left_anti"
-        )
-        survivors.write.mode("overwrite").parquet(
-            os.path.join(self.out_dir, f"batch={batch_id}")
-        )
-        # ALL buckets become seen (kept or dropped): transitive chains
-        # drop consistently within and across batches
-        (
-            band_keys.select("band", "bucket")
-            .distinct()
-            .withColumn("batch_id", F.lit(batch_id).cast("long"))
-            .write.mode("append")
-            .parquet(self.store_dir)
-        )
+        band_keys = band_keys.persist()  # one signature pass, released below
+        try:
+            # hide ONLY this run's replayed append (>= current batch);
+            # other runs' history over the shared store stays visible
+            seen = self._store(spark).filter(
+                (F.col("run_id") != F.lit(self.run_id))
+                | (F.col("batch_id") < F.lit(batch_id))
+            )
+            dup_vs_store = (
+                band_keys.join(seen, ["band", "bucket"], "left_semi")
+                .select("_id")
+                .distinct()
+            )
+            # within-batch, id order = arrival order: only the min id in
+            # a bucket may keep it; every other doc touching it drops
+            w = Window.partitionBy("band", "bucket")
+            dup_within = (
+                band_keys.withColumn("_min", F.min("_id").over(w))
+                .filter(F.col("_id") != F.col("_min"))
+                .select("_id")
+                .distinct()
+            )
+            dups = dup_vs_store.union(dup_within).distinct()
+            survivors = batch.join(
+                dups.withColumnRenamed("_id", self.id_col), self.id_col, "left_anti"
+            )
+            survivors.write.mode("overwrite").parquet(
+                os.path.join(self.out_dir, f"run_id={self.run_id}", f"batch={batch_id}")
+            )
+            # ALL buckets become seen (kept or dropped): transitive
+            # chains drop consistently within and across batches
+            (
+                band_keys.select("band", "bucket")
+                .distinct()
+                .withColumn("run_id", F.lit(self.run_id))
+                .withColumn("batch_id", F.lit(batch_id).cast("long"))
+                .write.mode("append")
+                .parquet(self.store_dir)
+            )
+        finally:
+            band_keys.unpersist()
 
 
-def read_survivors(spark, out_dir: str) -> DataFrame:
-    """All surviving documents across batches (the curated output)."""
-    return spark.read.option("basePath", out_dir).parquet(out_dir + "/batch=*")
+def read_survivors(spark, out_dir: str, schema=None) -> DataFrame:
+    """All surviving documents across every run and batch (the curated
+    output).  Before anything has been written the result is an empty
+    frame when ``schema`` is given; without a schema there is nothing
+    to infer, so the underlying path-does-not-exist error propagates."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.option("basePath", out_dir).parquet(
+            out_dir + "/run_id=*/batch=*"
+        )
+    except AnalysisException:
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        raise

@@ -1725,6 +1725,25 @@ def test_streaming_near_dedup_drops_lsh_band_matches(spark):
         sink(batch2, 1)
         after = {r.doc_id for r in read_survivors(spark, out).collect()}
         assert after == before, "replaying a batch must not change survivors"
+
+        # a NEW run over the same long-lived store (fresh checkpoint →
+        # batch ids restart at 0, new run_id) must still see the whole
+        # prior history: a clone of run-1 content drops, novel survives
+        sink2 = NearDedupIngest(store, out)
+        assert sink2.run_id != sink.run_id
+        run2 = spark.createDataFrame(
+            [
+                (6, base, "en", "web", len(base)),
+                (7, "totally novel sentence about alpine glacier meltwater "
+                    "chemistry and isotope measurement campaigns", "en", "web", 98),
+            ],
+            cols,
+        )
+        sink2(run2, 0)
+        kept2 = {r.doc_id for r in read_survivors(spark, out).collect()}
+        assert 6 not in kept2, "new run must still drop dups of prior runs"
+        assert 7 in kept2, "novel doc in the new run must survive"
+        assert before <= kept2, "a new run must not clobber prior survivors"
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(store, ignore_errors=True)
