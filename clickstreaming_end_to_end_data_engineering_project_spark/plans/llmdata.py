@@ -388,6 +388,35 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKENS_SQL = "list_filter(str_split_regex(text, '\\s+'), x -> x <> '')"
 
+# Shared language-ID CTE chain — the ONE SQL copy of the marker-token
+# argmax heuristic (Spark twin: operators/text.predicted_lang_col).
+# Exposes `pl(doc_id, predicted_lang)`; oracles append their own CTEs.
+_LANGID_CTES = f"""t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+        sc AS (
+            SELECT doc_id,
+                   len(list_filter(toks, x -> x IN ('the', 'and', 'of', 'is'))) AS s_en,
+                   len(list_filter(toks, x -> x IN ('el', 'la', 'los', 'es'))) AS s_es,
+                   len(list_filter(toks, x -> x IN ('le', 'la', 'les', 'est'))) AS s_fr,
+                   len(list_filter(toks, x -> x IN ('der', 'die', 'das', 'und'))) AS s_de,
+                   len(list_filter(toks, x -> x IN ('的', '是', '了', '我'))) AS s_zh,
+                   greatest(len(list_filter(toks, x -> x IN ('the','and','of','is'))),
+                            len(list_filter(toks, x -> x IN ('el','la','los','es'))),
+                            len(list_filter(toks, x -> x IN ('le','la','les','est'))),
+                            len(list_filter(toks, x -> x IN ('der','die','das','und'))),
+                            len(list_filter(toks, x -> x IN ('的','是','了','我')))) AS m
+            FROM t
+        ),
+        pl AS (
+            SELECT doc_id,
+                   CASE WHEN m <= 0 THEN 'und'
+                        WHEN s_zh = m THEN 'zh'
+                        WHEN s_fr = m THEN 'fr'
+                        WHEN s_es = m THEN 'es'
+                        WHEN s_en = m THEN 'en'
+                        ELSE 'de' END AS predicted_lang
+            FROM sc
+        )"""
+
 # Shared quality-score CTE chain — the ONE SQL copy of the quality
 # formula (Spark twin: operators/text.quality_score_col).  Exposes
 # `t(doc_id, text, toks)` and `qs(doc_id, text, quality_score)`;
@@ -532,6 +561,48 @@ def doc_trimmed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     (trim_dup_spans) — the action `doc_dup_span_fraction` signals.
     Every doc emits a row; fully-boilerplate docs come back empty."""
     return text.trim_dup_spans(_docs_parallel(spark, sf_dir), n=8, min_docs=2)
+
+
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled vs predicted language confusion matrix — the QA table
+    behind any lang-gated curation decision (how often does the
+    heuristic disagree with the corpus label, and toward which
+    language does it err)."""
+    docs = _docs(spark, sf_dir)
+    pred = text.lang_id_heuristic(docs)
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def cross_source_dup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which source pairs share boilerplate-opening documents — the
+    leakage report a mixture-weighting stage consults before treating
+    sources as independent (shared 5-token openings = same template or
+    scraped copies).  Key = the `doc_prefix_dups` prefix, so the two
+    reports describe the same groups."""
+    docs = _docs(spark, sf_dir)
+    pref = docs.select(
+        "source",
+        F.coalesce(
+            F.array_join(F.slice(text.tokens("text"), 1, 5), " "), F.lit("")
+        ).alias("prefix"),
+    ).distinct()
+    a, b = pref.alias("a"), pref.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.prefix") == F.col("b.prefix"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count_distinct(F.col("a.prefix")).cast("long").alias("shared_prefixes"))
+    )
 
 
 def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -703,29 +774,8 @@ SPECS = [
         "doc_lang_id",
         doc_lang_id,
         f"""
-        WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
-        sc AS (
-            SELECT doc_id,
-                   len(list_filter(toks, x -> x IN ('the', 'and', 'of', 'is'))) AS s_en,
-                   len(list_filter(toks, x -> x IN ('el', 'la', 'los', 'es'))) AS s_es,
-                   len(list_filter(toks, x -> x IN ('le', 'la', 'les', 'est'))) AS s_fr,
-                   len(list_filter(toks, x -> x IN ('der', 'die', 'das', 'und'))) AS s_de,
-                   len(list_filter(toks, x -> x IN ('的', '是', '了', '我'))) AS s_zh,
-                   greatest(len(list_filter(toks, x -> x IN ('the','and','of','is'))),
-                            len(list_filter(toks, x -> x IN ('el','la','los','es'))),
-                            len(list_filter(toks, x -> x IN ('le','la','les','est'))),
-                            len(list_filter(toks, x -> x IN ('der','die','das','und'))),
-                            len(list_filter(toks, x -> x IN ('的','是','了','我')))) AS m
-            FROM t
-        )
-        SELECT doc_id,
-               CASE WHEN m <= 0 THEN 'und'
-                    WHEN s_zh = m THEN 'zh'
-                    WHEN s_fr = m THEN 'fr'
-                    WHEN s_es = m THEN 'es'
-                    WHEN s_en = m THEN 'en'
-                    ELSE 'de' END AS predicted_lang
-        FROM sc
+        WITH {_LANGID_CTES}
+        SELECT doc_id, predicted_lang FROM pl
         """,
     ),
     QuerySpec(
@@ -1203,6 +1253,35 @@ SPECS = [
         FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
         """,
         "corpus with duplicated-8-gram spans excised (trim action)",
+    ),
+    QuerySpec(
+        "lang_confusion_matrix",
+        lang_confusion_matrix,
+        f"""
+        WITH {_LANGID_CTES}
+        SELECT d.lang, pl.predicted_lang,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM pl JOIN documents d USING (doc_id)
+        GROUP BY d.lang, pl.predicted_lang
+        """,
+        "labeled vs heuristic-predicted language confusion matrix",
+    ),
+    QuerySpec(
+        "cross_source_dup_leakage",
+        cross_source_dup_leakage,
+        f"""
+        WITH p AS (
+            SELECT DISTINCT source,
+                   coalesce(list_aggregate({_TOKENS_SQL}[1:5], 'string_agg', ' '),
+                            '') AS prefix
+            FROM documents
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(DISTINCT a.prefix) AS BIGINT) AS shared_prefixes
+        FROM p a JOIN p b ON a.prefix = b.prefix AND a.source < b.source
+        GROUP BY a.source, b.source
+        """,
+        "source pairs sharing boilerplate-opening documents",
     ),
     QuerySpec(
         "curation_funnel_report",

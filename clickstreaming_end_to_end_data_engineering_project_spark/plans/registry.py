@@ -97,8 +97,9 @@ class QuerySpec:
 # only need to gate newly-added or newly-fixed queries.
 # r9 rotation queue (oracle-backed, added late in r8 after the gate
 # filled): doc_trimmed_corpus (the trim action paired with the gated
-# doc_dup_span_fraction signal).  Rotate it in next round, demoting an
-# r8-green row per the standing policy.
+# doc_dup_span_fraction signal), lang_confusion_matrix,
+# cross_source_dup_leakage.  Rotate these in next round, demoting
+# r8-green rows per the standing policy.
 GATE_PRIORITY = [
     # reference-parity clickstream core (pinned)
     "page_view_counts",
