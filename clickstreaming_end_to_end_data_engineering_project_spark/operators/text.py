@@ -246,24 +246,39 @@ def _dup_spans(
     ``n``-gram appearing in ≥ ``min_docs`` distinct documents; the span
     covers tokens [_pos, _end], 0-based.  Shared by ``dup_span_stats``
     (the signal) and ``trim_dup_spans`` (the action), so both act on
-    the identical span set."""
+    the identical span set.
+
+    The exploded gram index feeds BOTH the doc-frequency aggregate and
+    the join probe, so it is persisted for the duration of one eager
+    materialization (the ngram_jaccard/winnow doc-level-persist
+    discipline) — without it the whole gram pipeline evaluates three
+    times (measured ~2× end-to-end).  The returned frame is the
+    localCheckpointed compact span list; no cache entry outlives the
+    call."""
     toks = tokens(text_col)
     base = df.filter(F.size(toks) >= n).select(
         F.col(id_col).alias("_id"),
         F.size(toks).alias("_ntok"),
         F.posexplode(_word_grams(toks, n)).alias("_pos", "gram"),  # _pos is 0-based
-    )
-    hot = (
-        base.select("_id", "gram")
-        .distinct()
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") >= min_docs)
-        .select("gram")
-    )
-    return base.join(hot, "gram").select(
-        "_id", "_ntok", "_pos", (F.col("_pos") + F.lit(n - 1)).alias("_end")
-    )
+    ).persist()
+    try:
+        hot = (
+            base.select("_id", "gram")
+            .distinct()
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") >= min_docs)
+            .select("gram")
+        )
+        return (
+            base.join(hot, "gram")
+            .select(
+                "_id", "_ntok", "_pos", (F.col("_pos") + F.lit(n - 1)).alias("_end")
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        base.unpersist()
 
 
 def _dup_islands(
