@@ -136,11 +136,12 @@ def write_lsh_index(
     - ``_id_map/``: (id, lsh_bucket) parquet — the id→bucket lookup, so
       an id-only probe never scans vector data (columnar id pushdown
       over two thin columns instead of opening every bucket directory);
-    - ``_lsh_params.json``: {planes, dims} — read back by the probe so
-      an index written with different parameters can't be silently
-      probed as if it matched (a real deployment would keep this in the
-      table catalog)."""
-    import json
+    - ``_lsh_params/``: a 1-row (planes, dims) parquet — read back by
+      the probe so an index written with different parameters can't be
+      silently probed as if it matched (a real deployment would keep
+      this in the table catalog).  Written THROUGH Spark, not a
+      driver-local json.dump, so the index layout works unchanged on
+      any cluster filesystem (s3a/hdfs) the corpus write itself used."""
     import os
 
     bucketed = df.withColumn("lsh_bucket", lsh_bucket(F.col(vec_col), planes, dims))
@@ -148,8 +149,14 @@ def write_lsh_index(
     bucketed.select(id_col, "lsh_bucket").write.mode("overwrite").parquet(
         os.path.join(path, "_id_map")
     )
-    with open(os.path.join(path, "_lsh_params.json"), "w") as f:
-        json.dump({"planes": planes, "dims": dims}, f)
+    (
+        df.sparkSession.createDataFrame(
+            [(int(planes), int(dims))], "planes int, dims int"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "_lsh_params"))
+    )
 
 
 def lsh_topk_indexed(
@@ -175,18 +182,20 @@ def lsh_topk_indexed(
       sidecar (columnar id-pushdown point read), query vector fetched
       from inside the already-pruned bucket.
 
-    (planes, dims) come from the index's ``_lsh_params.json`` — probing
-    an index written with different parameters than a comparison
-    ``lsh_topk`` run is therefore detectable by the caller, and
-    impossible to get wrong here.  Results are identical to the
+    (planes, dims) come from the index's ``_lsh_params`` sidecar —
+    probing an index written with different parameters than a
+    comparison ``lsh_topk`` run is therefore detectable by the caller,
+    and impossible to get wrong here.  Results are identical to the
     on-the-fly ``lsh_topk`` for the same parameters; exact cosine
     rerank inside the bucket, same (cos_sim desc, id) ordering."""
-    import json
     import os
 
-    with open(os.path.join(path, "_lsh_params.json")) as f:
-        params = json.load(f)
-    planes, dims = int(params["planes"]), int(params["dims"])
+    params = (
+        spark.read.schema("planes int, dims int")
+        .parquet(os.path.join(path, "_lsh_params"))
+        .head()
+    )
+    planes, dims = int(params.planes), int(params.dims)
     idx = spark.read.parquet(path)
     if query_vec is not None:
         qlit = F.array(*[F.lit(float(x)) for x in query_vec])

@@ -239,72 +239,86 @@ def _word_grams(toks: Column, n: int) -> Column:
     )
 
 
-def _dup_spans(
-    df: DataFrame, id_col: str, text_col: str, n: int, min_docs: int
-) -> DataFrame:
+def _dup_spans(base: DataFrame, min_docs: int, n: int) -> DataFrame:
     """(_id, _ntok, _pos, _end) rows — one per position of a word
     ``n``-gram appearing in ≥ ``min_docs`` distinct documents; the span
-    covers tokens [_pos, _end], 0-based.  Shared by ``dup_span_stats``
-    (the signal) and ``trim_dup_spans`` (the action), so both act on
-    the identical span set.
+    covers tokens [_pos, _end], 0-based.  ``base`` is the persisted
+    gram index (``_id``, ``_ntok``, ``_pos``, ``gram``) built by
+    ``dup_islands``: it feeds BOTH the doc-frequency aggregate and the
+    join probe here, which is exactly why the caller persists it (the
+    ngram_jaccard/winnow doc-level-persist discipline — without it the
+    whole gram pipeline evaluates three times, measured ~2×
+    end-to-end)."""
+    hot = (
+        base.select("_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("gram")
+    )
+    return base.join(hot, "gram").select(
+        "_id", "_ntok", "_pos", (F.col("_pos") + F.lit(n - 1)).alias("_end")
+    )
 
-    The exploded gram index feeds BOTH the doc-frequency aggregate and
-    the join probe, so it is persisted for the duration of one eager
-    materialization (the ngram_jaccard/winnow doc-level-persist
-    discipline) — without it the whole gram pipeline evaluates three
-    times (measured ~2× end-to-end).  The returned frame is the
-    localCheckpointed compact span list; no cache entry outlives the
-    call."""
+
+def dup_islands(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Disjoint merged intervals of the cross-document duplicated
+    spans — gaps-and-islands over a per-document window.
+    (_id, _ntok, _start, _end), one row per maximal covered run of
+    tokens.  This is the shared substrate of ``dup_span_stats`` (the
+    signal: sums coverage) and ``trim_dup_spans`` (the action:
+    anti-joins token positions): compute it ONCE and pass it to both
+    via their ``islands=`` parameter and the expensive gram index
+    materializes once instead of twice.  Merged intervals also keep
+    the trim join O(tokens × islands) per doc instead of
+    O(tokens × gram positions) on boilerplate-heavy docs.
+
+    The returned frame is EAGERLY MATERIALIZED via localCheckpoint —
+    the gram index persist below must not outlive this call, and the
+    compact interval list is far smaller than the raw span set.  Two
+    caveats of that mechanism, deliberate trade-offs here:
+    - the checkpoint blocks are non-reliable: if an executor holding
+      them dies, downstream actions fail WITHOUT lineage to recompute
+      — rerun the job (acceptable for a batch curation step; a
+      multi-hour consumer should write the islands to parquet
+      instead);
+    - the blocks are freed when the returned DataFrame is
+      garbage-collected, so a caller sharing it across several
+      actions should drop the reference promptly when done."""
     toks = tokens(text_col)
-    base = df.filter(F.size(toks) >= n).select(
-        F.col(id_col).alias("_id"),
-        F.size(toks).alias("_ntok"),
-        F.posexplode(_word_grams(toks, n)).alias("_pos", "gram"),  # _pos is 0-based
-    ).persist()
+    base = (
+        df.filter(F.size(toks) >= n)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.size(toks).alias("_ntok"),
+            F.posexplode(_word_grams(toks, n)).alias("_pos", "gram"),  # 0-based
+        )
+        .persist()
+    )
     try:
-        hot = (
-            base.select("_id", "gram")
-            .distinct()
-            .groupBy("gram")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") >= min_docs)
-            .select("gram")
+        spans = _dup_spans(base, min_docs, n)
+        w = Window.partitionBy("_id").orderBy("_pos")
+        prev_max_end = F.max("_end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+        numbered = spans.withColumn(
+            "_new",
+            F.when(F.col("_pos") > F.coalesce(prev_max_end, F.lit(-1)), 1).otherwise(0),
+        ).withColumn(
+            "_island", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
         )
         return (
-            base.join(hot, "gram")
-            .select(
-                "_id", "_ntok", "_pos", (F.col("_pos") + F.lit(n - 1)).alias("_end")
-            )
+            numbered.groupBy("_id", "_ntok", "_island")
+            .agg(F.min("_pos").alias("_start"), F.max("_end").alias("_end"))
             .localCheckpoint(eager=True)
         )
     finally:
         base.unpersist()
-
-
-def _dup_islands(
-    df: DataFrame, id_col: str, text_col: str, n: int, min_docs: int
-) -> DataFrame:
-    """Disjoint merged intervals of the duplicated spans — gaps-and-
-    islands over a per-document window.  (_id, _ntok, _start, _end),
-    one row per maximal covered run of tokens.  Shared by
-    ``dup_span_stats`` (sums coverage) and ``trim_dup_spans`` (anti-
-    joins token positions) so both see the identical interval set —
-    and so the trim join touches a handful of DISJOINT intervals per
-    doc instead of the ~one-span-per-gram-position overlapping raw set
-    (which would make the per-doc join O(tokens × spans) on
-    boilerplate-heavy docs)."""
-    spans = _dup_spans(df, id_col, text_col, n, min_docs)
-    w = Window.partitionBy("_id").orderBy("_pos")
-    prev_max_end = F.max("_end").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    islands = spans.withColumn(
-        "_new",
-        F.when(F.col("_pos") > F.coalesce(prev_max_end, F.lit(-1)), 1).otherwise(0),
-    ).withColumn(
-        "_island", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    return islands.groupBy("_id", "_ntok", "_island").agg(
-        F.min("_pos").alias("_start"), F.max("_end").alias("_end")
-    )
 
 
 def trim_dup_spans(
@@ -313,6 +327,7 @@ def trim_dup_spans(
     text_col: str = "text",
     n: int = 8,
     min_docs: int = 2,
+    islands: DataFrame | None = None,
 ) -> DataFrame:
     """The ACTION paired with ``dup_span_stats``'s signal: rewrite each
     document with every cross-document duplicated ``n``-gram span
@@ -328,15 +343,20 @@ def trim_dup_spans(
     Scale shape: token positions anti-join the span intervals per
     document (equi on doc id + range predicate — never a cross-doc
     pair join), then one ordered re-assembly per doc via
-    sort-by-position array fold; all shuffles key on the doc id."""
+    sort-by-position array fold; all shuffles key on the doc id.
+
+    ``islands``: a precomputed ``dup_islands(df, ...)`` frame — pass
+    the same one to ``dup_span_stats`` to pay for the gram index once
+    when running the signal and the action together (the curation
+    story; see ``dup_span_signal_and_trim``)."""
     toks = tokens(text_col)
     base = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(toks).alias("_tpos", "_tok"),
     )
-    islands = _dup_islands(df, id_col, text_col, n, min_docs).select(
-        F.col("_id").alias("_sid"), "_start", "_end"
-    )
+    if islands is None:
+        islands = dup_islands(df, id_col, text_col, n, min_docs)
+    islands = islands.select(F.col("_id").alias("_sid"), "_start", "_end")
     kept = base.join(
         islands,
         (F.col("_id") == F.col("_sid"))
@@ -370,6 +390,7 @@ def dup_span_stats(
     text_col: str = "text",
     n: int = 8,
     min_docs: int = 2,
+    islands: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document duplicated-span coverage — the word-level
     approximation of exact-substring train-set dedup (Lee et al. 2021,
@@ -390,10 +411,16 @@ def dup_span_stats(
     pre-agg) is a gram-keyed semi-joinable frame, NOT a collect; the
     interval union is gaps-and-islands over a per-document window —
     partitions bounded by document length, embarrassingly parallel
-    across docs, no global sort.  No pair joins anywhere."""
+    across docs, no global sort.  No pair joins anywhere.
+
+    ``islands``: a precomputed ``dup_islands(df, ...)`` frame — pass
+    the same one to ``trim_dup_spans`` to pay for the gram index once
+    when running the signal and the action together."""
     from ..functions import dround
 
-    per_island = _dup_islands(df, id_col, text_col, n, min_docs).select(
+    if islands is None:
+        islands = dup_islands(df, id_col, text_col, n, min_docs)
+    per_island = islands.select(
         "_id", "_ntok", (F.col("_end") - F.col("_start") + 1).alias("_cov")
     )
     return (
@@ -407,6 +434,26 @@ def dup_span_stats(
                 F.col("dup_tokens").cast("double") / F.col("_ntok").cast("double"), 6
             ).alias("dup_span_fraction"),
         )
+    )
+
+
+def dup_span_signal_and_trim(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> "tuple[DataFrame, DataFrame]":
+    """The curation pairing: (``dup_span_stats`` signal,
+    ``trim_dup_spans`` action) computed off ONE shared
+    ``dup_islands`` materialization — the gram index (the expensive
+    leg: tokenize → posexplode → doc-freq agg → probe join) runs once
+    instead of once per output.  Outputs are identical to calling the
+    two functions standalone (pinned by test)."""
+    isl = dup_islands(df, id_col, text_col, n, min_docs)
+    return (
+        dup_span_stats(df, id_col, text_col, n, min_docs, islands=isl),
+        trim_dup_spans(df, id_col, text_col, n, min_docs, islands=isl),
     )
 
 

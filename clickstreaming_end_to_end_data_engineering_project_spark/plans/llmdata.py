@@ -583,14 +583,20 @@ def cross_source_dup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     leakage report a mixture-weighting stage consults before treating
     sources as independent (shared 5-token openings = same template or
     scraped copies).  Key = the `doc_prefix_dups` prefix, so the two
-    reports describe the same groups."""
+    reports describe the same groups.  Docs shorter than 5 tokens are
+    excluded: a truncated or empty prefix is not boilerplate evidence
+    (two sources each holding one empty doc would otherwise report a
+    spurious shared opening)."""
     docs = _docs(spark, sf_dir)
-    pref = docs.select(
-        "source",
-        F.coalesce(
-            F.array_join(F.slice(text.tokens("text"), 1, 5), " "), F.lit("")
-        ).alias("prefix"),
-    ).distinct()
+    toks = text.tokens("text")
+    pref = (
+        docs.where(F.size(toks) >= 5)
+        .select(
+            "source",
+            F.array_join(F.slice(toks, 1, 5), " ").alias("prefix"),
+        )
+        .distinct()
+    )
     a, b = pref.alias("a"), pref.alias("b")
     return (
         a.join(
@@ -1272,9 +1278,9 @@ SPECS = [
         f"""
         WITH p AS (
             SELECT DISTINCT source,
-                   coalesce(list_aggregate({_TOKENS_SQL}[1:5], 'string_agg', ' '),
-                            '') AS prefix
+                   list_aggregate({_TOKENS_SQL}[1:5], 'string_agg', ' ') AS prefix
             FROM documents
+            WHERE len({_TOKENS_SQL}) >= 5
         )
         SELECT a.source AS source_a, b.source AS source_b,
                CAST(count(DISTINCT a.prefix) AS BIGINT) AS shared_prefixes

@@ -95,11 +95,13 @@ class QuerySpec:
 # query in the registry has a green driver row in some
 # CORRECTNESS_r*.json — the rotation goal is closed; future rounds
 # only need to gate newly-added or newly-fixed queries.
-# r9 rotation queue (oracle-backed, added late in r8 after the gate
-# filled): doc_trimmed_corpus (the trim action paired with the gated
+# Round-9 rotation: the declared r9 queue rotates in for first driver
+# rows: doc_trimmed_corpus (the trim action paired with the gated
 # doc_dup_span_fraction signal), lang_confusion_matrix,
-# cross_source_dup_leakage.  Rotate these in next round, demoting
-# r8-green rows per the standing policy.
+# cross_source_dup_leakage (empty/short-prefix fix this round — the
+# gate row also proves the fix).  Demoted per the standing policy are
+# 3 doubly-verified rows (green in BOTH r7 and r8):
+# q11_important_parts, q16_part_supplier_counts, q22_idle_customers.
 GATE_PRIORITY = [
     # reference-parity clickstream core (pinned)
     "page_view_counts",
@@ -144,18 +146,19 @@ GATE_PRIORITY = [
     "embedding_quant_error",
     "doc_validation_report",
     "text_embedding_disagreement",
-    # retained from the r7 rotation (green r7; kept for a second row
-    # while slots allow — the benched tpch_deep shapes stay visible)
+    # round-9 rotation: the declared r9 queue — first driver rows
+    "doc_trimmed_corpus",
+    "lang_confusion_matrix",
+    "cross_source_dup_leakage",
+    # retained from the r7 rotation (green r7+r8; kept while slots
+    # allow — the benched/swept tpch_deep shapes stay visible)
     "q2_cheapest_supplier_per_part",
     "q8_market_share",
     "q9_product_profit",
-    "q11_important_parts",
     "q15_top_supplier",
-    "q16_part_supplier_counts",
     "q17_small_quantity_revenue",
     "q20_promotable_part_suppliers",
     "q21_late_sole_suppliers",
-    "q22_idle_customers",
     "doc_tfidf_top_terms",
     "doc_token_budget_sample",
     "source_mixture_weights",

@@ -31,13 +31,18 @@ with mode=overwrite, so a replayed batch rewrites the same directory
 appends carry ``(run_id, batch_id)``; the seen-bucket join hides only
 THIS run's rows with ``batch_id >= current`` — a replay does not see
 its own earlier append, while every other run's history (and this
-run's earlier batches) stays visible.  Resuming a stream FROM ITS
-CHECKPOINT must construct the sink with the same ``run_id`` (it names
-the logical stream; with a fresh auto-generated id, the one replayed
-batch would match its own prior append and drop everything — the
-documented contract).  A NEW stream over the same long-lived store
-(fresh checkpoint, new drop zone) takes a new ``run_id`` and sees the
-full store — batch ids restarting at 0 cannot hide history.  Replayed
+run's earlier batches) stays visible.  The run id names the logical
+stream, so resuming FROM A CHECKPOINT must reuse it: construct the
+sink with ``marker_dir=<the checkpoint dir>`` and the id is persisted
+there (written through Spark, so any cluster filesystem works) and
+read back on recovery — the restart-the-script failure path gets the
+SAME id for free.  Passing an explicit ``run_id`` instead makes the
+caller responsible for that invariant; there is no auto-generated
+default (a fresh id on recovery would let the one replayed batch
+match its own prior append and silently drop every document in it).
+A NEW stream over the same long-lived store (fresh checkpoint → fresh
+marker → new ``run_id``) sees the full store — batch ids restarting
+at 0 cannot hide history.  Replayed
 store appends leave duplicate band rows behind — harmless for
 semi-join semantics (documented at-least-once on the index, exactly-
 once on the data).
@@ -78,11 +83,19 @@ class NearDedupIngest:
     Use with ``corpus_ingest.read_document_stream`` (or any stream of
     (id, text, ...) rows)::
 
-        sink = NearDedupIngest(store_dir, out_dir)
+        sink = NearDedupIngest(store_dir, out_dir, marker_dir=ckpt)
         q = (read_document_stream(spark, drop_zone)
              .writeStream.foreachBatch(sink)
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
+
+    Exactly one of ``run_id`` / ``marker_dir`` is required.  With
+    ``marker_dir`` (normally the stream's checkpoint dir) the id is
+    persisted at ``<marker_dir>/_near_dedup_run_id`` on the first
+    batch and read back by any later construction over the same dir —
+    checkpoint recovery reuses the id automatically.  An explicit
+    ``run_id`` skips the marker; the caller then owns the resume
+    contract (module docstring).
     """
 
     def __init__(
@@ -95,7 +108,15 @@ class NearDedupIngest:
         k: int = 32,
         bands: int = 8,
         run_id: str | None = None,
+        marker_dir: str | None = None,
     ):
+        if (run_id is None) == (marker_dir is None):
+            raise ValueError(
+                "pass exactly one of run_id / marker_dir: the run id names "
+                "the logical stream and MUST survive checkpoint recovery — "
+                "an auto-generated default would silently drop every "
+                "document in a replayed batch (see module docstring)"
+            )
         self.store_dir = store_dir
         self.out_dir = out_dir
         self.id_col = id_col
@@ -103,9 +124,48 @@ class NearDedupIngest:
         self.n = n
         self.k = k
         self.bands = bands
-        # names the logical stream: pass the SAME id when resuming from
-        # a checkpoint (module docstring, replay contract)
-        self.run_id = run_id or uuid.uuid4().hex
+        self.marker_dir = marker_dir
+        self._run_id = run_id
+
+    @property
+    def run_id(self) -> str:
+        """The resolved run id.  Marker-backed sinks resolve on the
+        first batch (needs a SparkSession to read the marker)."""
+        if self._run_id is None:
+            raise RuntimeError(
+                "run_id is not resolved yet — it is read from (or created "
+                "at) the marker_dir marker when the first batch arrives"
+            )
+        return self._run_id
+
+    def _resolve_run_id(self, spark) -> str:
+        """Load-or-create the durable run id.  All I/O goes through
+        Spark, so the marker lives on whatever filesystem hosts the
+        checkpoint (s3a/hdfs/local), and it is written BEFORE any store
+        append — a crash before the marker leaves no store rows to
+        mask, a crash after it is recovered by reading it back."""
+        if self._run_id is not None:
+            return self._run_id
+        from pyspark.errors import AnalysisException
+
+        path = os.path.join(self.marker_dir, "_near_dedup_run_id")
+        try:
+            row = spark.read.schema("run_id string").parquet(path).head()
+        except AnalysisException:  # marker does not exist yet
+            row = None
+        if row is None:
+            rid = uuid.uuid4().hex
+            (
+                spark.createDataFrame([(rid,)], "run_id string")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(path)
+            )
+            # read back rather than trust our write: if two drivers
+            # raced, both settle on whichever overwrite landed last
+            row = spark.read.schema("run_id string").parquet(path).head()
+        self._run_id = row.run_id
+        return self._run_id
 
     def _store(self, spark) -> DataFrame:
         """The band store, empty if nothing has been written yet.  The
@@ -124,6 +184,7 @@ class NearDedupIngest:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
+        run_id = self._resolve_run_id(spark)
         band_keys = minhash_bands(
             batch, self.id_col, self.text_col, self.n, self.k, self.bands
         ).select("_id", "band", "bucket")
@@ -132,7 +193,7 @@ class NearDedupIngest:
             # hide ONLY this run's replayed append (>= current batch);
             # other runs' history over the shared store stays visible
             seen = self._store(spark).filter(
-                (F.col("run_id") != F.lit(self.run_id))
+                (F.col("run_id") != F.lit(run_id))
                 | (F.col("batch_id") < F.lit(batch_id))
             )
             dup_vs_store = (
@@ -154,14 +215,14 @@ class NearDedupIngest:
                 dups.withColumnRenamed("_id", self.id_col), self.id_col, "left_anti"
             )
             survivors.write.mode("overwrite").parquet(
-                os.path.join(self.out_dir, f"run_id={self.run_id}", f"batch={batch_id}")
+                os.path.join(self.out_dir, f"run_id={run_id}", f"batch={batch_id}")
             )
             # ALL buckets become seen (kept or dropped): transitive
             # chains drop consistently within and across batches
             (
                 band_keys.select("band", "bucket")
                 .distinct()
-                .withColumn("run_id", F.lit(self.run_id))
+                .withColumn("run_id", F.lit(run_id))
                 .withColumn("batch_id", F.lit(batch_id).cast("long"))
                 .write.mode("append")
                 .parquet(self.store_dir)

@@ -1340,6 +1340,31 @@ def test_trim_dup_spans_excises_exactly_the_covered_tokens(spark):
     assert trimmed[2]["text_clean"] == "x y q"
 
 
+def test_dup_span_shared_islands_outputs_unchanged(spark):
+    """dup_span_signal_and_trim (one shared dup_islands materialization)
+    must produce byte-identical outputs to the standalone
+    dup_span_stats / trim_dup_spans calls — the sharing is a cost
+    optimization, never a semantic one."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import text as t
+
+    docs = [
+        (1, "a b c d e f"),
+        (2, "x y a b c q"),
+        (3, "zz ww qq vv uu"),
+        (4, "a b c d a b c"),
+        (5, "a b c"),
+        (6, "pq"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    sig, act = t.dup_span_signal_and_trim(df, n=3, min_docs=2)
+    assert sorted(map(tuple, sig.collect())) == sorted(
+        map(tuple, t.dup_span_stats(df, n=3, min_docs=2).collect())
+    )
+    assert sorted(map(tuple, act.collect())) == sorted(
+        map(tuple, t.trim_dup_spans(df, n=3, min_docs=2).collect())
+    )
+
+
 def test_winnow_fingerprints_unicode_ord_parity(spark):
     """The vectorized kernel decodes text as utf-32-le, which must
     yield exactly Python's ord() per character (= Spark ascii() =

@@ -1677,6 +1677,7 @@ def test_streaming_near_dedup_drops_lsh_band_matches(spark):
     store = tempfile.mkdtemp(prefix="nd_store_")
     out = tempfile.mkdtemp(prefix="nd_out_")
     ckpt = tempfile.mkdtemp(prefix="nd_ckpt_")
+    ckpt2 = tempfile.mkdtemp(prefix="nd_ckpt2_")
     try:
         spark.createDataFrame(inc1, cols).coalesce(1).write.parquet(src + "/i1")
         spark.createDataFrame(inc2, cols).coalesce(1).write.parquet(src + "/i2")
@@ -1685,7 +1686,7 @@ def test_streaming_near_dedup_drops_lsh_band_matches(spark):
                 if f.endswith(".parquet"):
                     shutil.move(f"{src}/{inc}/{f}", f"{src}/{inc}_{f}")
             shutil.rmtree(src + f"/{inc}")
-        sink = NearDedupIngest(store, out)
+        sink = NearDedupIngest(store, out, marker_dir=ckpt)
         q = (
             read_document_stream(spark, src, max_files_per_trigger=1)
             .writeStream.foreachBatch(sink)
@@ -1726,11 +1727,32 @@ def test_streaming_near_dedup_drops_lsh_band_matches(spark):
         after = {r.doc_id for r in read_survivors(spark, out).collect()}
         assert after == before, "replaying a batch must not change survivors"
 
+        # checkpoint recovery (the restart-the-script path): a FRESH
+        # sink over the same marker_dir must resolve the SAME run_id
+        # from the persisted marker, so the replayed batch is masked
+        # against its own prior store append and survivors are stable
+        recovered = NearDedupIngest(store, out, marker_dir=ckpt)
+        with pytest.raises(RuntimeError):
+            recovered.run_id  # unresolved until the first batch
+        recovered(batch2, 1)
+        assert recovered.run_id == sink.run_id, (
+            "recovery must reuse the marker-persisted run_id"
+        )
+        after_rec = {r.doc_id for r in read_survivors(spark, out).collect()}
+        assert after_rec == before, (
+            "a recovered sink replaying a batch must not change survivors"
+        )
+
+        # the unsafe default is gone: neither or both identity args → error
+        with pytest.raises(ValueError):
+            NearDedupIngest(store, out)
+        with pytest.raises(ValueError):
+            NearDedupIngest(store, out, run_id="x", marker_dir=ckpt)
+
         # a NEW run over the same long-lived store (fresh checkpoint →
         # batch ids restart at 0, new run_id) must still see the whole
         # prior history: a clone of run-1 content drops, novel survives
-        sink2 = NearDedupIngest(store, out)
-        assert sink2.run_id != sink.run_id
+        sink2 = NearDedupIngest(store, out, marker_dir=ckpt2)
         run2 = spark.createDataFrame(
             [
                 (6, base, "en", "web", len(base)),
@@ -1740,6 +1762,7 @@ def test_streaming_near_dedup_drops_lsh_band_matches(spark):
             cols,
         )
         sink2(run2, 0)
+        assert sink2.run_id != sink.run_id, "fresh marker dir → new run_id"
         kept2 = {r.doc_id for r in read_survivors(spark, out).collect()}
         assert 6 not in kept2, "new run must still drop dups of prior runs"
         assert 7 in kept2, "novel doc in the new run must survive"
@@ -1749,3 +1772,4 @@ def test_streaming_near_dedup_drops_lsh_band_matches(spark):
         shutil.rmtree(store, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(ckpt2, ignore_errors=True)
