@@ -18,6 +18,20 @@ Inflation preserves join semantics instead of naively duplicating rows:
   sampling groups by lang and cumsums by a per-doc hash — new ids give
   clones distinct sample positions).
 Usage: python scripts/scale_sweep_10x.py [--copies 10]
+
+Core-width axis (r9, VERDICT item 2): ``--cores N`` runs the whole
+sweep on local[N] with shuffle.partitions=N — the "smaller cluster"
+emulation.  Because one process owns one JVM master, the width sweep
+is three invocations over a SHARED inflated corpus::
+
+    python scripts/scale_sweep_10x.py --cores 32 --keep-data
+    python scripts/scale_sweep_10x.py --cores 16 --reuse-data --keep-data --skip-base
+    python scripts/scale_sweep_10x.py --cores 8  --reuse-data --skip-base
+
+``--reuse-data`` skips the (deterministic) inflation build when the
+target dir already exists; ``--keep-data`` leaves it for the next
+invocation; ``--skip-base`` times only the inflated corpus (the base
+legs don't change with the data and only matter for exponents).
 """
 
 from __future__ import annotations
@@ -89,31 +103,52 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--base", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cores", type=int, default=None,
+                    help="local[N] width for the timed runs (default: env/32)")
+    ap.add_argument("--reuse-data", action="store_true",
+                    help="skip inflation if the target dir already exists")
+    ap.add_argument("--keep-data", action="store_true",
+                    help="leave the inflated corpus on disk for reuse")
+    ap.add_argument("--skip-base", action="store_true",
+                    help="time only the inflated corpus (no exponent)")
+    ap.add_argument("--reps", type=int, default=3,
+                    help="min-of-N timing reps (lower for very large corpora)")
     args = ap.parse_args()
-    spark = get_spark("scale_sweep")
+    spark = get_spark("scale_sweep", cpus=str(args.cores) if args.cores else None)
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
     dst = f"/tmp/sweep{args.copies}x"
-    build_inflated(spark, args.base, dst, args.copies)
+    if not (args.reuse_data and os.path.isdir(dst)):
+        build_inflated(spark, args.base, dst, args.copies)
     try:
         # warm up both datasets' footers + JVM
         load(spark, args.base, "lineitem").count()
         load(spark, dst, "lineitem").count()
-        t1 = time_queries(spark, specs, args.base)
-        t10 = time_queries(spark, specs, dst)
+        t1 = None if args.skip_base else time_queries(spark, specs, args.base, args.reps)
+        t10 = time_queries(spark, specs, dst, args.reps)
     finally:
-        shutil.rmtree(dst, ignore_errors=True)
+        if not args.keep_data:
+            shutil.rmtree(dst, ignore_errors=True)
     import math
 
     report = {
         name: {
-            "base_sec": t1[name],
+            **({} if t1 is None else {"base_sec": t1[name]}),
             f"x{args.copies}_sec": t10[name],
-            "growth": round(t10[name] / t1[name], 2),
-            "exponent": round(math.log(t10[name] / t1[name]) / math.log(args.copies), 2),
+            **(
+                {}
+                if t1 is None
+                else {
+                    "growth": round(t10[name] / t1[name], 2),
+                    "exponent": round(
+                        math.log(t10[name] / t1[name]) / math.log(args.copies), 2
+                    ),
+                }
+            ),
         }
         for name in QUERIES
     }
+    report["_cores"] = int(args.cores or os.environ.get("SPARK_GRAFT_CPUS", "32"))
     print(json.dumps(report))
     spark.stop()
 
