@@ -437,6 +437,53 @@ def dup_span_stats(
     )
 
 
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty — the inverse of the dup-span
+    signal: the fraction of a doc's DISTINCT word ``n``-grams that
+    appear in no other document.  High novelty marks content worth
+    keeping through aggressive dedup; low novelty without high
+    dup-span coverage marks diffuse paraphrase-style overlap the
+    span operators can't see.  Docs shorter than ``n`` tokens are
+    absent (no grams to score).
+
+    Output: (id, n_grams, novel_grams, novelty) with novelty
+    double-rounded to 6 places for oracle bit-exactness.
+
+    Scale shape: the same inverted-index discipline as the other gram
+    operators — per-doc-distinct gram explode, one doc-freq hash agg
+    (map-side combined), a gram-keyed join back, one per-doc agg.  No
+    pair joins, no collect; every shuffle keys on gram or doc id."""
+    from ..functions import dround
+
+    toks = tokens(text_col)
+    grams = df.filter(F.size(toks) >= n).select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(_word_grams(toks, n))).alias("gram"),
+    )
+    dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        grams.join(dfreq, "gram")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("_df") == 1).cast("bigint")).cast("long").alias("novel_grams"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_grams",
+            "novel_grams",
+            dround(
+                F.col("novel_grams").cast("double") / F.col("n_grams").cast("double"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
 def dup_span_signal_and_trim(
     df: DataFrame,
     id_col: str = "doc_id",

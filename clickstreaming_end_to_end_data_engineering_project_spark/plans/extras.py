@@ -444,7 +444,52 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention triangle: users grouped by first-seen
+    week, counted active per weeks-since-first — the table behind
+    every retention heatmap.
+
+    Scale shape: one distinct on (user, week) (shuffle 1), a per-user
+    min-week agg (shuffle 2, key = user so it co-partitions with the
+    distinct under AQE), join back on user (same key — no third
+    exchange of the big side), final agg on the tiny
+    (cohort, offset) key.  Never a self-join of events against
+    events, and no per-week re-scan: cost is two passes over the
+    distinct (user, week) set regardless of history length."""
+    ev = load(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("_week")
+    ).distinct()
+    first = uw.groupBy("user_id").agg(F.min("_week").alias("_cohort"))
+    return (
+        uw.join(first, "user_id")
+        .select(
+            F.col("_cohort").alias("cohort_week"),
+            (F.datediff(F.col("_week"), F.col("_cohort")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("active_users"))
+    )
+
+
 SPECS = [
+    QuerySpec(
+        "weekly_retention_cohorts",
+        weekly_retention_cohorts,
+        """
+        WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+                    FROM events),
+        f AS (SELECT user_id, min(week) AS cohort FROM uw GROUP BY user_id)
+        SELECT CAST(cohort AS TIMESTAMP) AS cohort_week,
+               CAST(date_diff('day', cohort, uw.week) / 7 AS BIGINT) AS week_offset,
+               CAST(count(*) AS BIGINT) AS active_users
+        FROM uw JOIN f USING (user_id)
+        GROUP BY 1, 2
+        """,
+        "cohort-retention triangle (first-seen week x weeks-since)",
+    ),
     QuerySpec(
         "event_split_union_by_name",
         event_split_union_by_name,

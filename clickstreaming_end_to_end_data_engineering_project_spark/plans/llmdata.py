@@ -563,6 +563,15 @@ def doc_trimmed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.trim_dup_spans(_docs_parallel(spark, sf_dir), n=8, min_docs=2)
 
 
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc trigram novelty (fraction of distinct 3-grams unique to
+    the doc) — the inverse of `doc_dup_span_fraction`: low novelty
+    WITHOUT high span coverage flags diffuse paraphrase overlap the
+    contiguous-span operators can't see; high novelty is what
+    aggressive dedup must not destroy."""
+    return text.ngram_novelty(_docs_parallel(spark, sf_dir), n=3)
+
+
 def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Labeled vs predicted language confusion matrix — the QA table
     behind any lang-gated curation decision (how often does the
@@ -1518,5 +1527,27 @@ SPECS = [
         JOIN embeddings eb ON eb.vec_id = p.doc_b
         """,
         "cross-modal QA: lexical near-dups vs their embedding cosine",
+    ),
+    QuerySpec(
+        "doc_ngram_novelty",
+        doc_ngram_novelty,
+        f"""
+        WITH w AS (SELECT doc_id, {_TOKENS_SQL} AS ws FROM documents),
+        i AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 1, 1))) AS i
+              FROM w WHERE len(ws) >= 3),
+        g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+              FROM i),
+        f AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+        SELECT g.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS novel_grams,
+               {sql_snippets.dround(
+                   'sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) * 1.0 / count(*)', 6)}
+                   AS novelty
+        FROM g JOIN f USING (gram)
+        GROUP BY g.doc_id
+        """,
+        "per-doc distinct-trigram novelty (inverse of the dup-span signal)",
     ),
 ]

@@ -102,6 +102,10 @@ class QuerySpec:
 # gate row also proves the fix).  Demoted per the standing policy are
 # 3 doubly-verified rows (green in BOTH r7 and r8):
 # q11_important_parts, q16_part_supplier_counts, q22_idle_customers.
+# r10 rotation queue (oracle-backed, added in r9 after the gate was
+# set): weekly_retention_cohorts (cohort-retention triangle),
+# doc_ngram_novelty (per-doc distinct-trigram novelty).  Rotate these
+# in next round, demoting r9-green rows per the standing policy.
 GATE_PRIORITY = [
     # reference-parity clickstream core (pinned)
     "page_view_counts",

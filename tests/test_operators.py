@@ -1281,6 +1281,64 @@ def test_winnow_dups_detects_planted_near_dups(spark):
     assert all(a < b for a, b in pairs)
 
 
+def test_ngram_novelty_counts_unique_grams(spark):
+    """Planted trigrams: novelty = fraction of a doc's DISTINCT
+    3-grams appearing in no other doc; repeats within one doc count
+    once; docs shorter than n are absent."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import text as t
+
+    docs = [
+        (1, "a b c d"),        # "a b c" shared with 2, "b c d" unique
+        (2, "a b c"),          # its only gram is shared
+        (3, "x y z w"),        # both grams unique
+        (4, "k l m k l m"),    # within-doc repeat: "k l m" counts once, unique
+        (5, "pq"),             # < n tokens: absent
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_grams"], r["novel_grams"], r["novelty"])
+        for r in t.ngram_novelty(df, n=3).collect()
+    }
+    assert got == {
+        1: (2, 1, 0.5),
+        2: (1, 0, 0.0),
+        3: (2, 2, 1.0),
+        4: (3, 3, 1.0),  # k l m / l m k / m k l (+ repeat of k l m) -> 3 distinct
+    }
+
+
+def test_weekly_retention_cohorts_planted(spark, tmp_path):
+    """Planted events across two ISO weeks: cohorts keyed by first-seen
+    week, offsets in whole weeks, users counted once per week."""
+    import datetime as dt
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.plans.extras import (
+        weekly_retention_cohorts,
+    )
+
+    rows = [
+        (1, dt.datetime(2024, 1, 2, 10), 1),   # u1 week of Jan 1
+        (2, dt.datetime(2024, 1, 2, 11), 1),   # same week again: counts once
+        (3, dt.datetime(2024, 1, 9, 9), 1),    # u1 week of Jan 8 -> offset 1
+        (4, dt.datetime(2024, 1, 3, 8), 2),    # u2 week of Jan 1 only
+        (5, dt.datetime(2024, 1, 10, 8), 3),   # u3 first seen week of Jan 8
+    ]
+    df = spark.createDataFrame(
+        [(eid, ts, uid, "view", 0.0, "{}") for eid, ts, uid in rows],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r["cohort_week"].date(), r["week_offset"]): r["active_users"]
+        for r in weekly_retention_cohorts(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        (dt.date(2024, 1, 1), 0): 2,   # u1 + u2
+        (dt.date(2024, 1, 1), 1): 1,   # u1 retained
+        (dt.date(2024, 1, 8), 0): 1,   # u3's own cohort
+    }
+
+
 def test_dup_span_stats_merges_overlapping_intervals(spark):
     """Planted spans at n=3, min_docs=2: overlapping duplicated-gram
     spans must merge into one island (no double counting), disjoint
