@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Regenerate tests/plan_digests.json — the pinned physical-plan shapes
-for the 15 headline queries (see plans/digest.py for why).
+for the 15 headline + 19 extended bench queries (see plans/digest.py
+for why).
 
 Update procedure when a plan change is INTENTIONAL:
 
@@ -35,7 +36,7 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 def headline_names() -> list[str]:
     import bench
 
-    return list(bench.HEADLINE)
+    return list(bench.HEADLINE) + list(bench.EXTENDED)
 
 
 def main() -> None:

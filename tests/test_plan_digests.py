@@ -1,4 +1,4 @@
-"""Plan-shape regression guard for the 15 headline queries.
+"""Plan-shape regression guard for the benched queries (15 headline + 19 extended).
 
 Pins the counts of shape-significant physical operators (join
 strategies, exchanges, aggregate tiers, top-k, windows — see
@@ -35,7 +35,7 @@ with open(_SNAP) as f:
 def _headline() -> list[str]:
     import bench
 
-    return list(bench.HEADLINE)
+    return list(bench.HEADLINE) + list(bench.EXTENDED)
 
 
 def test_snapshot_covers_exactly_the_headline():
