@@ -50,7 +50,9 @@ once on the data).
 State sizing: the store grows by ≤ ``bands`` rows of 3 longs per
 ingested doc (~100 B/doc at bands=8) — 10 B docs ≈ 1 TB of parquet,
 scanned columnar per batch with the (band, bucket) join keys only;
-compact periodically with ``sources.formats.compact_parquet``.
+compact periodically with ``compact_band_store`` (collapses replayed
+duplicate rows semantics-preservingly and fixes micro-batch file
+litter in one offline pass).
 """
 
 from __future__ import annotations
@@ -229,6 +231,52 @@ class NearDedupIngest:
             )
         finally:
             band_keys.unpersist()
+
+
+def compact_band_store(spark, store_dir: str, target_file_mb: int = 128) -> int:
+    """Offline maintenance for the band store: collapse the duplicate
+    rows replayed appends leave behind (documented at-least-once on
+    the index) and rewrite the micro-batch file litter into
+    ~``target_file_mb`` files.  Returns the compacted row count.
+
+    Semantics-preserving BY CONSTRUCTION: rows collapse to
+    min(batch_id) per (band, bucket, run_id).  For any future batch's
+    seen-filter — other runs' rows visible, own run visible iff
+    batch_id < current — a bucket visible through a row at batch b is
+    visible through the min-batch row whenever it was visible before,
+    and never visible when it was not (min only lowers batch_id, and
+    a LOWER batch_id can only widen same-run visibility to exactly
+    the batches that already saw the bucket's earliest append).
+    Run offline only (mirrors ``etl.compact_parquet``'s
+    staging + rename discipline: a crashed compaction never leaves
+    the store half-rewritten; the in-flight stream must be stopped
+    because the final rename swaps the directory under it)."""
+    import math
+    import shutil
+
+    src_bytes = 0
+    for root, _dirs, files in os.walk(store_dir):
+        src_bytes += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    n_files = max(1, math.ceil(src_bytes / (target_file_mb * 1024 * 1024)))
+    compacted = (
+        spark.read.schema(_STORE_SCHEMA)
+        .parquet(store_dir)
+        .groupBy("band", "bucket", "run_id")
+        .agg(F.min("batch_id").alias("batch_id"))
+    )
+    staging = store_dir.rstrip("/") + ".compact_staging"
+    old = store_dir.rstrip("/") + ".compact_old"
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    compacted.coalesce(n_files).write.mode("overwrite").parquet(staging)
+    os.rename(store_dir, old)
+    os.rename(staging, store_dir)
+    shutil.rmtree(old)
+    return spark.read.schema(_STORE_SCHEMA).parquet(store_dir).count()
 
 
 def read_survivors(spark, out_dir: str, schema=None) -> DataFrame:

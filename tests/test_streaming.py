@@ -1767,6 +1767,45 @@ def test_streaming_near_dedup_drops_lsh_band_matches(spark):
         assert 6 not in kept2, "new run must still drop dups of prior runs"
         assert 7 in kept2, "novel doc in the new run must survive"
         assert before <= kept2, "a new run must not clobber prior survivors"
+
+        # offline compaction: the replayed appends above left duplicate
+        # band rows; compaction must shrink the store, preserve every
+        # visible (band, bucket, run) key at its earliest batch, and
+        # leave future ingest decisions unchanged
+        from clickstreaming_end_to_end_data_engineering_project_spark.streaming.near_dedup import (
+            compact_band_store,
+        )
+
+        raw = spark.read.parquet(store)
+        raw_rows = raw.count()
+        raw_keys = {
+            (r.band, r.bucket, r.run_id) for r in raw.collect()
+        }
+        n = compact_band_store(spark, store)
+        compacted = spark.read.parquet(store)
+        assert n == compacted.count() < raw_rows, "replay dups must collapse"
+        assert {
+            (r.band, r.bucket, r.run_id) for r in compacted.collect()
+        } == raw_keys, "compaction must not lose or invent keys"
+        assert compacted.groupBy("band", "bucket", "run_id").count().filter(
+            "count > 1"
+        ).isEmpty(), "one row per key after compaction"
+        sink3 = NearDedupIngest(store, out, run_id="post-compact")
+        sink3(
+            spark.createDataFrame(
+                [
+                    (8, base, "en", "web", len(base)),       # dup of history
+                    (9, "fresh prose about tidepool invertebrate census "
+                        "methodology and volunteer training", "en", "web", 90),
+                ],
+                cols,
+            ),
+            0,
+        )
+        kept3 = {r.doc_id for r in read_survivors(spark, out).collect()}
+        assert 8 not in kept3 and 9 in kept3, (
+            "post-compaction ingest must behave identically"
+        )
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(store, ignore_errors=True)
