@@ -20,16 +20,25 @@ Stage shapes (why this survives a 100 TB corpus):
                connected components; non-canonical cluster members
                dropped).  Ordering matters: exact dedup shrinks the
                expensive candidate join's input for free.
-  4. scrub   — PII redaction (chained regexp_replace, pure codegen
+  4. trim    — optional span excision (trim_span_n): cross-document
+               duplicated n-gram spans are cut out of the SURVIVORS
+               (operators/text.trim_dup_spans — the Lee et al. 2021
+               action; doc-level dedup removes whole near-dup docs,
+               this removes the boilerplate that remains inside kept
+               docs).  After near-dedup on purpose: the gram index is
+               built over the smallest surviving set, and trimming
+               first would perturb the near-dup signatures.  Docs
+               trimmed to zero tokens are dropped.
+  5. scrub   — PII redaction (chained regexp_replace, pure codegen
                expressions).  AFTER dedup on purpose: placeholders
                would otherwise make distinct documents byte-identical
                and merge unrelated dedup clusters; and running it on
                the survivors only does least work.  Fused into the
                same stage as the split projection — zero extra passes.
-  5. split   — id-hash train/test (engine/partitioning-stable; keyed
+  6. split   — id-hash train/test (engine/partitioning-stable; keyed
                on doc_id, so membership is identical whether or not
                scrubbing is enabled).
-  6. write   — parquet partitioned by split, so training readers scan
+  7. write   — parquet partitioned by split, so training readers scan
                only their slice.
 
 Counts are computed from the WRITTEN output (one scan), so the result
@@ -151,6 +160,7 @@ def curate_corpus(
     train_frac: float = 0.8,
     scrub: bool = True,
     max_perplexity: float | None = None,
+    trim_span_n: int | None = None,
 ) -> CurationResult:
     docs = load(spark, sf_dir, "documents")
     input_docs = docs.count()
@@ -162,6 +172,18 @@ def curate_corpus(
     after_exact = exact.count()
 
     deduped = drop_near_dups(exact, jaccard_threshold, max_doc_freq)
+    if trim_span_n is not None:
+        # excise cross-doc duplicated spans from the survivors; docs
+        # trimmed to nothing drop out; n_chars tracks the new text
+        trimmed = text.trim_dup_spans(deduped, n=trim_span_n)
+        deduped = deduped.drop("text").join(
+            trimmed.filter(F.col("kept_tokens") > 0).select(
+                "doc_id", F.col("text_clean").alias("text")
+            ),
+            "doc_id",
+        )
+        if "n_chars" in deduped.columns:
+            deduped = deduped.withColumn("n_chars", F.length("text").cast("long"))
     if scrub:
         deduped = pii.scrub_pii(deduped)
 

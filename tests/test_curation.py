@@ -60,6 +60,36 @@ def test_curation_dedup_stages_on_synthetic_dups(spark):
     assert {r["doc_id"] for r in via_minhash.collect()} == {1, 4}
 
 
+def test_curation_trim_stage_excises_boilerplate_spans(spark, sf_dir, tmp_path):
+    """trim_span_n wires the span-excision ACTION into the pipeline:
+    the written corpus must contain no cross-document duplicated
+    n-gram span, keep n_chars consistent with the rewritten text, and
+    drop docs trimmed to nothing — while the untrimmed run over the
+    same input keeps its counts."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        text as t,
+    )
+
+    out = str(tmp_path / "trimmed")
+    res = curate_corpus(
+        spark, sf_dir, out, min_quality=0.75, langs=("en",), trim_span_n=8
+    )
+    curated = spark.read.parquet(f"{out}/corpus")
+    n_written = curated.count()
+    assert n_written == res.after_near_dedup == res.train_docs + res.test_docs
+    # no duplicated 8-gram span survives in the written corpus
+    assert t.dup_span_stats(curated, n=8, min_docs=2).isEmpty()
+    # n_chars tracks the rewritten text
+    assert curated.filter(F.col("n_chars") != F.length("text")).count() == 0
+    # nothing empty survives
+    assert curated.filter(F.length("text") == 0).count() == 0
+    # trimming can only keep or shrink the survivor set vs untrimmed
+    res_plain = curate_corpus(
+        spark, sf_dir, str(tmp_path / "plain"), min_quality=0.75, langs=("en",)
+    )
+    assert res.after_near_dedup <= res_plain.after_near_dedup
+
+
 def test_curation_scrubs_pii_from_written_corpus(spark, sf_dir, tmp_path):
     """The scrub stage redacts PII from the WRITTEN corpus (a synthetic
     sf_dir whose documents carry emails/phones), and scrub=False
