@@ -42,6 +42,16 @@ def get_spark(app_name: str = "clickstream-engine", cpus: str | None = None) -> 
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.streaming.stateStore.stateSchemaCheck", "true")
+        # 8 MB thread stacks: on JDK 17.0.20 the processing-time
+        # streaming app's stop() path reproducibly dies with a
+        # StackOverflowError thousands of java.util.regex frames deep
+        # (Pattern$Loop recursion grows with input length; same JDK
+        # family as the r8 winnowing JIT regression — SCALING.md).
+        # 3/3 unpatched runs overflow at shutdown, 3/3 runs with
+        # -Xss8m are clean; only effective at JVM launch (getOrCreate
+        # reuse of a live JVM ignores it, which is fine — the overflow
+        # is specific to this factory's streaming-app lifecycle).
+        .config("spark.driver.extraJavaOptions", "-Xss8m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"))
         .getOrCreate()
