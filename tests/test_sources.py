@@ -225,3 +225,67 @@ print("TZ-OK")
         [sys.executable, "-c", script], env=env, capture_output=True, text=True, timeout=300
     )
     assert out.returncode == 0 and "TZ-OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_write_zordered_narrows_stats_in_every_column(spark, sf_dir, tmp_path):
+    """Z-order clustered write: parquet file-level min-max must be
+    narrow in BOTH z-order columns at once, unlike a single-column
+    sort layout (narrow in the sort column, full-range in the other).
+    That narrowness IS the data-skipping contract: a predicate on
+    either column prunes most files via footer stats."""
+    import pyarrow.parquet as pq
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.formats import (
+        write_zordered,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    n_files = 16
+
+    zpath = str(tmp_path / "zordered")
+    write_zordered(events, zpath, ["user_id", "event_id"], n_files)
+
+    spath = str(tmp_path / "sorted1d")
+    (events.repartitionByRange(n_files, "user_id")
+     .sortWithinPartitions("user_id").write.parquet(spath))
+
+    def mean_spread(path, col):
+        import glob
+
+        lo_g, hi_g, spreads = None, None, []
+        files = sorted(glob.glob(path + "/*.parquet"))
+        assert len(files) >= n_files // 2, "expected a multi-file layout"
+        per_file = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        los.append(c.statistics.min)
+                        his.append(c.statistics.max)
+            assert los, f"no stats for {col} in {f}"
+            per_file.append((min(los), max(his)))
+        lo_g = min(lo for lo, _ in per_file)
+        hi_g = max(hi for _, hi in per_file)
+        span = max(hi_g - lo_g, 1)
+        return sum((hi - lo) / span for lo, hi in per_file) / len(per_file)
+
+    # row preservation
+    assert spark.read.parquet(zpath).count() == events.count()
+
+    z_user = mean_spread(zpath, "user_id")
+    z_event = mean_spread(zpath, "event_id")
+    s_user = mean_spread(spath, "user_id")
+    s_event = mean_spread(spath, "event_id")
+
+    # the 1-D sort control behaves as expected: tight on the sort
+    # column, useless on the other
+    assert s_user < 0.3, s_user
+    assert s_event > 0.7, s_event
+    # z-order is materially narrow on BOTH columns simultaneously
+    assert z_user < 0.6 and z_event < 0.6, (z_user, z_event)
+    # and beats the 1-D layout decisively on the second column
+    assert z_event < s_event / 2, (z_event, s_event)
