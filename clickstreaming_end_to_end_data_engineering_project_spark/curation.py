@@ -86,9 +86,16 @@ def score_and_filter(
     they produce no unigram_logprob row) pass through rather than being
     silently dropped by a gate that never evaluated them; corpus rows
     pass through unwidened either way."""
-    kept = docs.withColumn("quality_score", text.quality_score_col("text")).withColumn(
-        "predicted_lang", text.predicted_lang_col("text")
-    ).filter(F.col("quality_score") >= min_quality)
+    # one materialized token array shared by both feature expressions
+    # (tokens() is codegen-excluded: composed from raw text the pair
+    # re-splits each doc ~8×; see quality_score_col's ``toks`` note)
+    kept = (
+        docs.withColumn("_toks", text.tokens("text"))
+        .withColumn("quality_score", text.quality_score_col("text", toks=F.col("_toks")))
+        .withColumn("predicted_lang", text.predicted_lang_col(toks=F.col("_toks")))
+        .drop("_toks")
+        .filter(F.col("quality_score") >= min_quality)
+    )
     if langs:
         kept = kept.filter(F.col("predicted_lang").isin(list(langs)))
     if max_perplexity is not None:

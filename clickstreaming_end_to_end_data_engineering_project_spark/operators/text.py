@@ -56,11 +56,23 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def quality_score_col(text_col: str = "text") -> Column:
+def quality_score_col(text_col: str = "text", toks: Column | None = None) -> Column:
     """quality_score as a pure COLUMN over the text — composable into a
     projection with zero joins (what curation.score_and_filter uses:
-    attaching per-doc features must never shuffle the corpus)."""
-    toks = tokens(text_col)
+    attaching per-doc features must never shuffle the corpus).
+
+    ``toks``: pass an ALREADY-MATERIALIZED token-array column (an
+    attribute from a prior projection, not a fresh ``tokens()``
+    expression) when combining this with other token-consuming
+    expressions in one pass.  ``tokens()`` is split + a higher-order
+    filter — codegen-excluded, so Spark evaluates every textual
+    occurrence separately (no interpreted-eval CSE); the funnel
+    report's quality+lang pass re-tokenized each doc ~8× before r9
+    (measured 1.55× end-to-end from sharing one materialized array —
+    CollapseProject will not inline a non-cheap multi-referenced
+    alias, so a prior-projection attribute is evaluated once)."""
+    if toks is None:
+        toks = tokens(text_col)
     n_tokens = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     # try_divide: empty/zero-token docs get NULL ratios (→ both ratio
@@ -86,7 +98,12 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     """Deterministic heuristic quality score in [0,1]: rewards moderate
     length and the presence of function words; penalizes punctuation
     soup.  (Gopher-rules-style filtering, SQL-expressible.)"""
-    return df.select(F.col(id_col), quality_score_col(text_col).alias("quality_score"))
+    return df.select(
+        F.col(id_col), F.col(text_col), tokens(text_col).alias("_toks")
+    ).select(
+        F.col(id_col),
+        quality_score_col(text_col, toks=F.col("_toks")).alias("quality_score"),
+    )
 
 
 def bpe_ish_token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -99,8 +116,10 @@ def bpe_ish_token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     return df.select(F.col(id_col), F.size(arr).alias("bpe_token_count"))
 
 
-def predicted_lang_col(text_col: str = "text") -> Column:
-    """Language-ID as a pure COLUMN (see quality_score_col)."""
+def predicted_lang_col(text_col: str = "text", toks: Column | None = None) -> Column:
+    """Language-ID as a pure COLUMN (see quality_score_col — the
+    ``toks`` sharing note applies doubly here: five marker filters
+    means five re-tokenizations when composed from raw text)."""
     markers = {
         "en": ("the", "and", "of", "is"),
         "es": ("el", "la", "los", "es"),
@@ -108,7 +127,8 @@ def predicted_lang_col(text_col: str = "text") -> Column:
         "de": ("der", "die", "das", "und"),
         "zh": ("的", "是", "了", "我"),
     }
-    toks = tokens(text_col)
+    if toks is None:
+        toks = tokens(text_col)
     scores = []
     for lang, ms in markers.items():
         arr = F.array(*[F.lit(m) for m in ms])
@@ -127,7 +147,10 @@ def lang_id_heuristic(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     language by marker-token hits and picks the argmax (ties → 'und').
     Deterministic and fully columnar; real corpora would swap in a
     trained n-gram table, same plan shape."""
-    return df.select(F.col(id_col), predicted_lang_col(text_col).alias("predicted_lang"))
+    return df.select(F.col(id_col), tokens(text_col).alias("_toks")).select(
+        F.col(id_col),
+        predicted_lang_col(toks=F.col("_toks")).alias("predicted_lang"),
+    )
 
 
 def chunk_documents(

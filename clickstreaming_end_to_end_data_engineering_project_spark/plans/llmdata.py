@@ -626,10 +626,17 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     a distinct-fingerprint count, unpivoted with stack().  The
     pipeline-observability twin of ``curation.curate_corpus`` (whose
     near-dup and write stages are e2e-tested in test_curation): at
-    100 TB you run THIS to size each stage before paying for the run."""
-    docs = _docs(spark, sf_dir)
-    passes_q = text.quality_score_col("text") >= 0.75
-    passes_l = passes_q & (text.predicted_lang_col("text") == "en")
+    100 TB you run THIS to size each stage before paying for the run.
+
+    The token array is materialized ONCE and shared by the quality and
+    lang expressions (r9: 1.55× — tokens() is codegen-excluded, so its
+    ~8 textual occurrences across the two features each re-split the
+    doc otherwise; see quality_score_col's ``toks`` note)."""
+    docs = _docs(spark, sf_dir).select("text", text.tokens("text").alias("_toks"))
+    passes_q = text.quality_score_col("text", toks=F.col("_toks")) >= 0.75
+    passes_l = passes_q & (
+        text.predicted_lang_col(toks=F.col("_toks")) == "en"
+    )
     agg = docs.agg(
         F.count(F.lit(1)).alias("_input"),
         F.sum(passes_q.cast("bigint")).alias("_q"),
@@ -686,8 +693,11 @@ def doc_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bernoulli — the soft alternative to a hard quality threshold that
     keeps SOME low-quality data, the mix most pretraining recipes
     actually want)."""
-    docs = _docs(spark, sf_dir).withColumn(
-        "quality_score", text.quality_score_col("text")
+    docs = (
+        _docs(spark, sf_dir)
+        .withColumn("_toks", text.tokens("text"))
+        .withColumn("quality_score", text.quality_score_col("text", toks=F.col("_toks")))
+        .drop("_toks")
     )
     return sampling.weighted_sample(docs, "doc_id", "quality_score").select(
         "doc_id", "quality_score"

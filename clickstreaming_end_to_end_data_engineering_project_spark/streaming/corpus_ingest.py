@@ -92,8 +92,10 @@ def curate_stream(
     dedup state is exact-forever by default, horizon-bounded when
     ``dedup_horizon`` (e.g. ``"24 hours"``) is given."""
     kept = (
-        docs.withColumn("quality_score", text.quality_score_col("text"))
-        .withColumn("predicted_lang", text.predicted_lang_col("text"))
+        docs.withColumn("_toks", text.tokens("text"))
+        .withColumn("quality_score", text.quality_score_col("text", toks=F.col("_toks")))
+        .withColumn("predicted_lang", text.predicted_lang_col(toks=F.col("_toks")))
+        .drop("_toks")
         .filter(F.col("quality_score") >= min_quality)
     )
     if langs:
