@@ -35,8 +35,13 @@ def tokens(text: str | Column = "text") -> Column:
 
 def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document token statistics: count, average token length,
-    stopword ratio, punctuation ratio — the quality-scoring features."""
-    toks = tokens(text_col)
+    stopword ratio, punctuation ratio — the quality-scoring features.
+
+    The token array is materialized in a prior projection: the five
+    textual uses below would otherwise each re-split the doc
+    (tokens() is codegen-excluded — see quality_score_col's note)."""
+    df = df.select(F.col(id_col), F.col(text_col), tokens(text_col).alias("_toks"))
+    toks = F.col("_toks")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_tokens = F.size(toks)
     total_len = F.aggregate(toks, F.lit(0.0), lambda acc, x: acc + F.length(x))
