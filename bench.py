@@ -72,6 +72,8 @@ EXTENDED = [
     "embedding_quant_error",
     "doc_winnow_dups",
     "doc_dup_span_fraction",
+    "weekly_retention_cohorts",
+    "doc_ngram_novelty",
 ]
 
 
