@@ -89,8 +89,11 @@ def zorder_value(cols: "list", bits: int = 16):
         scaled = F.floor(
             (col.cast("double") - float(lo)) / span * float(top)
         ).cast("long")
+        # coalesce FIRST: Spark's least/greatest SKIP null operands
+        # (least(NULL, top) = top), so clamping before the null-default
+        # would silently send NULLs to the TOP bucket instead of 0
         norm.append(
-            F.coalesce(F.greatest(F.least(scaled, F.lit(top)), F.lit(0)), F.lit(0))
+            F.least(F.greatest(F.coalesce(scaled, F.lit(0)), F.lit(0)), F.lit(top))
         )
     n = len(norm)
     z = F.lit(0).cast("long")

@@ -289,3 +289,45 @@ def test_write_zordered_narrows_stats_in_every_column(spark, sf_dir, tmp_path):
     assert z_user < 0.6 and z_event < 0.6, (z_user, z_event)
     # and beats the 1-D layout decisively on the second column
     assert z_event < s_event / 2, (z_event, s_event)
+
+
+def test_zorder_value_matches_python_morton(spark):
+    """The Morton interleave must equal the reference bit-interleave of
+    the min-max-normalized values (property-checked on a deterministic
+    grid incl. bounds, NULLs, and 3-column interleave)."""
+    from pyspark.sql import functions as F
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.formats import (
+        zorder_value,
+    )
+
+    def norm(v, lo, hi, bits):
+        top = (1 << bits) - 1
+        if v is None:
+            return 0
+        return max(0, min(top, int((v - lo) / float(hi - lo or 1) * top)))
+
+    def morton(vals, bits):
+        z = 0
+        n = len(vals)
+        for i in range(bits):
+            for j, v in enumerate(vals):
+                z |= ((v >> i) & 1) << (i * n + j)
+        return z
+
+    rows = [
+        (i, a, b, c)
+        for i, (a, b, c) in enumerate(
+            (a, b, c)
+            for a in (0, 1, 7, 63, 100)
+            for b in (0, 13, 50, 100)
+            for c in (None, 0, 100)
+        )
+    ]
+    df = spark.createDataFrame(rows, ["i", "a", "b", "c"])
+    for bits, cols in [(8, ["a", "b"]), (6, ["a", "b", "c"])]:
+        z = zorder_value([(F.col(c), 0, 100) for c in cols], bits=bits)
+        got = {r["i"]: r["z"] for r in df.withColumn("z", z).collect()}
+        for row in rows:
+            vals = [norm(row[1 + ["a", "b", "c"].index(c)], 0, 100, bits) for c in cols]
+            assert got[row[0]] == morton(vals, bits), (bits, cols, row)
