@@ -397,3 +397,223 @@ def int8_quant_error(
         )
         .alias("sse"),
     )
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init_sample_mod: int = 1,
+) -> "list[tuple[int, int, list[float]]]":
+    """Product-quantization codebooks (Jegou et al. 2011): split each
+    vector into ``m`` subvectors and run Lloyd's k-means with ``k``
+    centroids in EVERY subspace — all ``m`` trainings ride ONE
+    DataFrame pass per iteration (subspaces are exploded into rows, so
+    an iteration costs the same number of Spark jobs as a single
+    k-means; see operators/kmeans.py for the per-iteration shape).
+    Deterministic: initial centroids per subspace are the k subvectors
+    with the smallest xxhash64(id) — a pseudo-random spread sample
+    with no RNG (lowest-ID init measured 4× worse recall: consecutive
+    ids clump, collapsing most mass onto code 0); fixed iteration
+    count.  ``init_sample_mod``: at corpus scale, pre-filter init
+    candidates to ids with xxhash64(id) % mod == 0 (size it so
+    corpus/mod ≈ a few thousand) — the init collect must never pull
+    the whole corpus per subspace.
+
+    Returns driver-side rows (subspace, code, centroid) — the codebook
+    is m*k*dims floats (a few KB), the ONE intentionally driver-sized
+    artifact of the PQ family; encode/probe broadcast it back as
+    literals."""
+    from .kmeans import _sq_dist
+
+    dims = len(df.select(vec_col).first()[0])
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible by m={m}")
+    d = dims // m
+    subs = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("_s"),
+                        F.slice(F.col(vec_col), s * d + 1, d).alias("_v"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("_sv"),
+    ).select("_id", "_sv._s", "_sv._v").persist()
+    try:
+        init = (
+            subs.withColumn("_h", F.xxhash64("_id"))
+            .filter(F.pmod(F.col("_h"), F.lit(init_sample_mod)) == 0)
+            .groupBy("_s")
+            .agg(
+                F.slice(
+                    F.array_sort(F.collect_list(F.struct("_h", "_id", "_v"))), 1, k
+                ).alias("_cands")
+            )
+            .select("_s", F.posexplode("_cands").alias("_c", "_sv"))
+            .select("_s", "_c", F.col("_sv._v").alias("_cv"))
+            .collect()
+        )
+        rows = [(r["_s"], r["_c"], [float(x) for x in r["_cv"]]) for r in init]
+        for _ in range(iterations):
+            cdf = subs.sparkSession.createDataFrame(rows, ["_s", "_c", "_cv"])
+            best = (
+                subs.join(F.broadcast(cdf), "_s")
+                .select(
+                    "_id", "_s", "_v", "_c", _sq_dist(F.col("_v"), F.col("_cv")).alias("_d")
+                )
+                .groupBy("_id", "_s")
+                .agg(
+                    F.min_by(F.col("_c"), F.struct(F.col("_d"), F.col("_c"))).alias("_c"),
+                    F.first("_v").alias("_v"),
+                )
+            )
+            new = (
+                best.select("_s", "_c", F.posexplode("_v").alias("_dim", "_x"))
+                .groupBy("_s", "_c", "_dim")
+                .agg(F.avg(F.col("_x").cast("double")).alias("_mean"))
+                .groupBy("_s", "_c")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("_dim", "_mean"))),
+                        lambda st: st["_mean"],
+                    ).alias("_cv")
+                )
+                .collect()
+            )
+            # empty clusters keep their previous centroid (classic Lloyd fix)
+            prev = {(s, c): cv for s, c, cv in rows}
+            got = {(r["_s"], r["_c"]): [float(x) for x in r["_cv"]] for r in new}
+            rows = [(s, c, got.get((s, c), cv)) for (s, c), cv in prev.items()]
+            rows.sort()
+        return rows
+    finally:
+        subs.unpersist()
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: "list[tuple[int, int, list[float]]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes) — per subspace, the nearest codebook centroid's
+    code, assembled into an m-int array (the 8-16x-compressed index a
+    100 TB ANN deployment actually stores).  The codebook enters as a
+    broadcast literal; one narrow pass + one id-keyed shuffle."""
+    from .kmeans import _sq_dist
+
+    m = max(s for s, _, _ in codebooks) + 1
+    d = len(codebooks[0][2])
+    cdf = df.sparkSession.createDataFrame(codebooks, ["_s", "_c", "_cv"])
+    subs = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("_s"),
+                        F.slice(F.col(vec_col), s * d + 1, d).alias("_v"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("_sv"),
+    ).select("_id", "_sv._s", "_sv._v")
+    best = (
+        subs.join(F.broadcast(cdf), "_s")
+        .select("_id", "_s", "_c", _sq_dist(F.col("_v"), F.col("_cv")).alias("_d"))
+        .groupBy("_id", "_s")
+        .agg(F.min_by(F.col("_c"), F.struct(F.col("_d"), F.col("_c"))).alias("_c"))
+    )
+    return (
+        best.groupBy("_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_s", "_c"))), lambda st: st["_c"]
+            ).alias("codes")
+        )
+        .select(F.col("_id").alias(id_col), "codes")
+    )
+
+
+def pq_topk_adc(
+    codes_df: DataFrame,
+    codebooks: "list[tuple[int, int, list[float]]]",
+    query_vec: "list[float]",
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k by Asymmetric Distance Computation: the query
+    stays FLOAT, the corpus is its PQ codes, and distance is a sum of
+    m table lookups.  The m x k distance table is computed driver-side
+    (m*k subvector distances — microseconds) and enters the plan as a
+    LITERAL nested array, so the scan reads only the codes column and
+    the whole probe is a narrow pass + TakeOrdered: the shape that
+    serves ANN from an index 8-16x smaller than the vectors.
+
+    Output: (id, approx_dist) ascending, id tiebreak."""
+    m = max(s for s, _, _ in codebooks) + 1
+    kk = max(c for _, c, _ in codebooks) + 1
+    d = len(codebooks[0][2])
+    table = [[0.0] * kk for _ in range(m)]
+    for s, c, cv in codebooks:
+        q = query_vec[s * d : (s + 1) * d]
+        table[s][c] = float(sum((float(a) - float(b)) ** 2 for a, b in zip(q, cv)))
+    tlit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in table])
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(tlit, (s + F.lit(1)).cast("int")),
+            (F.element_at(F.col("codes"), (s + F.lit(1)).cast("int")) + F.lit(1)).cast(
+                "int"
+            ),
+        ),
+    )
+    return (
+        codes_df.select(F.col(id_col), dist.alias("approx_dist"))
+        .orderBy(F.col("approx_dist").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pq_topk_rerank(
+    df: DataFrame,
+    codes_df: DataFrame,
+    codebooks: "list[tuple[int, int, list[float]]]",
+    query_vec: "list[float]",
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production PQ shape: ADC over the compressed codes builds a
+    ``shortlist`` of candidates (cheap — codes only), then ONLY those
+    rows' real vectors are fetched for an exact L2 rerank.  Recall is
+    set by the shortlist size (measured on the synthetic fixture:
+    recall@10 ≈ 0.7-0.8 at shortlist 50-100 with m=8 — noise-like
+    vectors are PQ's worst case; clustered real embeddings do better),
+    while the full-precision scan cost drops from the corpus to
+    ``shortlist`` rows: at 10 B vectors the ADC pass reads m bytes per
+    vector and the rerank reads ~50 full vectors.
+
+    Output: (id, l2_dist) ascending, id tiebreak."""
+    from .kmeans import _sq_dist
+
+    cand = pq_topk_adc(codes_df, codebooks, query_vec, shortlist, id_col).select(id_col)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.join(F.broadcast(cand), id_col, "left_semi")
+        .select(F.col(id_col), _sq_dist(F.col(vec_col), qlit).alias("l2_dist"))
+        .orderBy(F.col("l2_dist").asc(), F.col(id_col))
+        .limit(k)
+    )

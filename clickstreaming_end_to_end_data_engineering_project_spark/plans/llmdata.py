@@ -268,6 +268,21 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(_embs(spark, sf_dir), query_vec_id=0, k=10, nprobe=3)
 
 
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011): train m=8/k=16
+    codebooks (iterative k-means per subspace — driver loop, hence
+    rows-only), encode the corpus to 8-byte codes, ADC-shortlist 50
+    candidates over the codes alone, exact-rerank those.  The member
+    of the ANN family that serves from an index 8-16x smaller than
+    the vectors."""
+    embs = _embs(spark, sf_dir)
+    corpus = embs.filter(F.col("vec_id") != 0)
+    books = similarity.train_pq_codebooks(embs, m=8, k=16, iterations=2)
+    codes = similarity.pq_encode(corpus, books)
+    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return similarity.pq_topk_rerank(corpus, codes, books, qvec, k=10, shortlist=50)
+
+
 def embedding_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numpy/Arrow vectorized top-k (rows-only: float summation order
     differs from the expression path by design)."""
@@ -979,6 +994,7 @@ SPECS = [
     ),
     QuerySpec("embedding_lsh_topk", embedding_lsh_topk, None, "LSH-bucketed ANN (rows-only)"),
     QuerySpec("embedding_kmeans", embedding_kmeans, None, "iterative k-means (rows-only)"),
+    QuerySpec("embedding_pq_topk", embedding_pq_topk, None, "product-quantization ADC + rerank ANN (rows-only)"),
     QuerySpec("embedding_topk_pandas", embedding_topk_pandas, None, "numpy mapInPandas top-k (rows-only)"),
     QuerySpec("doc_zscore_by_lang", doc_zscore_by_lang, None, "applyInPandas grouped-map normalization (rows-only)"),
     QuerySpec(

@@ -1536,3 +1536,78 @@ def test_winnow_fingerprints_property_matches_python_twin(spark):
         assert got == expect
 
     check()
+
+
+def test_pq_adc_distances_match_python_reference(spark):
+    """ADC lookup correctness: the expression-side table-lookup sum
+    must equal the Python reference computed from the same codebooks
+    and codes, row for row; codes must be well-formed (m ints in
+    [0, k))."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        similarity as S,
+    )
+
+    rows = [(i, [float((i * 7 + j * 3) % 13) / 13 for j in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = S.train_pq_codebooks(df, m=4, k=4, iterations=2)
+    codes_df = S.pq_encode(df, books)
+    codes = {r["vec_id"]: r["codes"] for r in codes_df.collect()}
+    assert all(len(c) == 4 and all(0 <= x < 4 for x in c) for c in codes.values())
+
+    qvec = rows[0][1]
+    got = {
+        r["vec_id"]: r["approx_dist"]
+        for r in S.pq_topk_adc(codes_df, books, qvec, k=40).collect()
+    }
+    d = len(books[0][2])
+    table = {}
+    for s, c, cv in books:
+        q = qvec[s * d : (s + 1) * d]
+        table[(s, c)] = sum((a - b) ** 2 for a, b in zip(q, cv))
+    for vid, cs in codes.items():
+        ref = sum(table[(s, cs[s])] for s in range(4))
+        assert abs(got[vid] - ref) < 1e-9, (vid, got[vid], ref)
+
+
+def test_pq_rerank_recovers_exact_neighbors(spark, sf_dir):
+    """PQ shortlist + exact rerank on the fixture embeddings: the
+    reranked top-10 must hit most of the true L2 top-10 (deterministic
+    training → fixed recall; pinned with margin), and rerank distances
+    must be EXACT (equal to directly computed L2 for those ids)."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        similarity as S,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.kmeans import (
+        _sq_dist,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+    from pyspark.sql import functions as F
+
+    embs = load(spark, sf_dir, "embeddings").persist()
+    try:
+        qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
+        qlit = F.array(*[F.lit(x) for x in qvec])
+        corpus = embs.filter(F.col("vec_id") != 0)
+        exact = [
+            r["vec_id"]
+            for r in corpus.select("vec_id", _sq_dist(F.col("embedding"), qlit).alias("d"))
+            .orderBy(F.col("d").asc(), F.col("vec_id"))
+            .limit(10)
+            .collect()
+        ]
+        books = S.train_pq_codebooks(embs, m=8, k=16, iterations=3)
+        codes = S.pq_encode(corpus, books)
+        got = S.pq_topk_rerank(corpus, codes, books, qvec, k=10, shortlist=100).collect()
+        recall = len({r["vec_id"] for r in got} & set(exact)) / 10
+        assert recall >= 0.6, f"recall@10 {recall} below pinned floor"
+        # rerank distances are exact L2, not approximations
+        direct = {
+            r["vec_id"]: r["d"]
+            for r in corpus.select(
+                "vec_id", _sq_dist(F.col("embedding"), qlit).alias("d")
+            ).collect()
+        }
+        for r in got:
+            assert abs(r["l2_dist"] - direct[r["vec_id"]]) < 1e-9
+    finally:
+        embs.unpersist()
