@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Regenerate tests/plan_digests.json — the pinned physical-plan shapes
-for the 15 headline + 19 extended bench queries (see plans/digest.py
+for every benched query (15 headline + 21 extended) and every
+driver-gated query (GATE_PRIORITY), deduplicated (see plans/digest.py
 for why).
 
 Update procedure when a plan change is INTENTIONAL:
@@ -36,7 +37,15 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 def headline_names() -> list[str]:
     import bench
 
-    return list(bench.HEADLINE) + list(bench.EXTENDED)
+    from clickstreaming_end_to_end_data_engineering_project_spark.plans.registry import (
+        GATE_PRIORITY,
+    )
+
+    seen: list[str] = []
+    for name in list(bench.HEADLINE) + list(bench.EXTENDED) + list(GATE_PRIORITY):
+        if name not in seen:
+            seen.append(name)
+    return seen
 
 
 def main() -> None:

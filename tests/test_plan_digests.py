@@ -1,4 +1,4 @@
-"""Plan-shape regression guard for the benched queries (15 headline + 19 extended).
+"""Plan-shape regression guard for every benched and driver-gated query.
 
 Pins the counts of shape-significant physical operators (join
 strategies, exchanges, aggregate tiers, top-k, windows — see
@@ -35,12 +35,20 @@ with open(_SNAP) as f:
 def _headline() -> list[str]:
     import bench
 
-    return list(bench.HEADLINE) + list(bench.EXTENDED)
+    from clickstreaming_end_to_end_data_engineering_project_spark.plans.registry import (
+        GATE_PRIORITY,
+    )
+
+    seen: list[str] = []
+    for name in list(bench.HEADLINE) + list(bench.EXTENDED) + list(GATE_PRIORITY):
+        if name not in seen:
+            seen.append(name)
+    return seen
 
 
 def test_snapshot_covers_exactly_the_headline():
     assert sorted(SNAPSHOTS) == sorted(_headline()), (
-        "plan_digests.json out of sync with bench.HEADLINE — "
+        "plan_digests.json out of sync with bench lists + GATE_PRIORITY — "
         "run scripts/plan_digests.py --update"
     )
 
