@@ -179,11 +179,19 @@ def curate_corpus(
     after_exact = exact.count()
 
     deduped = drop_near_dups(exact, jaccard_threshold, max_doc_freq)
+    survivors = None
     if trim_span_n is not None:
+        # persist the near-dedup survivors first: the trim stage
+        # consumes them THREE times (dup_islands' eager gram pass, the
+        # token posexplode, the doc universe) and the write a fourth —
+        # unpersisted, the Jaccard pair join + connected components
+        # (the costliest stages) would re-execute for each (the
+        # repo-wide persist discipline; r9 review finding)
+        survivors = deduped.persist()
         # excise cross-doc duplicated spans from the survivors; docs
         # trimmed to nothing drop out; n_chars tracks the new text
-        trimmed = text.trim_dup_spans(deduped, n=trim_span_n)
-        deduped = deduped.drop("text").join(
+        trimmed = text.trim_dup_spans(survivors, n=trim_span_n)
+        deduped = survivors.drop("text").join(
             trimmed.filter(F.col("kept_tokens") > 0).select(
                 "doc_id", F.col("text_clean").alias("text")
             ),
@@ -195,7 +203,11 @@ def curate_corpus(
         deduped = pii.scrub_pii(deduped)
 
     split = sampling.train_test_split(deduped, "doc_id", train_frac)
-    split.write.mode("overwrite").partitionBy("split").parquet(f"{out_dir}/corpus")
+    try:
+        split.write.mode("overwrite").partitionBy("split").parquet(f"{out_dir}/corpus")
+    finally:
+        if survivors is not None:
+            survivors.unpersist()
 
     out = spark.read.parquet(f"{out_dir}/corpus")
     per_split = {r["split"]: r["cnt"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()}

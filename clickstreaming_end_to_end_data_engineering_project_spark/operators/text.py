@@ -485,7 +485,15 @@ def ngram_novelty(
     Scale shape: the same inverted-index discipline as the other gram
     operators — per-doc-distinct gram explode, one doc-freq hash agg
     (map-side combined), a gram-keyed join back, one per-doc agg.  No
-    pair joins, no collect; every shuffle keys on gram or doc id."""
+    pair joins, no collect; every shuffle keys on gram or doc id.
+    The gram index feeds both the doc-freq aggregate and the join
+    probe, so the tokenize+explode subtree evaluates twice —
+    DELIBERATELY left unpersisted: a persist + eager-checkpoint
+    variant measured 1.67 s vs 1.34 s at sf0.1 (the index cache write
+    costs more than recomputing the cheap narrow map work — the same
+    measured trade-off as ``minhash_lsh_candidates``'s not-persisted
+    note; contrast ``dup_islands``, whose 8-gram pipeline is heavy
+    enough that persisting wins)."""
     from ..functions import dround
 
     toks = tokens(text_col)

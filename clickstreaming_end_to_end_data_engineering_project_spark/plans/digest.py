@@ -50,8 +50,12 @@ _NODE = re.compile(r"^\(\d+\)\s+([A-Za-z]+)", re.MULTILINE)
 def plan_digest(df: DataFrame) -> dict[str, int]:
     """Counts of shape-significant physical operators in ``df``'s plan
     (the AQE initial plan for an unexecuted frame — deterministic for
-    fixed input stats and session confs).  ``Exchange`` counts shuffle
-    exchanges only; broadcast exchanges count as ``BroadcastExchange``.
+    fixed input stats and session confs).  Formatted mode already
+    names the two exchange kinds distinctly (``Exchange`` = shuffle,
+    ``BroadcastExchange`` = broadcast), so node names are counted
+    as-is — an r9 review caught an earlier version double-counting
+    broadcasts via an Arguments-regex 'correction' that produced
+    negative shuffle counts and digest collisions.
     """
     plan = df._sc._jvm.PythonSQLUtils.explainString(  # same source explain() prints
         df._jdf.queryExecution(), "formatted"
@@ -67,15 +71,31 @@ def plan_digest(df: DataFrame) -> dict[str, int]:
     counts["ExistingRDDScan"] = len(re.findall(r"Scan ExistingRDD", plan)) // 2 or 0
     if not counts["ExistingRDDScan"]:
         del counts["ExistingRDDScan"]
-    # broadcast vs shuffle exchange split: formatted details give
-    # "Arguments: SinglePartition/hashpartitioning..." for shuffles and
-    # "Arguments: HashedRelationBroadcastMode..." for broadcasts
-    n_bcast = len(re.findall(r"Arguments: .*BroadcastMode", plan))
-    if counts.get("Exchange"):
-        counts["BroadcastExchange"] = counts.get("BroadcastExchange", 0) + n_bcast
-        counts["Exchange"] -= n_bcast
-        if counts["Exchange"] == 0:
-            del counts["Exchange"]
-        if counts["BroadcastExchange"] == 0:
-            del counts["BroadcastExchange"]
     return dict(sorted(counts.items()))
+
+
+def pinned_query_names() -> "list[str]":
+    """The queries whose plan shapes are pinned: every benched leg
+    (bench.HEADLINE + bench.EXTENDED) plus every driver-gated query
+    (registry.GATE_PRIORITY), first-occurrence order.  The ONE copy of
+    this set — scripts/plan_digests.py (regeneration) and
+    tests/test_plan_digests.py (enforcement) both import it, so they
+    cannot silently desync."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+    )
+    import bench
+
+    from .registry import GATE_PRIORITY
+
+    seen: list[str] = []
+    for name in list(bench.HEADLINE) + list(bench.EXTENDED) + list(GATE_PRIORITY):
+        if name not in seen:
+            seen.append(name)
+    return seen

@@ -125,14 +125,37 @@ def write_zordered(
 
     One pass: global min/max agg per column (tiny row), then ONE
     range-exchange on the z-value (repartitionByRange samples it),
-    sortWithinPartitions, write.  The z column itself is dropped."""
-    from pyspark.sql import functions as F
+    sortWithinPartitions, write.  The z column itself is dropped.
 
+    Numeric, timestamp, and date columns are supported (temporal
+    columns are normalized through an epoch-seconds double — the
+    (user_id, ts) case the docstring advertises); other types raise
+    (string z-ordering needs an order-preserving numeric projection
+    the caller must choose)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DateType, NumericType, TimestampType
+
+    def numeric(c: str):
+        dt = df.schema[c].dataType
+        if isinstance(dt, (TimestampType, DateType)):
+            return F.col(c).cast("timestamp").cast("double")
+        if isinstance(dt, NumericType):
+            return F.col(c).cast("double")
+        raise ValueError(
+            f"write_zordered: column {c!r} has unsupported type {dt}; "
+            "z-order needs numeric/timestamp/date"
+        )
+
+    nums = {c: numeric(c) for c in cols}
     bounds = df.agg(
-        *[f for c in cols for f in (F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}"))]
+        *[
+            f
+            for c in cols
+            for f in (F.min(nums[c]).alias(f"_lo_{c}"), F.max(nums[c]).alias(f"_hi_{c}"))
+        ]
     ).collect()[0]
     z = zorder_value(
-        [(F.col(c), bounds[f"_lo_{c}"], bounds[f"_hi_{c}"]) for c in cols], bits
+        [(nums[c], bounds[f"_lo_{c}"], bounds[f"_hi_{c}"]) for c in cols], bits
     )
     (
         df.withColumn("_z", z)

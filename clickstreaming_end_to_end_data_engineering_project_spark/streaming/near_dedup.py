@@ -250,17 +250,22 @@ def compact_band_store(spark, store_dir: str, target_file_mb: int = 128) -> int:
     Run offline only (mirrors ``etl.compact_parquet``'s
     staging + rename discipline: a crashed compaction never leaves
     the store half-rewritten; the in-flight stream must be stopped
-    because the final rename swaps the directory under it)."""
+    because the final rename swaps the directory under it).  All
+    filesystem operations (sizing, cleanup, the two renames) go
+    through the Hadoop FileSystem API resolved from the store path,
+    so the same code compacts a local, HDFS, or s3a store — the store
+    itself is sized at ~1 TB per 10 B docs (module docstring), which
+    only ever lives on a cluster filesystem; driver-local os.walk /
+    os.rename would silently mis-size and then fail there (r9 review
+    finding).  On object stores rename is copy-based but remains
+    last-step-atomic-enough for an offline job; swap in a
+    manifest/metastore pointer flip where that matters."""
     import math
-    import shutil
 
-    src_bytes = 0
-    for root, _dirs, files in os.walk(store_dir):
-        src_bytes += sum(
-            os.path.getsize(os.path.join(root, f))
-            for f in files
-            if f.endswith(".parquet")
-        )
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(store_dir)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    src_bytes = fs.getContentSummary(hpath).getLength()
     n_files = max(1, math.ceil(src_bytes / (target_file_mb * 1024 * 1024)))
     compacted = (
         spark.read.schema(_STORE_SCHEMA)
@@ -268,14 +273,18 @@ def compact_band_store(spark, store_dir: str, target_file_mb: int = 128) -> int:
         .groupBy("band", "bucket", "run_id")
         .agg(F.min("batch_id").alias("batch_id"))
     )
-    staging = store_dir.rstrip("/") + ".compact_staging"
-    old = store_dir.rstrip("/") + ".compact_old"
-    shutil.rmtree(staging, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
-    compacted.coalesce(n_files).write.mode("overwrite").parquet(staging)
-    os.rename(store_dir, old)
-    os.rename(staging, store_dir)
-    shutil.rmtree(old)
+    staging = jvm.org.apache.hadoop.fs.Path(store_dir.rstrip("/") + ".compact_staging")
+    old = jvm.org.apache.hadoop.fs.Path(store_dir.rstrip("/") + ".compact_old")
+    # recover from a previous crashed run: leftover dirs would make the
+    # renames below fail forever
+    fs.delete(staging, True)
+    fs.delete(old, True)
+    compacted.coalesce(n_files).write.mode("overwrite").parquet(str(staging))
+    if not fs.rename(hpath, old):
+        raise IOError(f"compact_band_store: rename {store_dir} -> {old} failed")
+    if not fs.rename(staging, hpath):
+        raise IOError(f"compact_band_store: rename {staging} -> {store_dir} failed")
+    fs.delete(old, True)
     return spark.read.schema(_STORE_SCHEMA).parquet(store_dir).count()
 
 

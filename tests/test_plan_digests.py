@@ -33,17 +33,11 @@ with open(_SNAP) as f:
 
 
 def _headline() -> list[str]:
-    import bench
-
-    from clickstreaming_end_to_end_data_engineering_project_spark.plans.registry import (
-        GATE_PRIORITY,
+    from clickstreaming_end_to_end_data_engineering_project_spark.plans.digest import (
+        pinned_query_names,
     )
 
-    seen: list[str] = []
-    for name in list(bench.HEADLINE) + list(bench.EXTENDED) + list(GATE_PRIORITY):
-        if name not in seen:
-            seen.append(name)
-    return seen
+    return pinned_query_names()
 
 
 def test_snapshot_covers_exactly_the_headline():

@@ -331,3 +331,51 @@ def test_zorder_value_matches_python_morton(spark):
         for row in rows:
             vals = [norm(row[1 + ["a", "b", "c"].index(c)], 0, 100, bits) for c in cols]
             assert got[row[0]] == morton(vals, bits), (bits, cols, row)
+
+
+def test_write_zordered_supports_timestamp_columns(spark, sf_dir, tmp_path):
+    """The advertised (user_id, ts) workload: temporal columns are
+    normalized through epoch doubles; file-level ts stats must be
+    narrow too, and unsupported types must raise."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.formats import (
+        write_zordered,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    path = str(tmp_path / "zts")
+    write_zordered(events, path, ["user_id", "ts"], 16)
+    assert spark.read.parquet(path).count() == events.count()
+
+    per_file = []
+    for f in sorted(glob.glob(path + "/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        st = [
+            md.row_group(g).column(i).statistics
+            for g in range(md.num_row_groups)
+            for i in range(md.num_columns)
+            if md.row_group(g).column(i).path_in_schema == "ts"
+            and md.row_group(g).column(i).statistics is not None
+            and md.row_group(g).column(i).statistics.has_min_max
+        ]
+        if not st:
+            continue
+        per_file.append((min(s.min for s in st), max(s.max for s in st)))
+    assert len(per_file) >= 8, "expected ts stats in most files"
+    lo = min(a for a, _ in per_file)
+    hi = max(b for _, b in per_file)
+    spread = sum((b - a) / (hi - lo) for a, b in per_file) / len(per_file)
+    assert spread < 0.6, spread
+
+    with pytest.raises(ValueError, match="unsupported type"):
+        write_zordered(
+            load(spark, sf_dir, "events").select("event_id", "event_type"),
+            str(tmp_path / "zbad"),
+            ["event_type", "event_id"],
+            4,
+        )
