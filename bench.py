@@ -23,58 +23,19 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from clickstreaming_end_to_end_data_engineering_project_spark.plans.registry import (
+    BENCH_EXTENDED as EXTENDED,
+)
+from clickstreaming_end_to_end_data_engineering_project_spark.plans.registry import (
+    BENCH_HEADLINE as HEADLINE,
+)
 from clickstreaming_end_to_end_data_engineering_project_spark.plans.registry import all_specs
 from clickstreaming_end_to_end_data_engineering_project_spark.session import get_spark
 
-HEADLINE = [
-    # clickstream parity
-    "page_view_counts",
-    "user_sessions",
-    "purchase_stats",
-    "hourly_event_stats",
-    "user_journey_transitions",
-    "anomaly_minutes",
-    # general SQL
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "top3_parts_per_brand",
-    "revenue_rollup_region_nation",
-    # llm-data pipeline
-    "word_freq_top20",
-    "ngram_jaccard_dups",
-    "minhash_lsh_dups",
-    "embedding_topk_cosine",
-]
-
-# Recorded alongside the headline but NOT in its total, so the
-# headline stays directly comparable to the r1 baseline while the
-# bench log still carries perf evidence for the r7 surface (the deep
-# decision-support shapes and the new LLM-data operators).  min-of-2
-# (not 3) keeps the added wall-clock bounded.
-EXTENDED = [
-    "q2_cheapest_supplier_per_part",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q20_promotable_part_suppliers",
-    "q21_late_sole_suppliers",
-    "q22_idle_customers",
-    "dau_wau_stickiness",
-    "doc_token_budget_sample",
-    "source_mixture_weights",
-    "boilerplate_ngrams",
-    "curation_funnel_report",
-    "embedding_quant_error",
-    "doc_winnow_dups",
-    "doc_dup_span_fraction",
-    "weekly_retention_cohorts",
-    "doc_ngram_novelty",
-]
+# HEADLINE / EXTENDED live in plans/registry.py (one copy, importable
+# by library code — plans/digest.pinned_query_names needs them without
+# a sys.path hack); the EXTENDED legs run min-of-2 (not 3) to keep the
+# added wall-clock bounded.
 
 
 def main() -> None:

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+from pyspark.sql.window import Window
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -418,10 +419,14 @@ def train_pq_codebooks(
     with the smallest xxhash64(id) — a pseudo-random spread sample
     with no RNG (lowest-ID init measured 4× worse recall: consecutive
     ids clump, collapsing most mass onto code 0); fixed iteration
-    count.  ``init_sample_mod``: at corpus scale, pre-filter init
-    candidates to ids with xxhash64(id) % mod == 0 (size it so
-    corpus/mod ≈ a few thousand) — the init collect must never pull
-    the whole corpus per subspace.
+    count.  The init selection is a rank-filtered window (row_number
+    ≤ k on (hash, id)), which Spark rewrites to WindowGroupLimit —
+    map-side top-k per subspace, O(k) memory at ANY corpus size (the
+    r9 advisory flagged the earlier collect_list+slice form, whose
+    init memory was bounded only by the ``init_sample_mod`` knob).
+    ``init_sample_mod`` remains as a cost knob: pre-filtering init
+    candidates to ids with xxhash64(id) % mod == 0 shrinks the
+    window's sort input at corpus scale.
 
     Returns driver-side rows (subspace, code, centroid) — the codebook
     is m*k*dims floats (a few KB), the ONE intentionally driver-sized
@@ -448,20 +453,16 @@ def train_pq_codebooks(
         ).alias("_sv"),
     ).select("_id", "_sv._s", "_sv._v").persist()
     try:
+        w = Window.partitionBy("_s").orderBy("_h", "_id")
         init = (
             subs.withColumn("_h", F.xxhash64("_id"))
             .filter(F.pmod(F.col("_h"), F.lit(init_sample_mod)) == 0)
-            .groupBy("_s")
-            .agg(
-                F.slice(
-                    F.array_sort(F.collect_list(F.struct("_h", "_id", "_v"))), 1, k
-                ).alias("_cands")
-            )
-            .select("_s", F.posexplode("_cands").alias("_c", "_sv"))
-            .select("_s", "_c", F.col("_sv._v").alias("_cv"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)  # WindowGroupLimit: map-side top-k
+            .select("_s", (F.col("_rn") - 1).alias("_c"), "_v")
             .collect()
         )
-        rows = [(r["_s"], r["_c"], [float(x) for x in r["_cv"]]) for r in init]
+        rows = [(r["_s"], r["_c"], [float(x) for x in r["_v"]]) for r in init]
         for _ in range(iterations):
             cdf = subs.sparkSession.createDataFrame(rows, ["_s", "_c", "_cv"])
             best = (
@@ -616,4 +617,125 @@ def pq_topk_rerank(
         .select(F.col(id_col), _sq_dist(F.col(vec_col), qlit).alias("l2_dist"))
         .orderBy(F.col("l2_dist").asc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def anchor_pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "list[tuple[int, int, list[float]]]":
+    """Deterministic PQ codebooks WITHOUT training: the codebook for
+    every subspace is the subvectors of the same ``k`` anchor rows —
+    the rows with the smallest Knuth multiplicative hash of their id
+    (``id * 2654435761 mod 2^32``: odd multiplier → bijective on ids,
+    so keys never tie; a pseudo-random spread with no RNG and no
+    float arithmetic).  Centroids are thus VERBATIM data values —
+    the one codebook an independent SQL engine can reconstruct
+    exactly, which is what lets ``pq_adc_report`` be value-hash
+    oracle-checked while the trained path (``train_pq_codebooks``,
+    whose Lloyd iterations average floats) stays rows-only.  Same
+    return shape as train_pq_codebooks, so pq_encode/pq_topk_* accept
+    either."""
+    dims = len(df.select(vec_col).first()[0])
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible by m={m}")
+    d = dims // m
+    key = F.pmod(F.col(id_col).cast("long") * F.lit(2654435761), F.lit(4294967296))
+    anchors = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(key, F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    if len(anchors) < k:
+        raise ValueError(f"anchor_pq_codebooks: need >= {k} rows, got {len(anchors)}")
+    return [
+        (s, c, [float(x) for x in row[vec_col][s * d : (s + 1) * d]])
+        for s in range(m)
+        for c, row in enumerate(anchors)
+    ]
+
+
+def pq_adc_report(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    query_vec_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector PQ fidelity report: assign every corpus vector its
+    anchor-codebook PQ codes, then compare the ADC approximate
+    distance to ``query_vec_id``'s vector against the exact L2 — the
+    quantization-error audit (``embedding_quant_error``'s int8
+    pattern, lifted to PQ) that sizes a code-only ANN deployment.
+
+    Columns: ``code_key`` (sum of code_s·k^s — pins every subspace
+    assignment integer-exactly), ``approx_dist`` (ADC: per-subspace
+    distance from the query subvector to the ASSIGNED centroid,
+    summed in subspace order), ``l2_dist`` (exact, one fold over all
+    dims).
+
+    Scale shape: the codebook and query enter as literals, so the
+    whole report is ONE narrow projection over the corpus — no join,
+    no shuffle, embarrassingly parallel at any size (contrast the
+    trained-PQ encode path, which shuffles on id to assemble codes).
+    Every float is a deterministic left-to-right double fold built
+    from subtract/multiply only (no pow — Java's Math.pow is not
+    correctly rounded, C libms are; multiplication is exact in both),
+    so the SQL oracle replays it bit-for-bit."""
+    books = anchor_pq_codebooks(df, m, k, id_col, vec_col)
+    d = len(books[0][2])
+    qrow = df.filter(F.col(id_col) == query_vec_id).select(vec_col).head()
+    if qrow is None:
+        raise ValueError(f"pq_adc_report: query id {query_vec_id} not found")
+    qvec = [float(x) for x in qrow[0]]
+    sub_of = {(s, c): cv for s, c, cv in books}
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def fold_sq(arr: Column, lit_vals: "list[float]") -> Column:
+        lit_arr = F.array(*[F.lit(float(x)) for x in lit_vals])
+        return F.aggregate(
+            F.zip_with(arr, lit_arr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    def py_sq(a: "list[float]", b: "list[float]") -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    best = []
+    for s in range(m):
+        sub = F.slice(v, s * d + 1, d)
+        qsub = qvec[s * d : (s + 1) * d]
+        cands = F.array(
+            *[
+                F.struct(
+                    fold_sq(sub, sub_of[(s, c)]).alias("d"),
+                    F.lit(c).alias("c"),
+                    # query-to-centroid distance: both literal — computed
+                    # driver-side (Python floats ARE IEEE doubles, same
+                    # left-to-right fold the oracle replays)
+                    F.lit(py_sq(qsub, sub_of[(s, c)])).alias("adc"),
+                )
+                for c in range(k)
+            ]
+        )
+        best.append(F.array_min(cands))  # struct min: (dist, code) lexicographic
+    code_key = F.lit(0).cast("long")
+    approx = F.lit(0.0)
+    for s, b in enumerate(best):
+        code_key = code_key + b["c"].cast("long") * F.lit(k**s).cast("long")
+        approx = approx + b["adc"]
+    return df.filter(F.col(id_col) != query_vec_id).select(
+        F.col(id_col),
+        code_key.alias("code_key"),
+        approx.alias("approx_dist"),
+        fold_sq(v, qvec).alias("l2_dist"),
     )

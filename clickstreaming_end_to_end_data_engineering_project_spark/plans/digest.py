@@ -76,26 +76,16 @@ def plan_digest(df: DataFrame) -> dict[str, int]:
 
 def pinned_query_names() -> "list[str]":
     """The queries whose plan shapes are pinned: every benched leg
-    (bench.HEADLINE + bench.EXTENDED) plus every driver-gated query
-    (registry.GATE_PRIORITY), first-occurrence order.  The ONE copy of
-    this set — scripts/plan_digests.py (regeneration) and
+    (registry.BENCH_HEADLINE + BENCH_EXTENDED — bench.py consumes the
+    same lists) plus every driver-gated query (registry.GATE_PRIORITY),
+    first-occurrence order.  The ONE copy of this set —
+    scripts/plan_digests.py (regeneration) and
     tests/test_plan_digests.py (enforcement) both import it, so they
     cannot silently desync."""
-    import os
-    import sys
-
-    sys.path.insert(
-        0,
-        os.path.dirname(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        ),
-    )
-    import bench
-
-    from .registry import GATE_PRIORITY
+    from .registry import BENCH_EXTENDED, BENCH_HEADLINE, GATE_PRIORITY
 
     seen: list[str] = []
-    for name in list(bench.HEADLINE) + list(bench.EXTENDED) + list(GATE_PRIORITY):
+    for name in list(BENCH_HEADLINE) + list(BENCH_EXTENDED) + list(GATE_PRIORITY):
         if name not in seen:
             seen.append(name)
     return seen

@@ -591,12 +591,20 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Labeled vs predicted language confusion matrix — the QA table
     behind any lang-gated curation decision (how often does the
     heuristic disagree with the corpus label, and toward which
-    language does it err)."""
-    docs = _docs(spark, sf_dir)
-    pred = text.lang_id_heuristic(docs)
+    language does it err).
+
+    Single pass: the prediction is a pure projection column beside the
+    label (token array materialized once — quality_score_col's sharing
+    note), then the tiny (lang, predicted_lang) agg.  The r9 version
+    joined lang_id_heuristic back on doc_id — two corpus-wide
+    exchanges for a per-row feature, exactly what curation.
+    score_and_filter's no-join rule forbids."""
     return (
-        docs.select("doc_id", "lang")
-        .join(pred, "doc_id")
+        _docs(spark, sf_dir)
+        .select("lang", text.tokens("text").alias("_toks"))
+        .select(
+            "lang", text.predicted_lang_col(toks=F.col("_toks")).alias("predicted_lang")
+        )
         .groupBy("lang", "predicted_lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
@@ -672,6 +680,17 @@ def embedding_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     what you measure before shrinking the ANN index to a quarter of the
     float32 footprint."""
     return similarity.int8_quant_error(_embs(spark, sf_dir))
+
+
+def embedding_pq_adc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector PQ code assignment + ADC-vs-exact distance audit
+    under the deterministic anchor codebook — the oracle-checkable
+    member of the PQ family (train_pq_codebooks/​pq_topk_rerank share
+    the assignment and ADC machinery but average floats in Lloyd
+    iterations, hence rows-only).  code_key pins all m=8 subspace
+    assignments integer-exactly; approx_dist/l2_dist pin the ADC
+    table math bit-for-bit."""
+    return similarity.pq_adc_report(_embs(spark, sf_dir), m=8, k=16, query_vec_id=0)
 
 
 
@@ -1396,6 +1415,67 @@ SPECS = [
         FROM e
         """,
         "symmetric int8 quantization round-trip error per vector",
+    ),
+    QuerySpec(
+        "embedding_pq_adc_report",
+        embedding_pq_adc_report,
+        # Bit-exact twin of similarity.pq_adc_report (m=8, k=16, 64-dim
+        # fixture → d=8): anchors = the 16 rows with smallest Knuth key
+        # (integer-exact), per-subspace argmin by (dist, code), ADC =
+        # query-to-assigned-centroid distances summed in subspace
+        # order.  Every float fold is left-to-right subtract/multiply,
+        # mirroring the Spark aggregate/zip_with shape.
+        """
+        WITH v AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+                   FROM embeddings),
+        a AS (SELECT xs AS axs,
+                     row_number() OVER (
+                         ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+                     ) - 1 AS c
+              FROM v
+              QUALIFY c < 16),
+        q AS (SELECT xs AS qxs FROM v WHERE vec_id = 0),
+        sub AS (SELECT vec_id, xs, unnest(range(8)) AS s
+                FROM v WHERE vec_id <> 0),
+        d AS (
+            SELECT sub.vec_id, sub.s, a.c,
+                   list_reduce(list_prepend(0.0, list_transform(range(8), i ->
+                       (sub.xs[sub.s*8 + i + 1] - a.axs[sub.s*8 + i + 1])
+                     * (sub.xs[sub.s*8 + i + 1] - a.axs[sub.s*8 + i + 1]))),
+                       (acc, t) -> acc + t) AS dvec,
+                   list_reduce(list_prepend(0.0, list_transform(range(8), i ->
+                       (q.qxs[sub.s*8 + i + 1] - a.axs[sub.s*8 + i + 1])
+                     * (q.qxs[sub.s*8 + i + 1] - a.axs[sub.s*8 + i + 1]))),
+                       (acc, t) -> acc + t) AS dq
+            FROM sub, a, q
+        ),
+        best AS (
+            SELECT vec_id, s, c, dq
+            FROM d
+            QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                                       ORDER BY dvec, c) = 1
+        ),
+        l2 AS (
+            SELECT v.vec_id,
+                   list_reduce(list_prepend(0.0,
+                       list_transform(range(len(v.xs)), i ->
+                           (v.xs[i + 1] - q.qxs[i + 1])
+                         * (v.xs[i + 1] - q.qxs[i + 1]))),
+                       (acc, t) -> acc + t) AS l2_dist
+            FROM v, q WHERE v.vec_id <> 0
+        )
+        SELECT b.vec_id,
+               CAST(SUM(CAST(b.c AS BIGINT)
+                        * (CAST(1 AS BIGINT) << CAST(4 * b.s AS INTEGER))) AS BIGINT)
+                   AS code_key,
+               list_reduce(list_prepend(0.0, list(b.dq ORDER BY b.s)),
+                           (acc, t) -> acc + t) AS approx_dist,
+               l2.l2_dist AS l2_dist
+        FROM best b JOIN l2 USING (vec_id)
+        GROUP BY b.vec_id, l2.l2_dist
+        """,
+        "PQ anchor-codebook assignment + ADC-vs-exact distance audit per vector",
     ),
     QuerySpec(
         "doc_winnow_fingerprints",

@@ -102,10 +102,16 @@ class QuerySpec:
 # gate row also proves the fix).  Demoted per the standing policy are
 # 3 doubly-verified rows (green in BOTH r7 and r8):
 # q11_important_parts, q16_part_supplier_counts, q22_idle_customers.
-# r10 rotation queue (oracle-backed, added in r9 after the gate was
-# set): weekly_retention_cohorts (cohort-retention triangle),
-# doc_ngram_novelty (per-doc distinct-trigram novelty).  Rotate these
-# in next round, demoting r9-green rows per the standing policy.
+# Round-10 rotation: the declared r10 queue rotates in for first
+# driver rows — weekly_retention_cohorts (cohort-retention triangle),
+# doc_ngram_novelty (per-doc distinct-trigram novelty) — plus
+# embedding_pq_adc_report (NEW r10: the PQ family's oracle-backed
+# anchor-codebook ADC audit, closing the r9 verdict's 'PQ has no
+# registry query' gap).  Demoted per the standing policy are 3
+# doubly-verified rows (green in BOTH r8 and r9, none benched):
+# doc_winnow_fingerprints, doc_quality_weighted_sample,
+# doc_validation_report.  lang_confusion_matrix stays gated: its r10
+# single-pass rewrite (join removed) needs a fresh proving row.
 GATE_PRIORITY = [
     # reference-parity clickstream core (pinned)
     "page_view_counts",
@@ -144,16 +150,20 @@ GATE_PRIORITY = [
     # green r7)
     "doc_dup_span_fraction",
     "dau_wau_stickiness",
-    "doc_winnow_fingerprints",
     "doc_winnow_dups",
-    "doc_quality_weighted_sample",
     "embedding_quant_error",
-    "doc_validation_report",
     "text_embedding_disagreement",
-    # round-9 rotation: the declared r9 queue — first driver rows
+    # round-9 rotation, retained: doc_trimmed_corpus +
+    # cross_source_dup_leakage have ONE green row (r9);
+    # lang_confusion_matrix is freshly rewritten (r10) and must prove
+    # the fix
     "doc_trimmed_corpus",
     "lang_confusion_matrix",
     "cross_source_dup_leakage",
+    # round-10 rotation: first driver rows
+    "weekly_retention_cohorts",
+    "doc_ngram_novelty",
+    "embedding_pq_adc_report",
     # retained from the r7 rotation (green r7+r8; kept while slots
     # allow — the benched/swept tpch_deep shapes stay visible)
     "q2_cheapest_supplier_per_part",
@@ -173,6 +183,60 @@ GATE_PRIORITY = [
 # Gate size the driver records; GATE_PRIORITY must fill it exactly so
 # no query auto-promotes into a recorded slot by module ordering alone.
 DRIVER_GATE_SLOTS = 50
+
+# Bench legs (consumed by the repo-root bench.py).  They live here, not
+# in bench.py, so library code (plans/digest.pinned_query_names) can
+# name every benched query without importing a repo-root script — the
+# former sys.path hack broke under installed-package layouts and grew
+# the path on every call (r9 advisory).
+BENCH_HEADLINE = [
+    # clickstream parity
+    "page_view_counts",
+    "user_sessions",
+    "purchase_stats",
+    "hourly_event_stats",
+    "user_journey_transitions",
+    "anomaly_minutes",
+    # general SQL
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top3_parts_per_brand",
+    "revenue_rollup_region_nation",
+    # llm-data pipeline
+    "word_freq_top20",
+    "ngram_jaccard_dups",
+    "minhash_lsh_dups",
+    "embedding_topk_cosine",
+]
+
+# Recorded alongside the headline but NOT in its total, so the headline
+# stays directly comparable to the r1 baseline while the bench log
+# still carries perf evidence for the r7+ surface (deep decision-
+# support shapes and the LLM-data operators).
+BENCH_EXTENDED = [
+    "q2_cheapest_supplier_per_part",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q20_promotable_part_suppliers",
+    "q21_late_sole_suppliers",
+    "q22_idle_customers",
+    "dau_wau_stickiness",
+    "doc_token_budget_sample",
+    "source_mixture_weights",
+    "boilerplate_ngrams",
+    "curation_funnel_report",
+    "embedding_quant_error",
+    "doc_winnow_dups",
+    "doc_dup_span_fraction",
+    "weekly_retention_cohorts",
+    "doc_ngram_novelty",
+]
 
 
 def all_specs() -> dict[str, QuerySpec]:

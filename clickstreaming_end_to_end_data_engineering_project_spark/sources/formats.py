@@ -154,8 +154,19 @@ def write_zordered(
             for f in (F.min(nums[c]).alias(f"_lo_{c}"), F.max(nums[c]).alias(f"_hi_{c}"))
         ]
     ).collect()[0]
+    # an all-NULL (or empty-input) column has None bounds; default them
+    # to (0, 1) so the documented NULL→bucket-0 path executes instead
+    # of zorder_value crashing on None arithmetic (r9 verdict)
     z = zorder_value(
-        [(nums[c], bounds[f"_lo_{c}"], bounds[f"_hi_{c}"]) for c in cols], bits
+        [
+            (
+                nums[c],
+                bounds[f"_lo_{c}"] if bounds[f"_lo_{c}"] is not None else 0,
+                bounds[f"_hi_{c}"] if bounds[f"_hi_{c}"] is not None else 1,
+            )
+            for c in cols
+        ],
+        bits,
     )
     (
         df.withColumn("_z", z)

@@ -1611,3 +1611,51 @@ def test_pq_rerank_recovers_exact_neighbors(spark, sf_dir):
             assert abs(r["l2_dist"] - direct[r["vec_id"]]) < 1e-9
     finally:
         embs.unpersist()
+
+
+def test_pq_adc_report_matches_pq_encode_assignments(spark, sf_dir):
+    """The oracle-backed anchor-codebook report and the production
+    encode path share assignment semantics: decoding code_key must
+    reproduce pq_encode's codes for the SAME codebooks, and the
+    report's approx_dist must equal the ADC table sum for those
+    codes (ties Spark's gated query to the trained-PQ machinery
+    without cross-engine float hazards)."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        similarity as S,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+    from pyspark.sql import functions as F
+
+    m, k = 8, 16
+    embs = load(spark, sf_dir, "embeddings").persist()
+    try:
+        books = S.anchor_pq_codebooks(embs, m=m, k=k)
+        assert len(books) == m * k
+        # anchors are verbatim data subvectors shared across subspaces
+        report = {
+            r["vec_id"]: r
+            for r in S.pq_adc_report(embs, m=m, k=k, query_vec_id=0).collect()
+        }
+        codes = {
+            r["vec_id"]: r["codes"]
+            for r in S.pq_encode(embs.filter(F.col("vec_id") != 0), books).collect()
+        }
+        assert set(report) == set(codes)
+        d = len(books[0][2])
+        qvec = [
+            float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]
+        ]
+        table = {
+            (s, c): sum(
+                (a - b) ** 2 for a, b in zip(qvec[s * d : (s + 1) * d], cv)
+            )
+            for s, c, cv in books
+        }
+        for vid, row in report.items():
+            decoded = [(row["code_key"] >> (4 * s)) & 0xF for s in range(m)]
+            assert decoded == list(codes[vid]), (vid, decoded, codes[vid])
+            ref = sum(table[(s, decoded[s])] for s in range(m))
+            assert abs(row["approx_dist"] - ref) < 1e-9
+            assert row["approx_dist"] >= 0.0 and row["l2_dist"] >= 0.0
+    finally:
+        embs.unpersist()

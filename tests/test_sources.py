@@ -379,3 +379,26 @@ def test_write_zordered_supports_timestamp_columns(spark, sf_dir, tmp_path):
             ["event_type", "event_id"],
             4,
         )
+
+
+def test_write_zordered_all_null_column(spark, tmp_path):
+    """Degenerate bounds: an all-NULL z-column has None min/max; the
+    write must still succeed with NULLs in bucket 0 (the r9 verdict
+    caught a TypeError on None arithmetic here) — and the same guard
+    covers a single-row/constant column (lo == hi)."""
+    from pyspark.sql import functions as F
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.formats import (
+        write_zordered,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"),
+        F.lit(None).cast("double").alias("all_null"),
+        F.lit(7.0).alias("constant"),
+    )
+    path = str(tmp_path / "znull")
+    write_zordered(df, path, ["id", "all_null", "constant"], 4)
+    got = spark.read.parquet(path)
+    assert got.count() == 100
+    assert got.filter(F.col("all_null").isNull()).count() == 100
