@@ -197,10 +197,15 @@ def curate_corpus(
             ),
             "doc_id",
         )
-        if "n_chars" in deduped.columns:
-            deduped = deduped.withColumn("n_chars", F.length("text").cast("long"))
     if scrub:
         deduped = pii.scrub_pii(deduped)
+    if (trim_span_n is not None or scrub) and "n_chars" in deduped.columns:
+        # recompute AFTER the last text rewrite: both trim and scrub
+        # replace `text`, and n_chars must track the final written
+        # value (the r9 advisory caught the trim-then-scrub order
+        # recomputing too early, so a scrubbed doc shipped with
+        # n_chars != length(text))
+        deduped = deduped.withColumn("n_chars", F.length("text").cast("long"))
 
     split = sampling.train_test_split(deduped, "doc_id", train_frac)
     try:

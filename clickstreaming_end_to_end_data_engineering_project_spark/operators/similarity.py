@@ -639,10 +639,23 @@ def anchor_pq_codebooks(
     whose Lloyd iterations average floats) stays rows-only.  Same
     return shape as train_pq_codebooks, so pq_encode/pq_topk_* accept
     either."""
-    dims = len(df.select(vec_col).first()[0])
+    anchors = _anchor_rows(df, k, id_col, vec_col)
+    dims = len(anchors[0][vec_col])
     if dims % m:
         raise ValueError(f"dims {dims} not divisible by m={m}")
     d = dims // m
+    return [
+        (s, c, [float(x) for x in row[vec_col][s * d : (s + 1) * d]])
+        for s in range(m)
+        for c, row in enumerate(anchors)
+    ]
+
+
+def _anchor_rows(df: DataFrame, k: int, id_col: str, vec_col: str):
+    """The k anchor rows in Knuth-key order — ONE TakeOrdered job
+    (dims are read off the collected rows, and pq_adc_report digs its
+    query vector out of them when possible, so the whole PQ report
+    costs a single driver-side job before the scan)."""
     key = F.pmod(F.col(id_col).cast("long") * F.lit(2654435761), F.lit(4294967296))
     anchors = (
         df.select(F.col(id_col), F.col(vec_col))
@@ -652,11 +665,7 @@ def anchor_pq_codebooks(
     )
     if len(anchors) < k:
         raise ValueError(f"anchor_pq_codebooks: need >= {k} rows, got {len(anchors)}")
-    return [
-        (s, c, [float(x) for x in row[vec_col][s * d : (s + 1) * d]])
-        for s in range(m)
-        for c, row in enumerate(anchors)
-    ]
+    return anchors
 
 
 def pq_adc_report(
@@ -687,17 +696,37 @@ def pq_adc_report(
     from subtract/multiply only (no pow — Java's Math.pow is not
     correctly rounded, C libms are; multiplication is exact in both),
     so the SQL oracle replays it bit-for-bit."""
-    books = anchor_pq_codebooks(df, m, k, id_col, vec_col)
-    d = len(books[0][2])
-    qrow = df.filter(F.col(id_col) == query_vec_id).select(vec_col).head()
-    if qrow is None:
-        raise ValueError(f"pq_adc_report: query id {query_vec_id} not found")
-    qvec = [float(x) for x in qrow[0]]
-    sub_of = {(s, c): cv for s, c, cv in books}
+    rows = _anchor_rows(df, k, id_col, vec_col)
+    dims = len(rows[0][vec_col])
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible by m={m}")
+    d = dims // m
+    sub_of = {
+        (s, c): [float(x) for x in row[vec_col][s * d : (s + 1) * d]]
+        for s in range(m)
+        for c, row in enumerate(rows)
+    }
+    # the usual query id 0 has Knuth key 0 — the global minimum — so
+    # its row is already in the anchor collect; only other ids pay a
+    # dedicated lookup job
+    qhit = [r for r in rows if r[id_col] == query_vec_id]
+    if qhit:
+        qvec = [float(x) for x in qhit[0][vec_col]]
+    else:
+        qrow = df.filter(F.col(id_col) == query_vec_id).select(vec_col).head()
+        if qrow is None:
+            raise ValueError(f"pq_adc_report: query id {query_vec_id} not found")
+        qvec = [float(x) for x in qrow[0]]
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
+    def dlit(x: float) -> str:
+        # repr is Python's shortest round-trip form; Spark's parser is
+        # correctly rounded, so the same double comes back bit-exactly
+        # (pinned by test_sql_double_literals_roundtrip)
+        return repr(float(x)) + "D"
+
     def fold_sq(arr: Column, lit_vals: "list[float]") -> Column:
-        lit_arr = F.array(*[F.lit(float(x)) for x in lit_vals])
+        lit_arr = F.expr("array(" + ",".join(dlit(x) for x in lit_vals) + ")")
         return F.aggregate(
             F.zip_with(arr, lit_arr, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
@@ -714,18 +743,38 @@ def pq_adc_report(
     for s in range(m):
         sub = F.slice(v, s * d + 1, d)
         qsub = qvec[s * d : (s + 1) * d]
-        cands = F.array(
-            *[
-                F.struct(
-                    fold_sq(sub, sub_of[(s, c)]).alias("d"),
-                    F.lit(c).alias("c"),
-                    # query-to-centroid distance: both literal — computed
-                    # driver-side (Python floats ARE IEEE doubles, same
-                    # left-to-right fold the oracle replays)
-                    F.lit(py_sq(qsub, sub_of[(s, c)])).alias("adc"),
-                )
+        # ONE literal array of (centroid, code, adc) per subspace —
+        # assembled as a single SQL expression string, not k*d F.lit
+        # Columns (py4j Column construction dominated the runtime:
+        # ~3 s of driver-side tree building for 128 candidate HOFs) —
+        # with the row-to-centroid distance computed inside one
+        # transform lambda, so the plan holds m transform+aggregate
+        # trees instead of m*k separate aggregates.  Identical
+        # per-candidate arithmetic → bit-equal results.  The "adc"
+        # member is the query-to-centroid distance: literal vs
+        # literal, computed driver-side (Python floats ARE IEEE
+        # doubles, same left-to-right fold the oracle replays).
+        cents = F.expr(
+            "array("
+            + ",".join(
+                "named_struct('cv',array("
+                + ",".join(dlit(x) for x in sub_of[(s, c)])
+                + f"),'c',{c},'adc',{dlit(py_sq(qsub, sub_of[(s, c)]))})"
                 for c in range(k)
-            ]
+            )
+            + ")"
+        )
+        cands = F.transform(
+            cents,
+            lambda st: F.struct(
+                F.aggregate(
+                    F.zip_with(sub, st["cv"], lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                ).alias("d"),
+                st["c"].alias("c"),
+                st["adc"].alias("adc"),
+            ),
         )
         best.append(F.array_min(cands))  # struct min: (dist, code) lexicographic
     code_key = F.lit(0).cast("long")

@@ -236,6 +236,7 @@ BENCH_EXTENDED = [
     "doc_dup_span_fraction",
     "weekly_retention_cohorts",
     "doc_ngram_novelty",
+    "embedding_pq_adc_report",
 ]
 
 

@@ -52,7 +52,12 @@ ingested doc (~100 B/doc at bands=8) — 10 B docs ≈ 1 TB of parquet,
 scanned columnar per batch with the (band, bucket) join keys only;
 compact periodically with ``compact_band_store`` (collapses replayed
 duplicate rows semantics-preservingly and fixes micro-batch file
-litter in one offline pass).
+litter in one offline pass).  The survivor output accumulates the
+same litter — one ``batch=<id>`` dir per micro-batch at ~10× the row
+width; ``compact_survivors`` collapses a TERMINAL run into a single
+sized partition (terminal only: per-batch dirs are what makes a
+checkpoint-resume replay idempotent, so a run that might resume must
+keep them).
 """
 
 from __future__ import annotations
@@ -163,8 +168,17 @@ class NearDedupIngest:
                 .write.mode("overwrite")
                 .parquet(path)
             )
-            # read back rather than trust our write: if two drivers
-            # raced, both settle on whichever overwrite landed last
+            # read back rather than trust our write.  Single-driver
+            # assumption: parquet overwrite is delete-then-write, not
+            # atomic, so TWO drivers racing the first batch over the
+            # same marker can each read back their own id (or a
+            # half-written dir).  Structured Streaming already
+            # enforces one active driver per checkpoint dir — which
+            # is where the marker lives — so the race requires
+            # misusing the same marker_dir for two streams; a
+            # create-if-absent would need an fs.rename-based claim
+            # (rename-to-existing moves INTO the dir on some local
+            # filesystems, so it is not a portable lock either).
             row = spark.read.schema("run_id string").parquet(path).head()
         self._run_id = row.run_id
         return self._run_id
@@ -259,33 +273,118 @@ def compact_band_store(spark, store_dir: str, target_file_mb: int = 128) -> int:
     os.rename would silently mis-size and then fail there (r9 review
     finding).  On object stores rename is copy-based but remains
     last-step-atomic-enough for an offline job; swap in a
-    manifest/metastore pointer flip where that matters."""
+    manifest/metastore pointer flip where that matters.
+
+    Crash-safe BOTH ways (r9 advisory): a rerun after a crash between
+    the two renames finds the store missing and ``.compact_old``
+    present, and restores the old directory before proceeding —
+    self-healing instead of failing at getContentSummary with the
+    data stranded in ``.compact_old``.  Output files are sized from
+    the POST-collapse row count (pre-compaction bytes scaled by the
+    dedup ratio), so a store that was mostly replay duplicates still
+    comes out in ~``target_file_mb`` files."""
+    _compact_dir(
+        spark,
+        store_dir,
+        lambda: (
+            spark.read.schema(_STORE_SCHEMA)
+            .parquet(store_dir)
+            .groupBy("band", "bucket", "run_id")
+            .agg(F.min("batch_id").alias("batch_id"))
+        ),
+        target_file_mb,
+        # sizing ratio: collapsed rows / source rows (both metadata-only
+        # parquet counts)
+        ratio_counts=lambda: (
+            spark.read.schema(_STORE_SCHEMA)
+            .parquet(store_dir)
+            .groupBy("band", "bucket", "run_id")
+            .agg(F.lit(1))
+            .count(),
+            spark.read.schema(_STORE_SCHEMA).parquet(store_dir).count(),
+        ),
+    )
+    return spark.read.schema(_STORE_SCHEMA).parquet(store_dir).count()
+
+
+def _compact_dir(spark, path: str, frame_fn, target_file_mb: int, ratio_counts=None) -> None:
+    """Shared staging + rename compaction: rewrite ``path`` with the
+    DataFrame ``frame_fn()`` in ~``target_file_mb`` files.  Heals a
+    prior crash (path missing + ``.compact_old`` present → restore)
+    before doing anything; ``ratio_counts`` optionally returns
+    (rows_after, rows_before) to scale the byte estimate when the
+    rewrite collapses rows."""
     import math
 
     jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(store_dir)
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    src_bytes = fs.getContentSummary(hpath).getLength()
-    n_files = max(1, math.ceil(src_bytes / (target_file_mb * 1024 * 1024)))
-    compacted = (
-        spark.read.schema(_STORE_SCHEMA)
-        .parquet(store_dir)
-        .groupBy("band", "bucket", "run_id")
-        .agg(F.min("batch_id").alias("batch_id"))
-    )
-    staging = jvm.org.apache.hadoop.fs.Path(store_dir.rstrip("/") + ".compact_staging")
-    old = jvm.org.apache.hadoop.fs.Path(store_dir.rstrip("/") + ".compact_old")
-    # recover from a previous crashed run: leftover dirs would make the
-    # renames below fail forever
+    staging = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".compact_staging")
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".compact_old")
+    if not fs.exists(hpath) and fs.exists(old):
+        # previous run crashed between the two renames — restore
+        if not fs.rename(old, hpath):
+            raise IOError(f"compact: restore {old} -> {path} failed")
+    # leftover dirs from any other crash point would make the renames
+    # below fail forever
     fs.delete(staging, True)
     fs.delete(old, True)
-    compacted.coalesce(n_files).write.mode("overwrite").parquet(str(staging))
+    src_bytes = fs.getContentSummary(hpath).getLength()
+    if ratio_counts is not None:
+        after, before = ratio_counts()
+        src_bytes = math.ceil(src_bytes * after / before) if before else src_bytes
+    n_files = max(1, math.ceil(src_bytes / (target_file_mb * 1024 * 1024)))
+    frame_fn().coalesce(n_files).write.mode("overwrite").parquet(str(staging))
     if not fs.rename(hpath, old):
-        raise IOError(f"compact_band_store: rename {store_dir} -> {old} failed")
+        raise IOError(f"compact: rename {path} -> {old} failed")
     if not fs.rename(staging, hpath):
-        raise IOError(f"compact_band_store: rename {staging} -> {store_dir} failed")
+        raise IOError(f"compact: rename {staging} -> {path} failed")
     fs.delete(old, True)
-    return spark.read.schema(_STORE_SCHEMA).parquet(store_dir).count()
+
+
+def compact_survivors(
+    spark, out_dir: str, run_id: str, target_file_mb: int = 128
+) -> int:
+    """Offline maintenance for the survivor output of ONE run:
+    ``out_dir/run_id=<id>/batch=<n>`` accumulates a directory (and at
+    least one file) per micro-batch — the band store's small-file
+    litter at ~10× the row width.  Rewrites the run's rows into a
+    single ``batch=0`` partition of ~``target_file_mb`` files via the
+    same staging + rename discipline as ``compact_band_store``
+    (crash-safe, cluster-filesystem API, self-healing restore).
+    Returns the run's row count.
+
+    TERMINAL RUNS ONLY: collapsing the batch dirs erases per-batch
+    provenance, so a later checkpoint resume that replays its last
+    batch would rewrite ``batch=<n>`` beside the compacted rows and
+    duplicate them.  Compact a run only when its stream is finished
+    for good (the same stopped-stream contract as the band store —
+    stronger, since even a resume is disallowed).  ``read_survivors``
+    is unaffected: the glob still matches ``run_id=*/batch=*``."""
+    run_dir = f"{out_dir.rstrip('/')}/run_id={run_id}"
+    # batch=* is discovered as a partition column; drop it — the
+    # compacted rows all land in batch=0.  _compact_dir materializes
+    # this frame into staging BEFORE any rename, so the lazy read
+    # always sees the still-live source dir.
+    frame = spark.read.parquet(run_dir).drop("batch")
+    _compact_dir(spark, run_dir, lambda: frame, target_file_mb)
+    # the compacted rows land under a single batch=0 dir so the
+    # partition-discovery layout (and read_survivors' glob) holds
+    jvm = spark._jvm
+    hroot = jvm.org.apache.hadoop.fs.Path(run_dir)
+    fs = hroot.getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp = jvm.org.apache.hadoop.fs.Path(run_dir + "/.batch0_staging")
+    dest = jvm.org.apache.hadoop.fs.Path(run_dir + "/batch=0")
+    fs.mkdirs(tmp)
+    for st in fs.listStatus(hroot):
+        name = st.getPath().getName()
+        if name.startswith("batch=") or name.startswith("."):
+            continue
+        if not fs.rename(st.getPath(), jvm.org.apache.hadoop.fs.Path(str(tmp), name)):
+            raise IOError(f"compact_survivors: move {name} into batch=0 failed")
+    if not fs.rename(tmp, dest):
+        raise IOError(f"compact_survivors: rename {tmp} -> {dest} failed")
+    return spark.read.parquet(run_dir).count()
 
 
 def read_survivors(spark, out_dir: str, schema=None) -> DataFrame:

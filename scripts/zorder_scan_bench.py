@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Measure the z-order payoff the layout tests only assert structurally:
+write the 10× events corpus (a) unordered and (b) z-ordered on
+(user_id, ts), then run a point lookup (one user) and a time slice
+(one day) against both and report
+
+  - files whose parquet footer min/max stats admit the predicate
+    (the skipping bound any stats-pruning scanner gets — computed
+    from the footers with pyarrow, deterministic), and
+  - Spark wall time (min-of-3, warm session; row-group pruning via
+    the pushed filters).
+
+Records the SCALING.md storage-section row. Same box discipline as
+bench.py: local[$SPARK_GRAFT_CPUS], sf0.1 events replicated 10x with
+distinct event_ids.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from clickstreaming_end_to_end_data_engineering_project_spark.session import get_spark
+from clickstreaming_end_to_end_data_engineering_project_spark.sources.formats import (
+    write_zordered,
+)
+from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_FILES = 64
+REPLICAS = 10
+
+
+def admitted_files(path: str, col: str, lo, hi) -> int:
+    """Files whose [min, max] stats for ``col`` intersect [lo, hi]."""
+    n = 0
+    for f in sorted(glob.glob(path + "/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        fmin, fmax = None, None
+        for g in range(md.num_row_groups):
+            for i in range(md.num_columns):
+                c = md.row_group(g).column(i)
+                if c.path_in_schema != col:
+                    continue
+                st = c.statistics
+                if st is None or not st.has_min_max:
+                    fmin = None
+                    break
+                smin, smax = st.min, st.max
+                # parquet TIMESTAMP stats come back tz-aware; compare naive
+                if hasattr(smin, "tzinfo") and smin.tzinfo is not None:
+                    smin, smax = smin.replace(tzinfo=None), smax.replace(tzinfo=None)
+                fmin = smin if fmin is None else min(fmin, smin)
+                fmax = smax if fmax is None else max(fmax, smax)
+        if fmin is None or (fmax >= lo and fmin <= hi):
+            n += 1
+    return n
+
+
+def timed(df) -> float:
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        df.count()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    spark = get_spark("zorder-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = load(spark, SF_DIR, "events")
+    n = base.count()
+    tenx = base
+    for i in range(REPLICAS - 1):
+        tenx = tenx.unionByName(
+            base.withColumn("event_id", F.col("event_id") + F.lit((i + 1) * 10_000_000))
+        )
+    plain_dir = "/tmp/zbench/plain"
+    z_dir = "/tmp/zbench/zorder"
+    # unordered baseline at the same file count (repartition scatters
+    # rows round-robin — the layout a naive parallel write produces)
+    tenx.repartition(N_FILES).write.mode("overwrite").parquet(plain_dir)
+    t0 = time.perf_counter()
+    write_zordered(tenx, z_dir, ["user_id", "ts"], N_FILES)
+    z_write_sec = round(time.perf_counter() - t0, 3)
+
+    probe_user = base.select("user_id").first()[0]
+    day = base.select(F.to_date("ts").alias("d")).groupBy("d").count().orderBy(
+        F.col("count").desc()
+    ).first()["d"]
+    lo = str(day) + " 00:00:00"
+    hi = str(day) + " 23:59:59.999999"
+
+    out: dict = {
+        "rows": n * REPLICAS,
+        "n_files": N_FILES,
+        "z_write_sec": z_write_sec,
+    }
+    import datetime as dt
+
+    day_lo = dt.datetime.combine(day, dt.time.min)
+    day_hi = dt.datetime.combine(day, dt.time.max)
+    for name, path in (("plain", plain_dir), ("zorder", z_dir)):
+        df = spark.read.parquet(path)
+        point = df.filter(F.col("user_id") == probe_user)
+        tslice = df.filter(F.col("ts").between(F.lit(lo), F.lit(hi)))
+        out[name] = {
+            "point_admitted_files": admitted_files(path, "user_id", probe_user, probe_user),
+            "slice_admitted_files": admitted_files(path, "ts", day_lo, day_hi),
+            "point_sec": timed(point),
+            "slice_sec": timed(tslice),
+            "point_rows": point.count(),
+            "slice_rows": tslice.count(),
+        }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -125,6 +125,33 @@ def test_curation_scrubs_pii_from_written_corpus(spark, sf_dir, tmp_path):
     assert (res_raw.train_docs, res_raw.test_docs) == (res.train_docs, res.test_docs)
 
 
+def test_curation_nchars_tracks_scrubbed_text(spark, sf_dir, tmp_path):
+    """n_chars must track the FINAL written text when scrub rewrites
+    PII-carrying docs — with and without the trim stage.  The r9
+    advisory caught trim+scrub recomputing n_chars BEFORE the scrub
+    rewrite; the earlier test missed it because its survivors carried
+    no PII."""
+    syn = str(tmp_path / "sfpii2")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    seeded = docs.withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit(" contact bob@example.com or 415-555-2671")),
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    seeded.write.mode("overwrite").parquet(f"{syn}/documents.parquet")
+
+    for trim in (None, 8):
+        out = str(tmp_path / f"curated_nchars_{trim}")
+        res = curate_corpus(
+            spark, syn, out, min_quality=0.0, langs=None, trim_span_n=trim
+        )
+        assert res.train_docs + res.test_docs > 0
+        written = spark.read.parquet(f"{out}/corpus")
+        # every doc was rewritten by scrub, so a stale n_chars would
+        # mismatch on every row
+        assert written.filter(F.col("text").contains("|||EMAIL|||")).count() > 0
+        assert written.filter(F.col("n_chars") != F.length("text")).count() == 0
+
+
 def test_curation_perplexity_gate_drops_rare_token_noise(spark):
     """The CCNet-style max_perplexity gate keeps docs made of common
     corpus tokens and drops rare-token noise (every token unique to the

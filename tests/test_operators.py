@@ -1613,6 +1613,32 @@ def test_pq_rerank_recovers_exact_neighbors(spark, sf_dir):
         embs.unpersist()
 
 
+def test_sql_double_literals_roundtrip(spark):
+    """pq_adc_report inlines its codebook as SQL double literals
+    (repr(x) + 'D'): Python's shortest-round-trip repr parsed by
+    Spark's correctly-rounded parser must reproduce the double
+    BIT-exactly, including negatives, subnormal-ish exponents, and
+    max-double."""
+    import struct as _struct
+
+    from pyspark.sql import functions as F
+
+    vals = [
+        0.1,
+        -0.25,
+        1e-05,
+        -7.812445e-06,
+        3.0000000000000004,
+        1.7976931348623157e308,
+        5e-324,
+        0.0,
+    ]
+    expr = "array(" + ",".join(repr(v) + "D" for v in vals) + ")"
+    got = spark.range(1).select(F.expr(expr).alias("a")).first()["a"]
+    for v, g in zip(vals, got):
+        assert _struct.pack("d", v) == _struct.pack("d", g), (v, g)
+
+
 def test_pq_adc_report_matches_pq_encode_assignments(spark, sf_dir):
     """The oracle-backed anchor-codebook report and the production
     encode path share assignment semantics: decoding code_key must

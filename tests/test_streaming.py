@@ -1812,3 +1812,68 @@ def test_streaming_near_dedup_drops_lsh_band_matches(spark):
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(ckpt2, ignore_errors=True)
+
+
+def test_near_dedup_survivor_compaction_and_crash_recovery(spark):
+    """compact_survivors collapses a terminal run's one-dir-per-batch
+    litter into a single batch=0 partition with the identical row set
+    (read_survivors unaffected), and the shared compactor self-heals
+    the crashed-between-renames state (dir missing, .compact_old
+    present) instead of failing at sizing (r9 advisory)."""
+    import glob
+    import os
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.near_dedup import (
+        NearDedupIngest,
+        compact_band_store,
+        compact_survivors,
+        read_survivors,
+    )
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    store = tempfile.mkdtemp(prefix="ndc_store_")
+    out = tempfile.mkdtemp(prefix="ndc_out_")
+    try:
+        sink = NearDedupIngest(store, out, run_id="terminal-run")
+        for b in range(4):
+            rows = [
+                (b * 10 + i, f"wholly distinct passage number {b}-{i} "
+                 f"with unique tokens {b * 97 + i * 13}", "en", "web", 60)
+                for i in range(3)
+            ]
+            sink(spark.createDataFrame(rows, cols), b)
+        before = sorted(
+            (r.doc_id, r.text) for r in read_survivors(spark, out).collect()
+        )
+        batch_dirs = glob.glob(f"{out}/run_id=terminal-run/batch=*")
+        assert len(batch_dirs) == 4
+        n = compact_survivors(spark, out, "terminal-run")
+        assert n == len(before)
+        after_dirs = glob.glob(f"{out}/run_id=terminal-run/batch=*")
+        assert [os.path.basename(d) for d in after_dirs] == ["batch=0"]
+        after = sorted(
+            (r.doc_id, r.text) for r in read_survivors(spark, out).collect()
+        )
+        assert after == before, "compaction must preserve the exact row set"
+        # idempotent: a second pass is a no-op re-layout
+        assert compact_survivors(spark, out, "terminal-run") == n
+
+        # crash self-heal: simulate dying between the two renames of a
+        # band-store compaction (store moved to .compact_old, staging
+        # already cleaned) — the next run must restore and complete
+        keys_before = {
+            (r.band, r.bucket, r.run_id)
+            for r in spark.read.parquet(store).collect()
+        }
+        os.rename(store, store + ".compact_old")
+        assert not os.path.exists(store)
+        compact_band_store(spark, store)
+        keys_after = {
+            (r.band, r.bucket, r.run_id)
+            for r in spark.read.parquet(store).collect()
+        }
+        assert keys_after == keys_before, "self-heal must recover every key"
+        assert not os.path.exists(store + ".compact_old")
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
