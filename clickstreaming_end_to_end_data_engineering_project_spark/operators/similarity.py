@@ -620,6 +620,107 @@ def pq_topk_rerank(
     )
 
 
+def write_pq_index(
+    df: DataFrame,
+    path: str,
+    m: int = 8,
+    k: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: "list[tuple[int, int, list[float]]] | None" = None,
+) -> None:
+    """Materialize the PQ index the ``pq_topk_*`` probes assume at
+    scale: ``codes/`` holds (id, m-int codes) — the 8–16×-compressed
+    representation that replaces the vectors for the ADC pass — plus
+    two self-describing sidecars (underscore-prefixed, ignored by
+    FileIndex readers; same discipline as ``write_lsh_index``):
+
+    - ``_pq_codebooks/``: the (subspace, code, centroid) rows, written
+      THROUGH Spark so the layout works on any cluster filesystem;
+    - ``_pq_params/``: 1-row (m, k, dims) — read back by the probe so
+      an index can never be silently probed with mismatched geometry.
+
+    ``codebooks`` defaults to ``train_pq_codebooks`` (Lloyd-trained);
+    pass ``anchor_pq_codebooks(...)`` for the deterministic
+    training-free variant.  At 10 B vectors the codes table is ~80 GB
+    vs ~2.5 TB of float32 vectors — the probe's scan bound."""
+    import os
+
+    if codebooks is None:
+        codebooks = train_pq_codebooks(df, m, k, iterations, id_col, vec_col)
+    m = max(s for s, _, _ in codebooks) + 1
+    k = max(c for _, c, _ in codebooks) + 1
+    dims = m * len(codebooks[0][2])
+    pq_encode(df, codebooks, id_col, vec_col).write.mode("overwrite").parquet(
+        os.path.join(path, "codes")
+    )
+    spark = df.sparkSession
+    (
+        spark.createDataFrame(codebooks, "s int, c int, cv array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "_pq_codebooks"))
+    )
+    (
+        spark.createDataFrame([(int(m), int(k), int(dims))], "m int, k int, dims int")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "_pq_params"))
+    )
+
+
+def read_pq_codebooks(spark, path: str) -> "list[tuple[int, int, list[float]]]":
+    """The index's codebooks, driver-side (m·k·dims floats — a few KB),
+    in canonical (subspace, code) order."""
+    import os
+
+    rows = (
+        spark.read.schema("s int, c int, cv array<double>")
+        .parquet(os.path.join(path, "_pq_codebooks"))
+        .collect()
+    )
+    return sorted((r["s"], r["c"], [float(x) for x in r["cv"]]) for r in rows)
+
+
+def pq_topk_indexed(
+    spark,
+    path: str,
+    df: DataFrame,
+    query_vec: "list[float]",
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a ``write_pq_index`` layout: ADC over the stored codes
+    (the scan touches ONLY the thin codes table — column-pruned to
+    (id, codes); the query's distance table enters as a literal),
+    then exact rerank of the ``shortlist`` against ``df``, the
+    full-precision vector table.  Geometry comes from the index's
+    ``_pq_params`` sidecar, and a query vector of the wrong
+    dimensionality is rejected rather than silently mis-sliced.
+    Results are identical to ``pq_topk_rerank`` with the same
+    codebooks (same ADC table, same (l2_dist, id) ordering)."""
+    import os
+
+    params = (
+        spark.read.schema("m int, k int, dims int")
+        .parquet(os.path.join(path, "_pq_params"))
+        .head()
+    )
+    if len(query_vec) != params.dims:
+        raise ValueError(
+            f"pq_topk_indexed: query has {len(query_vec)} dims, index expects {params.dims}"
+        )
+    books = read_pq_codebooks(spark, path)
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    return pq_topk_rerank(
+        df, codes, books, query_vec, k=k, shortlist=shortlist,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
 def anchor_pq_codebooks(
     df: DataFrame,
     m: int = 8,

@@ -1613,6 +1613,55 @@ def test_pq_rerank_recovers_exact_neighbors(spark, sf_dir):
         embs.unpersist()
 
 
+def test_pq_written_index_probe_matches_direct_rerank(spark, sf_dir, tmp_path):
+    """write_pq_index + pq_topk_indexed round-trip: the stored-layout
+    probe must return exactly what pq_topk_rerank computes directly
+    from the same codebooks (deterministic anchor books → exact row
+    equality), the ADC pass must column-prune the codes scan, and
+    mismatched query geometry must be rejected."""
+    import pytest as _pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        similarity as S,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+    from pyspark.sql import functions as F
+
+    embs = load(spark, sf_dir, "embeddings").persist()
+    path = str(tmp_path / "pq_index")
+    try:
+        corpus = embs.filter(F.col("vec_id") != 0)
+        books = S.anchor_pq_codebooks(embs, m=8, k=16)
+        S.write_pq_index(corpus, path, codebooks=books)
+        assert S.read_pq_codebooks(spark, path) == sorted(books)
+        qvec = [
+            float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]
+        ]
+        got = S.pq_topk_indexed(spark, path, corpus, qvec, k=10, shortlist=50).collect()
+        codes = S.pq_encode(corpus, books)
+        want = S.pq_topk_rerank(corpus, codes, books, qvec, k=10, shortlist=50).collect()
+        assert [(r["vec_id"], r["l2_dist"]) for r in got] == [
+            (r["vec_id"], r["l2_dist"]) for r in want
+        ]
+        # the ADC pass scans only (id, codes) — column pruning pinned
+        adc = S.pq_topk_adc(
+            spark.read.parquet(path + "/codes"), books, qvec, k=50
+        )
+        plan = adc._sc._jvm.PythonSQLUtils.explainString(
+            adc._jdf.queryExecution(), "formatted"
+        )
+        scan_schemas = [
+            ln for ln in plan.splitlines() if "ReadSchema" in ln
+        ]
+        assert scan_schemas and all(
+            "embedding" not in ln for ln in scan_schemas
+        ), scan_schemas
+        with _pytest.raises(ValueError, match="dims"):
+            S.pq_topk_indexed(spark, path, corpus, qvec[:32], k=10)
+    finally:
+        embs.unpersist()
+
+
 def test_sql_double_literals_roundtrip(spark):
     """pq_adc_report inlines its codebook as SQL double literals
     (repr(x) + 'D'): Python's shortest-round-trip repr parsed by
