@@ -1874,6 +1874,28 @@ def test_near_dedup_survivor_compaction_and_crash_recovery(spark):
         }
         assert keys_after == keys_before, "self-heal must recover every key"
         assert not os.path.exists(store + ".compact_old")
+
+        # the documented TERMINAL-ONLY hazard is real: replaying the
+        # run's last batch AFTER compaction rewrites batch=3 beside
+        # the compacted batch=0 rows and duplicates them — this
+        # assertion is the reason the docstring forbids compacting a
+        # resumable run (if it ever stops failing, the contract can
+        # be relaxed)
+        sink(
+            spark.createDataFrame(
+                [
+                    (3 * 10 + i, f"wholly distinct passage number 3-{i} "
+                     f"with unique tokens {3 * 97 + i * 13}", "en", "web", 60)
+                    for i in range(3)
+                ],
+                cols,
+            ),
+            3,
+        )
+        replayed = [r.doc_id for r in read_survivors(spark, out).collect()]
+        assert len(replayed) == len(before) + 3, (
+            "expected the documented duplicate-on-resume hazard"
+        )
     finally:
         shutil.rmtree(store, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
