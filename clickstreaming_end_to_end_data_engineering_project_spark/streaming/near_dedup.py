@@ -293,8 +293,11 @@ def compact_band_store(spark, store_dir: str, target_file_mb: int = 128) -> int:
             .agg(F.min("batch_id").alias("batch_id"))
         ),
         target_file_mb,
-        # sizing ratio: collapsed rows / source rows (both metadata-only
-        # parquet counts)
+        # sizing ratio: collapsed rows / source rows.  The source count
+        # is parquet-metadata-only; the collapsed count is one real
+        # hash-agg over the store — the same shuffle the compaction
+        # itself pays, so sizing adds ≤2× the store scan, not a new
+        # cost class.
         ratio_counts=lambda: (
             spark.read.schema(_STORE_SCHEMA)
             .parquet(store_dir)
