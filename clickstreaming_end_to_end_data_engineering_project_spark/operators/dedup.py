@@ -187,6 +187,79 @@ def _pairs_from_index(ds: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def ngram_jaccard_histogram(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_doc_freq: int | None = None,
+    bins: int = 10,
+) -> DataFrame:
+    """Jaccard distribution over ALL candidate pairs (≥1 shared
+    shingle) — the calibration table consulted BEFORE choosing
+    ``ngram_jaccard_pairs``' threshold: a bimodal histogram separates
+    near-dups from incidental overlap; a fat middle says the
+    threshold will be lossy either way.  Output: (bin, n_pairs) with
+    ``bin = least(floor(bins·inter/union), bins−1)`` — the division's
+    operands are exact integers, and a correctly-rounded double
+    quotient with denominator ≤ set size cannot straddle an integer,
+    so the bin (and hence the whole table) is engine-exact, unlike
+    the raw jaccard doubles.  Same inverted-index + hot-shingle-cap
+    machinery (and cost shape) as ``ngram_jaccard_pairs``."""
+    doc_cached = df.select(
+        F.col(id_col).alias("_id"), _shingle_array(text_col, n).alias("_sh")
+    ).persist()
+    doc = doc_cached
+    try:
+        if max_doc_freq is not None:
+            hot_rows = (
+                doc.select(F.explode("_sh").alias("shingle"))
+                .groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") > max_doc_freq)
+                .select("shingle")
+                .limit(_HOT_LIST_EXPR_CAP + 1)
+                .collect()
+            )
+            if len(hot_rows) > _HOT_LIST_EXPR_CAP:
+                raise ValueError(
+                    "ngram_jaccard_histogram: hot-shingle list exceeds the "
+                    "literal cap; raise max_doc_freq or pre-filter boilerplate"
+                )
+            if hot_rows:
+                hot_lit = F.array(*[F.lit(int(r[0])) for r in hot_rows])
+                doc = doc.withColumn("_sh", F.array_except("_sh", hot_lit))
+        ds = doc.select(
+            "_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("shingle")
+        )
+        a, b = ds.alias("a"), ds.alias("b")
+        pair = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+            .agg(
+                F.count(F.lit(1)).alias("_inter"),
+                F.min("a._n").alias("_na"),
+                F.min("b._n").alias("_nb"),
+            )
+        )
+        union = F.col("_na") + F.col("_nb") - F.col("_inter")
+        bin_col = F.least(
+            F.floor(F.lit(bins) * F.col("_inter") / union), F.lit(bins - 1)
+        ).cast("long")
+        return (
+            pair.select(bin_col.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        doc_cached.unpersist()
+
+
 def _jaccard_pairs_anti_join(doc: DataFrame, max_doc_freq: int, threshold: float) -> DataFrame:
     """Fallback for a giant hot-shingle drop-list (> _HOT_LIST_EXPR_CAP
     boilerplate shingles): distributed broadcast anti-join against the

@@ -223,6 +223,16 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ngram_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-pair Jaccard distribution (10 integer bins) — the
+    calibration table behind ngram_jaccard_dups' 0.2 threshold: run
+    this FIRST on a new corpus to see whether near-dup mass separates
+    from incidental overlap before committing to a cut."""
+    return dedup.ngram_jaccard_histogram(
+        _docs(spark, sf_dir), max_doc_freq=MAX_SHINGLE_DOC_FREQ
+    )
+
+
 def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs -> connected components -> canonical-per-cluster
     (iterative label propagation)."""
@@ -693,6 +703,62 @@ def embedding_pq_adc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_adc_report(_embs(spark, sf_dir), m=8, k=16, query_vec_id=0)
 
 
+def pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace PQ code-usage counts under the anchor codebook —
+    the codebook-health audit a PQ deployment runs before trusting an
+    index (a subspace whose mass collapses onto few codes quantizes
+    poorly; balanced usage ≈ log2(k) bits of real signal per
+    subspace).  Derived by decoding the report's integer code_key, so
+    the counts are engine-exact by construction."""
+    rep = similarity.pq_adc_report(_embs(spark, sf_dir), m=8, k=16, query_vec_id=0)
+    codes = F.array(
+        *[
+            F.shiftright(F.col("code_key"), 4 * s).bitwiseAND(F.lit(15)).cast("int")
+            for s in range(8)
+        ]
+    )
+    return (
+        rep.select(F.posexplode(codes).alias("s", "c"))
+        .groupBy("s", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    )
+
+
+# Shared CTE block for the two PQ oracles: anchors (Knuth-key order),
+# per-(vector, subspace) distances to every centroid, and the argmin
+# assignment `best` (vec_id, s, c, dq).
+_PQ_ANCHOR_CTES = """v AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+           FROM embeddings),
+        a AS (SELECT xs AS axs,
+                     row_number() OVER (
+                         ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+                     ) - 1 AS c
+              FROM v
+              QUALIFY c < 16),
+        q AS (SELECT xs AS qxs FROM v WHERE vec_id = 0),
+        sub AS (SELECT vec_id, xs, unnest(range(8)) AS s
+                FROM v WHERE vec_id <> 0),
+        d AS (
+            SELECT sub.vec_id, sub.s, a.c,
+                   list_reduce(list_prepend(0.0, list_transform(range(8), i ->
+                       (sub.xs[sub.s*8 + i + 1] - a.axs[sub.s*8 + i + 1])
+                     * (sub.xs[sub.s*8 + i + 1] - a.axs[sub.s*8 + i + 1]))),
+                       (acc, t) -> acc + t) AS dvec,
+                   list_reduce(list_prepend(0.0, list_transform(range(8), i ->
+                       (q.qxs[sub.s*8 + i + 1] - a.axs[sub.s*8 + i + 1])
+                     * (q.qxs[sub.s*8 + i + 1] - a.axs[sub.s*8 + i + 1]))),
+                       (acc, t) -> acc + t) AS dq
+            FROM sub, a, q
+        ),
+        best AS (
+            SELECT vec_id, s, c, dq
+            FROM d
+            QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                                       ORDER BY dvec, c) = 1
+        )"""
+
+
 
 def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint summary per doc — count, minimum,
@@ -963,6 +1029,25 @@ SPECS = [
         """,
     ),
     QuerySpec("ngram_jaccard_dups", ngram_jaccard_dups, _JACCARD_ORACLE),
+    QuerySpec(
+        "ngram_jaccard_histogram",
+        ngram_jaccard_histogram,
+        # bin arithmetic is engine-exact: the double quotient's
+        # operands are exact integers and the true rational quotient
+        # can't sit within an ulp of an integer at these magnitudes
+        # (operators/dedup.ngram_jaccard_histogram docstring)
+        f"""
+        WITH {_JACCARD_CTES}
+        SELECT CAST(least(floor(10 * i * 1.0 / (sa.n + sb.n - i)), 9) AS BIGINT)
+                   AS bin,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        GROUP BY 1
+        """,
+        "candidate-pair Jaccard distribution (threshold calibration)",
+    ),
     QuerySpec("minhash_lsh_dups", minhash_lsh_dups, None, "MinHash+LSH candidates (rows-only)"),
     QuerySpec(
         "doc_dup_clusters",
@@ -1425,37 +1510,8 @@ SPECS = [
         # query-to-assigned-centroid distances summed in subspace
         # order.  Every float fold is left-to-right subtract/multiply,
         # mirroring the Spark aggregate/zip_with shape.
-        """
-        WITH v AS (SELECT vec_id,
-                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
-                   FROM embeddings),
-        a AS (SELECT xs AS axs,
-                     row_number() OVER (
-                         ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
-                     ) - 1 AS c
-              FROM v
-              QUALIFY c < 16),
-        q AS (SELECT xs AS qxs FROM v WHERE vec_id = 0),
-        sub AS (SELECT vec_id, xs, unnest(range(8)) AS s
-                FROM v WHERE vec_id <> 0),
-        d AS (
-            SELECT sub.vec_id, sub.s, a.c,
-                   list_reduce(list_prepend(0.0, list_transform(range(8), i ->
-                       (sub.xs[sub.s*8 + i + 1] - a.axs[sub.s*8 + i + 1])
-                     * (sub.xs[sub.s*8 + i + 1] - a.axs[sub.s*8 + i + 1]))),
-                       (acc, t) -> acc + t) AS dvec,
-                   list_reduce(list_prepend(0.0, list_transform(range(8), i ->
-                       (q.qxs[sub.s*8 + i + 1] - a.axs[sub.s*8 + i + 1])
-                     * (q.qxs[sub.s*8 + i + 1] - a.axs[sub.s*8 + i + 1]))),
-                       (acc, t) -> acc + t) AS dq
-            FROM sub, a, q
-        ),
-        best AS (
-            SELECT vec_id, s, c, dq
-            FROM d
-            QUALIFY row_number() OVER (PARTITION BY vec_id, s
-                                       ORDER BY dvec, c) = 1
-        ),
+        f"""
+        WITH {_PQ_ANCHOR_CTES},
         l2 AS (
             SELECT v.vec_id,
                    list_reduce(list_prepend(0.0,
@@ -1476,6 +1532,21 @@ SPECS = [
         GROUP BY b.vec_id, l2.l2_dist
         """,
         "PQ anchor-codebook assignment + ADC-vs-exact distance audit per vector",
+    ),
+    QuerySpec(
+        "pq_code_balance",
+        pq_code_balance,
+        # Integer-exact by construction: counts of the same argmin
+        # assignments the adc-report oracle pins.
+        f"""
+        WITH {_PQ_ANCHOR_CTES}
+        SELECT CAST(b.s AS INTEGER) AS s,
+               CAST(b.c AS INTEGER) AS c,
+               CAST(count(*) AS BIGINT) AS n_vecs
+        FROM best b
+        GROUP BY b.s, b.c
+        """,
+        "per-subspace PQ code-usage counts (codebook-health audit)",
     ),
     QuerySpec(
         "doc_winnow_fingerprints",

@@ -112,6 +112,11 @@ class QuerySpec:
 # doc_winnow_fingerprints, doc_quality_weighted_sample,
 # doc_validation_report.  lang_confusion_matrix stays gated: its r10
 # single-pass rewrite (join removed) needs a fresh proving row.
+# r11 rotation queue (oracle-backed, added in r10 after the gate was
+# set): pq_code_balance (per-subspace code-usage audit),
+# ngram_jaccard_histogram (candidate-pair Jaccard distribution).
+# Rotate these in next round, demoting r10-green rows per the
+# standing policy.
 GATE_PRIORITY = [
     # reference-parity clickstream core (pinned)
     "page_view_counts",
