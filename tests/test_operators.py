@@ -501,6 +501,54 @@ def test_chunk_documents_tiles_every_token(spark):
     check()
 
 
+def test_ngram_jaccard_histogram_matches_python_reference(spark):
+    """Property (hypothesis): for ANY corpus over a tiny vocabulary
+    (dense overlap), the histogram equals a Python reference computed
+    with EXACT integer arithmetic ((bins*inter)//union, clamped) —
+    pinning both the pair machinery and the ulp-safety argument for
+    the floor-of-double binning."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        ngram_jaccard_histogram,
+    )
+
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    doc_strategy = st.lists(
+        st.sampled_from(vocab), min_size=1, max_size=10
+    ).map(" ".join)
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(doc_strategy, min_size=2, max_size=6))
+    def check(texts):
+        df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+        got = {
+            (r["bin"], r["n_pairs"])
+            for r in ngram_jaccard_histogram(df, n=3).collect()
+        }
+
+        def shingles(t):
+            toks = t.split()
+            if len(toks) < 3:
+                return {" ".join(toks)}
+            return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+        sets = [shingles(t) for t in texts]
+        expect: dict[int, int] = {}
+        for i in range(len(sets)):
+            for j in range(i + 1, len(sets)):
+                inter = len(sets[i] & sets[j])
+                if inter == 0:
+                    continue  # not a candidate pair
+                union = len(sets[i] | sets[j])
+                b = min((10 * inter) // union, 9)
+                expect[b] = expect.get(b, 0) + 1
+        assert got == set(expect.items()), (texts, got, expect)
+
+    check()
+
+
 def test_ngram_contamination_detects_planted_overlap(spark):
     from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
         ngram_contamination,
