@@ -143,34 +143,57 @@ def ngram_jaccard_pairs(
     # derivative silently leaves the cache entry behind — the leak
     # test_dedup_operators_leave_no_cached_dataframes pins with a
     # capped corpus)
-    doc = doc_cached
     try:
-        if max_doc_freq is not None:
-            hot_rows = (
-                doc.select(F.explode("_sh").alias("shingle"))
-                .groupBy("shingle")
-                .agg(F.count(F.lit(1)).alias("_df"))
-                .filter(F.col("_df") > max_doc_freq)
-                .select("shingle")
-                .limit(_HOT_LIST_EXPR_CAP + 1)
-                .collect()
-            )
-            if len(hot_rows) > _HOT_LIST_EXPR_CAP:
-                return _jaccard_pairs_anti_join(doc, max_doc_freq, threshold)
-            if hot_rows:
-                hot_lit = F.array(*[F.lit(int(r[0])) for r in hot_rows])
-                doc = doc.withColumn("_sh", F.array_except("_sh", hot_lit))
-        ds = doc.select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("shingle"))
+        ds = _capped_index(doc_cached, max_doc_freq)
         return _pairs_from_index(ds, threshold).localCheckpoint(eager=True)
     finally:
         doc_cached.unpersist()
 
 
-def _pairs_from_index(ds: DataFrame, threshold: float) -> DataFrame:
-    """(doc_a, doc_b, jaccard) from an exploded (_id, _n, shingle)
-    index: inverted-index self-join, sizes carried through the pair
-    aggregation (min is exact — every row of a pair sees the same
-    per-doc sizes)."""
+def _capped_index(doc: DataFrame, max_doc_freq: int | None) -> DataFrame:
+    """Exploded (_id, _n, shingle) candidate index from a (persisted)
+    doc-level (_id, _sh) frame, with the hot-shingle doc-frequency cap
+    applied — the ONE copy of this machinery, shared by
+    ``ngram_jaccard_pairs`` and ``ngram_jaccard_histogram`` so the
+    cap/fallback behavior cannot drift between them (r10 review).
+    Small hot list → ``array_except`` with a literal array in the same
+    projection; giant list (pathological boilerplate corpus) →
+    distributed broadcast anti-join with sizes re-aggregated
+    post-filter."""
+    if max_doc_freq is not None:
+        hot_rows = (
+            doc.select(F.explode("_sh").alias("shingle"))
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("shingle")
+            .limit(_HOT_LIST_EXPR_CAP + 1)
+            .collect()
+        )
+        if len(hot_rows) > _HOT_LIST_EXPR_CAP:
+            raw = doc.select("_id", F.explode("_sh").alias("shingle"))
+            hot = (
+                raw.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") > max_doc_freq)
+                .select("shingle")
+            )
+            capped = raw.join(F.broadcast(hot), "shingle", "left_anti")
+            sizes = capped.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+            return capped.join(sizes, "_id").select("_id", "_n", "shingle")
+        if hot_rows:
+            hot_lit = F.array(*[F.lit(int(r[0])) for r in hot_rows])
+            doc = doc.withColumn("_sh", F.array_except("_sh", hot_lit))
+    return doc.select(
+        "_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("shingle")
+    )
+
+
+def _pair_counts_from_index(ds: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, _inter, _na, _nb) from an exploded
+    (_id, _n, shingle) index: inverted-index self-join, sizes carried
+    through the pair aggregation (min is exact — every row of a pair
+    sees the same per-doc sizes)."""
     a = ds.alias("a")
     b = ds.alias("b")
     return (
@@ -181,6 +204,13 @@ def _pairs_from_index(ds: DataFrame, threshold: float) -> DataFrame:
             F.min("a._n").alias("_na"),
             F.min("b._n").alias("_nb"),
         )
+    )
+
+
+def _pairs_from_index(ds: DataFrame, threshold: float) -> DataFrame:
+    """(doc_a, doc_b, jaccard) pairs at or above ``threshold``."""
+    return (
+        _pair_counts_from_index(ds)
         .withColumn("jaccard", F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -204,48 +234,14 @@ def ngram_jaccard_histogram(
     operands are exact integers, and a correctly-rounded double
     quotient with denominator ≤ set size cannot straddle an integer,
     so the bin (and hence the whole table) is engine-exact, unlike
-    the raw jaccard doubles.  Same inverted-index + hot-shingle-cap
-    machinery (and cost shape) as ``ngram_jaccard_pairs``."""
+    the raw jaccard doubles.  Shares ``_capped_index`` +
+    ``_pair_counts_from_index`` with ``ngram_jaccard_pairs`` — same
+    machinery, cost shape, AND giant-hot-list anti-join fallback."""
     doc_cached = df.select(
         F.col(id_col).alias("_id"), _shingle_array(text_col, n).alias("_sh")
     ).persist()
-    doc = doc_cached
     try:
-        if max_doc_freq is not None:
-            hot_rows = (
-                doc.select(F.explode("_sh").alias("shingle"))
-                .groupBy("shingle")
-                .agg(F.count(F.lit(1)).alias("_df"))
-                .filter(F.col("_df") > max_doc_freq)
-                .select("shingle")
-                .limit(_HOT_LIST_EXPR_CAP + 1)
-                .collect()
-            )
-            if len(hot_rows) > _HOT_LIST_EXPR_CAP:
-                raise ValueError(
-                    "ngram_jaccard_histogram: hot-shingle list exceeds the "
-                    "literal cap; raise max_doc_freq or pre-filter boilerplate"
-                )
-            if hot_rows:
-                hot_lit = F.array(*[F.lit(int(r[0])) for r in hot_rows])
-                doc = doc.withColumn("_sh", F.array_except("_sh", hot_lit))
-        ds = doc.select(
-            "_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("shingle")
-        )
-        a, b = ds.alias("a"), ds.alias("b")
-        pair = (
-            a.join(
-                b,
-                (F.col("a.shingle") == F.col("b.shingle"))
-                & (F.col("a._id") < F.col("b._id")),
-            )
-            .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
-            .agg(
-                F.count(F.lit(1)).alias("_inter"),
-                F.min("a._n").alias("_na"),
-                F.min("b._n").alias("_nb"),
-            )
-        )
+        pair = _pair_counts_from_index(_capped_index(doc_cached, max_doc_freq))
         union = F.col("_na") + F.col("_nb") - F.col("_inter")
         bin_col = F.least(
             F.floor(F.lit(bins) * F.col("_inter") / union), F.lit(bins - 1)
@@ -258,23 +254,6 @@ def ngram_jaccard_histogram(
         )
     finally:
         doc_cached.unpersist()
-
-
-def _jaccard_pairs_anti_join(doc: DataFrame, max_doc_freq: int, threshold: float) -> DataFrame:
-    """Fallback for a giant hot-shingle drop-list (> _HOT_LIST_EXPR_CAP
-    boilerplate shingles): distributed broadcast anti-join against the
-    recomputed drop-list, per-doc sizes re-aggregated post-filter."""
-    raw = doc.select("_id", F.explode("_sh").alias("shingle"))
-    hot = (
-        raw.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") > max_doc_freq)
-        .select("shingle")
-    )
-    capped = raw.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = capped.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-    ds = capped.join(sizes, "_id").select("_id", "_n", "shingle")
-    return _pairs_from_index(ds, threshold).localCheckpoint(eager=True)
 
 
 def keep_first_per_fingerprint(

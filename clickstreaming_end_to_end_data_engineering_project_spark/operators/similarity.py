@@ -731,9 +731,11 @@ def anchor_pq_codebooks(
     """Deterministic PQ codebooks WITHOUT training: the codebook for
     every subspace is the subvectors of the same ``k`` anchor rows —
     the rows with the smallest Knuth multiplicative hash of their id
-    (``id * 2654435761 mod 2^32``: odd multiplier → bijective on ids,
-    so keys never tie; a pseudo-random spread with no RNG and no
-    float arithmetic).  Centroids are thus VERBATIM data values —
+    (``knuth_key``: ``id * 2654435761 mod 2^32``, overflow-free; the
+    odd multiplier is bijective mod 2^32, so keys tie only for ids
+    2^32 apart and the id tiebreak resolves those; a pseudo-random
+    spread with no RNG and no float arithmetic).  Centroids are thus
+    VERBATIM data values —
     the one codebook an independent SQL engine can reconstruct
     exactly, which is what lets ``pq_adc_report`` be value-hash
     oracle-checked while the trained path (``train_pq_codebooks``,
@@ -752,12 +754,29 @@ def anchor_pq_codebooks(
     ]
 
 
+def knuth_key(id_col: Column) -> Column:
+    """``(id * 2654435761) mod 2^32`` computed via 16-bit split
+    multiplication so no intermediate exceeds int64 — the naive
+    product overflows (ANSI: throws) for ids above ~3.46e9, i.e.
+    exactly the 10B-vector corpora the PQ docstrings size for (r10
+    review finding).  Identical values to the naive form wherever
+    that form is defined.  Keys collide for ids ≥ 2^32 (the map is
+    bijective only mod 2^32); callers tiebreak on the id."""
+    i = id_col.cast("long")
+    m, b32, b16 = F.lit(2654435761), F.lit(4294967296), F.lit(65536)
+    lo = F.pmod(i, b16)
+    # shiftright, NOT floor(i/65536): the double division loses the
+    # low bits above 2^53 — exactly the id range this guards
+    hi = F.pmod(F.shiftright(i, 16), b16)
+    return F.pmod(F.pmod(lo * m, b32) + F.pmod(hi * m, b32) * b16, b32)
+
+
 def _anchor_rows(df: DataFrame, k: int, id_col: str, vec_col: str):
     """The k anchor rows in Knuth-key order — ONE TakeOrdered job
     (dims are read off the collected rows, and pq_adc_report digs its
     query vector out of them when possible, so the whole PQ report
     costs a single driver-side job before the scan)."""
-    key = F.pmod(F.col(id_col).cast("long") * F.lit(2654435761), F.lit(4294967296))
+    key = knuth_key(F.col(id_col))
     anchors = (
         df.select(F.col(id_col), F.col(vec_col))
         .orderBy(key, F.col(id_col))

@@ -731,8 +731,14 @@ _PQ_ANCHOR_CTES = """v AS (SELECT vec_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
            FROM embeddings),
         a AS (SELECT xs AS axs,
+                     -- similarity.knuth_key: (id * 2654435761) mod 2^32
+                     -- via 16-bit split so no intermediate overflows
+                     -- int64 (same values as the naive product)
                      row_number() OVER (
-                         ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+                         ORDER BY (((vec_id % 65536) * 2654435761) % 4294967296
+                                   + (((vec_id >> 16) % 65536) * 2654435761
+                                      % 4294967296) * 65536) % 4294967296,
+                                  vec_id
                      ) - 1 AS c
               FROM v
               QUALIFY c < 16),

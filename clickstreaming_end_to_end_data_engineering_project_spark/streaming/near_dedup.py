@@ -310,6 +310,24 @@ def compact_band_store(spark, store_dir: str, target_file_mb: int = 128) -> int:
     return spark.read.schema(_STORE_SCHEMA).parquet(store_dir).count()
 
 
+def _fs_for(spark, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _heal_compact_crash(spark, path: str) -> None:
+    """Restore ``path`` from ``path.compact_old`` if a prior compaction
+    crashed between its two renames.  MUST run before any read of
+    ``path`` (an eager read of the missing dir would throw before the
+    heal inside _compact_dir could run — r10 review finding)."""
+    jvm, fs, hpath = _fs_for(spark, path)
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".compact_old")
+    if not fs.exists(hpath) and fs.exists(old):
+        if not fs.rename(old, hpath):
+            raise IOError(f"compact: restore {old} -> {path} failed")
+
+
 def _compact_dir(spark, path: str, frame_fn, target_file_mb: int, ratio_counts=None) -> None:
     """Shared staging + rename compaction: rewrite ``path`` with the
     DataFrame ``frame_fn()`` in ~``target_file_mb`` files.  Heals a
@@ -319,15 +337,10 @@ def _compact_dir(spark, path: str, frame_fn, target_file_mb: int, ratio_counts=N
     rewrite collapses rows."""
     import math
 
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    jvm, fs, hpath = _fs_for(spark, path)
     staging = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".compact_staging")
     old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".compact_old")
-    if not fs.exists(hpath) and fs.exists(old):
-        # previous run crashed between the two renames — restore
-        if not fs.rename(old, hpath):
-            raise IOError(f"compact: restore {old} -> {path} failed")
+    _heal_compact_crash(spark, path)
     # leftover dirs from any other crash point would make the renames
     # below fail forever
     fs.delete(staging, True)
@@ -365,19 +378,34 @@ def compact_survivors(
     stronger, since even a resume is disallowed).  ``read_survivors``
     is unaffected: the glob still matches ``run_id=*/batch=*``."""
     run_dir = f"{out_dir.rstrip('/')}/run_id={run_id}"
+    jvm, fs, hroot = _fs_for(spark, run_dir)
+    tmp = jvm.org.apache.hadoop.fs.Path(run_dir + "/.batch0_staging")
+    dest = jvm.org.apache.hadoop.fs.Path(run_dir + "/batch=0")
+    # Heal EVERY prior crash point BEFORE the eager read below (the r10
+    # review caught both orderings): (a) a crash between _compact_dir's
+    # renames leaves run_dir missing with data in .compact_old — restore
+    # it (reading first would throw and make the run unrecoverable);
+    # (b) a crash mid-way through the batch=0 move leaves already-moved
+    # files inside the dot-prefixed staging dir, which parquet readers
+    # ignore — a rerun would then recompact the REMAINING subset and
+    # delete the stranded rows with .compact_old.  Move them back first.
+    _heal_compact_crash(spark, run_dir)
+    if fs.exists(tmp):
+        for st in fs.listStatus(tmp):
+            p = st.getPath()
+            if not fs.rename(p, jvm.org.apache.hadoop.fs.Path(run_dir, p.getName())):
+                raise IOError(f"compact_survivors: restore {p} from staging failed")
+        fs.delete(tmp, True)
     # batch=* is discovered as a partition column; drop it — the
     # compacted rows all land in batch=0.  _compact_dir materializes
     # this frame into staging BEFORE any rename, so the lazy read
-    # always sees the still-live source dir.
+    # always sees the still-live source dir.  (After crash state (b)
+    # the dir holds bare root files instead of batch dirs; the read
+    # then has no batch column and the drop is a no-op.)
     frame = spark.read.parquet(run_dir).drop("batch")
     _compact_dir(spark, run_dir, lambda: frame, target_file_mb)
     # the compacted rows land under a single batch=0 dir so the
     # partition-discovery layout (and read_survivors' glob) holds
-    jvm = spark._jvm
-    hroot = jvm.org.apache.hadoop.fs.Path(run_dir)
-    fs = hroot.getFileSystem(spark._jsc.hadoopConfiguration())
-    tmp = jvm.org.apache.hadoop.fs.Path(run_dir + "/.batch0_staging")
-    dest = jvm.org.apache.hadoop.fs.Path(run_dir + "/batch=0")
     fs.mkdirs(tmp)
     for st in fs.listStatus(hroot):
         name = st.getPath().getName()

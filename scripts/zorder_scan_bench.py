@@ -40,11 +40,16 @@ REPLICAS = 10
 
 
 def admitted_files(path: str, col: str, lo, hi) -> int:
-    """Files whose [min, max] stats for ``col`` intersect [lo, hi]."""
+    """Files whose [min, max] stats for ``col`` intersect [lo, hi].
+    A file with ANY statless row group for ``col`` is admitted
+    unconditionally — a sticky flag, not a break, so a statless group
+    FOLLOWED by one with stats can't be overwritten into a skippable
+    range (r10 review: the earlier break-only form was order-dependent
+    and could overcount skipping)."""
     n = 0
     for f in sorted(glob.glob(path + "/*.parquet")):
         md = pq.ParquetFile(f).metadata
-        fmin, fmax = None, None
+        fmin, fmax, stats_missing = None, None, False
         for g in range(md.num_row_groups):
             for i in range(md.num_columns):
                 c = md.row_group(g).column(i)
@@ -52,15 +57,15 @@ def admitted_files(path: str, col: str, lo, hi) -> int:
                     continue
                 st = c.statistics
                 if st is None or not st.has_min_max:
-                    fmin = None
-                    break
+                    stats_missing = True
+                    continue
                 smin, smax = st.min, st.max
                 # parquet TIMESTAMP stats come back tz-aware; compare naive
                 if hasattr(smin, "tzinfo") and smin.tzinfo is not None:
                     smin, smax = smin.replace(tzinfo=None), smax.replace(tzinfo=None)
                 fmin = smin if fmin is None else min(fmin, smin)
                 fmax = smax if fmax is None else max(fmax, smax)
-        if fmin is None or (fmax >= lo and fmin <= hi):
+        if stats_missing or fmin is None or (fmax >= lo and fmin <= hi):
             n += 1
     return n
 

@@ -1858,6 +1858,37 @@ def test_near_dedup_survivor_compaction_and_crash_recovery(spark):
         # idempotent: a second pass is a no-op re-layout
         assert compact_survivors(spark, out, "terminal-run") == n
 
+        run_dir = f"{out}/run_id=terminal-run"
+        # survivor crash state (a): died between _compact_dir's two
+        # renames — run dir missing, data in .compact_old.  The rerun
+        # must heal BEFORE its eager read (r10 review: reading first
+        # made the run unrecoverable)
+        os.rename(run_dir, run_dir + ".compact_old")
+        assert compact_survivors(spark, out, "terminal-run") == n
+        assert sorted(
+            (r.doc_id, r.text) for r in read_survivors(spark, out).collect()
+        ) == before
+
+        # survivor crash state (b): died mid-way through the batch=0
+        # move — some files already inside the dot-prefixed staging dir
+        # (invisible to parquet readers).  A rerun must move them back
+        # before recompacting, not delete them with .compact_old.
+        batch0 = run_dir + "/batch=0"
+        staged = run_dir + "/.batch0_staging"
+        os.makedirs(staged)
+        files = [f for f in os.listdir(batch0) if not f.startswith((".", "_"))]
+        assert files
+        moved = files[: max(1, len(files) // 2)]
+        for f in moved:  # half staged ...
+            os.rename(f"{batch0}/{f}", f"{staged}/{f}")
+        for f in os.listdir(batch0):  # ... rest left at the root
+            os.rename(f"{batch0}/{f}", f"{run_dir}/{f}")
+        os.rmdir(batch0)
+        assert compact_survivors(spark, out, "terminal-run") == n
+        assert sorted(
+            (r.doc_id, r.text) for r in read_survivors(spark, out).collect()
+        ) == before, "crash-state rerun must recover every staged row"
+
         # crash self-heal: simulate dying between the two renames of a
         # band-store compaction (store moved to .compact_old, staging
         # already cleaned) — the next run must restore and complete
