@@ -144,6 +144,17 @@ def run_events_etl(spark: SparkSession, sf_dir: str, out_dir: str) -> EtlResult:
     )
 
 
+def _heal_swap_crash(path: str, old: str) -> None:
+    """Restore ``path`` from its swap backup ``old`` when a prior
+    staging+rename job crashed between its two renames (path missing,
+    data stranded in ``old``) — must run before anything reads or
+    sizes ``path``."""
+    import os
+
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -170,6 +181,14 @@ def compact_parquet(
     import os
     import shutil
 
+    staging = path.rstrip("/") + ".compact_staging"
+    old = path.rstrip("/") + ".compact_old"
+    # heal FIRST, before any read or sizing walk: a prior run that
+    # crashed between its two renames left the dataset in `old` with
+    # `path` missing — without the restore, the walk sizes 0 bytes and
+    # the read throws, leaving the data stranded (the near_dedup
+    # compactor had the identical bug; r10 review)
+    _heal_swap_crash(path, old)
     src_bytes = 0
     for root, _dirs, files in os.walk(path):
         src_bytes += sum(
@@ -179,9 +198,7 @@ def compact_parquet(
         )
     n_files = max(1, math.ceil(src_bytes / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
-    staging = path.rstrip("/") + ".compact_staging"
-    old = path.rstrip("/") + ".compact_old"
-    # recover from a previous crashed run: a leftover old/staging dir
+    # recover from any other crashed run: a leftover old/staging dir
     # would make the renames below fail forever
     shutil.rmtree(staging, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
@@ -220,14 +237,15 @@ def delete_user_data(
     import os
     import shutil
 
+    staging = path.rstrip("/") + ".erase_staging"
+    old = path.rstrip("/") + ".erase_old"
+    _heal_swap_crash(path, old)  # same rename-window recovery as compact_parquet
     df = spark.read.parquet(path)
     before = df.count()
     kept = df.filter(
         ~F.col(user_col).isin([int(u) for u in user_ids])
         | F.col(user_col).isNull()
     )
-    staging = path.rstrip("/") + ".erase_staging"
-    old = path.rstrip("/") + ".erase_old"
     shutil.rmtree(staging, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
     kept.write.mode("overwrite").parquet(staging)

@@ -129,6 +129,25 @@ def test_compact_parquet_shrinks_file_count(spark, tmp_path):
     os.makedirs(path + ".compact_old/leftover", exist_ok=True)
     assert compact_parquet(spark, path, target_file_mb=128) == 1
 
+    # crash recovery, rename window: died between the two renames —
+    # dataset stranded in .compact_old, path missing.  The rerun must
+    # restore it BEFORE sizing/reading (r10 review: without the heal,
+    # the walk sized 0 bytes and the read threw, data stranded)
+    os.rename(path, path + ".compact_old")
+    assert compact_parquet(spark, path, target_file_mb=128) == 1
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == expected
+    assert not os.path.exists(path + ".compact_old")
+
+    # same window for the erasure job
+    from clickstreaming_end_to_end_data_engineering_project_spark.etl import (
+        delete_user_data,
+    )
+
+    os.rename(path, path + ".erase_old")
+    removed = delete_user_data(spark, path, [1, 2], user_col="id")
+    assert removed == 2
+    assert spark.read.parquet(path).count() == 10_000 - 2
+
 
 def test_delete_user_data_removes_only_target_rows(spark, tmp_path):
     import os
