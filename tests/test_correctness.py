@@ -21,6 +21,22 @@ def duck(sf_dir):
     con.close()
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _no_cache_leaks_across_the_registry(spark):
+    """Global persist-discipline invariant: after EVERY registry query
+    in this module has run, the SQL cache manager must be empty — any
+    operator that persists an intermediate without unpersisting it
+    would accumulate executor storage across a long registry run (the
+    dedup-specific leak test pins the known-risky paths; this pins the
+    whole surface, at zero extra query cost)."""
+    spark.catalog.clearCache()
+    yield
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), (
+        "a registry query left a DataFrame in the SQL cache manager"
+    )
+
+
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_oracle_match(spark, sf_dir, duck, name):
     spec = SPECS[name]
