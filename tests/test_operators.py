@@ -1710,6 +1710,32 @@ def test_pq_written_index_probe_matches_direct_rerank(spark, sf_dir, tmp_path):
         embs.unpersist()
 
 
+def test_knuth_key_matches_naive_product_all_ranges(spark):
+    """The overflow-free split-multiply knuth_key must equal
+    (id * 2654435761) mod 2^32 for ids across the whole non-negative
+    int64 range — including ids past 2^32 where the naive Spark
+    product would overflow (ANSI: throw) and ids past 2^53 where a
+    float division in the hi-word extraction would eat low bits."""
+    import random
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.similarity import (
+        knuth_key,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260814)
+    ids = [0, 1, 65535, 65536, 2**31, 2**32 - 1, 2**32, 2**53 + 1, 2**62 - 1] + [
+        rng.randrange(0, 2**62) for _ in range(500)
+    ]
+    df = spark.createDataFrame([(i,) for i in ids], "vec_id long")
+    got = {
+        r["vec_id"]: r["k"]
+        for r in df.select("vec_id", knuth_key(F.col("vec_id")).alias("k")).collect()
+    }
+    for i in ids:
+        assert got[i] == (i * 2654435761) % (1 << 32), i
+
+
 def test_sql_double_literals_roundtrip(spark):
     """pq_adc_report inlines its codebook as SQL double literals
     (repr(x) + 'D'): Python's shortest-round-trip repr parsed by
