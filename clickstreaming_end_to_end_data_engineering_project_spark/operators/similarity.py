@@ -337,6 +337,43 @@ def ivf_topk(
     )
 
 
+def ivf_topk_learned(
+    df: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``ivf_topk`` over LEARNED k-means clusters — the composition
+    ``ivf_topk``'s docstring prescribes, packaged: assign clusters
+    with ``kmeans_assign`` (deterministic init, fixed iterations),
+    attach them, probe the ``nprobe`` nearest.  Use this instead of a
+    pre-existing label column whenever that column is not a GEOMETRIC
+    clustering — the r10 ANN head-to-head measured recall 0 probing
+    the synthetic ``label`` column vs 1.0 with learned clusters
+    (scripts/ann_probe_bench.py; labels group semantics, not space).
+    At scale, persist the assignment and write the corpus partitioned
+    by cluster so probes become partition-pruned scans."""
+    from .kmeans import kmeans_assign
+
+    clusters = kmeans_assign(
+        df, k=n_clusters, iterations=iterations, id_col=id_col, vec_col=vec_col
+    )
+    clustered = df.join(clusters, id_col)
+    return ivf_topk(
+        clustered,
+        query_vec_id,
+        k=k,
+        nprobe=nprobe,
+        cluster_col="cluster",
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
 def pairwise_above_threshold(
     df: DataFrame,
     threshold: float,

@@ -1710,6 +1710,33 @@ def test_pq_written_index_probe_matches_direct_rerank(spark, sf_dir, tmp_path):
         embs.unpersist()
 
 
+def test_ivf_topk_learned_matches_manual_composition(spark, sf_dir):
+    """The packaged learned-cluster IVF must return exactly what the
+    manual kmeans_assign + join + ivf_topk composition returns
+    (deterministic k-means init → identical clusters → identical
+    probe set and ranking)."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        similarity as S,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.kmeans import (
+        kmeans_assign,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    embs = load(spark, sf_dir, "embeddings")
+    got = S.ivf_topk_learned(
+        embs, query_vec_id=0, k=10, n_clusters=8, nprobe=3, iterations=2
+    ).collect()
+    clusters = kmeans_assign(embs, k=8, iterations=2)
+    want = S.ivf_topk(
+        embs.join(clusters, "vec_id"), 0, k=10, nprobe=3, cluster_col="cluster"
+    ).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in got] == [
+        (r["vec_id"], r["cos_sim"]) for r in want
+    ]
+    assert len(got) == 10
+
+
 def test_knuth_key_matches_naive_product_all_ranges(spark):
     """The overflow-free split-multiply knuth_key must equal
     (id * 2654435761) mod 2^32 for ids across the whole non-negative
