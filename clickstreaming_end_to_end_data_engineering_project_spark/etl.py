@@ -144,15 +144,26 @@ def run_events_etl(spark: SparkSession, sf_dir: str, out_dir: str) -> EtlResult:
     )
 
 
-def _heal_swap_crash(path: str, old: str) -> None:
-    """Restore ``path`` from its swap backup ``old`` when a prior
+# every staging+rename job's backup suffix; each job heals ALL of them
+# (a crashed compact must not strand the dataset for a later erasure
+# request on the same path, or vice versa — r10 review)
+_SWAP_BACKUP_SUFFIXES = (".compact_old", ".erase_old")
+
+
+def _heal_swap_crash(path: str) -> None:
+    """Restore ``path`` from ANY job's swap backup when a prior
     staging+rename job crashed between its two renames (path missing,
-    data stranded in ``old``) — must run before anything reads or
-    sizes ``path``."""
+    data stranded in ``<path><suffix>``) — must run before anything
+    reads or sizes ``path``."""
     import os
 
-    if not os.path.exists(path) and os.path.exists(old):
-        os.rename(old, path)
+    if os.path.exists(path):
+        return
+    for suffix in _SWAP_BACKUP_SUFFIXES:
+        old = path.rstrip("/") + suffix
+        if os.path.exists(old):
+            os.rename(old, path)
+            return
 
 
 def compact_parquet(
@@ -188,7 +199,7 @@ def compact_parquet(
     # `path` missing — without the restore, the walk sizes 0 bytes and
     # the read throws, leaving the data stranded (the near_dedup
     # compactor had the identical bug; r10 review)
-    _heal_swap_crash(path, old)
+    _heal_swap_crash(path)
     src_bytes = 0
     for root, _dirs, files in os.walk(path):
         src_bytes += sum(
@@ -239,7 +250,7 @@ def delete_user_data(
 
     staging = path.rstrip("/") + ".erase_staging"
     old = path.rstrip("/") + ".erase_old"
-    _heal_swap_crash(path, old)  # same rename-window recovery as compact_parquet
+    _heal_swap_crash(path)  # same rename-window recovery as compact_parquet
     df = spark.read.parquet(path)
     before = df.count()
     kept = df.filter(

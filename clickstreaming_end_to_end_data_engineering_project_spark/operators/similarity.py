@@ -362,7 +362,14 @@ def ivf_topk_learned(
     clusters = kmeans_assign(
         df, k=n_clusters, iterations=iterations, id_col=id_col, vec_col=vec_col
     )
-    clustered = df.join(clusters, id_col)
+    # drop any pre-existing 'cluster' column (re-clustering input) so
+    # the join can't produce an ambiguous reference; materialize the
+    # joined frame — ivf_topk scans its input several times (centroid
+    # build, query fetch, probe) and an unmaterialized join would
+    # re-execute per scan (both r10 review findings)
+    if "cluster" in df.columns:
+        df = df.drop("cluster")
+    clustered = df.join(clusters, id_col).localCheckpoint(eager=True)
     return ivf_topk(
         clustered,
         query_vec_id,

@@ -138,16 +138,6 @@ def test_compact_parquet_shrinks_file_count(spark, tmp_path):
     assert sorted(r.id for r in spark.read.parquet(path).collect()) == expected
     assert not os.path.exists(path + ".compact_old")
 
-    # same window for the erasure job
-    from clickstreaming_end_to_end_data_engineering_project_spark.etl import (
-        delete_user_data,
-    )
-
-    os.rename(path, path + ".erase_old")
-    removed = delete_user_data(spark, path, [1, 2], user_col="id")
-    assert removed == 2
-    assert spark.read.parquet(path).count() == 10_000 - 2
-
 
 def test_delete_user_data_removes_only_target_rows(spark, tmp_path):
     import os
@@ -173,3 +163,24 @@ def test_delete_user_data_removes_only_target_rows(spark, tmp_path):
     assert left.filter(F.col("user_id") == 2).count() == 20, "other users untouched"
     assert not os.path.exists(path + ".erase_staging")
     assert not os.path.exists(path + ".erase_old")
+
+    # crash recovery, rename window: an erasure that died between its
+    # two renames strands the dataset in .erase_old; the next erasure
+    # call must restore it first (r10 review)
+    os.rename(path, path + ".erase_old")
+    assert delete_user_data(spark, path, [2]) == 20
+    assert spark.read.parquet(path).count() == 41
+
+    # cross-job heal: a crashed COMPACTION must not block a subsequent
+    # erasure on the same path (each job heals every known backup
+    # suffix), and vice versa
+    os.rename(path, path + ".compact_old")
+    assert delete_user_data(spark, path, [4]) == 20
+    assert spark.read.parquet(path).count() == 21
+    from clickstreaming_end_to_end_data_engineering_project_spark.etl import (
+        compact_parquet,
+    )
+
+    os.rename(path, path + ".erase_old")
+    assert compact_parquet(spark, path, target_file_mb=128) == 1
+    assert spark.read.parquet(path).count() == 21
