@@ -278,6 +278,16 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(_embs(spark, sf_dir), query_vec_id=0, k=10, nprobe=3)
 
 
+def embedding_ivf_topk_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over LEARNED k-means clusters (the geometric coarse
+    quantizer) — the variant that actually recalls: probing the
+    synthetic label column measured recall 0 vs 1.0 with learned
+    clusters (scripts/ann_probe_bench.py)."""
+    return similarity.ivf_topk_learned(
+        _embs(spark, sf_dir), query_vec_id=0, k=10, n_clusters=8, nprobe=3
+    )
+
+
 def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jegou et al. 2011): train m=8/k=16
     codebooks (iterative k-means per subspace — driver loop, hence
@@ -1104,6 +1114,12 @@ SPECS = [
     ),
     QuerySpec("embedding_lsh_topk", embedding_lsh_topk, None, "LSH-bucketed ANN (rows-only)"),
     QuerySpec("embedding_kmeans", embedding_kmeans, None, "iterative k-means (rows-only)"),
+    QuerySpec(
+        "embedding_ivf_topk_learned",
+        embedding_ivf_topk_learned,
+        None,
+        "IVF over learned k-means clusters (rows-only)",
+    ),
     QuerySpec("embedding_pq_topk", embedding_pq_topk, None, "product-quantization ADC + rerank ANN (rows-only)"),
     QuerySpec("embedding_topk_pandas", embedding_topk_pandas, None, "numpy mapInPandas top-k (rows-only)"),
     QuerySpec("doc_zscore_by_lang", doc_zscore_by_lang, None, "applyInPandas grouped-map normalization (rows-only)"),
