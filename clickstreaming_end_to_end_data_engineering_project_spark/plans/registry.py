@@ -112,11 +112,24 @@ class QuerySpec:
 # doc_winnow_fingerprints, doc_quality_weighted_sample,
 # doc_validation_report.  lang_confusion_matrix stays gated: its r10
 # single-pass rewrite (join removed) needs a fresh proving row.
-# r11 rotation queue (oracle-backed, added in r10 after the gate was
-# set): pq_code_balance (per-subspace code-usage audit),
-# ngram_jaccard_histogram (candidate-pair Jaccard distribution).
-# Rotate these in next round, demoting r10-green rows per the
-# standing policy.
+# Round-11 rotation: the declared r11 queue rotates in for first
+# driver rows — pq_code_balance (per-subspace code-usage audit),
+# ngram_jaccard_histogram (candidate-pair Jaccard distribution) —
+# plus embedding_ivf_topk_learned (rows-only by design: kmeans float
+# averaging is not SQL-replayable; the driver records the weaker
+# rows-only check, giving the r10 learned-cluster recall-1.0 result
+# its first hard external signal, per the r10 verdict).  Demoted per
+# the standing policy are 3 doubly-verified rows (green in BOTH r9
+# and r10, none benched): text_embedding_disagreement (also r8),
+# doc_trimmed_corpus, cross_source_dup_leakage.
+# lang_confusion_matrix stays one more round for its post-rewrite
+# confirming row (the embedding_label_pairs precedent: fix-proving
+# row + one confirming row, then demote).
+# r12 rotation queue (added in r11 after the gate was set):
+# ivfpq_topk_probe (rows-only: IVF+PQ residual ANN — the r10
+# verdict's recall-floor fix) and doc_numeric_profile (oracle-backed
+# per-source numeric-token profile).  Rotate these in next round,
+# demoting doubly-verified rows per the standing policy.
 GATE_PRIORITY = [
     # reference-parity clickstream core (pinned)
     "page_view_counts",
@@ -157,18 +170,18 @@ GATE_PRIORITY = [
     "dau_wau_stickiness",
     "doc_winnow_dups",
     "embedding_quant_error",
-    "text_embedding_disagreement",
-    # round-9 rotation, retained: doc_trimmed_corpus +
-    # cross_source_dup_leakage have ONE green row (r9);
-    # lang_confusion_matrix is freshly rewritten (r10) and must prove
-    # the fix
-    "doc_trimmed_corpus",
+    # lang_confusion_matrix: r10 proved the single-pass rewrite; one
+    # confirming row this round, demote next (standing precedent)
     "lang_confusion_matrix",
-    "cross_source_dup_leakage",
-    # round-10 rotation: first driver rows
+    # round-10 rotation, retained for confirming rows
     "weekly_retention_cohorts",
     "doc_ngram_novelty",
     "embedding_pq_adc_report",
+    # round-11 rotation: first driver rows (embedding_ivf_topk_learned
+    # is rows-only by design — kmeans averaging is not SQL-replayable)
+    "pq_code_balance",
+    "ngram_jaccard_histogram",
+    "embedding_ivf_topk_learned",
     # retained from the r7 rotation (green r7+r8; kept while slots
     # allow — the benched/swept tpch_deep shapes stay visible)
     "q2_cheapest_supplier_per_part",
