@@ -18,6 +18,25 @@ from ..session import ensure_session_defaults
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Catalog-style schema cache: (abspath(sf_dir), table) → raw read
+# schema.  ``spark.read.parquet`` pays ~85 ms of JVM file-listing +
+# footer schema inference PER CALL even for a 5-row dim table (measured
+# r11; a query like TPC-H Q2 makes five load() calls, so inference was
+# ~half its wall-clock).  Real deployments never infer per query — the
+# schema comes from the table catalog — so after the first successful
+# read the schema is cached and later loads supply it explicitly,
+# skipping inference.  StructType is plain Python: the cache survives
+# session restarts and is safe to share.  Staleness contract (same as a
+# metastore): if a table's file layout changes schema mid-process, call
+# ``clear_schema_cache()``.  Nanos-layout tables (the guarded fallback
+# below) are never cached — their load path rewrites columns and must
+# re-inspect the footer each time.
+_SCHEMA_CACHE: dict = {}
+
+
+def clear_schema_cache() -> None:
+    _SCHEMA_CACHE.clear()
+
 
 def normalize_ntz(df: DataFrame) -> DataFrame:
     """Cast any TIMESTAMP_NTZ column to TIMESTAMP (session tz; UTC
@@ -72,6 +91,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     ensure_session_defaults(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
+    cache_key = (os.path.abspath(sf_dir), name)
+    cached = _SCHEMA_CACHE.get(cache_key)
+    if cached is not None:
+        # schema from the catalog cache: no footer inference; NTZ
+        # normalization still applies (the cached schema is the raw
+        # read schema, which may be NTZ under an external session)
+        return normalize_ntz(spark.read.schema(cached).parquet(path))
     nanos_read = False
     try:
         df = spark.read.parquet(path)
@@ -102,6 +128,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 # integer div, not `/`: ns epochs (~1.7e18) overflow a
                 # double's 53-bit mantissa
                 df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    else:
+        _SCHEMA_CACHE[cache_key] = df.schema
     return normalize_ntz(df)
 
 

@@ -402,3 +402,61 @@ def test_write_zordered_all_null_column(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 100
     assert got.filter(F.col("all_null").isNull()).count() == 100
+
+
+def test_schema_cache_hits_after_first_load(spark, sf_dir):
+    """The catalog-style schema cache: the first successful load of a
+    table infers from the parquet footer and caches the raw schema;
+    later loads supply it explicitly (skipping the ~85 ms/call JVM
+    footer inference — half of TPC-H Q2's wall-clock, measured r11)
+    and must return an identical schema and identical rows."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources import tables
+
+    import os
+
+    key = (os.path.abspath(sf_dir), "nation")
+    tables._SCHEMA_CACHE.pop(key, None)
+    first = load(spark, sf_dir, "nation")
+    assert key in tables._SCHEMA_CACHE, "successful load must populate the cache"
+    second = load(spark, sf_dir, "nation")  # cache-hit path
+    assert second.schema == first.schema
+    assert sorted(map(tuple, second.collect())) == sorted(map(tuple, first.collect()))
+    # clear → next load re-infers and still works
+    tables.clear_schema_cache()
+    assert not tables._SCHEMA_CACHE
+    third = load(spark, sf_dir, "nation")
+    assert third.schema == first.schema
+
+
+def test_schema_cache_skips_nanos_layout(spark, tmp_path):
+    """Nanos-layout tables are never cached: their load path rewrites
+    columns (bigint → timestamp) so the raw read schema is not a valid
+    catalog entry, and the fallback must re-inspect the footer each
+    time."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources import tables
+
+    base = dt.datetime(2024, 1, 1, 9, 0, 0)
+    pdf = pd.DataFrame(
+        {"event_id": [1, 2], "ts": pd.to_datetime([base, base + dt.timedelta(minutes=1)])}
+    )
+    table = pa.Table.from_pandas(pdf, preserve_index=False).set_column(
+        1, "ts", pa.Array.from_pandas(pdf["ts"]).cast(pa.timestamp("ns"))
+    )
+    pq.write_table(table, f"{tmp_path}/events.parquet", coerce_timestamps=None)
+
+    import os
+
+    key = (os.path.abspath(str(tmp_path)), "events")
+    df = load(spark, str(tmp_path), "events")
+    assert key not in tables._SCHEMA_CACHE
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    # a second load takes the fallback again and still converts
+    df2 = load(spark, str(tmp_path), "events")
+    assert key not in tables._SCHEMA_CACHE
+    assert dict(df2.dtypes)["ts"] == "timestamp"
