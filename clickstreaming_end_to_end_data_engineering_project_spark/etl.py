@@ -144,28 +144,6 @@ def run_events_etl(spark: SparkSession, sf_dir: str, out_dir: str) -> EtlResult:
     )
 
 
-# every staging+rename job's backup suffix; each job heals ALL of them
-# (a crashed compact must not strand the dataset for a later erasure
-# request on the same path, or vice versa — r10 review)
-_SWAP_BACKUP_SUFFIXES = (".compact_old", ".erase_old")
-
-
-def _heal_swap_crash(path: str) -> None:
-    """Restore ``path`` from ANY job's swap backup when a prior
-    staging+rename job crashed between its two renames (path missing,
-    data stranded in ``<path><suffix>``) — must run before anything
-    reads or sizes ``path``."""
-    import os
-
-    if os.path.exists(path):
-        return
-    for suffix in _SWAP_BACKUP_SUFFIXES:
-        old = path.rstrip("/") + suffix
-        if os.path.exists(old):
-            os.rename(old, path)
-            return
-
-
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -178,62 +156,40 @@ def compact_parquet(
     files whose open/footer costs dominate reads.  Rewrites the
     dataset into ``ceil(bytes / target_file_mb)`` files (per the whole
     dataset; partition columns are preserved in the layout when
-    given), via a staging directory + atomic-ish rename so a crashed
-    compaction never leaves the table half-rewritten.  Returns the new
-    file count.
+    given), via the shared crash-safe staging+rename discipline
+    (``fsutil.swap_with_staging``: heal-any-suffix, debris cleanup,
+    write to staging, two renames).  Returns the new file count.
 
     Scale notes: the rewrite is one shuffle-free coalesce when
     shrinking file counts (coalesce narrows; repartition is only
     needed to GROW parallelism, which compaction never does); sizing
-    comes from the filesystem, not a sample.  On object stores, swap
-    the rename for a manifest/metastore pointer flip — the staging
-    pattern is the same."""
+    comes from the filesystem, not a sample — and every filesystem
+    operation goes through the Hadoop FS API resolved from the path,
+    so the same call compacts a local, HDFS, or s3a dataset (the
+    os/shutil copy this replaced was local-only — r10 ADVICE)."""
     import math
-    import os
-    import shutil
 
-    staging = path.rstrip("/") + ".compact_staging"
-    old = path.rstrip("/") + ".compact_old"
-    # heal FIRST, before any read or sizing walk: a prior run that
-    # crashed between its two renames left the dataset in `old` with
-    # `path` missing — without the restore, the walk sizes 0 bytes and
-    # the read throws, leaving the data stranded (the near_dedup
-    # compactor had the identical bug; r10 review)
-    _heal_swap_crash(path)
-    src_bytes = 0
-    for root, _dirs, files in os.walk(path):
-        src_bytes += sum(
-            os.path.getsize(os.path.join(root, f))
-            for f in files
-            if f.endswith(".parquet")
-        )
-    n_files = max(1, math.ceil(src_bytes / (target_file_mb * 1024 * 1024)))
-    df = spark.read.parquet(path)
-    # recover from any other crashed run: a leftover old/staging dir
-    # would make the renames below fail forever
-    shutil.rmtree(staging, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
-    writer = df.coalesce(n_files).write.mode("overwrite")
-    if partition_cols:
-        writer = writer.partitionBy(*partition_cols)
-    writer.parquet(staging)
-    os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old)
-    return sum(
-        1
-        for root, _dirs, files in os.walk(path)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    from . import fsutil
+
+    def _write(staging: str) -> None:
+        src_bytes = fsutil.dataset_bytes(spark, path)
+        n_files = max(1, math.ceil(src_bytes / (target_file_mb * 1024 * 1024)))
+        writer = spark.read.parquet(path).coalesce(n_files).write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(staging)
+
+    fsutil.swap_with_staging(spark, path, _write, job="compact")
+    return fsutil.parquet_file_count(spark, path)
 
 
 def delete_user_data(
     spark: SparkSession, path: str, user_ids: "list[int]", user_col: str = "user_id"
 ) -> int:
     """Right-to-be-forgotten rewrite: remove every row belonging to
-    ``user_ids`` from a parquet dataset, via the same staging+rename
-    discipline (and crash-recovery pre-clean) as ``compact_parquet``.
+    ``user_ids`` from a parquet dataset, via the same shared
+    staging+rename discipline as ``compact_parquet``
+    (``fsutil.swap_with_staging`` with the ``erase`` suffix pair).
     Rows with a NULL ``user_col`` are PRESERVED — three-valued logic
     would otherwise silently delete every anonymous row (the
     silver_refine coalesce rule).  Returns the number of rows
@@ -245,22 +201,18 @@ def delete_user_data(
     partitions need rewriting — this whole-dataset rewrite is the
     unpartitioned fallback.  Erasure must also cover derived sinks
     (gold rollups, metrics stores) — compose per-layer calls."""
-    import os
-    import shutil
+    from . import fsutil
 
-    staging = path.rstrip("/") + ".erase_staging"
-    old = path.rstrip("/") + ".erase_old"
-    _heal_swap_crash(path)  # same rename-window recovery as compact_parquet
-    df = spark.read.parquet(path)
-    before = df.count()
-    kept = df.filter(
-        ~F.col(user_col).isin([int(u) for u in user_ids])
-        | F.col(user_col).isNull()
-    )
-    shutil.rmtree(staging, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
-    kept.write.mode("overwrite").parquet(staging)
-    os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old)
-    return before - spark.read.parquet(path).count()
+    counts: dict[str, int] = {}
+
+    def _write(staging: str) -> None:
+        df = spark.read.parquet(path)
+        counts["before"] = df.count()
+        kept = df.filter(
+            ~F.col(user_col).isin([int(u) for u in user_ids])
+            | F.col(user_col).isNull()
+        )
+        kept.write.mode("overwrite").parquet(staging)
+
+    fsutil.swap_with_staging(spark, path, _write, job="erase")
+    return counts["before"] - spark.read.parquet(path).count()

@@ -311,55 +311,54 @@ def compact_band_store(spark, store_dir: str, target_file_mb: int = 128) -> int:
 
 
 def _fs_for(spark, path: str):
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    return jvm, hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+    from ..fsutil import fs_for
+
+    return fs_for(spark, path)
 
 
 def _heal_compact_crash(spark, path: str) -> None:
-    """Restore ``path`` from ``path.compact_old`` if a prior compaction
-    crashed between its two renames.  MUST run before any read of
-    ``path`` (an eager read of the missing dir would throw before the
-    heal inside _compact_dir could run — r10 review finding)."""
-    jvm, fs, hpath = _fs_for(spark, path)
-    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".compact_old")
-    if not fs.exists(hpath) and fs.exists(old):
-        if not fs.rename(old, hpath):
-            raise IOError(f"compact: restore {old} -> {path} failed")
+    """Restore ``path`` from any job's swap backup if a prior
+    staging+rename job crashed between its two renames.  MUST run
+    before any read of ``path`` (an eager read of the missing dir
+    would throw before the heal inside _compact_dir could run — r10
+    review finding).  Delegates to the shared
+    ``fsutil.heal_swap_crash`` — the r10 round fixed the same
+    crash-window bug in three hand-rolled copies, so the discipline
+    now has exactly one implementation."""
+    from ..fsutil import heal_swap_crash
+
+    heal_swap_crash(spark, path)
 
 
 def _compact_dir(spark, path: str, frame_fn, target_file_mb: int, ratio_counts=None) -> None:
-    """Shared staging + rename compaction: rewrite ``path`` with the
-    DataFrame ``frame_fn()`` in ~``target_file_mb`` files.  Heals a
-    prior crash (path missing + ``.compact_old`` present → restore)
-    before doing anything; ``ratio_counts`` optionally returns
+    """Rewrite ``path`` with the DataFrame ``frame_fn()`` in
+    ~``target_file_mb`` files under the shared crash-safe
+    staging+rename discipline (``fsutil.swap_with_staging``: heal a
+    prior crash from ANY job's backup suffix, clear debris, write to
+    staging, two renames).  ``ratio_counts`` optionally returns
     (rows_after, rows_before) to scale the byte estimate when the
     rewrite collapses rows."""
     import math
 
-    jvm, fs, hpath = _fs_for(spark, path)
-    staging = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".compact_staging")
-    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".compact_old")
-    _heal_compact_crash(spark, path)
-    # leftover dirs from any other crash point would make the renames
-    # below fail forever
-    fs.delete(staging, True)
-    fs.delete(old, True)
-    src_bytes = fs.getContentSummary(hpath).getLength()
-    if ratio_counts is not None:
-        after, before = ratio_counts()
-        src_bytes = math.ceil(src_bytes * after / before) if before else src_bytes
-    n_files = max(1, math.ceil(src_bytes / (target_file_mb * 1024 * 1024)))
-    frame_fn().coalesce(n_files).write.mode("overwrite").parquet(str(staging))
-    if not fs.rename(hpath, old):
-        raise IOError(f"compact: rename {path} -> {old} failed")
-    if not fs.rename(staging, hpath):
-        raise IOError(f"compact: rename {staging} -> {path} failed")
-    fs.delete(old, True)
+    from ..fsutil import dataset_bytes, swap_with_staging
+
+    def _write(staging: str) -> None:
+        src_bytes = dataset_bytes(spark, path)
+        if ratio_counts is not None:
+            after, before = ratio_counts()
+            src_bytes = math.ceil(src_bytes * after / before) if before else src_bytes
+        n_files = max(1, math.ceil(src_bytes / (target_file_mb * 1024 * 1024)))
+        frame_fn().coalesce(n_files).write.mode("overwrite").parquet(staging)
+
+    swap_with_staging(spark, path, _write, job="compact")
 
 
 def compact_survivors(
-    spark, out_dir: str, run_id: str, target_file_mb: int = 128
+    spark,
+    out_dir: str,
+    run_id: str,
+    target_file_mb: int = 128,
+    min_idle_minutes: float = 10.0,
 ) -> int:
     """Offline maintenance for the survivor output of ONE run:
     ``out_dir/run_id=<id>/batch=<n>`` accumulates a directory (and at
@@ -376,9 +375,33 @@ def compact_survivors(
     duplicate them.  Compact a run only when its stream is finished
     for good (the same stopped-stream contract as the band store —
     stronger, since even a resume is disallowed).  ``read_survivors``
-    is unaffected: the glob still matches ``run_id=*/batch=*``."""
+    is unaffected: the glob still matches ``run_id=*/batch=*``.
+
+    The terminal-only contract is ENFORCED mechanically, not just
+    documented (r10 verdict item): if any file under the run dir was
+    modified within the last ``min_idle_minutes``, the run still
+    looks live (micro-batches land every trigger) and the call
+    refuses with a RuntimeError rather than risk the
+    duplicate-on-resume hazard.  Pass ``min_idle_minutes=0`` to
+    assert the run is known-terminal (e.g. the stream was just
+    stopped for good in this very process)."""
+    import time
+
+    from ..fsutil import newest_mtime_ms
+
     run_dir = f"{out_dir.rstrip('/')}/run_id={run_id}"
     jvm, fs, hroot = _fs_for(spark, run_dir)
+    if min_idle_minutes > 0 and fs.exists(hroot):
+        idle_ms = time.time() * 1000 - newest_mtime_ms(spark, run_dir)
+        if idle_ms < min_idle_minutes * 60_000:
+            raise RuntimeError(
+                f"compact_survivors: run {run_id!r} wrote a file "
+                f"{idle_ms / 1000:.0f}s ago (< min_idle_minutes="
+                f"{min_idle_minutes}); it may still be live, and "
+                "compacting a resumable run duplicates its last batch "
+                "on resume. Pass min_idle_minutes=0 only if the run "
+                "is terminal."
+            )
     tmp = jvm.org.apache.hadoop.fs.Path(run_dir + "/.batch0_staging")
     dest = jvm.org.apache.hadoop.fs.Path(run_dir + "/batch=0")
     # Heal EVERY prior crash point BEFORE the eager read below (the r10

@@ -1847,7 +1847,7 @@ def test_near_dedup_survivor_compaction_and_crash_recovery(spark):
         )
         batch_dirs = glob.glob(f"{out}/run_id=terminal-run/batch=*")
         assert len(batch_dirs) == 4
-        n = compact_survivors(spark, out, "terminal-run")
+        n = compact_survivors(spark, out, "terminal-run", min_idle_minutes=0)
         assert n == len(before)
         after_dirs = glob.glob(f"{out}/run_id=terminal-run/batch=*")
         assert [os.path.basename(d) for d in after_dirs] == ["batch=0"]
@@ -1856,7 +1856,7 @@ def test_near_dedup_survivor_compaction_and_crash_recovery(spark):
         )
         assert after == before, "compaction must preserve the exact row set"
         # idempotent: a second pass is a no-op re-layout
-        assert compact_survivors(spark, out, "terminal-run") == n
+        assert compact_survivors(spark, out, "terminal-run", min_idle_minutes=0) == n
 
         run_dir = f"{out}/run_id=terminal-run"
         # survivor crash state (a): died between _compact_dir's two
@@ -1864,7 +1864,7 @@ def test_near_dedup_survivor_compaction_and_crash_recovery(spark):
         # must heal BEFORE its eager read (r10 review: reading first
         # made the run unrecoverable)
         os.rename(run_dir, run_dir + ".compact_old")
-        assert compact_survivors(spark, out, "terminal-run") == n
+        assert compact_survivors(spark, out, "terminal-run", min_idle_minutes=0) == n
         assert sorted(
             (r.doc_id, r.text) for r in read_survivors(spark, out).collect()
         ) == before
@@ -1884,7 +1884,7 @@ def test_near_dedup_survivor_compaction_and_crash_recovery(spark):
         for f in os.listdir(batch0):  # ... rest left at the root
             os.rename(f"{batch0}/{f}", f"{run_dir}/{f}")
         os.rmdir(batch0)
-        assert compact_survivors(spark, out, "terminal-run") == n
+        assert compact_survivors(spark, out, "terminal-run", min_idle_minutes=0) == n
         assert sorted(
             (r.doc_id, r.text) for r in read_survivors(spark, out).collect()
         ) == before, "crash-state rerun must recover every staged row"
@@ -1926,6 +1926,18 @@ def test_near_dedup_survivor_compaction_and_crash_recovery(spark):
         replayed = [r.doc_id for r in read_survivors(spark, out).collect()]
         assert len(replayed) == len(before) + 3, (
             "expected the documented duplicate-on-resume hazard"
+        )
+
+        # the terminal-only contract is enforced, not just documented
+        # (r11): batch=3 was just replayed above, so under the default
+        # idle window the run still looks live and the call must
+        # refuse rather than risk duplicate-on-resume
+        with pytest.raises(RuntimeError, match="min_idle_minutes"):
+            compact_survivors(spark, out, "terminal-run")
+        # the override asserts the run is known-terminal and proceeds
+        assert (
+            compact_survivors(spark, out, "terminal-run", min_idle_minutes=0)
+            == len(replayed)
         )
     finally:
         shutil.rmtree(store, ignore_errors=True)
