@@ -664,6 +664,251 @@ def pq_topk_rerank(
     )
 
 
+def unit_normalize(
+    df: DataFrame, vec_col: str = "embedding", out_col: "str | None" = None
+) -> DataFrame:
+    """Unit-norm the vector column (double precision; zero vectors pass
+    through unchanged).  The standard preprocessing for serving COSINE
+    search from an L2 index: on the unit sphere ||a−b||² = 2−2·cos, so
+    L2 ranking IS cosine ranking — which is how the IVFPQ probe below
+    reaches cosine-recall targets while quantizing in L2."""
+    out_col = out_col or vec_col
+    n = norm(F.col(vec_col))
+    return df.withColumn(
+        out_col,
+        F.when(n == F.lit(0.0), F.transform(F.col(vec_col), lambda x: x.cast("double")))
+        .otherwise(F.transform(F.col(vec_col), lambda x: x.cast("double") / n)),
+    )
+
+
+def ivfpq_build(
+    df: DataFrame,
+    n_clusters: int = 16,
+    m: int = 8,
+    codes_k: int = 16,
+    coarse_iterations: int = 2,
+    pq_iterations: int = 3,
+    assign_n: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVFADC index build (Jegou, Douze, Schmid 2011 §IV): a coarse
+    k-means quantizer routes each vector to a cluster, then product
+    quantization encodes the RESIDUAL (vector − coarse centroid).
+    Residual encoding is what lifts plain PQ's recall floor: residuals
+    concentrate near the origin with far less variance than raw
+    vectors, so the same m×k codebook budget spends its precision on a
+    much smaller ball (the r10 head-to-head pinned raw-vector PQ at
+    recall@10 ≈ 0.2 on this fixture; see scripts/ann_probe_bench.py
+    for the measured lift).
+
+    ``assign_n`` > 1 turns on MULTIPLE ASSIGNMENT: each vector is
+    indexed under its ``assign_n`` nearest coarse centroids (index
+    size ×assign_n — codes are m bytes, so even ×3 stays far below
+    the float vectors).  On near-uniform high-dim data the coarse
+    quantizer scatters a query's true neighbors across cluster
+    boundaries (measured here: single-assign coverage@nprobe4 = 6/10
+    on the bench fixture vs 9-10/10 at assign_n 3-4), so boundary
+    duplication is what makes a small nprobe reach high recall — the
+    same tradeoff SPANN (Chen et al. 2021) makes with boundary
+    replication.
+
+    Returns ``(codes_df, centroid_rows, codebooks)``:
+    ``codes_df`` = (id, codes, cluster) — the m-byte-per-vector index
+    a deployment stores partitioned by cluster (``assign_n`` rows per
+    id, each encoding the residual vs ITS centroid); ``centroid_rows``
+    = driver-side [(cluster, centroid)] (n_clusters×dims floats);
+    ``codebooks`` = driver-side PQ rows as in ``train_pq_codebooks``.
+    Both driver artifacts are a few KB — the intentionally
+    driver-sized part of the family.  All stages are deterministic
+    (fixed-iteration k-means with hash-spread init), so the probe is
+    reproducible run to run."""
+    from .kmeans import _sq_dist, kmeans_assign
+
+    clusters = kmeans_assign(
+        df, k=n_clusters, iterations=coarse_iterations, id_col=id_col, vec_col=vec_col
+    )
+    if "cluster" in df.columns:
+        df = df.drop("cluster")
+    # materialize: the residual frame is scanned repeatedly below
+    # (codebook training iterations + encode) and an unmaterialized
+    # join would re-execute per scan (the ivf_topk_learned finding)
+    clustered = df.join(clusters, id_col).localCheckpoint(eager=True)
+    cent_rows = [
+        (r["cluster"], [float(x) for x in r["centroid"]])
+        for r in build_ivf_centroids(clustered, "cluster", vec_col).collect()
+    ]
+    cent_rows.sort()
+    cent_df = clustered.sparkSession.createDataFrame(cent_rows, ["cluster", "_cent"])
+    if assign_n > 1:
+        # re-assign each vector to its assign_n nearest centroids:
+        # broadcast the tiny centroid frame, rank per id, keep top-n
+        # (WindowGroupLimit — map-side top-k per vector)
+        w = Window.partitionBy("_aid").orderBy("_ad", "cluster")
+        assigned = (
+            df.select(F.col(id_col).alias("_aid"), F.col(vec_col).alias("_av"))
+            .crossJoin(F.broadcast(cent_df))
+            .select(
+                "_aid",
+                "_av",
+                "cluster",
+                "_cent",
+                _sq_dist(F.col("_av"), F.col("_cent")).alias("_ad"),
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= assign_n)
+            .select(F.col("_aid").alias(id_col), F.col("_av").alias(vec_col), "cluster", "_cent")
+        )
+    else:
+        assigned = clustered.join(F.broadcast(cent_df), "cluster").select(
+            id_col, vec_col, "cluster", "_cent"
+        )
+    resid = (
+        assigned.select(
+            id_col,
+            "cluster",
+            F.zip_with(
+                F.col(vec_col), F.col("_cent"), lambda x, c: x.cast("double") - c
+            ).alias("_resid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # codebooks train on the PRIMARY assignment's residuals only (the
+    # nearest-centroid ones — rows duplicated under 2nd/3rd-nearest
+    # centroids have systematically larger residuals and would bias
+    # the centroids); with assign_n=1 this is just `resid`.  The
+    # training frame needs one (id, subspace) key per row, so for
+    # multi-assign the per-id minimum-norm residual IS the primary.
+    if assign_n > 1:
+        train_src = (
+            resid.withColumn(
+                "_rnorm", F.aggregate("_resid", F.lit(0.0), lambda a, x: a + x * x)
+            )
+            .withColumn(
+                "_trn",
+                F.row_number().over(
+                    Window.partitionBy(id_col).orderBy("_rnorm", "cluster")
+                ),
+            )
+            .filter(F.col("_trn") == 1)
+            .select(id_col, "_resid")
+        )
+    else:
+        train_src = resid
+    codebooks = train_pq_codebooks(
+        train_src, m=m, k=codes_k, iterations=pq_iterations, id_col=id_col, vec_col="_resid"
+    )
+    # encode EVERY (id, cluster) entry's residual.  pq_encode keys by
+    # id alone, so encode per-entry via a composite key, then restore.
+    entry = resid.select(
+        F.concat_ws("#", F.col(id_col).cast("string"), F.col("cluster").cast("string")).alias(
+            "_ek"
+        ),
+        id_col,
+        "cluster",
+        "_resid",
+    )
+    codes = (
+        pq_encode(entry, codebooks, id_col="_ek", vec_col="_resid")
+        .join(entry.select("_ek", id_col, "cluster"), "_ek")
+        .drop("_ek")
+    )
+    return codes.localCheckpoint(eager=True), cent_rows, codebooks
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    codes_df: DataFrame,
+    centroid_rows: "list[tuple[int, list[float]]]",
+    codebooks: "list[tuple[int, int, list[float]]]",
+    query_vec: "list[float]",
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC probe: rank the coarse centroids by L2 distance to the
+    query DRIVER-side (n_clusters rows — microseconds), then for each
+    of the ``nprobe`` nearest clusters build the ADC table from the
+    query's PER-CLUSTER residual (q − centroid_c; the table depends on
+    the probed cluster, which is the part plain-PQ ADC doesn't have).
+    The probe scans ONLY the probed clusters' codes (at scale the
+    codes are stored partitioned by cluster → partition-pruned scan of
+    nprobe/n_clusters of the index), shortlists by table lookups, and
+    exact-L2-reranks just the shortlist against the real vectors.
+
+    Everything enters the plan as literals (nprobe m×k tables + the
+    query), so the scan side reads codes+cluster only and the whole
+    probe is narrow-pass → TakeOrdered → broadcast-semi-join rerank.
+
+    Output: (id, l2_dist) ascending, id tiebreak.  For cosine serving,
+    build over ``unit_normalize``-d vectors — L2 order on the unit
+    sphere is cosine order."""
+    from .kmeans import _sq_dist
+
+    def _l2(a: "list[float]", b: "list[float]") -> float:
+        return float(sum((float(x) - float(y)) ** 2 for x, y in zip(a, b)))
+
+    probed = sorted(centroid_rows, key=lambda cc: (_l2(query_vec, cc[1]), cc[0]))[
+        :nprobe
+    ]
+    m = max(s for s, _, _ in codebooks) + 1
+    kk = max(c for _, c, _ in codebooks) + 1
+    d = len(codebooks[0][2])
+    tables = []
+    for _cid, cent in probed:
+        qr = [float(q) - float(c) for q, c in zip(query_vec, cent)]
+        t = [[0.0] * kk for _ in range(m)]
+        for s, c, cv in codebooks:
+            sub = qr[s * d : (s + 1) * d]
+            t[s][c] = float(sum((a - float(b)) ** 2 for a, b in zip(sub, cv)))
+        tables.append(t)
+    tlit = F.array(
+        *[F.array(*[F.array(*[F.lit(x) for x in row]) for row in t]) for t in tables]
+    )
+    # cluster id → probe position (literal when-chain; nprobe is tiny)
+    pos = F.when(F.col("cluster") == probed[0][0], F.lit(0))
+    for i, (cid, _) in enumerate(probed[1:], start=1):
+        pos = pos.when(F.col("cluster") == cid, F.lit(i))
+    probe_ids = [cid for cid, _ in probed]
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(
+                F.element_at(tlit, (F.col("_p") + F.lit(1)).cast("int")),
+                (s + F.lit(1)).cast("int"),
+            ),
+            (F.element_at(F.col("codes"), (s + F.lit(1)).cast("int")) + F.lit(1)).cast(
+                "int"
+            ),
+        ),
+    )
+    cand = (
+        codes_df.filter(F.col("cluster").isin(probe_ids))
+        .withColumn("_p", pos)
+        .select(F.col(id_col), dist.alias("approx_dist"))
+        # multiple assignment can surface the same id from several
+        # probed clusters — keep its best ADC estimate so duplicate
+        # entries don't burn shortlist slots (one small shuffle over
+        # the probed subset only)
+        .groupBy(id_col)
+        .agg(F.min("approx_dist").alias("approx_dist"))
+        .orderBy(F.col("approx_dist").asc(), F.col(id_col))
+        .limit(shortlist)
+        .select(id_col)
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.join(F.broadcast(cand), id_col, "left_semi")
+        .select(F.col(id_col), _sq_dist(F.col(vec_col), qlit).alias("l2_dist"))
+        .orderBy(F.col("l2_dist").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def write_pq_index(
     df: DataFrame,
     path: str,
@@ -695,7 +940,22 @@ def write_pq_index(
         codebooks = train_pq_codebooks(df, m, k, iterations, id_col, vec_col)
     m = max(s for s, _, _ in codebooks) + 1
     k = max(c for _, c, _ in codebooks) + 1
-    dims = m * len(codebooks[0][2])
+    # An explicit codebook list must be a COMPLETE uniform m×k grid:
+    # the sidecars derived here are what pq_topk_indexed trusts, so a
+    # ragged or sparse grid would write misleading _pq_params and turn
+    # the probe's dims guard into false assurance.
+    if len(codebooks) != m * k or len({(s, c) for s, c, _ in codebooks}) != m * k:
+        raise ValueError(
+            f"write_pq_index: codebooks must cover every (subspace, code) cell "
+            f"exactly once — got {len(codebooks)} rows for an {m}x{k} grid"
+        )
+    sub_d = len(codebooks[0][2])
+    if any(len(cv) != sub_d for _, _, cv in codebooks):
+        raise ValueError(
+            "write_pq_index: centroids have mixed dimensionality; every "
+            f"centroid must be {sub_d}-dim"
+        )
+    dims = m * sub_d
     pq_encode(df, codebooks, id_col, vec_col).write.mode("overwrite").parquet(
         os.path.join(path, "codes")
     )
@@ -804,8 +1064,12 @@ def knuth_key(id_col: Column) -> Column:
     product overflows (ANSI: throws) for ids above ~3.46e9, i.e.
     exactly the 10B-vector corpora the PQ docstrings size for (r10
     review finding).  Identical values to the naive form wherever
-    that form is defined.  Keys collide for ids ≥ 2^32 (the map is
-    bijective only mod 2^32); callers tiebreak on the id."""
+    that form is defined.  Well-defined for NEGATIVE ids too (pmod
+    keeps every remainder non-negative; the DuckDB oracle CTE wraps
+    its two innermost C-style mods to match — cross-engine-pinned
+    over the full int64 range, negatives included).  Keys collide for
+    ids ≥ 2^32 (the map is bijective only mod 2^32); callers tiebreak
+    on the id."""
     i = id_col.cast("long")
     m, b32, b16 = F.lit(2654435761), F.lit(4294967296), F.lit(65536)
     lo = F.pmod(i, b16)

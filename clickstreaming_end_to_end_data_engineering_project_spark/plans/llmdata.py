@@ -743,10 +743,18 @@ _PQ_ANCHOR_CTES = """v AS (SELECT vec_id,
         a AS (SELECT xs AS axs,
                      -- similarity.knuth_key: (id * 2654435761) mod 2^32
                      -- via 16-bit split so no intermediate overflows
-                     -- int64 (same values as the naive product)
+                     -- int64 (same values as the naive product).  The
+                     -- two innermost mods are pmod-wrapped (+65536
+                     -- then re-mod) because DuckDB's % is C-style
+                     -- (negative remainders) while Spark's pmod is
+                     -- not — every later mod operates on non-negative
+                     -- intermediates, so only these two need the wrap
+                     -- for the engines to agree across ALL int64 ids
                      row_number() OVER (
-                         ORDER BY (((vec_id % 65536) * 2654435761) % 4294967296
-                                   + (((vec_id >> 16) % 65536) * 2654435761
+                         ORDER BY ((((vec_id % 65536) + 65536) % 65536
+                                    * 2654435761) % 4294967296
+                                   + ((((vec_id >> 16) % 65536) + 65536) % 65536
+                                      * 2654435761
                                       % 4294967296) * 65536) % 4294967296,
                                   vec_id
                      ) - 1 AS c

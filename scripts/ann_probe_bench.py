@@ -124,6 +124,35 @@ def main() -> None:
         "recall": len({r["vec_id"] for r in pq_rows} & exact_ids) / K,
     }
 
+    # IVF+PQ residual encoding (IVFADC) over the unit-normalized corpus
+    # (L2 on the unit sphere = cosine, so recall vs the cosine exact set
+    # is apples-to-apples) — the textbook fix for the raw-PQ recall
+    # floor measured above
+    normed = S.unit_normalize(corpus).localCheckpoint(eager=True)
+    nq = [float(x) for x in normed.filter(F.col("vec_id") == 0).head()["embedding"]]
+    nbody = normed.filter(F.col("vec_id") != 0)
+    t0 = time.perf_counter()
+    codes, cents, books = S.ivfpq_build(
+        nbody,
+        n_clusters=16,
+        m=16,
+        codes_k=32,
+        coarse_iterations=2,
+        pq_iterations=2,
+        assign_n=4,
+    )
+    ivfpq_build_sec = round(time.perf_counter() - t0, 3)
+    ivfpq_sec, ivfpq_rows = timed(
+        lambda: S.ivfpq_topk(
+            nbody, codes, cents, books, nq, k=K, nprobe=4, shortlist=200
+        ).collect()
+    )
+    out["ivfpq"] = {
+        "sec": ivfpq_sec,
+        "build_sec": ivfpq_build_sec,
+        "recall": len({r["vec_id"] for r in ivfpq_rows} & exact_ids) / K,
+    }
+
     import shutil
 
     shutil.rmtree(work, ignore_errors=True)

@@ -1754,6 +1754,13 @@ def test_knuth_key_matches_naive_product_all_ranges(spark):
     ids = [0, 1, 65535, 65536, 2**31, 2**32 - 1, 2**32, 2**53 + 1, 2**62 - 1] + [
         rng.randrange(0, 2**62) for _ in range(500)
     ]
+    # negative ids too: Spark's pmod-based split must still equal the
+    # Python pmod reference (Python % IS pmod), and the DuckDB oracle
+    # CTE's pmod-wrapped expression must agree cross-engine — the two
+    # engines' bare % disagree on negatives (ADVICE r10)
+    ids += [-1, -65536, -65537, -(2**31), -(2**32) - 5, -(2**53) - 1, -(2**62)] + [
+        -rng.randrange(1, 2**62) for _ in range(100)
+    ]
     df = spark.createDataFrame([(i,) for i in ids], "vec_id long")
     got = {
         r["vec_id"]: r["k"]
@@ -1761,6 +1768,24 @@ def test_knuth_key_matches_naive_product_all_ranges(spark):
     }
     for i in ids:
         assert got[i] == (i * 2654435761) % (1 << 32), i
+
+    import duckdb
+
+    duck_expr = (
+        "((((vec_id % 65536) + 65536) % 65536 * 2654435761) % 4294967296"
+        " + ((((vec_id >> 16) % 65536) + 65536) % 65536 * 2654435761"
+        " % 4294967296) * 65536) % 4294967296"
+    )
+    con = duckdb.connect()
+    duck = dict(
+        con.execute(
+            f"SELECT vec_id, {duck_expr} FROM (SELECT unnest(?::BIGINT[]) AS vec_id)",
+            [ids],
+        ).fetchall()
+    )
+    con.close()
+    for i in ids:
+        assert duck[i] == got[i], (i, duck[i], got[i])
 
 
 def test_sql_double_literals_roundtrip(spark):
@@ -1835,3 +1860,168 @@ def test_pq_adc_report_matches_pq_encode_assignments(spark, sf_dir):
             assert row["approx_dist"] >= 0.0 and row["l2_dist"] >= 0.0
     finally:
         embs.unpersist()
+
+
+def test_unit_normalize_cosine_becomes_l2(spark):
+    """unit_normalize: every nonzero row lands on the unit sphere
+    (double precision), the zero vector passes through unchanged, and
+    L2 order over the normalized corpus equals cosine order over the
+    raw corpus — the identity (||a-b||^2 = 2 - 2cos on the sphere)
+    the IVFPQ serving path relies on."""
+    import math
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        similarity as S,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.kmeans import (
+        _sq_dist,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, [float(((i * 7 + j * 5) % 17) - 8) for j in range(6)]) for i in range(30)]
+    rows.append((99, [0.0] * 6))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    normed = S.unit_normalize(df)
+    for r in normed.collect():
+        n = math.sqrt(sum(x * x for x in r["embedding"]))
+        if r["vec_id"] == 99:
+            assert n == 0.0
+        else:
+            assert abs(n - 1.0) < 1e-12
+    # cosine ranking on raw == L2 ranking on normalized (zero vec excluded)
+    cos_order = [
+        r["vec_id"] for r in S.brute_force_topk(df.filter("vec_id != 99"), 0, k=29).collect()
+    ]
+    qn = [
+        float(x)
+        for x in normed.filter(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    qlit = F.array(*[F.lit(x) for x in qn])
+    l2_order = [
+        r["vec_id"]
+        for r in normed.filter("vec_id != 99 and vec_id != 0")
+        .select("vec_id", _sq_dist(F.col("embedding"), qlit).alias("d"))
+        .orderBy(F.col("d").asc(), F.col("vec_id"))
+        .collect()
+    ]
+    assert cos_order == l2_order
+
+
+def test_ivfpq_exhaustive_matches_bruteforce(spark):
+    """IVFADC parity vs exact rerank: probing EVERY cluster with a
+    full-corpus shortlist must return exactly the brute-force L2
+    top-k — the shortlist covers the corpus and the rerank is exact,
+    so approximation quality cannot matter. Pins the probe's plumbing
+    (residual ADC tables, cluster routing, dedup, rerank join)."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        similarity as S,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.kmeans import (
+        _sq_dist,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, [float(((i * 11 + j * 3) % 23) - 11) / 11 for j in range(8)])
+        for i in range(80)
+    ]
+    df = S.unit_normalize(spark.createDataFrame(rows, ["vec_id", "embedding"]))
+    q = [float(x) for x in df.filter(F.col("vec_id") == 0).head()["embedding"]]
+    body = df.filter(F.col("vec_id") != 0)
+    codes, cents, books = S.ivfpq_build(
+        body, n_clusters=4, m=4, codes_k=8, coarse_iterations=2, pq_iterations=2
+    )
+    got = S.ivfpq_topk(
+        body, codes, cents, books, q, k=10, nprobe=4, shortlist=200
+    ).collect()
+    qlit = F.array(*[F.lit(x) for x in q])
+    want = (
+        body.select("vec_id", _sq_dist(F.col("embedding"), qlit).alias("l2_dist"))
+        .orderBy(F.col("l2_dist").asc(), F.col("vec_id"))
+        .limit(10)
+        .collect()
+    )
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+    for g, w in zip(got, want):
+        assert abs(g["l2_dist"] - w["l2_dist"]) < 1e-9
+
+
+def test_ivfpq_multiple_assignment_shape_and_dedup(spark):
+    """assign_n=2: the index holds exactly 2 entries per vector under
+    2 DISTINCT clusters, and the probe output never repeats an id
+    (best-ADC dedup before the shortlist)."""
+    from collections import Counter
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        similarity as S,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, [float(((i * 13 + j * 7) % 19) - 9) / 9 for j in range(8)])
+        for i in range(60)
+    ]
+    df = S.unit_normalize(spark.createDataFrame(rows, ["vec_id", "embedding"]))
+    codes, cents, books = S.ivfpq_build(
+        df, n_clusters=4, m=4, codes_k=8, coarse_iterations=2, pq_iterations=1,
+        assign_n=2,
+    )
+    entries = codes.select("vec_id", "cluster").collect()
+    per_id = Counter(r["vec_id"] for r in entries)
+    assert set(per_id.values()) == {2}
+    clusters_per_id = Counter((r["vec_id"], r["cluster"]) for r in entries)
+    assert set(clusters_per_id.values()) == {1}, "duplicate (id, cluster) entry"
+    q = [float(x) for x in df.filter(F.col("vec_id") == 0).head()["embedding"]]
+    body = df.filter(F.col("vec_id") != 0)
+    got = S.ivfpq_topk(
+        body, codes.filter(F.col("vec_id") != 0), cents, books, q,
+        k=10, nprobe=3, shortlist=30,
+    ).collect()
+    ids = [r["vec_id"] for r in got]
+    assert len(ids) == len(set(ids)), "probe surfaced a duplicate id"
+
+
+def test_ivfpq_recall_floor_on_fixture(spark, sf_dir):
+    """IVFADC on the fixture embeddings (unit-normalized, so L2
+    recall == cosine recall): deterministic build → fixed recall;
+    pinned with margin at the r11 bench config's small-fixture
+    analogue. Also pins that rerank distances are exact L2."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        similarity as S,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.kmeans import (
+        _sq_dist,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+    from pyspark.sql import functions as F
+
+    embs = S.unit_normalize(
+        load(spark, sf_dir, "embeddings")
+    ).localCheckpoint(eager=True)
+    q = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
+    body = embs.filter(F.col("vec_id") != 0)
+    qlit = F.array(*[F.lit(x) for x in q])
+    exact = [
+        r["vec_id"]
+        for r in body.select("vec_id", _sq_dist(F.col("embedding"), qlit).alias("d"))
+        .orderBy(F.col("d").asc(), F.col("vec_id"))
+        .limit(10)
+        .collect()
+    ]
+    codes, cents, books = S.ivfpq_build(
+        body, n_clusters=8, m=16, codes_k=16, coarse_iterations=2,
+        pq_iterations=2, assign_n=3,
+    )
+    got = S.ivfpq_topk(
+        body, codes, cents, books, q, k=10, nprobe=4, shortlist=100
+    ).collect()
+    recall = len({r["vec_id"] for r in got} & set(exact)) / 10
+    assert recall >= 0.6, f"recall@10 {recall} below pinned floor"
+    direct = {
+        r["vec_id"]: r["d"]
+        for r in body.select(
+            "vec_id", _sq_dist(F.col("embedding"), qlit).alias("d")
+        ).collect()
+    }
+    for r in got:
+        assert abs(r["l2_dist"] - direct[r["vec_id"]]) < 1e-9
