@@ -61,6 +61,73 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def numeric_profile(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Per-group numeric profile of a corpus — the dataset-statistics
+    pass a curation pipeline runs before training: numeric-token
+    detection (digit-only tokens, digit-containing tokens, their
+    corpus ratio) plus exact-integer-derived moments of the numeric
+    document feature (min/max/mean/variance of ``chars_col``).
+
+    Every aggregate is an EXACT integer sum; the double columns are
+    single fixed divisions/products of those exact integers, so the
+    result is bit-identical across engines (the repo's oracle
+    doctrine — no float accumulation order anywhere).  Map-side
+    partial aggregation applies (plain sums/min/max), so at 100 TB
+    this is one narrow shuffle of one row per (partition, group).
+
+    The synthetic corpus contains zero digit characters, so the
+    numeric-token columns are genuinely 0 there (pinned by the gate);
+    detection itself is pinned non-trivially on constructed digit
+    docs in tests/test_operators.py."""
+    per_doc = df.select(
+        F.col(group_col),
+        F.col(chars_col).cast("long").alias("_nc"),
+        tokens(text_col).alias("_toks"),
+    ).select(
+        group_col,
+        "_nc",
+        F.size("_toks").cast("long").alias("_nt"),
+        F.size(F.filter(F.col("_toks"), lambda x: x.rlike("^[0-9]+$")))
+        .cast("long")
+        .alias("_num"),
+        F.size(F.filter(F.col("_toks"), lambda x: x.rlike("[0-9]")))
+        .cast("long")
+        .alias("_dig"),
+    )
+    g = per_doc.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_nt").alias("total_tokens"),
+        F.sum("_num").alias("numeric_tokens"),
+        F.sum("_dig").alias("digit_tokens"),
+        F.min("_nc").alias("min_n_chars"),
+        F.max("_nc").alias("max_n_chars"),
+        F.sum("_nc").alias("_sc"),
+        F.sum(F.col("_nc") * F.col("_nc")).alias("_scsq"),
+    )
+    mean_chars = F.col("_sc").cast("double") / F.col("n_docs")
+    return g.select(
+        group_col,
+        "n_docs",
+        "total_tokens",
+        "numeric_tokens",
+        "digit_tokens",
+        F.try_divide(
+            F.col("numeric_tokens").cast("double"),
+            F.col("total_tokens").cast("double"),
+        ).alias("numeric_ratio"),
+        "min_n_chars",
+        "max_n_chars",
+        mean_chars.alias("avg_n_chars"),
+        (F.col("_scsq").cast("double") / F.col("n_docs") - mean_chars * mean_chars)
+        .alias("var_n_chars"),
+    )
+
+
 def quality_score_col(text_col: str = "text", toks: Column | None = None) -> Column:
     """quality_score as a pure COLUMN over the text — composable into a
     projection with zero joins (what curation.score_and_filter uses:

@@ -54,6 +54,14 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_score(_docs(spark, sf_dir))
 
 
+def doc_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source numeric profile (r12 queue): digit-token detection
+    plus exact-integer moments of n_chars.  See
+    operators/text.py:numeric_profile for the bit-exactness doctrine
+    and the zero-digit-corpus calibration note."""
+    return text.numeric_profile(_docs(spark, sf_dir))
+
+
 def doc_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language z-score via applyInPandas grouped-map (rows-only:
     pandas float accumulation differs from SQL engines; differential
@@ -301,6 +309,35 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = similarity.pq_encode(corpus, books)
     qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
     return similarity.pq_topk_rerank(corpus, codes, books, qvec, k=10, shortlist=50)
+
+
+def ivfpq_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ residual ANN (IVFADC, Jegou et al. 2011 §IV — the r10
+    verdict's recall-floor fix): unit-normalize so L2 ranking equals
+    cosine ranking, route vectors to coarse k-means clusters, PQ-encode
+    the residual vs the assigned centroid, index each vector under its
+    2 nearest centroids (boundary replication), then probe the 3
+    nearest clusters with per-cluster ADC tables and exact-rerank the
+    shortlist.  Rows-only: k-means float averaging is not
+    SQL-replayable; the exhaustive setting is pinned equal to
+    brute-force L2 in tests/test_operators.py, and the measured lift
+    (recall@10 0.2 raw-PQ -> 0.8 IVFPQ at nprobe 4 / shortlist 200)
+    lives in scripts/ann_probe_bench.py."""
+    embs = similarity.unit_normalize(_embs(spark, sf_dir))
+    q = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
+    body = embs.filter(F.col("vec_id") != 0)
+    codes, cents, books = similarity.ivfpq_build(
+        body,
+        n_clusters=8,
+        m=8,
+        codes_k=16,
+        coarse_iterations=2,
+        pq_iterations=2,
+        assign_n=2,
+    )
+    return similarity.ivfpq_topk(
+        body, codes, cents, books, q, k=10, nprobe=3, shortlist=50
+    )
 
 
 def embedding_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1129,6 +1166,12 @@ SPECS = [
         "IVF over learned k-means clusters (rows-only)",
     ),
     QuerySpec("embedding_pq_topk", embedding_pq_topk, None, "product-quantization ADC + rerank ANN (rows-only)"),
+    QuerySpec(
+        "ivfpq_topk_probe",
+        ivfpq_topk_probe,
+        None,
+        "IVF+PQ residual ANN probe (rows-only; r12 queue)",
+    ),
     QuerySpec("embedding_topk_pandas", embedding_topk_pandas, None, "numpy mapInPandas top-k (rows-only)"),
     QuerySpec("doc_zscore_by_lang", doc_zscore_by_lang, None, "applyInPandas grouped-map normalization (rows-only)"),
     QuerySpec(
@@ -1756,5 +1799,41 @@ SPECS = [
         GROUP BY g.doc_id
         """,
         "per-doc distinct-trigram novelty (inverse of the dup-span signal)",
+    ),
+    QuerySpec(
+        "doc_numeric_profile",
+        doc_numeric_profile,
+        f"""
+        WITH t AS (
+            SELECT source, n_chars, {_TOKENS_SQL} AS toks FROM documents
+        ), p AS (
+            SELECT source, n_chars,
+                   len(toks) AS nt,
+                   len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$')))
+                       AS num,
+                   len(list_filter(toks, x -> regexp_matches(x, '[0-9]')))
+                       AS dig
+            FROM t
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS total_tokens,
+               CAST(sum(num) AS BIGINT) AS numeric_tokens,
+               CAST(sum(dig) AS BIGINT) AS digit_tokens,
+               CASE WHEN CAST(sum(nt) AS BIGINT) = 0 THEN NULL
+                    ELSE CAST(CAST(sum(num) AS BIGINT) AS DOUBLE)
+                         / CAST(CAST(sum(nt) AS BIGINT) AS DOUBLE)
+               END AS numeric_ratio,
+               CAST(min(n_chars) AS BIGINT) AS min_n_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_n_chars,
+               CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / count(*)
+                   AS avg_n_chars,
+               CAST(CAST(sum(n_chars * n_chars) AS BIGINT) AS DOUBLE) / count(*)
+                 - (CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / count(*))
+                   * (CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / count(*))
+                   AS var_n_chars
+        FROM p GROUP BY source
+        """,
+        "per-source numeric-token + n_chars-moment profile (r12 queue)",
     ),
 ]

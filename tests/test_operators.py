@@ -2025,3 +2025,32 @@ def test_ivfpq_recall_floor_on_fixture(spark, sf_dir):
     }
     for r in got:
         assert abs(r["l2_dist"] - direct[r["vec_id"]]) < 1e-9
+
+
+def test_numeric_profile_detects_digit_tokens(spark):
+    """numeric_profile on constructed docs: digit-only vs
+    digit-containing token classes count correctly, ratios and
+    n_chars moments come out as the exact-integer formulas — the
+    non-trivial pin for the detection the zero-digit synthetic corpus
+    cannot exercise (see the operator docstring)."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.text import (
+        numeric_profile,
+    )
+
+    rows = [
+        (1, "alpha 42 x9 7", "a", 13),     # nums: 42, 7; digit-bearing: 42, x9, 7
+        (2, "beta 100", "a", 8),           # nums: 100
+        (3, "gamma delta", "b", 11),       # none
+        (4, "", "b", 0),                   # empty doc: 0 tokens
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source", "n_chars"])
+    got = {r["source"]: r for r in numeric_profile(df).collect()}
+    a, b = got["a"], got["b"]
+    assert (a["n_docs"], a["total_tokens"]) == (2, 6)
+    assert (a["numeric_tokens"], a["digit_tokens"]) == (3, 4)
+    assert abs(a["numeric_ratio"] - 3 / 6) < 1e-15
+    assert (a["min_n_chars"], a["max_n_chars"]) == (8, 13)
+    assert abs(a["avg_n_chars"] - 21 / 2) < 1e-15
+    assert abs(a["var_n_chars"] - ((8 * 8 + 13 * 13) / 2 - 10.5 * 10.5)) < 1e-12
+    assert (b["numeric_tokens"], b["digit_tokens"]) == (0, 0)
+    assert b["total_tokens"] == 2
