@@ -109,6 +109,15 @@ def main() -> None:
             except Exception:  # a failed rep must not discard a good one
                 pass
         extended[name] = round(best, 3) if best != float("inf") else None
+    # Written-index probe legs (r10 verdict #6): at 100 TB a serving
+    # deployment probes WRITTEN layouts (partition-pruned LSH dirs,
+    # codes-only PQ scans), but only the in-memory paths were benched —
+    # a ReadSchema/PartitionFilters pruning regression had no recorded
+    # number.  Build untimed, probe min-of-2; failure degrades to null.
+    try:
+        indexed_probes = _indexed_probe_metrics(spark, sf_dir)
+    except Exception as exc:  # pragma: no cover - defensive
+        indexed_probes = {"indexed_probe_error": f"{type(exc).__name__}: {exc}"[:300]}
     print(
         json.dumps(
             {
@@ -120,11 +129,75 @@ def main() -> None:
                 "warmup_sec": round(warmup, 3),
                 "n_queries": len(timings),
                 "extended_queries": extended,
+                **indexed_probes,
                 **stream_metrics,
             }
         )
     )
     spark.stop()
+
+
+def _indexed_probe_metrics(spark, sf_dir: str) -> "dict[str, object]":
+    """Build the two written ANN layouts into a scratch dir (untimed —
+    a deployment builds once, probes forever), then time the probes
+    min-of-2.  The plan shapes these times depend on are pinned in
+    tests (LSH: PartitionFilters on the bucket literal; PQ: codes-only
+    ReadSchema), so a regression moves BOTH a pinned digest and this
+    recorded number."""
+    import shutil
+    import tempfile
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        similarity as S,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    embs = load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
+    work = tempfile.mkdtemp(prefix="bench_index_")
+    out: "dict[str, object]" = {}
+    try:
+        lsh_path = os.path.join(work, "lsh")
+        pq_path = os.path.join(work, "pq")
+        t0 = time.perf_counter()
+        S.write_lsh_index(embs, lsh_path, planes=4, dims=len(qvec))
+        lsh_build = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        S.write_pq_index(embs, pq_path, m=8, k=16, iterations=2)
+        pq_build = time.perf_counter() - t0
+        legs = {}
+        for name, fn in (
+            (
+                "lsh_topk_indexed",
+                lambda: S.lsh_topk_indexed(
+                    spark, lsh_path, query_vec_id=0, k=10, query_vec=qvec
+                ).count(),
+            ),
+            (
+                "pq_topk_indexed",
+                lambda: S.pq_topk_indexed(
+                    spark, pq_path, embs.filter(F.col("vec_id") != 0),
+                    qvec, k=10, shortlist=50,
+                ).count(),
+            ),
+        ):
+            best = float("inf")
+            for _ in range(2):
+                try:
+                    t0 = time.perf_counter()
+                    fn()
+                    best = min(best, time.perf_counter() - t0)
+                except Exception:  # one bad rep must not discard a good one
+                    pass
+            legs[name] = round(best, 3) if best != float("inf") else None
+        out["indexed_probe_queries"] = legs
+        out["indexed_probe_build_sec"] = {
+            "lsh": round(lsh_build, 3),
+            "pq": round(pq_build, 3),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
 
 
 def _stream_metrics(spark, sf_dir: str, reps: int = 3) -> "dict[str, float | str | None]":
