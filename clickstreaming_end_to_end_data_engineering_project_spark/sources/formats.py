@@ -112,6 +112,7 @@ def write_zordered(
     target_files: int,
     bits: int = 16,
     mode: str = "overwrite",
+    partition_by: "list[str] | None" = None,
 ) -> None:
     """Z-order clustered write (the Delta ``OPTIMIZE ZORDER BY``
     pattern, public knowledge): rows are range-partitioned and sorted
@@ -168,11 +169,21 @@ def write_zordered(
         ],
         bits,
     )
-    (
+    # With partition_by, rows are range-exchanged on (partition cols,
+    # z) and sorted the same way, so each write task holds a contiguous
+    # z-range WITHIN mostly one Hive partition — z-clustered files
+    # inside each partition dir (the bronze events(event_date) layout
+    # composed with z-order; the two prune on different axes: dirs by
+    # the partition predicate, then footer stats by the z columns).
+    # target_files is the TOTAL task count across all partitions.
+    part_cols = list(partition_by or [])
+    clustered = (
         df.withColumn("_z", z)
-        .repartitionByRange(target_files, "_z")
-        .sortWithinPartitions("_z")
+        .repartitionByRange(target_files, *part_cols, "_z")
+        .sortWithinPartitions(*part_cols, "_z")
         .drop("_z")
-        .write.mode(mode)
-        .parquet(path)
     )
+    writer = clustered.write.mode(mode)
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(path)

@@ -126,6 +126,55 @@ def main() -> None:
             "point_rows": point.count(),
             "slice_rows": tslice.count(),
         }
+
+    # ---- z-order WITHIN date partitions vs plain date partitioning
+    # (r10 verdict #7): the bronze layout etl.py writes is
+    # partitionBy(event_date); pin that z-order composes with it —
+    # partition pruning picks the dirs, footer stats then skip files
+    # INSIDE the probed dir.  Both layouts get the same per-date file
+    # count (8 tasks), so admitted-file counts are comparable.
+    dated = spark.read.parquet(plain_dir).withColumn("event_date", F.to_date("ts"))
+    bronze_plain = "/tmp/zbench/bronze_plain"
+    bronze_z = "/tmp/zbench/bronze_z"
+    # naive 8-way parallel bronze write: each task holds every date ->
+    # 8 unordered files per date dir
+    (
+        dated.repartition(8, "event_id")
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(bronze_plain)
+    )
+    n_dates = dated.select("event_date").distinct().count()
+    t0 = time.perf_counter()
+    write_zordered(
+        dated, bronze_z, ["user_id", "ts"], 8 * n_dates, partition_by=["event_date"]
+    )
+    zp_write_sec = round(time.perf_counter() - t0, 3)
+    out["partitioned"] = {"n_dates": n_dates, "z_write_sec": zp_write_sec}
+    for name, path in (("bronze_plain", bronze_plain), ("bronze_z", bronze_z)):
+        df = spark.read.parquet(path)
+        day_dir = os.path.join(path, f"event_date={day}")
+        point_day = df.filter(
+            (F.col("user_id") == probe_user) & (F.col("event_date") == F.lit(str(day)))
+        )
+        point_all = df.filter(F.col("user_id") == probe_user)
+        total_files = len(glob.glob(path + "/event_date=*/*.parquet"))
+        all_admitted = sum(
+            admitted_files(d, "user_id", probe_user, probe_user)
+            for d in glob.glob(path + "/event_date=*")
+        )
+        out["partitioned"][name] = {
+            "files_total": total_files,
+            "day_dir_files": len(glob.glob(day_dir + "/*.parquet")),
+            "day_dir_admitted": admitted_files(
+                day_dir, "user_id", probe_user, probe_user
+            ),
+            "all_dates_admitted": all_admitted,
+            "point_day_sec": timed(point_day),
+            "point_all_sec": timed(point_all),
+            "point_day_rows": point_day.count(),
+            "point_all_rows": point_all.count(),
+        }
     print(json.dumps(out))
     spark.stop()
 

@@ -460,3 +460,62 @@ def test_schema_cache_skips_nanos_layout(spark, tmp_path):
     df2 = load(spark, str(tmp_path), "events")
     assert key not in tables._SCHEMA_CACHE
     assert dict(df2.dtypes)["ts"] == "timestamp"
+
+
+def test_write_zordered_within_hive_partitions(spark, sf_dir, tmp_path):
+    """partition_by composes Hive partition pruning with z-order
+    stats pruning: the layout has one dir per event_date, rows are
+    preserved, and WITHIN a single date dir the per-file user_id
+    min-max spans are narrow (z-clustered) instead of full-range —
+    the bronze-layout composition the 100 TB scan path relies on."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.formats import (
+        write_zordered,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    events = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts")
+        .withColumn("event_date", F.to_date("ts"))
+    )
+    path = str(tmp_path / "zpart")
+    write_zordered(
+        events, path, ["user_id", "ts"], 64, partition_by=["event_date"]
+    )
+    dirs = sorted(glob.glob(path + "/event_date=*"))
+    n_dates = events.select("event_date").distinct().count()
+    assert len(dirs) == n_dates, (len(dirs), n_dates)
+    back = spark.read.parquet(path)
+    assert back.count() == events.count()
+
+    # pick the dir with the most files; its user_id spans must be
+    # narrow per file relative to the dir's own span
+    per_dir = {d: sorted(glob.glob(d + "/*.parquet")) for d in dirs}
+    d = max(per_dir, key=lambda x: len(per_dir[x]))
+    files = per_dir[d]
+    if len(files) < 2:
+        import pytest
+
+        pytest.skip("fixture too small for multi-file partitions")
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == "user_id" and c.statistics is not None:
+                    los.append(c.statistics.min)
+                    his.append(c.statistics.max)
+        assert los, f"no user_id stats in {f}"
+        spans.append((min(los), max(his)))
+    glo = min(lo for lo, _ in spans)
+    ghi = max(hi for _, hi in spans)
+    mean_rel = sum((hi - lo) / max(ghi - glo, 1) for lo, hi in spans) / len(spans)
+    assert mean_rel < 0.7, (mean_rel, spans)
