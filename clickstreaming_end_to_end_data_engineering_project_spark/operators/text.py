@@ -322,6 +322,110 @@ def unigram_logprob(
     )
 
 
+def token_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon entropy of the doc's own token
+    distribution (nats) plus type-token ratio — the lexical-diversity
+    quality signal (low entropy ≈ repetitive/boilerplate text, the
+    Gopher repetition rules' information-theoretic cousin).
+
+    One identity keeps it a single pass over per-(doc, token) counts:
+    H = ln N − (Σ tf·ln tf)/N, so the per-doc agg needs only Σtf and
+    Σ tf·ln tf — no join back for N, no second tokenize.  Shape:
+    explode (narrow) → (doc, token) count shuffle → per-doc agg; the
+    shuffle key is (doc, token), so skew is bounded by a single doc's
+    vocabulary at any corpus size.  entropy is dround-ed to 6 dp
+    (engines sum the tf·ln tf terms in different orders; the identical
+    double then survives the value-hash — the unigram_logprob
+    discipline)."""
+    from ..functions import dround
+
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n = F.sum("tf")
+    return (
+        tf.groupBy(id_col)
+        .agg(
+            n.alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("tf").cast("double") * F.log(F.col("tf").cast("double"))).alias(
+                "_stlt"
+            ),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_distinct",
+            dround(
+                F.log(F.col("n_tokens").cast("double"))
+                - F.col("_stlt") / F.col("n_tokens"),
+                6,
+            ).alias("entropy_nats"),
+            # int/int double division of exact integers: bit-identical
+            # cross-engine without rounding
+            F.try_divide(
+                F.col("n_distinct").cast("double"), F.col("n_tokens").cast("double")
+            ).alias("type_token_ratio"),
+        )
+    )
+
+
+def source_unigram_kl(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-source KL divergence (nats) of the source's unigram
+    distribution from the whole corpus's — the distribution-drift /
+    mixture-health audit a pretraining pipeline runs before weighting
+    sources (a source with high KL is lexically unlike the rest; a
+    near-zero KL source adds no diversity).
+
+    Everything derives from the ONE (source, token) count frame:
+    per-token corpus counts are a re-agg of it (vocab-sized — never a
+    second corpus pass), totals are window-free tiny aggs broadcast
+    back.  KL_s = Σ_t (c_st/T_s)·ln((c_st/T_s)/(c_t/T)); each term is
+    assembled from ln() of exact integer counts, summed per source,
+    then dround-ed to 6 dp (cross-engine sum-order discipline)."""
+    from ..functions import dround
+
+    st = (
+        df.select(F.col(group_col), F.explode(tokens(text_col)).alias("token"))
+        .groupBy(group_col, "token")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+    )
+    corpus = st.groupBy("token").agg(F.sum("c_st").alias("c_t"))
+    total = corpus.agg(F.sum("c_t").alias("_t"))
+    term = (
+        F.col("c_st").cast("double")
+        / F.col("_ts")
+        * (
+            F.log(F.col("c_st").cast("double"))
+            - F.log(F.col("_ts").cast("double"))
+            - F.log(F.col("c_t").cast("double"))
+            + F.log(F.col("_t").cast("double"))
+        )
+    )
+    per_source_totals = st.groupBy(group_col).agg(
+        F.sum("c_st").alias("_ts"), F.count(F.lit(1)).alias("n_distinct_tokens")
+    )
+    return (
+        st.join(corpus, "token")
+        .join(per_source_totals, group_col)
+        .crossJoin(F.broadcast(total))
+        .groupBy(group_col, "_ts", "n_distinct_tokens")
+        .agg(F.sum(term).alias("_kl"))
+        .select(
+            group_col,
+            F.col("_ts").alias("n_tokens"),
+            "n_distinct_tokens",
+            dround(F.col("_kl"), 6).alias("kl_nats"),
+        )
+    )
+
+
 def _word_grams(toks: Column, n: int) -> Column:
     """Space-joined word ``n``-grams of a token array, one per start
     position — the ONE copy of the gram expression shared by

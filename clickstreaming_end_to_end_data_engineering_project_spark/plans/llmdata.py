@@ -62,6 +62,20 @@ def doc_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.numeric_profile(_docs(spark, sf_dir))
 
 
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc lexical entropy + type-token ratio (r13 queue) — see
+    operators/text.py:token_entropy for the single-pass identity and
+    the dround discipline; the oracle mirrors it term-for-term."""
+    return text.token_entropy(_docs(spark, sf_dir))
+
+
+def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram distribution
+    (r13 queue) — the mixture-health / distribution-drift audit; see
+    operators/text.py:source_unigram_kl."""
+    return text.source_unigram_kl(_docs(spark, sf_dir))
+
+
 def doc_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language z-score via applyInPandas grouped-map (rows-only:
     pandas float accumulation differs from SQL engines; differential
@@ -1835,5 +1849,59 @@ SPECS = [
         FROM p GROUP BY source
         """,
         "per-source numeric-token + n_chars-moment profile (r12 queue)",
+    ),
+    QuerySpec(
+        "doc_token_entropy",
+        doc_token_entropy,
+        f"""
+        WITH tf AS (
+            SELECT doc_id, token, count(*) AS tf
+            FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents)
+            GROUP BY doc_id, token
+        )
+        SELECT doc_id,
+               CAST(sum(tf) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               {sql_snippets.dround(
+                   'ln(CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE))'
+                   ' - sum(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE)))'
+                   ' / CAST(sum(tf) AS BIGINT)', 6)} AS entropy_nats,
+               CAST(count(*) AS DOUBLE) / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE)
+                   AS type_token_ratio
+        FROM tf GROUP BY doc_id
+        """,
+        "per-doc Shannon entropy + type-token ratio (r13 queue)",
+    ),
+    QuerySpec(
+        "source_unigram_kl",
+        source_unigram_kl,
+        f"""
+        WITH st AS (
+            SELECT source, token, count(*) AS c_st
+            FROM (SELECT source, unnest({_TOKENS_SQL}) AS token FROM documents)
+            GROUP BY source, token
+        ), corpus AS (
+            SELECT token, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY token
+        ), tot AS (
+            SELECT CAST(sum(c_t) AS BIGINT) AS t FROM corpus
+        ), pst AS (
+            SELECT source, CAST(sum(c_st) AS BIGINT) AS ts,
+                   CAST(count(*) AS BIGINT) AS n_distinct_tokens
+            FROM st GROUP BY source
+        )
+        SELECT st.source,
+               pst.ts AS n_tokens,
+               pst.n_distinct_tokens,
+               {sql_snippets.dround(
+                   'sum(CAST(c_st AS DOUBLE) / ts'
+                   ' * (ln(CAST(c_st AS DOUBLE)) - ln(CAST(ts AS DOUBLE))'
+                   '    - ln(CAST(c_t AS DOUBLE)) + ln(CAST(t AS DOUBLE))))', 6)}
+                   AS kl_nats
+        FROM st
+        JOIN corpus USING (token)
+        JOIN pst USING (source), tot
+        GROUP BY st.source, pst.ts, pst.n_distinct_tokens
+        """,
+        "per-source KL vs corpus unigram distribution (r13 queue)",
     ),
 ]

@@ -128,8 +128,17 @@ class QuerySpec:
 # r12 rotation queue (added in r11 after the gate was set):
 # ivfpq_topk_probe (rows-only: IVF+PQ residual ANN — the r10
 # verdict's recall-floor fix) and doc_numeric_profile (oracle-backed
-# per-source numeric-token profile).  Rotate these in next round,
-# demoting doubly-verified rows per the standing policy.
+# per-source numeric-token profile).  Both IMPLEMENTED in r11
+# (plans/llmdata.py) and locally green — ivfpq exhaustive-parity +
+# recall-floor pinned in tests, doc_numeric_profile oracle-exact at
+# the battery scales.  Rotate these in next round, demoting
+# doubly-verified rows per the standing policy.
+# r13 rotation queue (added in r11 after the r12 pair landed):
+# doc_token_entropy (oracle-backed: per-doc Shannon entropy via the
+# single-pass ln N − Σ tf·ln tf / N identity + type-token ratio) and
+# source_unigram_kl (oracle-backed: per-source KL vs the corpus
+# unigram distribution — the mixture-health audit).  Both implemented
+# r11 (plans/llmdata.py) and locally green; rotate in at r13.
 GATE_PRIORITY = [
     # reference-parity clickstream core (pinned)
     "page_view_counts",

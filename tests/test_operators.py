@@ -2054,3 +2054,48 @@ def test_numeric_profile_detects_digit_tokens(spark):
     assert abs(a["var_n_chars"] - ((8 * 8 + 13 * 13) / 2 - 10.5 * 10.5)) < 1e-12
     assert (b["numeric_tokens"], b["digit_tokens"]) == (0, 0)
     assert b["total_tokens"] == 2
+
+
+def test_token_entropy_closed_forms(spark):
+    """token_entropy against hand-computable distributions: k distinct
+    uniform tokens -> ln k; one repeated token -> 0; a 2:1:1 mix ->
+    the exact formula. Also pins type_token_ratio and the KL operator:
+    a source identical to the corpus mix has KL ~ 0, and KL is always
+    >= 0 with higher divergence for a lexically disjoint source."""
+    import math
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.text import (
+        source_unigram_kl,
+        token_entropy,
+    )
+
+    rows = [
+        (1, "a b c d", "s1"),
+        (2, "x x x x", "s1"),
+        (3, "a a b c", "s2"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    ent = {r["doc_id"]: r for r in token_entropy(df).collect()}
+    assert abs(ent[1]["entropy_nats"] - round(math.log(4), 6)) < 1e-9
+    assert ent[1]["type_token_ratio"] == 1.0
+    assert ent[2]["entropy_nats"] == 0.0
+    assert ent[2]["type_token_ratio"] == 0.25
+    h3 = -(0.5 * math.log(0.5) + 0.25 * math.log(0.25) * 2)
+    assert abs(ent[3]["entropy_nats"] - h3) < 1e-6
+
+    # KL: one source == corpus distribution (KL 0), disjoint source diverges
+    kl_rows = [
+        (1, "a b", "same"),
+        (2, "a b", "other"),
+        (3, "z z", "far"),
+    ]
+    kl = {
+        r["source"]: r
+        for r in source_unigram_kl(
+            spark.createDataFrame(kl_rows, ["doc_id", "text", "source"])
+        ).collect()
+    }
+    assert all(r["kl_nats"] >= 0 for r in kl.values())
+    assert kl["far"]["kl_nats"] > kl["same"]["kl_nats"]
+    # 'same' and 'other' are identical distributions -> identical KL
+    assert kl["same"]["kl_nats"] == kl["other"]["kl_nats"]
