@@ -165,6 +165,18 @@ def _indexed_probe_metrics(spark, sf_dir: str) -> "dict[str, object]":
         t0 = time.perf_counter()
         S.write_pq_index(embs, pq_path, m=8, k=16, iterations=2)
         pq_build = time.perf_counter() - t0
+        ivfpq_path = os.path.join(work, "ivfpq")
+        normed = S.unit_normalize(embs).localCheckpoint(eager=True)
+        nq = [
+            float(x) for x in normed.filter(F.col("vec_id") == 0).head()["embedding"]
+        ]
+        nbody = normed.filter(F.col("vec_id") != 0)
+        t0 = time.perf_counter()
+        S.write_ivfpq_index(
+            nbody, ivfpq_path, n_clusters=16, m=16, codes_k=32,
+            coarse_iterations=2, pq_iterations=2, assign_n=4,
+        )
+        ivfpq_build = time.perf_counter() - t0
         legs = {}
         for name, fn in (
             (
@@ -178,6 +190,12 @@ def _indexed_probe_metrics(spark, sf_dir: str) -> "dict[str, object]":
                 lambda: S.pq_topk_indexed(
                     spark, pq_path, embs.filter(F.col("vec_id") != 0),
                     qvec, k=10, shortlist=50,
+                ).count(),
+            ),
+            (
+                "ivfpq_topk_indexed",
+                lambda: S.ivfpq_topk_indexed(
+                    spark, ivfpq_path, nbody, nq, k=10, nprobe=4, shortlist=200
                 ).count(),
             ),
         ):
@@ -194,6 +212,7 @@ def _indexed_probe_metrics(spark, sf_dir: str) -> "dict[str, object]":
         out["indexed_probe_build_sec"] = {
             "lsh": round(lsh_build, 3),
             "pq": round(pq_build, 3),
+            "ivfpq": round(ivfpq_build, 3),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -909,6 +909,133 @@ def ivfpq_topk(
     )
 
 
+def write_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    m: int = 8,
+    codes_k: int = 16,
+    coarse_iterations: int = 2,
+    pq_iterations: int = 2,
+    assign_n: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVFADC index the way a 100 TB deployment stores
+    it: ``codes/`` partitioned BY CLUSTER (``cluster=<c>/`` Hive
+    dirs), so an ``nprobe``-cluster probe is a PartitionFilters-pruned
+    scan of nprobe/n_clusters of the index — the other dirs are never
+    opened — and each entry is m bytes of residual codes instead of
+    the float vector (8–16× smaller before pruning).  Build over a
+    ``unit_normalize``-d corpus to serve cosine (see ``ivfpq_topk``).
+
+    Three self-describing sidecars (underscore-prefixed, ignored by
+    FileIndex readers; the ``write_lsh_index``/``write_pq_index``
+    discipline, all written THROUGH Spark for cluster-filesystem
+    portability):
+
+    - ``_ivfpq_centroids/``: (cluster, centroid) — the coarse
+      quantizer, n_clusters rows;
+    - ``_pq_codebooks/``: the (subspace, code, centroid) residual
+      codebook grid;
+    - ``_ivfpq_params/``: 1-row (n_clusters, m, k, dims, assign_n) —
+      read back by the probe so an index can never be silently probed
+      with mismatched geometry."""
+    import os
+
+    codes, cent_rows, codebooks = ivfpq_build(
+        df,
+        n_clusters=n_clusters,
+        m=m,
+        codes_k=codes_k,
+        coarse_iterations=coarse_iterations,
+        pq_iterations=pq_iterations,
+        assign_n=assign_n,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    codes.write.mode("overwrite").partitionBy("cluster").parquet(
+        os.path.join(path, "codes")
+    )
+    spark = df.sparkSession
+    (
+        spark.createDataFrame(cent_rows, "cluster int, centroid array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "_ivfpq_centroids"))
+    )
+    (
+        spark.createDataFrame(codebooks, "s int, c int, cv array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "_pq_codebooks"))
+    )
+    dims = len(cent_rows[0][1])
+    (
+        spark.createDataFrame(
+            [(int(n_clusters), int(m), int(codes_k), int(dims), int(assign_n))],
+            "n_clusters int, m int, k int, dims int, assign_n int",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "_ivfpq_params"))
+    )
+
+
+def ivfpq_topk_indexed(
+    spark,
+    path: str,
+    df: DataFrame,
+    query_vec: "list[float]",
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a ``write_ivfpq_index`` layout: geometry and the coarse
+    centroids come from the sidecars (driver-sized reads), the probed
+    clusters' codes come from the Hive-partitioned ``codes/`` table —
+    ``cluster.isin(probed)`` is a partition predicate, so only
+    nprobe/n_clusters of the directories are listed and scanned —
+    and the exact rerank runs against ``df``, the full-precision
+    vector table.  Results are identical to ``ivfpq_topk`` over the
+    same build (same ADC tables, same (l2_dist, id) ordering).  A
+    query of the wrong dimensionality is rejected up front."""
+    import os
+
+    params = (
+        spark.read.schema("n_clusters int, m int, k int, dims int, assign_n int")
+        .parquet(os.path.join(path, "_ivfpq_params"))
+        .head()
+    )
+    if len(query_vec) != params.dims:
+        raise ValueError(
+            f"ivfpq_topk_indexed: query has {len(query_vec)} dims, "
+            f"index expects {params.dims}"
+        )
+    cent_rows = sorted(
+        (int(r["cluster"]), [float(x) for x in r["centroid"]])
+        for r in spark.read.schema("cluster int, centroid array<double>")
+        .parquet(os.path.join(path, "_ivfpq_centroids"))
+        .collect()
+    )
+    books = read_pq_codebooks(spark, path)
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    return ivfpq_topk(
+        df,
+        codes,
+        cent_rows,
+        books,
+        query_vec,
+        k=k,
+        nprobe=nprobe,
+        shortlist=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
 def write_pq_index(
     df: DataFrame,
     path: str,

@@ -2099,3 +2099,69 @@ def test_token_entropy_closed_forms(spark):
     assert kl["far"]["kl_nats"] > kl["same"]["kl_nats"]
     # 'same' and 'other' are identical distributions -> identical KL
     assert kl["same"]["kl_nats"] == kl["other"]["kl_nats"]
+
+
+def test_ivfpq_written_index_probe_matches_in_memory(spark, sf_dir, tmp_path):
+    """write_ivfpq_index + ivfpq_topk_indexed round-trip: the
+    stored-layout probe must return exactly what ivfpq_topk computes
+    over an in-memory build with the same parameters (both builds are
+    deterministic), the probed-cluster scan must touch ONLY the
+    probed cluster=<c> partition dirs (partition pruning — the scan
+    bound the layout exists for), and a wrong-dims query is rejected."""
+    import pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        similarity as S,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.kmeans import (
+        _sq_dist,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+    from pyspark.sql import functions as F
+
+    embs = S.unit_normalize(load(spark, sf_dir, "embeddings")).localCheckpoint(
+        eager=True
+    )
+    q = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
+    body = embs.filter(F.col("vec_id") != 0)
+    path = str(tmp_path / "ivfpq")
+    kw = dict(
+        n_clusters=6, m=4, codes_k=8, coarse_iterations=2, pq_iterations=1, assign_n=2
+    )
+    S.write_ivfpq_index(body, path, **kw)
+    got = S.ivfpq_topk_indexed(
+        spark, path, body, q, k=10, nprobe=3, shortlist=60
+    ).collect()
+    codes, cents, books = S.ivfpq_build(body, **kw)
+    want = S.ivfpq_topk(
+        body, codes, cents, books, q, k=10, nprobe=3, shortlist=60
+    ).collect()
+    assert [(r["vec_id"], r["l2_dist"]) for r in got] == [
+        (r["vec_id"], r["l2_dist"]) for r in want
+    ]
+
+    # partition pruning: a probed-subset scan only READS probed dirs
+    # (input_file_name over the executed rows — inputFiles() reports
+    # the unfiltered FileIndex and would not see the pruning)
+    stored = spark.read.parquet(path + "/codes")
+    probed = [c for c, _ in sorted(cents)[:3]]
+    files = [
+        r[0]
+        for r in stored.filter(F.col("cluster").isin(probed))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    ]
+    assert files, "expected a non-empty probed scan"
+    for f in files:
+        assert any(f"cluster={c}/" in f for c in probed), f
+    plan = (
+        stored.filter(F.col("cluster").isin(probed))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "cluster" in plan
+
+    with pytest.raises(ValueError, match="dims"):
+        S.ivfpq_topk_indexed(spark, path, body, q[:8], k=5)
