@@ -864,8 +864,22 @@ def ivfpq_topk(
             sub = qr[s * d : (s + 1) * d]
             t[s][c] = float(sum((a - float(b)) ** 2 for a, b in zip(sub, cv)))
         tables.append(t)
-    tlit = F.array(
-        *[F.array(*[F.array(*[F.lit(x) for x in row]) for row in t]) for t in tables]
+    # ONE SQL-parsed literal instead of nprobe*m*k py4j Column builds
+    # (up to thousands of gateway round-trips at bench config — the
+    # pq_adc_report literal-assembly lesson); repr(x)+'D' is the
+    # shortest-round-trip double literal Spark parses back BIT-exactly
+    # (pinned by test_sql_double_literals_roundtrip)
+    tlit = F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(repr(x) + "D" for x in row) + ")" for row in t
+            )
+            + ")"
+            for t in tables
+        )
+        + ")"
     )
     # cluster id → probe position (literal when-chain; nprobe is tiny)
     pos = F.when(F.col("cluster") == probed[0][0], F.lit(0))
