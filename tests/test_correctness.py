@@ -50,16 +50,23 @@ def test_registry_gate_is_exactly_gate_priority():
     """The driver records CORRECTNESS for only the first 50 registry
     entries; GATE_PRIORITY must fill those slots exactly (rotation
     policy documented in registry.py), every gated query must be
-    oracle-backed, and none may be flagged non-scalar."""
+    oracle-backed EXCEPT the explicitly-allowed rows-only slots (the
+    r10 verdict directed gating embedding_ivf_topk_learned rows-only —
+    kmeans float averaging is not SQL-replayable, and the driver
+    records the weaker rows-only check for oracle-less entries), and
+    none may be flagged non-scalar."""
     from clickstreaming_end_to_end_data_engineering_project_spark.plans.registry import (
         DRIVER_GATE_SLOTS,
         GATE_PRIORITY,
     )
 
+    allowed_rows_only = {"embedding_ivf_topk_learned"}
     specs = list(all_specs().values())
     gated = specs[:DRIVER_GATE_SLOTS]
     assert [s.name for s in gated] == GATE_PRIORITY
-    assert all(s.oracle for s in gated), [s.name for s in gated if not s.oracle]
+    assert {s.name for s in gated if not s.oracle} <= allowed_rows_only, [
+        s.name for s in gated if not s.oracle
+    ]
     assert not any(s.nonscalar for s in gated), [s.name for s in gated if s.nonscalar]
 
 
