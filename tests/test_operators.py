@@ -2165,3 +2165,59 @@ def test_ivfpq_written_index_probe_matches_in_memory(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="dims"):
         S.ivfpq_topk_indexed(spark, path, body, q[:8], k=5)
+
+
+def test_token_entropy_and_kl_match_python_reference(spark):
+    """Property (hypothesis): for ANY corpus over a tiny vocabulary,
+    token_entropy and source_unigram_kl equal a pure-Python reference
+    (Counter + math.log) to well inside the dround-6 grid — pinning
+    the single-pass identity H = ln N − Σ tf·ln tf / N and the
+    one-frame KL assembly against the textbook definitions."""
+    import math
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.text import (
+        source_unigram_kl,
+        token_entropy,
+    )
+
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    doc_strategy = st.lists(st.sampled_from(vocab), min_size=1, max_size=12).map(
+        " ".join
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(doc_strategy, min_size=1, max_size=6))
+    def check(texts):
+        rows = [(i, t, f"s{i % 2}") for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+        got_ent = {r["doc_id"]: r for r in token_entropy(df).collect()}
+        for i, t, _ in rows:
+            c = Counter(t.split())
+            n = sum(c.values())
+            h = -sum((v / n) * math.log(v / n) for v in c.values())
+            assert abs(got_ent[i]["entropy_nats"] - h) < 2e-6, (i, t)
+            assert got_ent[i]["n_tokens"] == n
+            assert got_ent[i]["n_distinct"] == len(c)
+
+        got_kl = {r["source"]: r for r in source_unigram_kl(df).collect()}
+        corpus = Counter(tok for _, t, _ in rows for tok in t.split())
+        total = sum(corpus.values())
+        by_src: dict[str, Counter] = {}
+        for _, t, s in rows:
+            by_src.setdefault(s, Counter()).update(t.split())
+        for s, cnt in by_src.items():
+            ts = sum(cnt.values())
+            kl = sum(
+                (v / ts) * math.log((v / ts) / (corpus[tok] / total))
+                for tok, v in cnt.items()
+            )
+            assert abs(got_kl[s]["kl_nats"] - kl) < 2e-6, s
+            assert got_kl[s]["n_tokens"] == ts
+            assert got_kl[s]["n_distinct_tokens"] == len(cnt)
+
+    check()
