@@ -53,13 +53,15 @@ from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables imp
 
 QUERIES = ["q21_late_sole_suppliers", "q8_market_share", "q9_product_profit",
            "doc_token_budget_sample"]
+# --queries overrides the default list (r11: used to sweep the round's
+# new operators without disturbing the historical default set)
 
 
 # only the tables the four swept queries actually load — copying
 # events/embeddings (the largest non-fact tables) would be wasted I/O
 SWEPT_TABLES = (
     "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "documents",
+    "lineitem", "documents", "embeddings",
 )
 
 
@@ -82,6 +84,28 @@ def build_inflated(spark, src_dir: str, dst_dir: str, copies: int) -> None:
             df = (
                 df.crossJoin(copy_ids)
                 .withColumn("doc_id", F.col("doc_id") + F.col("_copy") * F.lit(max_doc))
+                .drop("_copy")
+            )
+        elif name == "embeddings":
+            # clone with offset ids AND rotated vectors (the
+            # ann_probe_bench discipline: byte-identical clones would
+            # degenerate similarity geometry; vec_id 0 stays the
+            # canonical query vector in copy 0 only)
+            max_vec = df.agg(F.max("vec_id")).collect()[0][0] + 1
+            dims = len(df.select("embedding").first()[0])
+            df = (
+                df.crossJoin(copy_ids)
+                .withColumn(
+                    "embedding",
+                    F.when(F.col("_copy") == 0, F.col("embedding")).otherwise(
+                        F.concat(
+                            F.expr(f"slice(embedding, pmod(_copy, {dims}) + 1, "
+                                   f"{dims} - pmod(_copy, {dims}))"),
+                            F.expr(f"slice(embedding, 1, pmod(_copy, {dims}))"),
+                        )
+                    ),
+                )
+                .withColumn("vec_id", F.col("vec_id") + F.col("_copy") * F.lit(max_vec))
                 .drop("_copy")
             )
         df.write.mode("overwrite").parquet(out)
@@ -113,7 +137,12 @@ def main() -> None:
                     help="time only the inflated corpus (no exponent)")
     ap.add_argument("--reps", type=int, default=3,
                     help="min-of-N timing reps (lower for very large corpora)")
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated registry names overriding the default sweep set")
     args = ap.parse_args()
+    if args.queries:
+        global QUERIES
+        QUERIES = args.queries.split(",")
     spark = get_spark("scale_sweep", cpus=str(args.cores) if args.cores else None)
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
