@@ -383,10 +383,15 @@ def source_unigram_kl(
     sources (a source with high KL is lexically unlike the rest; a
     near-zero KL source adds no diversity).
 
-    Everything derives from the ONE (source, token) count frame:
-    per-token corpus counts are a re-agg of it (vocab-sized — never a
-    second corpus pass), totals are window-free tiny aggs broadcast
-    back.  KL_s = Σ_t (c_st/T_s)·ln((c_st/T_s)/(c_t/T)); each term is
+    Everything derives from the ONE (source, token) count frame,
+    MATERIALIZED (eager localCheckpoint) because four derivations
+    branch off it (corpus counts, corpus total, per-source totals,
+    the join spine) — unmaterialized, each branch would re-tokenize
+    the whole corpus (measured: 12 exchanges → 3, four corpus passes
+    → one).  The frame is (sources × vocab)-sized, orders of
+    magnitude below the corpus; per-token corpus counts are a re-agg
+    of it, totals are tiny aggs broadcast back.
+    KL_s = Σ_t (c_st/T_s)·ln((c_st/T_s)/(c_t/T)); each term is
     assembled from ln() of exact integer counts, summed per source,
     then dround-ed to 6 dp (cross-engine sum-order discipline)."""
     from ..functions import dround
@@ -395,6 +400,7 @@ def source_unigram_kl(
         df.select(F.col(group_col), F.explode(tokens(text_col)).alias("token"))
         .groupBy(group_col, "token")
         .agg(F.count(F.lit(1)).alias("c_st"))
+        .localCheckpoint(eager=True)
     )
     corpus = st.groupBy("token").agg(F.sum("c_st").alias("c_t"))
     total = corpus.agg(F.sum("c_t").alias("_t"))
@@ -413,7 +419,7 @@ def source_unigram_kl(
     )
     return (
         st.join(corpus, "token")
-        .join(per_source_totals, group_col)
+        .join(F.broadcast(per_source_totals), group_col)
         .crossJoin(F.broadcast(total))
         .groupBy(group_col, "_ts", "n_distinct_tokens")
         .agg(F.sum(term).alias("_kl"))
