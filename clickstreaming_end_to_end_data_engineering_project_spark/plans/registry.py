@@ -264,6 +264,10 @@ BENCH_EXTENDED = [
     "weekly_retention_cohorts",
     "doc_ngram_novelty",
     "embedding_pq_adc_report",
+    # r11: the r13-queue pair gets recorded numbers + pinned digests
+    # ahead of its gate rotation
+    "doc_token_entropy",
+    "source_unigram_kl",
 ]
 
 
