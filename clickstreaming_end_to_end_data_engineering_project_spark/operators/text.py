@@ -128,6 +128,49 @@ def numeric_profile(
     )
 
 
+def length_quantiles(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+    percentiles: "tuple[int, ...]" = (25, 50, 75, 90, 99),
+) -> DataFrame:
+    """EXACT per-group quantiles of a numeric document feature — the
+    length-distribution profile a curation pipeline reads before
+    setting min/max-length filters.  Discrete (type-1) quantiles with
+    INTEGER index arithmetic: the p-th percentile is the value at
+    1-based rank ceil(p·n/100) = (p·n + 99) // 100 of the
+    (value, id)-sorted group, so both engines pick the identical row —
+    no floating q·n product whose ulp could flip an index, no
+    interpolation.
+
+    Shape: one rank window + one count window per group, then a
+    conditional agg — a single exchange on the group key.  Exact
+    per-group quantiles inherently order each group; groups here are
+    bounded-cardinality sources, and at true corpus scale the serving
+    twin is percentile_approx over the same column (t-digest, no
+    global sort) — this operator is the audited-exact reference."""
+    w = Window.partitionBy(group_col).orderBy(F.col("_v"), F.col(id_col))
+    wg = Window.partitionBy(group_col)
+    ranked = df.select(
+        F.col(group_col),
+        F.col(value_col).cast("long").alias("_v"),
+        F.col(id_col),
+    ).select(
+        group_col,
+        "_v",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wg).alias("_n"),
+    )
+    aggs = [F.max("_n").alias("n_docs")]
+    for p in percentiles:
+        idx = F.floor((F.lit(p) * F.col("_n") + F.lit(99)) / F.lit(100))
+        aggs.append(
+            F.max(F.when(F.col("_rn") == idx, F.col("_v"))).alias(f"p{p}")
+        )
+    return ranked.groupBy(group_col).agg(*aggs)
+
+
 def quality_score_col(text_col: str = "text", toks: Column | None = None) -> Column:
     """quality_score as a pure COLUMN over the text — composable into a
     projection with zero joins (what curation.score_and_filter uses:

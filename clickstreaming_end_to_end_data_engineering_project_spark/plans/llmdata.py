@@ -62,6 +62,14 @@ def doc_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.numeric_profile(_docs(spark, sf_dir))
 
 
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source EXACT n_chars quantiles (p25/p50/p75/p90/p99) — the
+    length-distribution profile before min/max-length filtering; see
+    operators/text.py:length_quantiles for the integer-exact index
+    discipline (rank (p·n+99)//100, no float q·n, no interpolation)."""
+    return text.length_quantiles(_docs(spark, sf_dir))
+
+
 def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc lexical entropy + type-token ratio (r13 queue) — see
     operators/text.py:token_entropy for the single-pass identity and
@@ -1903,5 +1911,32 @@ SPECS = [
         GROUP BY st.source, pst.ts, pst.n_distinct_tokens
         """,
         "per-source KL vs corpus unigram distribution (r13 queue)",
+    ),
+    QuerySpec(
+        "doc_length_quantiles",
+        doc_length_quantiles,
+        """
+        WITH r AS (
+            SELECT source, n_chars AS v, doc_id,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY source) AS n
+            FROM documents
+        )
+        SELECT source,
+               CAST(max(n) AS BIGINT) AS n_docs,
+               CAST(max(CASE WHEN rn = (25 * n + 99) // 100 THEN v END)
+                    AS BIGINT) AS p25,
+               CAST(max(CASE WHEN rn = (50 * n + 99) // 100 THEN v END)
+                    AS BIGINT) AS p50,
+               CAST(max(CASE WHEN rn = (75 * n + 99) // 100 THEN v END)
+                    AS BIGINT) AS p75,
+               CAST(max(CASE WHEN rn = (90 * n + 99) // 100 THEN v END)
+                    AS BIGINT) AS p90,
+               CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN v END)
+                    AS BIGINT) AS p99
+        FROM r GROUP BY source
+        """,
+        "per-source exact n_chars quantiles (integer-rank discrete)",
     ),
 ]

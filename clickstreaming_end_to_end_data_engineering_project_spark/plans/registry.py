@@ -137,7 +137,9 @@ class QuerySpec:
 # doc_token_entropy (oracle-backed: per-doc Shannon entropy via the
 # single-pass ln N − Σ tf·ln tf / N identity + type-token ratio) and
 # source_unigram_kl (oracle-backed: per-source KL vs the corpus
-# unigram distribution — the mixture-health audit).  Both implemented
+# unigram distribution — the mixture-health audit), plus
+# doc_length_quantiles (oracle-backed: per-source EXACT discrete
+# quantiles via integer (p·n+99)//100 ranks).  All three implemented
 # r11 (plans/llmdata.py) and locally green; rotate in at r13.
 GATE_PRIORITY = [
     # reference-parity clickstream core (pinned)

@@ -2221,3 +2221,24 @@ def test_token_entropy_and_kl_match_python_reference(spark):
             assert got_kl[s]["n_distinct_tokens"] == len(cnt)
 
     check()
+
+
+def test_length_quantiles_closed_form(spark):
+    """length_quantiles on a known distribution: 10 docs with values
+    1..10 in one group -> p25 = value at rank ceil(2.5)=3, p50 at 5,
+    p75 at 8, p90 at 9, p99 at 10 ((p*n+99)//100 integer ranks); a
+    single-row group returns its value at every percentile."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.text import (
+        length_quantiles,
+    )
+
+    rows = [(i, "t", "a", v) for i, v in enumerate([7, 3, 10, 1, 5, 9, 2, 8, 4, 6])]
+    rows.append((99, "t", "b", 42))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source", "n_chars"])
+    got = {r["source"]: r for r in length_quantiles(df).collect()}
+    a = got["a"]
+    assert a["n_docs"] == 10
+    assert (a["p25"], a["p50"], a["p75"], a["p90"], a["p99"]) == (3, 5, 8, 9, 10)
+    b = got["b"]
+    assert b["n_docs"] == 1
+    assert (b["p25"], b["p50"], b["p75"], b["p90"], b["p99"]) == (42,) * 5
