@@ -2055,6 +2055,40 @@ def test_numeric_profile_detects_digit_tokens(spark):
     assert (b["numeric_tokens"], b["digit_tokens"]) == (0, 0)
     assert b["total_tokens"] == 2
 
+    # cross-engine differential ON DIGIT-BEARING DOCS: the registered
+    # oracle only sees the zero-digit synthetic corpus, so run the
+    # same oracle SQL over these constructed rows in DuckDB and demand
+    # full-row equality — pinning Spark rlike == DuckDB regexp_matches
+    # for the digit patterns where it matters
+    import duckdb
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.plans.registry import (
+        all_specs,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS "
+        "SELECT * FROM (VALUES "
+        + ",".join(
+            f"({d}, '{t}', 'en', '{s}', {n})" for d, t, s, n in rows
+        )
+        + ") AS v(doc_id, text, lang, source, n_chars)"
+    )
+    want = {
+        r[0]: r
+        for r in con.execute(all_specs()["doc_numeric_profile"].oracle).fetchall()
+    }
+    con.close()
+    for r in numeric_profile(df).collect():
+        w = want[r["source"]]
+        got_row = (
+            r["source"], r["n_docs"], r["total_tokens"], r["numeric_tokens"],
+            r["digit_tokens"], r["numeric_ratio"], r["min_n_chars"],
+            r["max_n_chars"], r["avg_n_chars"], r["var_n_chars"],
+        )
+        assert got_row == tuple(w), (got_row, w)
+
 
 def test_token_entropy_closed_forms(spark):
     """token_entropy against hand-computable distributions: k distinct
