@@ -381,6 +381,116 @@ def ivf_topk_learned(
     )
 
 
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the learned-IVF layout ``ivf_topk``'s docstring
+    prescribes at scale: the FULL-PRECISION corpus partitioned by its
+    learned k-means cluster (``cluster=<c>/`` Hive dirs), so an
+    nprobe-cluster probe is a PartitionFilters-pruned scan of
+    nprobe/n_clusters of the data with exact in-cluster rerank — the
+    no-compression member of the written-ANN family (LSH dirs, PQ
+    codes, IVFPQ residual codes being the others).  Two sidecars
+    (``write_lsh_index`` discipline, written through Spark):
+    ``_ivf_centroids/`` (cluster, centroid) and ``_ivf_params/``
+    (n_clusters, dims)."""
+    import os
+
+    from .kmeans import kmeans_assign
+
+    clusters = kmeans_assign(
+        df, k=n_clusters, iterations=iterations, id_col=id_col, vec_col=vec_col
+    )
+    if "cluster" in df.columns:
+        df = df.drop("cluster")
+    clustered = df.join(clusters, id_col).localCheckpoint(eager=True)
+    clustered.write.mode("overwrite").partitionBy("cluster").parquet(
+        os.path.join(path, "vectors")
+    )
+    cents = build_ivf_centroids(clustered, "cluster", vec_col)
+    spark = df.sparkSession
+    (
+        cents.select(
+            F.col("cluster").cast("int"),
+            F.col("centroid").cast("array<double>"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "_ivf_centroids"))
+    )
+    dims = len(df.select(vec_col).first()[0])
+    (
+        spark.createDataFrame(
+            [(int(n_clusters), int(dims))], "n_clusters int, dims int"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "_ivf_params"))
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec: "list[float]",
+    k: int = 10,
+    nprobe: int = 4,
+    exclude_vec_id: "int | None" = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a ``write_ivf_index`` layout: rank the stored centroids
+    by cosine to the query DRIVER-side (n_clusters rows), scan ONLY
+    the ``nprobe`` nearest ``cluster=`` dirs (the isin predicate is a
+    partition filter), exact-cosine-rerank inside.  Same (cos_sim
+    desc, id) output contract as ``ivf_topk``/``ivf_topk_learned``;
+    centroid ties break on cluster id (deterministic).  Wrong-dims
+    queries are rejected via the params sidecar."""
+    import math
+    import os
+
+    params = (
+        spark.read.schema("n_clusters int, dims int")
+        .parquet(os.path.join(path, "_ivf_params"))
+        .head()
+    )
+    if len(query_vec) != params.dims:
+        raise ValueError(
+            f"ivf_topk_indexed: query has {len(query_vec)} dims, "
+            f"index expects {params.dims}"
+        )
+    cents = [
+        (int(r["cluster"]), [float(x) for x in r["centroid"]])
+        for r in spark.read.schema("cluster int, centroid array<double>")
+        .parquet(os.path.join(path, "_ivf_centroids"))
+        .collect()
+    ]
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+
+    def _cos(c: "list[float]") -> float:
+        cn = math.sqrt(sum(x * x for x in c))
+        if qn == 0.0 or cn == 0.0:
+            return 0.0
+        return sum(float(a) * b for a, b in zip(query_vec, c)) / (qn * cn)
+
+    probed = [c for c, _ in sorted(cents, key=lambda cc: (-_cos(cc[1]), cc[0]))[:nprobe]]
+    idx = spark.read.parquet(os.path.join(path, "vectors"))
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = idx.filter(F.col("cluster").isin(probed))
+    if exclude_vec_id is not None:
+        out = out.filter(F.col(id_col) != exclude_vec_id)
+    return (
+        out.select(F.col(id_col), cosine(F.col(vec_col), qlit).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def pairwise_above_threshold(
     df: DataFrame,
     threshold: float,

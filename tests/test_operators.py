@@ -2276,3 +2276,68 @@ def test_length_quantiles_closed_form(spark):
     b = got["b"]
     assert b["n_docs"] == 1
     assert (b["p25"], b["p50"], b["p75"], b["p90"], b["p99"]) == (42,) * 5
+
+
+def test_ivf_written_index_probe_matches_learned(spark, sf_dir, tmp_path):
+    """write_ivf_index + ivf_topk_indexed: the stored-layout probe
+    must return exactly ivf_topk_learned's rows for the same
+    (n_clusters, iterations) — the written layout is the same learned
+    assignment, same centroid cosine ranking (driver-side fold order
+    matches Spark's left-to-right aggregate), same exact in-cluster
+    rerank.  The probed scan reads ONLY the probed cluster dirs, and
+    wrong-dims queries are rejected."""
+    import pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        similarity as S,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+    from pyspark.sql import functions as F
+
+    embs = load(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    q = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
+    path = str(tmp_path / "ivf")
+    S.write_ivf_index(embs, path, n_clusters=6, iterations=2)
+    got = S.ivf_topk_indexed(
+        spark, path, q, k=10, nprobe=3, exclude_vec_id=0
+    ).collect()
+    want = S.ivf_topk_learned(
+        embs, 0, k=10, n_clusters=6, nprobe=3, iterations=2
+    ).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in got] == [
+        (r["vec_id"], r["cos_sim"]) for r in want
+    ]
+
+    files = [
+        r[0]
+        for r in spark.read.parquet(path + "/vectors")
+        .filter(F.col("cluster").isin([0, 1]))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    ]
+    assert files and all(
+        "cluster=0/" in f or "cluster=1/" in f for f in files
+    ), files
+
+    with pytest.raises(ValueError, match="dims"):
+        S.ivf_topk_indexed(spark, path, q[:5], k=5)
+
+
+def test_new_profile_operators_handle_empty_corpus(spark):
+    """Empty input → empty output (no ANSI divide/log crash, no
+    degenerate row) for the r11 profile family."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.text import (
+        length_quantiles,
+        numeric_profile,
+        source_unigram_kl,
+        token_entropy,
+    )
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, source string, n_chars long"
+    )
+    assert numeric_profile(empty).count() == 0
+    assert token_entropy(empty).count() == 0
+    assert source_unigram_kl(empty).count() == 0
+    assert length_quantiles(empty).count() == 0
