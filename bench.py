@@ -177,6 +177,10 @@ def _indexed_probe_metrics(spark, sf_dir: str) -> "dict[str, object]":
             coarse_iterations=2, pq_iterations=2, assign_n=4,
         )
         ivfpq_build = time.perf_counter() - t0
+        ivf_path = os.path.join(work, "ivf")
+        t0 = time.perf_counter()
+        S.write_ivf_index(embs, ivf_path, n_clusters=16, iterations=2)
+        ivf_build = time.perf_counter() - t0
         legs = {}
         for name, fn in (
             (
@@ -198,6 +202,12 @@ def _indexed_probe_metrics(spark, sf_dir: str) -> "dict[str, object]":
                     spark, ivfpq_path, nbody, nq, k=10, nprobe=4, shortlist=200
                 ).count(),
             ),
+            (
+                "ivf_topk_indexed",
+                lambda: S.ivf_topk_indexed(
+                    spark, ivf_path, qvec, k=10, nprobe=4, exclude_vec_id=0
+                ).count(),
+            ),
         ):
             best = float("inf")
             for _ in range(2):
@@ -213,6 +223,7 @@ def _indexed_probe_metrics(spark, sf_dir: str) -> "dict[str, object]":
             "lsh": round(lsh_build, 3),
             "pq": round(pq_build, 3),
             "ivfpq": round(ivfpq_build, 3),
+            "ivf": round(ivf_build, 3),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
