@@ -181,43 +181,59 @@ def _indexed_probe_metrics(spark, sf_dir: str) -> "dict[str, object]":
         t0 = time.perf_counter()
         S.write_ivf_index(embs, ivf_path, n_clusters=16, iterations=2)
         ivf_build = time.perf_counter() - t0
+        # exact ground truth for recall@10 (r11 verdict #5: a latency
+        # number without its recall is half a benchmark for ANN).
+        # ONE truth set serves every leg: all four probes rank by
+        # cosine (the IVFPQ leg's L2-on-unit-vectors is rank-equivalent
+        # to cosine) over the corpus minus the query itself.
+        exact_ids = {
+            r["vec_id"]
+            for r in S.brute_force_topk(embs, query_vec_id=0, k=10).collect()
+        }
         legs = {}
         for name, fn in (
             (
                 "lsh_topk_indexed",
                 lambda: S.lsh_topk_indexed(
                     spark, lsh_path, query_vec_id=0, k=10, query_vec=qvec
-                ).count(),
+                ).collect(),
             ),
             (
                 "pq_topk_indexed",
                 lambda: S.pq_topk_indexed(
                     spark, pq_path, embs.filter(F.col("vec_id") != 0),
                     qvec, k=10, shortlist=50,
-                ).count(),
+                ).collect(),
             ),
             (
                 "ivfpq_topk_indexed",
                 lambda: S.ivfpq_topk_indexed(
                     spark, ivfpq_path, nbody, nq, k=10, nprobe=4, shortlist=200
-                ).count(),
+                ).collect(),
             ),
             (
                 "ivf_topk_indexed",
                 lambda: S.ivf_topk_indexed(
                     spark, ivf_path, qvec, k=10, nprobe=4, exclude_vec_id=0
-                ).count(),
+                ).collect(),
             ),
         ):
-            best = float("inf")
+            best, rows = float("inf"), None
             for _ in range(2):
                 try:
                     t0 = time.perf_counter()
-                    fn()
+                    rows = fn()
                     best = min(best, time.perf_counter() - t0)
                 except Exception:  # one bad rep must not discard a good one
                     pass
-            legs[name] = round(best, 3) if best != float("inf") else None
+            if rows is None:
+                legs[name] = None
+            else:
+                got = {r["vec_id"] for r in rows}
+                legs[name] = {
+                    "sec": round(best, 3),
+                    "recall_at_10": round(len(got & exact_ids) / 10, 2),
+                }
         out["indexed_probe_queries"] = legs
         out["indexed_probe_build_sec"] = {
             "lsh": round(lsh_build, 3),

@@ -101,6 +101,13 @@ def swap_with_staging(spark, path: str, write_fn, job: str = "compact") -> None:
     if not fs.rename(staging, hpath):
         raise IOError(f"{job}: rename {staging} -> {path} failed")
     fs.delete(old, True)
+    # the dataset at `path` was just replaced — drop any cached read
+    # schema for it so a long-lived process re-infers (the stat
+    # signature also catches local rewrites; this hook is what covers
+    # remote filesystems, where the signature is None)
+    from .sources.tables import invalidate_schema_cache
+
+    invalidate_schema_cache(path)
 
 
 def dataset_bytes(spark, path: str) -> int:

@@ -322,7 +322,10 @@ def ivf_topk(
     probe = (
         centroids.crossJoin(F.broadcast(q))
         .select(cluster_col, cosine(F.col("centroid"), F.col("_qvec")).alias("_csim"))
-        .orderBy(F.col("_csim").desc())
+        # cluster id tiebreak: an exact cosine tie between centroids must
+        # not make the probe set nondeterministic (ivf_topk_indexed uses
+        # the same tiebreak, and the two probes are pinned BIT-equal)
+        .orderBy(F.col("_csim").desc(), F.col(cluster_col))
         .limit(nprobe)
         .select(cluster_col)
     )

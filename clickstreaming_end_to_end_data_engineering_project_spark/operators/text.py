@@ -164,11 +164,41 @@ def length_quantiles(
     )
     aggs = [F.max("_n").alias("n_docs")]
     for p in percentiles:
-        idx = F.floor((F.lit(p) * F.col("_n") + F.lit(99)) / F.lit(100))
+        # `div`, not floor(/): pure integer arithmetic end to end, so
+        # the rank matches the (p*n + 99) // 100 contract at ANY group
+        # size (double division is exact only below ~2^46 docs/group)
+        idx = F.expr(f"(cast({int(p)} as bigint) * _n + 99) div 100")
         aggs.append(
             F.max(F.when(F.col("_rn") == idx, F.col("_v"))).alias(f"p{p}")
         )
     return ranked.groupBy(group_col).agg(*aggs)
+
+
+def length_quantiles_approx(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    percentiles: "tuple[int, ...]" = (25, 50, 75, 90, 99),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Serving-scale twin of ``length_quantiles`` (the pattern A4 set
+    with approx_count_distinct: exact twin gated, approx rows-only):
+    ``percentile_approx`` is a Greenwald-Khanna sketch — ONE
+    partial-aggregable pass with no per-group sort or window, so at
+    corpus scale it map-side combines instead of ordering every group.
+    Sketch outputs are engine-specific (not SQL-replayable), so the
+    registry entry is rows-only; the differential test bounds its rank
+    error vs the exact operator at ≤ n/accuracy + 1 per percentile
+    (the GK guarantee).  Column names match the exact twin so the two
+    frames diff directly."""
+    aggs: "list[Column]" = [F.count(F.lit(1)).alias("n_docs")]
+    for p in percentiles:
+        aggs.append(
+            F.percentile_approx(
+                F.col(value_col).cast("long"), F.lit(p / 100.0), F.lit(accuracy)
+            ).alias(f"p{p}")
+        )
+    return df.groupBy(group_col).agg(*aggs)
 
 
 def quality_score_col(text_col: str = "text", toks: Column | None = None) -> Column:

@@ -141,6 +141,21 @@ class QuerySpec:
 # doc_length_quantiles (oracle-backed: per-source EXACT discrete
 # quantiles via integer (p·n+99)//100 ranks).  All three implemented
 # r11 (plans/llmdata.py) and locally green; rotate in at r13.
+# Round-12 rotation (executed): the backlog was 5 queries across the
+# declared r12+r13 queues and exactly 5 gate rows were doubly-verified
+# and eligible, so BOTH queues rotate in at once — ivfpq_topk_probe
+# (rows-only: PQ codebooks + kmeans coarse clusters are float-trained,
+# not SQL-replayable; allowlisted in tests/test_correctness.py),
+# doc_numeric_profile, doc_token_entropy, source_unigram_kl,
+# doc_length_quantiles.  Demoted per the standing policy:
+# lang_confusion_matrix (green r9+r10+r11 — the promised post-rewrite
+# demotion), doc_tfidf_top_terms (green r7–r11), and the r10 rotation
+# trio weekly_retention_cohorts / doc_ngram_novelty /
+# embedding_pq_adc_report (each green r10+r11; all three stay benched
+# in BENCH_EXTENDED, so a regression still moves a recorded number
+# and a pinned digest).  pq_code_balance + ngram_jaccard_histogram
+# (first rows r11) stay for their confirming rows;
+# embedding_ivf_topk_learned stays for a confirming rows-only row.
 GATE_PRIORITY = [
     # reference-parity clickstream core (pinned)
     "page_view_counts",
@@ -181,18 +196,20 @@ GATE_PRIORITY = [
     "dau_wau_stickiness",
     "doc_winnow_dups",
     "embedding_quant_error",
-    # lang_confusion_matrix: r10 proved the single-pass rewrite; one
-    # confirming row this round, demote next (standing precedent)
-    "lang_confusion_matrix",
-    # round-10 rotation, retained for confirming rows
-    "weekly_retention_cohorts",
-    "doc_ngram_novelty",
-    "embedding_pq_adc_report",
-    # round-11 rotation: first driver rows (embedding_ivf_topk_learned
-    # is rows-only by design — kmeans averaging is not SQL-replayable)
+    # round-11 rotation, retained for confirming rows
+    # (embedding_ivf_topk_learned is rows-only by design — kmeans
+    # averaging is not SQL-replayable)
     "pq_code_balance",
     "ngram_jaccard_histogram",
     "embedding_ivf_topk_learned",
+    # round-12 rotation: first driver rows for the whole r12+r13
+    # backlog (ivfpq_topk_probe is rows-only by design — PQ codebook
+    # training is float k-means, not SQL-replayable)
+    "ivfpq_topk_probe",
+    "doc_numeric_profile",
+    "doc_token_entropy",
+    "source_unigram_kl",
+    "doc_length_quantiles",
     # retained from the r7 rotation (green r7+r8; kept while slots
     # allow — the benched/swept tpch_deep shapes stay visible)
     "q2_cheapest_supplier_per_part",
@@ -202,7 +219,6 @@ GATE_PRIORITY = [
     "q17_small_quantity_revenue",
     "q20_promotable_part_suppliers",
     "q21_late_sole_suppliers",
-    "doc_tfidf_top_terms",
     "doc_token_budget_sample",
     "source_mixture_weights",
     "boilerplate_ngrams",

@@ -27,15 +27,51 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # read the schema is cached and later loads supply it explicitly,
 # skipping inference.  StructType is plain Python: the cache survives
 # session restarts and is safe to share.  Staleness contract (same as a
-# metastore): if a table's file layout changes schema mid-process, call
-# ``clear_schema_cache()``.  Nanos-layout tables (the guarded fallback
-# below) are never cached — their load path rewrites columns and must
-# re-inspect the footer each time.
+# metastore): each entry carries a cheap filesystem signature
+# (stat mtime_ns/size/inode of the table path — one syscall, vs ~85 ms
+# of footer inference) and a mismatch re-infers, so a table REWRITTEN
+# at the same local path is picked up automatically; rewrite jobs that
+# go through ``fsutil.swap_with_staging`` additionally invalidate
+# explicitly (covers remote filesystems where stat is unavailable and
+# the signature is None).  ``clear_schema_cache()`` stays as the manual
+# big hammer.  Nanos-layout tables (the guarded fallback below) are
+# never cached — their load path rewrites columns and must re-inspect
+# the footer each time.
 _SCHEMA_CACHE: dict = {}
 
 
 def clear_schema_cache() -> None:
     _SCHEMA_CACHE.clear()
+
+
+def invalidate_schema_cache(path: str) -> None:
+    """Drop cache entries for the table at ``path`` (a
+    ``<sf_dir>/<name>.parquet`` file or directory) or, when ``path`` is
+    an sf_dir, for every table under it.  Rewrite jobs call this after
+    swapping a dataset so a long-lived process never serves a stale
+    schema on a filesystem where the stat signature can't catch it."""
+    target = os.path.abspath(path)
+    stale = [
+        key
+        for key in _SCHEMA_CACHE
+        if os.path.join(key[0], f"{key[1]}.parquet") == target or key[0] == target
+    ]
+    for key in stale:
+        del _SCHEMA_CACHE[key]
+
+
+def _path_signature(path: str):
+    """(mtime_ns, size, inode) of ``path``, or None when it can't be
+    stat'ed (remote URI) — None disables the automatic staleness check
+    and leaves the explicit-invalidation contract in force.  A swap
+    renames a fresh directory into place (new inode + mtime) and an
+    overwrite rewrites the directory's children (new mtime), so both
+    rewrite modes move the signature."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return (st.st_mtime_ns, st.st_size, st.st_ino)
 
 
 def normalize_ntz(df: DataFrame) -> DataFrame:
@@ -94,10 +130,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cache_key = (os.path.abspath(sf_dir), name)
     cached = _SCHEMA_CACHE.get(cache_key)
     if cached is not None:
-        # schema from the catalog cache: no footer inference; NTZ
-        # normalization still applies (the cached schema is the raw
-        # read schema, which may be NTZ under an external session)
-        return normalize_ntz(spark.read.schema(cached).parquet(path))
+        schema, sig = cached
+        if sig == _path_signature(path):
+            # schema from the catalog cache: no footer inference; NTZ
+            # normalization still applies (the cached schema is the raw
+            # read schema, which may be NTZ under an external session)
+            return normalize_ntz(spark.read.schema(schema).parquet(path))
+        # the table was rewritten since caching — fall through and
+        # re-infer (the fresh read below repopulates the entry)
+        del _SCHEMA_CACHE[cache_key]
+    # signature BEFORE the read: a rewrite racing the read then at
+    # worst pairs the new schema with the old signature, which
+    # mismatches and re-infers on the next load — the reverse order
+    # could pair a stale schema with the new signature and serve it
+    # forever
+    sig = _path_signature(path)
     nanos_read = False
     try:
         df = spark.read.parquet(path)
@@ -129,7 +176,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 # double's 53-bit mantissa
                 df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     else:
-        _SCHEMA_CACHE[cache_key] = df.schema
+        _SCHEMA_CACHE[cache_key] = (df.schema, sig)
     return normalize_ntz(df)
 
 

@@ -52,15 +52,16 @@ def test_registry_gate_is_exactly_gate_priority():
     policy documented in registry.py), every gated query must be
     oracle-backed EXCEPT the explicitly-allowed rows-only slots (the
     r10 verdict directed gating embedding_ivf_topk_learned rows-only —
-    kmeans float averaging is not SQL-replayable, and the driver
-    records the weaker rows-only check for oracle-less entries), and
-    none may be flagged non-scalar."""
+    kmeans float averaging is not SQL-replayable — and ivfpq_topk_probe
+    follows the same rationale for its float-trained PQ codebooks; the
+    driver records the weaker rows-only check for oracle-less entries),
+    and none may be flagged non-scalar."""
     from clickstreaming_end_to_end_data_engineering_project_spark.plans.registry import (
         DRIVER_GATE_SLOTS,
         GATE_PRIORITY,
     )
 
-    allowed_rows_only = {"embedding_ivf_topk_learned"}
+    allowed_rows_only = {"embedding_ivf_topk_learned", "ivfpq_topk_probe"}
     specs = list(all_specs().values())
     gated = specs[:DRIVER_GATE_SLOTS]
     assert [s.name for s in gated] == GATE_PRIORITY

@@ -462,6 +462,58 @@ def test_schema_cache_skips_nanos_layout(spark, tmp_path):
     assert dict(df2.dtypes)["ts"] == "timestamp"
 
 
+def test_schema_cache_detects_local_rewrite(spark, tmp_path):
+    """Staleness hardening (r11 advice): a table rewritten at the same
+    path with a DIFFERENT schema must be re-inferred, not silently read
+    with the cached schema (which would yield nulls/mis-typed columns).
+    The stat signature (mtime_ns/size/inode) catches the rewrite."""
+    from pyspark.sql import functions as F
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources import tables
+
+    path = f"{tmp_path}/dim.parquet"
+    spark.range(5).select(F.col("id").alias("a")).write.parquet(path)
+    first = load(spark, str(tmp_path), "dim")
+    assert first.columns == ["a"]
+    # rewrite in place with a different schema (overwrite recreates the
+    # directory: new inode + mtime move the signature)
+    spark.range(5).select(
+        F.col("id").alias("a"), F.lit("x").alias("b")
+    ).write.mode("overwrite").parquet(path)
+    fresh = load(spark, str(tmp_path), "dim")
+    assert sorted(fresh.columns) == ["a", "b"]
+    assert fresh.filter(F.col("b").isNull()).count() == 0
+
+
+def test_swap_invalidates_schema_cache(spark, tmp_path, monkeypatch):
+    """On a filesystem where the stat signature is unavailable (remote
+    URI → None), ``fsutil.swap_with_staging`` itself must invalidate
+    the rewritten path's cache entry — simulate by forcing the
+    signature to None and compacting to a changed schema."""
+    from pyspark.sql import functions as F
+
+    from clickstreaming_end_to_end_data_engineering_project_spark import fsutil
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources import tables
+
+    monkeypatch.setattr(tables, "_path_signature", lambda p: None)
+    path = f"{tmp_path}/dim.parquet"
+    spark.range(5).select(F.col("id").alias("a")).write.parquet(path)
+    first = load(spark, str(tmp_path), "dim")
+    assert first.columns == ["a"]
+
+    def rewrite(staging: str) -> None:
+        spark.range(5).select(
+            F.col("id").alias("a"), F.lit(1).alias("b")
+        ).write.parquet(staging)
+
+    fsutil.swap_with_staging(spark, path, rewrite, job="compact")
+    import os
+
+    assert (os.path.abspath(str(tmp_path)), "dim") not in tables._SCHEMA_CACHE
+    fresh = load(spark, str(tmp_path), "dim")
+    assert sorted(fresh.columns) == ["a", "b"]
+
+
 def test_write_zordered_within_hive_partitions(spark, sf_dir, tmp_path):
     """partition_by composes Hive partition pruning with z-order
     stats pruning: the layout has one dir per event_date, rows are
