@@ -28,14 +28,22 @@ def _sq_dist(a, b) -> F.Column:
     )
 
 
-def kmeans_assign(
+def kmeans_fit(
     df: DataFrame,
     k: int = 4,
     iterations: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Returns (id, cluster) after ``iterations`` Lloyd steps."""
+) -> "tuple[DataFrame, list[tuple[int, list[float]]]]":
+    """(assignment, centroid_rows) after ``iterations`` Lloyd steps.
+
+    ``centroid_rows`` are the MEANS OF THE FINAL ASSIGNMENT — the loop
+    updates centroids after assigning, so its last update is exactly
+    the per-cluster mean a caller would otherwise recompute with
+    ``build_ivf_centroids`` over the returned assignment (an extra
+    join + posexplode pass ``ivfpq_build`` used to pay; measured ~2 s
+    of its sf0.1 build).  Sorted by cluster id; clusters emptied by
+    the final assignment are absent, same as build_ivf_centroids."""
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     points = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).persist()
@@ -70,4 +78,17 @@ def kmeans_assign(
     # unpersist-first would silently rescan the source on evaluation
     out = assigned.select(F.col("_id").alias(id_col), "cluster").localCheckpoint(eager=True)
     points.unpersist()
+    centroid_rows.sort()
+    return out, centroid_rows
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 4,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Returns (id, cluster) after ``iterations`` Lloyd steps."""
+    out, _ = kmeans_fit(df, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col)
     return out

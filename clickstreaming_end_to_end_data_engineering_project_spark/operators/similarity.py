@@ -804,6 +804,7 @@ def ivfpq_build(
     assign_n: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    materialize: bool = True,
 ):
     """IVFADC index build (Jegou, Douze, Schmid 2011 §IV): a coarse
     k-means quantizer routes each vector to a cluster, then product
@@ -836,23 +837,18 @@ def ivfpq_build(
     driver-sized part of the family.  All stages are deterministic
     (fixed-iteration k-means with hash-spread init), so the probe is
     reproducible run to run."""
-    from .kmeans import _sq_dist, kmeans_assign
+    from .kmeans import _sq_dist, kmeans_fit
 
-    clusters = kmeans_assign(
+    # kmeans_fit hands back the final-assignment means directly — the
+    # r11 build paid an extra join + eager localCheckpoint +
+    # posexplode-mean pass (~2 s of the 22.9 s sf0.1 build) just to
+    # recompute them via build_ivf_centroids (r11 verdict #7 trim)
+    clusters, cent_rows = kmeans_fit(
         df, k=n_clusters, iterations=coarse_iterations, id_col=id_col, vec_col=vec_col
     )
     if "cluster" in df.columns:
         df = df.drop("cluster")
-    # materialize: the residual frame is scanned repeatedly below
-    # (codebook training iterations + encode) and an unmaterialized
-    # join would re-execute per scan (the ivf_topk_learned finding)
-    clustered = df.join(clusters, id_col).localCheckpoint(eager=True)
-    cent_rows = [
-        (r["cluster"], [float(x) for x in r["centroid"]])
-        for r in build_ivf_centroids(clustered, "cluster", vec_col).collect()
-    ]
-    cent_rows.sort()
-    cent_df = clustered.sparkSession.createDataFrame(cent_rows, ["cluster", "_cent"])
+    cent_df = df.sparkSession.createDataFrame(cent_rows, ["cluster", "_cent"])
     if assign_n > 1:
         # re-assign each vector to its assign_n nearest centroids:
         # broadcast the tiny centroid frame, rank per id, keep top-n
@@ -873,8 +869,12 @@ def ivfpq_build(
             .select(F.col("_aid").alias(id_col), F.col("_av").alias(vec_col), "cluster", "_cent")
         )
     else:
-        assigned = clustered.join(F.broadcast(cent_df), "cluster").select(
-            id_col, vec_col, "cluster", "_cent"
+        # single scan into the (checkpointed) residual frame below, so
+        # the join needs no materialization of its own
+        assigned = (
+            df.join(clusters, id_col)
+            .join(F.broadcast(cent_df), "cluster")
+            .select(id_col, vec_col, "cluster", "_cent")
         )
     resid = (
         assigned.select(
@@ -926,7 +926,14 @@ def ivfpq_build(
         .join(entry.select("_ek", id_col, "cluster"), "_ek")
         .drop("_ek")
     )
-    return codes.localCheckpoint(eager=True), cent_rows, codebooks
+    # materialize for in-memory probing (ivfpq_topk scans codes once
+    # per query); a caller that consumes codes EXACTLY ONCE —
+    # write_ivfpq_index streams them straight into the partitioned
+    # write — passes materialize=False and skips a full extra
+    # materialization of the encode stage
+    if materialize:
+        codes = codes.localCheckpoint(eager=True)
+    return codes, cent_rows, codebooks
 
 
 def ivfpq_topk(
@@ -1080,6 +1087,9 @@ def write_ivfpq_index(
         assign_n=assign_n,
         id_col=id_col,
         vec_col=vec_col,
+        # the write below is the single consumer of codes — skip the
+        # in-memory materialization ivfpq_build does for probe reuse
+        materialize=False,
     )
     codes.write.mode("overwrite").partitionBy("cluster").parquet(
         os.path.join(path, "codes")

@@ -70,6 +70,16 @@ def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.length_quantiles(_docs(spark, sf_dir))
 
 
+def doc_length_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-scale twin of doc_length_quantiles (rows-only): a
+    percentile_approx Greenwald-Khanna sketch — one partial-aggregable
+    pass, no per-group ordering, the shape that survives a 100 TB
+    corpus where the exact operator's per-group sort would not.  Same
+    column names as the exact twin; the differential test bounds its
+    rank error per percentile (operators/text.py:length_quantiles_approx)."""
+    return text.length_quantiles_approx(_docs(spark, sf_dir))
+
+
 def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc lexical entropy + type-token ratio (r13 queue) — see
     operators/text.py:token_entropy for the single-pass identity and
@@ -1938,5 +1948,12 @@ SPECS = [
         FROM r GROUP BY source
         """,
         "per-source exact n_chars quantiles (integer-rank discrete)",
+    ),
+    QuerySpec(
+        "doc_length_quantiles_approx",
+        doc_length_quantiles_approx,
+        None,  # GK sketch output is engine-specific, not SQL-replayable;
+        # the differential test bounds rank error vs the exact twin
+        "per-source approx n_chars quantiles (percentile_approx serving twin)",
     ),
 ]

@@ -2278,6 +2278,51 @@ def test_length_quantiles_closed_form(spark):
     assert (b["p25"], b["p50"], b["p75"], b["p90"], b["p99"]) == (42,) * 5
 
 
+def test_length_quantiles_approx_error_bound(spark, sf_dir):
+    """The percentile_approx serving twin vs the exact operator (the
+    A4 exact/approx pattern): per group and percentile, the approx
+    value must be an actual group value whose RANK in the sorted group
+    is within n/accuracy + 1 of the exact integer rank (p*n+99)//100 —
+    the Greenwald-Khanna guarantee.  Checked on a synthetic 1..1000
+    group (bound = 1.1 → ranks within ±1) AND on the fixture corpus."""
+    import bisect
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.text import (
+        length_quantiles,
+        length_quantiles_approx,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    percentiles = (25, 50, 75, 90, 99)
+
+    def check(df):
+        exact = {r["source"]: r for r in length_quantiles(df).collect()}
+        approx = {r["source"]: r for r in length_quantiles_approx(df).collect()}
+        assert set(exact) == set(approx)
+        grouped: dict = {}
+        for row in df.select("source", "n_chars").collect():
+            grouped.setdefault(row["source"], []).append(row["n_chars"])
+        for src, vals in grouped.items():
+            vals.sort()
+            n = len(vals)
+            assert approx[src]["n_docs"] == n == exact[src]["n_docs"]
+            bound = n / 10000 + 1
+            for p in percentiles:
+                got = approx[src][f"p{p}"]
+                # must be an actual group value (GK returns inputs)
+                lo = bisect.bisect_left(vals, got)
+                hi = bisect.bisect_right(vals, got)
+                assert lo < hi, f"{src} p{p}: {got} not a group value"
+                target = (p * n + 99) // 100  # 1-based exact rank
+                # nearest 1-based rank the approx value occupies
+                err = min(abs(r - target) for r in range(lo + 1, hi + 1))
+                assert err <= bound, f"{src} p{p}: rank err {err} > {bound}"
+
+    rows = [(i, "t", "g", v) for i, v in enumerate(range(1, 1001))]
+    check(spark.createDataFrame(rows, ["doc_id", "text", "source", "n_chars"]))
+    check(load(spark, sf_dir, "documents"))
+
+
 def test_ivf_written_index_probe_matches_learned(spark, sf_dir, tmp_path):
     """write_ivf_index + ivf_topk_indexed: the stored-layout probe
     must return exactly ivf_topk_learned's rows for the same
