@@ -193,9 +193,12 @@ def _indexed_probe_metrics(spark, sf_dir: str) -> "dict[str, object]":
         legs = {}
         for name, fn in (
             (
+                # nprobe=4 (r12): query-directed multi-probe is the
+                # serving configuration — same 4-dirs-of-16 I/O bound
+                # as the IVF legs, vs single-bucket recall ~0.1-0.2
                 "lsh_topk_indexed",
                 lambda: S.lsh_topk_indexed(
-                    spark, lsh_path, query_vec_id=0, k=10, query_vec=qvec
+                    spark, lsh_path, query_vec_id=0, k=10, query_vec=qvec, nprobe=4
                 ).collect(),
             ),
             (

@@ -62,10 +62,13 @@ def brute_force_topk(
     )
 
 
-def _hyperplane_sign(vec: Column, plane: int, dims: int) -> Column:
-    """Sign bit of <vec, h_plane> where h_plane[i] = ±1 from
-    xxhash64(plane, i) parity — deterministic pseudo-random hyperplane."""
-    proj = F.aggregate(
+def _hyperplane_proj(vec: Column, plane: int, dims: int) -> Column:
+    """Raw projection <vec, h_plane> where h_plane[i] = ±1 from
+    xxhash64(plane, i) parity — deterministic pseudo-random hyperplane.
+    The sign gives the bucket bit; the MAGNITUDE is how far the vector
+    sits from the plane, which is what query-directed multi-probe
+    ranks perturbations by."""
+    return F.aggregate(
         F.zip_with(
             vec,
             F.sequence(F.lit(0), F.lit(dims - 1)),
@@ -75,7 +78,47 @@ def _hyperplane_sign(vec: Column, plane: int, dims: int) -> Column:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def _hyperplane_sign(vec: Column, plane: int, dims: int) -> Column:
+    """Sign bit of <vec, h_plane> (see ``_hyperplane_proj``)."""
+    proj = _hyperplane_proj(vec, plane, dims)
     return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def lsh_probe_buckets(
+    spark, query_vec: "list[float]", planes: int, dims: int, nprobe: int
+) -> "list[int]":
+    """Query-directed multi-probe sequence (Lv et al. 2007): the
+    ``nprobe`` buckets most likely to hold the query's neighbors, in
+    probe order.  A neighbor lands in a different bucket when it falls
+    on the other side of some hyperplanes; the probability of that is
+    governed by how CLOSE the query sits to each plane, so probe
+    buckets are ranked by perturbation cost = Σ |proj_p| over the
+    flipped planes (flip the planes the query barely cleared first).
+    The first bucket is always the query's own (cost 0), so
+    ``nprobe=1`` is exactly the single-bucket probe.
+
+    Driver-sized: ONE 1-row Spark job computes the per-plane raw
+    projections (the hyperplanes are xxhash64-derived JVM-side, so
+    they cannot be replicated in Python), then the 2^planes candidate
+    perturbations are enumerated and sorted driver-side — fine for the
+    signature widths hyperplane-LSH uses (≤ 16 bits; wider signatures
+    want a heap-based generator and are rejected here)."""
+    if not 1 <= planes <= 16:
+        raise ValueError(f"multi-probe enumeration supports 1..16 planes, got {planes}")
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    projs = (
+        spark.range(1)
+        .select(*[_hyperplane_proj(qlit, p, dims).alias(f"p{p}") for p in range(planes)])
+        .head()
+    )
+    base = sum((1 << p) for p in range(planes) if projs[p] >= 0)
+    ranked = sorted(
+        (sum(abs(projs[p]) for p in range(planes) if mask & (1 << p)), mask)
+        for mask in range(1 << planes)
+    )
+    return [base ^ mask for _, mask in ranked[: max(1, nprobe)]]
 
 
 def lsh_bucket(vec: Column, planes: int, dims: int) -> Column:
@@ -110,6 +153,38 @@ def lsh_topk(
     return (
         bucketed.crossJoin(F.broadcast(q))
         .filter((F.col("_bucket") == F.col("_qbucket")) & (F.col(id_col) != query_vec_id))
+        .select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def lsh_topk_multiprobe(
+    df: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    planes: int = 4,
+    dims: int = 64,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """In-memory twin of ``lsh_topk_indexed(..., nprobe=N)``: probe the
+    query's bucket PLUS the nprobe−1 next-likeliest buckets (ranked by
+    ``lsh_probe_buckets``'s perturbation cost), exact cosine rerank
+    across the probed union.  ``nprobe=1`` degenerates to ``lsh_topk``;
+    ``nprobe=2^planes`` is brute-force cosine.  Against a written
+    index the same bucket set prunes partitions; here it prunes rows."""
+    qvals = [
+        float(x)
+        for x in df.filter(F.col(id_col) == query_vec_id).head()[vec_col]
+    ]
+    buckets = lsh_probe_buckets(df.sparkSession, qvals, planes, dims, nprobe)
+    qlit = F.array(*[F.lit(x) for x in qvals])
+    sim = cosine(F.col(vec_col), qlit)
+    return (
+        df.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes, dims))
+        .filter(F.col("_bucket").isin(buckets) & (F.col(id_col) != query_vec_id))
         .select(F.col(id_col), sim.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
@@ -168,6 +243,7 @@ def lsh_topk_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_vec: "list[float] | None" = None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Probe a pre-bucketed LSH index (``write_lsh_index`` layout) —
     total I/O is bounded by ONE bucket directory plus (for id probes)
@@ -188,7 +264,20 @@ def lsh_topk_indexed(
     comparison ``lsh_topk`` run is therefore detectable by the caller,
     and impossible to get wrong here.  Results are identical to the
     on-the-fly ``lsh_topk`` for the same parameters; exact cosine
-    rerank inside the bucket, same (cos_sim desc, id) ordering."""
+    rerank inside the bucket, same (cos_sim desc, id) ordering.
+
+    ``nprobe`` > 1 turns on query-directed MULTI-PROBE (Lv et al.
+    2007, see ``lsh_probe_buckets``): the probe also opens the
+    ``nprobe − 1`` next-likeliest bucket directories, ranked by how
+    close the query sits to each hyperplane.  The bucket predicate
+    becomes an ``isin`` over literals — still a PartitionFilter, so
+    I/O stays bounded by nprobe/2^planes of the index; recall rises
+    steeply because a near-neighbor differing in one weak bit is the
+    dominant miss mode of single-bucket hyperplane LSH (measured on
+    the sf0.1 fixture: recall@10 0.2 single-bucket → 0.8 at nprobe 4,
+    scripts/ann_probe_bench.py).  ``nprobe=1`` probes the query's own
+    bucket exactly as before; probing ALL 2^planes buckets is
+    brute-force cosine (the exhaustive-parity test pin)."""
     import os
 
     params = (
@@ -199,10 +288,7 @@ def lsh_topk_indexed(
     planes, dims = int(params.planes), int(params.dims)
     idx = spark.read.parquet(path)
     if query_vec is not None:
-        qlit = F.array(*[F.lit(float(x)) for x in query_vec])
-        qbucket = (
-            spark.range(1).select(lsh_bucket(qlit, planes, dims).alias("b")).head()[0]
-        )
+        qvals = [float(x) for x in query_vec]
         exclude = F.lit(True) if query_vec_id is None else F.col(id_col) != query_vec_id
     else:
         if query_vec_id is None:
@@ -211,19 +297,26 @@ def lsh_topk_indexed(
         brow = id_map.filter(F.col(id_col) == query_vec_id).head()
         if brow is None:
             raise ValueError(f"query vector {query_vec_id} not found in index {path}")
-        qbucket = brow["lsh_bucket"]
         qrow = (
             idx.filter(
-                (F.col("lsh_bucket") == qbucket) & (F.col(id_col) == query_vec_id)
+                (F.col("lsh_bucket") == brow["lsh_bucket"])
+                & (F.col(id_col) == query_vec_id)
             )
             .select(vec_col)
             .head()
         )
-        qlit = F.array(*[F.lit(float(x)) for x in qrow[0]])
+        qvals = [float(x) for x in qrow[0]]
         exclude = F.col(id_col) != query_vec_id
+    buckets = lsh_probe_buckets(spark, qvals, planes, dims, nprobe)
+    qlit = F.array(*[F.lit(x) for x in qvals])
     sim = cosine(F.col(vec_col), qlit)
+    bucket_pred = (
+        F.col("lsh_bucket") == buckets[0]
+        if len(buckets) == 1
+        else F.col("lsh_bucket").isin(buckets)
+    )
     return (
-        idx.filter((F.col("lsh_bucket") == qbucket) & exclude)
+        idx.filter(bucket_pred & exclude)
         .select(F.col(id_col), sim.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import dround, money
+from ..functions import dround, money, sql_snippets
 from ..sources.tables import load
 from .registry import QuerySpec
 
@@ -474,7 +474,152 @@ def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (r13 queue): per customer, recency (days since
+    last order vs the corpus max order date), frequency (order count),
+    monetary (decimal-exact spend), each bucketed into quartiles — the
+    classic CRM segmentation table.
+
+    Quartile assignment deliberately avoids a global ntile (ntile over
+    an unpartitioned window sorts ALL customers into ONE task — the
+    single-partition trap at 100M customers).  Instead the three
+    quartile THRESHOLDS are computed once each (integer-rank
+    (p·n+99) div 100 over the per-customer aggregate, the
+    length_quantiles discipline), cross-joined back as a broadcast
+    1-row frame, and each customer's bucket is 1 + Σ(value > tP) — a
+    pure projection, embarrassingly parallel, tie-stable (equal values
+    always share a bucket, which ntile cannot promise).  The threshold
+    windows still each sort the per-customer aggregate; at true scale
+    the serving twin is percentile_approx thresholds (the
+    length_quantiles_approx precedent)."""
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.to_date("o_orderdate")).alias("_last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(money("o_totalprice")).cast("double").alias("monetary"),
+    )
+    cmax = orders.agg(F.max(F.to_date("o_orderdate")).alias("_cmax"))
+    pc = per_cust.crossJoin(F.broadcast(cmax)).select(
+        "custkey",
+        F.datediff("_cmax", "_last").cast("bigint").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+
+    def thresholds(col: str, prefix: str) -> DataFrame:
+        w = Window.orderBy(F.col(col), F.col("custkey"))
+        ranked = pc.select(
+            F.col(col).alias("_v"),
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("_n"),
+        )
+        return ranked.agg(
+            *[
+                F.max(
+                    F.when(
+                        F.col("_rn")
+                        == F.expr(f"(cast({p} as bigint) * _n + 99) div 100"),
+                        F.col("_v"),
+                    )
+                ).alias(f"{prefix}{p}")
+                for p in (25, 50, 75)
+            ]
+        )
+
+    th = (
+        thresholds("recency_days", "_tr")
+        .crossJoin(thresholds("frequency", "_tf"))
+        .crossJoin(thresholds("monetary", "_tm"))
+    )
+
+    def quartile(col: str, pfx: str):
+        return (
+            F.lit(1)
+            + F.when(F.col(col) > F.col(f"{pfx}25"), 1).otherwise(0)
+            + F.when(F.col(col) > F.col(f"{pfx}50"), 1).otherwise(0)
+            + F.when(F.col(col) > F.col(f"{pfx}75"), 1).otherwise(0)
+        ).cast("int")
+
+    return (
+        pc.crossJoin(F.broadcast(th))
+        .select(
+            "custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            quartile("recency_days", "_tr").alias("r_quartile"),
+            quartile("frequency", "_tf").alias("f_quartile"),
+            quartile("monetary", "_tm").alias("m_quartile"),
+        )
+        .withColumn(
+            "rfm_segment", F.concat_ws("", "r_quartile", "f_quartile", "m_quartile")
+        )
+    )
+
+
 SPECS = [
+    QuerySpec(
+        "customer_rfm_segments",
+        customer_rfm_segments,
+        f"""
+        WITH pc AS (
+            SELECT o_custkey AS custkey,
+                   date_diff('day', CAST(max(o_orderdate) AS DATE),
+                             (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+                       AS recency_days,
+                   count(*) AS frequency,
+                   {sql_snippets.sum_money('o_totalprice')} AS monetary
+            FROM orders GROUP BY 1
+        ),
+        tr AS (
+            SELECT max(CASE WHEN _rn = (25*_n+99)//100 THEN _v END) AS _tr25,
+                   max(CASE WHEN _rn = (50*_n+99)//100 THEN _v END) AS _tr50,
+                   max(CASE WHEN _rn = (75*_n+99)//100 THEN _v END) AS _tr75
+            FROM (SELECT recency_days AS _v,
+                         row_number() OVER (ORDER BY recency_days, custkey) AS _rn,
+                         count(*) OVER () AS _n FROM pc)
+        ),
+        tf AS (
+            SELECT max(CASE WHEN _rn = (25*_n+99)//100 THEN _v END) AS _tf25,
+                   max(CASE WHEN _rn = (50*_n+99)//100 THEN _v END) AS _tf50,
+                   max(CASE WHEN _rn = (75*_n+99)//100 THEN _v END) AS _tf75
+            FROM (SELECT frequency AS _v,
+                         row_number() OVER (ORDER BY frequency, custkey) AS _rn,
+                         count(*) OVER () AS _n FROM pc)
+        ),
+        tm AS (
+            SELECT max(CASE WHEN _rn = (25*_n+99)//100 THEN _v END) AS _tm25,
+                   max(CASE WHEN _rn = (50*_n+99)//100 THEN _v END) AS _tm50,
+                   max(CASE WHEN _rn = (75*_n+99)//100 THEN _v END) AS _tm75
+            FROM (SELECT monetary AS _v,
+                         row_number() OVER (ORDER BY monetary, custkey) AS _rn,
+                         count(*) OVER () AS _n FROM pc)
+        ),
+        q AS (
+            SELECT pc.*,
+                   CAST(1 + (CASE WHEN recency_days > _tr25 THEN 1 ELSE 0 END)
+                          + (CASE WHEN recency_days > _tr50 THEN 1 ELSE 0 END)
+                          + (CASE WHEN recency_days > _tr75 THEN 1 ELSE 0 END) AS INT)
+                       AS r_quartile,
+                   CAST(1 + (CASE WHEN frequency > _tf25 THEN 1 ELSE 0 END)
+                          + (CASE WHEN frequency > _tf50 THEN 1 ELSE 0 END)
+                          + (CASE WHEN frequency > _tf75 THEN 1 ELSE 0 END) AS INT)
+                       AS f_quartile,
+                   CAST(1 + (CASE WHEN monetary > _tm25 THEN 1 ELSE 0 END)
+                          + (CASE WHEN monetary > _tm50 THEN 1 ELSE 0 END)
+                          + (CASE WHEN monetary > _tm75 THEN 1 ELSE 0 END) AS INT)
+                       AS m_quartile
+            FROM pc, tr, tf, tm
+        )
+        SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days,
+               CAST(frequency AS BIGINT) AS frequency, monetary,
+               r_quartile, f_quartile, m_quartile,
+               CAST(r_quartile AS VARCHAR) || CAST(f_quartile AS VARCHAR)
+                   || CAST(m_quartile AS VARCHAR) AS rfm_segment
+        FROM q
+        """,
+        "RFM quartile segmentation via broadcast thresholds (r13 queue)",
+    ),
     QuerySpec(
         "weekly_retention_cohorts",
         weekly_retention_cohorts,

@@ -97,6 +97,54 @@ def purchase_last_view_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution (r13 queue): per user, the latency
+    from FIRST view to FIRST subsequent purchase, then exact integer-rank
+    quantiles (p25/50/75/90/99) of that latency across converting users
+    — the number a growth team reads next to the funnel counts.
+
+    Latency is in MICROSECONDS via unix_micros (exact integers on both
+    engines; a seconds cast would truncate differently than DuckDB's
+    fractional epoch).  Quantile ranks follow the length_quantiles
+    discipline: 1-based rank (p·n+99) div 100 over (latency, user_id)
+    order — no float index, no interpolation.  The converting-user
+    frame is one agg over one scan; the final quantile window sorts
+    only converting users (≪ events; at true scale the serving twin is
+    percentile_approx, the length_quantiles_approx precedent)."""
+    ev = load(spark, sf_dir, "events")
+    firsts = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("_v"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("_p"),
+        )
+    )
+    conv = firsts.filter(
+        F.col("_v").isNotNull() & F.col("_p").isNotNull() & (F.col("_p") > F.col("_v"))
+    ).select(
+        "user_id",
+        (F.unix_micros("_p") - F.unix_micros("_v")).alias("_lat"),
+    )
+    w = Window.orderBy("_lat", "user_id")
+    ranked = conv.select(
+        "_lat",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("_n"),
+    )
+    aggs = [F.max("_n").alias("n_users")]
+    for p in (25, 50, 75, 90, 99):
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("_rn") == F.expr(f"(cast({p} as bigint) * _n + 99) div 100"),
+                    F.col("_lat"),
+                )
+            ).alias(f"p{p}_us")
+        )
+    return ranked.agg(*aggs)
+
+
 SPECS = [
     QuerySpec(
         "conversion_funnel",
@@ -130,6 +178,34 @@ SPECS = [
           ON p_retailprice >= lo AND p_retailprice < hi
         GROUP BY band
         """,
+    ),
+    QuerySpec(
+        "conversion_latency_quantiles",
+        conversion_latency_quantiles,
+        """
+        WITH f AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END) AS _v,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS _p
+            FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1
+        ), conv AS (
+            SELECT user_id, epoch_us(_p) - epoch_us(_v) AS _lat
+            FROM f WHERE _v IS NOT NULL AND _p IS NOT NULL AND _p > _v
+        ), r AS (
+            SELECT _lat,
+                   row_number() OVER (ORDER BY _lat, user_id) AS _rn,
+                   count(*) OVER () AS _n
+            FROM conv
+        )
+        SELECT CAST(max(_n) AS BIGINT) AS n_users,
+               CAST(max(CASE WHEN _rn = (25 * _n + 99) // 100 THEN _lat END) AS BIGINT) AS p25_us,
+               CAST(max(CASE WHEN _rn = (50 * _n + 99) // 100 THEN _lat END) AS BIGINT) AS p50_us,
+               CAST(max(CASE WHEN _rn = (75 * _n + 99) // 100 THEN _lat END) AS BIGINT) AS p75_us,
+               CAST(max(CASE WHEN _rn = (90 * _n + 99) // 100 THEN _lat END) AS BIGINT) AS p90_us,
+               CAST(max(CASE WHEN _rn = (99 * _n + 99) // 100 THEN _lat END) AS BIGINT) AS p99_us
+        FROM r
+        """,
+        "first-view→first-purchase latency quantiles (r13 queue)",
     ),
     QuerySpec(
         "purchase_last_view_asof",

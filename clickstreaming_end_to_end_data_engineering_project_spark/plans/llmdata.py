@@ -70,6 +70,53 @@ def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.length_quantiles(_docs(spark, sf_dir))
 
 
+def source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication health (r13 queue): how much of
+    each source is byte-identical boilerplate — the first number a
+    mixture owner reads before weighting sources, and the rollup of
+    the doc-level `exact_dup_docs` signal.  A doc counts as duplicated
+    when its md5 fingerprint appears ≥2 times CORPUS-WIDE (cross-source
+    dups count for both sources — that is the point of the audit).
+
+    Shape: one md5 projection, one count per fingerprint (map-side
+    combinable), one broadcast-sized join back on the fingerprint, one
+    per-source agg — two narrow shuffles, no text comparison, no pair
+    join.  dup_rate is dround(6) for cross-engine bit-exactness."""
+    from ..functions import dround
+
+    docs = _docs(spark, sf_dir)
+    fp = docs.select(
+        "source", F.md5(F.col("text").cast("binary")).alias("_fp")
+    )
+    # group sizes over NON-NULL fingerprints only, and LEFT join back:
+    # an inner join would silently drop NULL-text docs from n_docs
+    # (equi-join semantics), and a NULL fingerprint must never count
+    # as duplicated (the exact_dup_docs convention)
+    sizes = (
+        fp.filter(F.col("_fp").isNotNull())
+        .groupBy("_fp")
+        .agg(F.count(F.lit(1)).alias("_gsz"))
+    )
+    return (
+        fp.join(sizes, "_fp", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("_gsz") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("dup_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "dup_docs",
+            dround(
+                F.col("dup_docs").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("dup_rate"),
+        )
+    )
+
+
 def doc_length_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving-scale twin of doc_length_quantiles (rows-only): a
     percentile_approx Greenwald-Khanna sketch — one partial-aggregable
@@ -312,6 +359,16 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(_embs(spark, sf_dir), query_vec_id=0, k=10)
+
+
+def embedding_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-directed multi-probe LSH (Lv et al. 2007): the serving
+    configuration — probe the 4 likeliest of 16 buckets instead of 1
+    (recall@10 0.1 → 0.5 at sf0.01, same latency; BENCH indexed-probe
+    legs carry the at-scale numbers)."""
+    return similarity.lsh_topk_multiprobe(
+        _embs(spark, sf_dir), query_vec_id=0, k=10, nprobe=4
+    )
 
 
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1190,6 +1247,12 @@ SPECS = [
         """,
     ),
     QuerySpec("embedding_lsh_topk", embedding_lsh_topk, None, "LSH-bucketed ANN (rows-only)"),
+    QuerySpec(
+        "embedding_lsh_topk_multiprobe",
+        embedding_lsh_topk_multiprobe,
+        None,  # hash-derived buckets — not SQL-replayable
+        "query-directed multi-probe LSH ANN (rows-only)",
+    ),
     QuerySpec("embedding_kmeans", embedding_kmeans, None, "iterative k-means (rows-only)"),
     QuerySpec(
         "embedding_ivf_topk_learned",
@@ -1948,6 +2011,28 @@ SPECS = [
         FROM r GROUP BY source
         """,
         "per-source exact n_chars quantiles (integer-rank discrete)",
+    ),
+    QuerySpec(
+        "source_dup_rate",
+        source_dup_rate,
+        f"""
+        WITH fp AS (
+            SELECT source, md5(text) AS _fp FROM documents
+        ), sizes AS (
+            SELECT _fp, count(*) AS _gsz FROM fp
+            WHERE _fp IS NOT NULL GROUP BY 1
+        )
+        SELECT fp.source,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN sizes._gsz >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dup_docs,
+               {sql_snippets.dround(
+                   'CAST(sum(CASE WHEN sizes._gsz >= 2 THEN 1 ELSE 0 END) AS DOUBLE)'
+                   ' / CAST(count(*) AS DOUBLE)', 6)} AS dup_rate
+        FROM fp LEFT JOIN sizes USING (_fp)
+        GROUP BY fp.source
+        """,
+        "per-source exact-dup fraction (corpus-wide md5 groups, r13 queue)",
     ),
     QuerySpec(
         "doc_length_quantiles_approx",

@@ -156,6 +156,17 @@ class QuerySpec:
 # and a pinned digest).  pq_code_balance + ngram_jaccard_histogram
 # (first rows r11) stay for their confirming rows;
 # embedding_ivf_topk_learned stays for a confirming rows-only row.
+# r13 rotation queue (added in r12 after the gate was set): three NEW
+# oracle-backed queries — customer_rfm_segments (plans/extras.py: RFM
+# quartile segmentation via broadcast integer-rank thresholds, the
+# no-global-ntile shape), conversion_latency_quantiles
+# (plans/funnel.py: first-view→first-purchase latency distribution,
+# exact microsecond ranks) and source_dup_rate (plans/llmdata.py:
+# per-source exact-dup fraction over corpus-wide md5 groups).  All
+# implemented + locally oracle-green at sf0.001/sf0.01 under a
+# foreign-tz session in r12, benched in BENCH_EXTENDED with pinned
+# digests ahead of rotation; rotate in at r13, demoting
+# doubly-verified rows per the standing policy.
 GATE_PRIORITY = [
     # reference-parity clickstream core (pinned)
     "page_view_counts",
@@ -286,6 +297,11 @@ BENCH_EXTENDED = [
     # ahead of its gate rotation
     "doc_token_entropy",
     "source_unigram_kl",
+    # r12: the (new) r13-queue trio — recorded numbers + pinned
+    # digests ahead of rotation, the standing pattern
+    "customer_rfm_segments",
+    "conversion_latency_quantiles",
+    "source_dup_rate",
 ]
 
 

@@ -162,6 +162,94 @@ def test_lsh_indexed_probe_prunes_partitions_and_matches_on_the_fly(spark, sf_di
     assert got_vec == got
 
 
+def test_lsh_multiprobe_recall_and_exhaustive_parity(spark, sf_dir, tmp_path):
+    """Query-directed multi-probe (Lv et al. 2007): (a) nprobe=1 is
+    bit-identical to the single-bucket probe; (b) recall@10 vs exact
+    cosine is monotone in nprobe on the fixture; (c) probing ALL
+    2^planes buckets IS brute-force cosine (exhaustive parity — the
+    same pin the IVFPQ family carries); (d) the multi-bucket predicate
+    is still a PartitionFilter, with the executed scan reading files
+    from at most nprobe bucket directories."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk_indexed,
+        write_lsh_index,
+    )
+
+    embs = load(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "lsh_index")
+    write_lsh_index(embs, path, planes=4, dims=64)
+    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact = [
+        (r["vec_id"], r["cos_sim"]) for r in brute_force_topk(embs, 0, k=10).collect()
+    ]
+    exact_ids = {v for v, _ in exact}
+
+    single = lsh_topk_indexed(
+        spark, path, query_vec_id=0, k=10, query_vec=qvec
+    ).collect()
+    multi1 = lsh_topk_indexed(
+        spark, path, query_vec_id=0, k=10, query_vec=qvec, nprobe=1
+    ).collect()
+    assert [tuple(r) for r in multi1] == [tuple(r) for r in single]
+
+    recalls = []
+    for nprobe in (1, 4, 16):
+        rows = lsh_topk_indexed(
+            spark, path, query_vec_id=0, k=10, query_vec=qvec, nprobe=nprobe
+        ).collect()
+        recalls.append(len({r["vec_id"] for r in rows} & exact_ids) / 10)
+    assert recalls == sorted(recalls), f"recall must be monotone in nprobe: {recalls}"
+
+    # exhaustive parity: all 16 buckets == brute force, bit for bit
+    allb = lsh_topk_indexed(
+        spark, path, query_vec_id=0, k=10, query_vec=qvec, nprobe=16
+    ).collect()
+    assert [v for v, _ in exact] == [r["vec_id"] for r in allb]
+    for (_, a), r in zip(exact, allb):
+        assert abs(a - r["cos_sim"]) < 1e-12
+    assert recalls[-1] == 1.0
+
+    # pruning: executed scan touches ≤ nprobe bucket dirs (the skill
+    # gotcha: inputFiles() reports the unfiltered index — use the
+    # executed input_file_name set + a PartitionFilters grep)
+    probe4 = lsh_topk_indexed(
+        spark, path, query_vec_id=0, k=10, query_vec=qvec, nprobe=4
+    )
+    plan = probe4._jdf.queryExecution().executedPlan().toString()
+    seg = plan.split("PartitionFilters", 1)[1][:200]
+    assert "lsh_bucket" in seg, f"bucket isin must be a partition filter: {seg}"
+    idx = spark.read.parquet(path)
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.similarity import (
+        lsh_probe_buckets,
+    )
+    buckets = lsh_probe_buckets(spark, qvec, 4, 64, 4)
+    assert len(buckets) == len(set(buckets)) == 4
+    files = [
+        r[0]
+        for r in idx.filter(F.col("lsh_bucket").isin(buckets))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    ]
+    dirs = {f.split("lsh_bucket=")[1].split("/")[0] for f in files}
+    assert dirs <= {str(b) for b in buckets}
+
+    # the in-memory twin (registry query embedding_lsh_topk_multiprobe)
+    # returns exactly the written-index probe's rows for the same params
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.similarity import (
+        lsh_topk_multiprobe,
+    )
+
+    mem = lsh_topk_multiprobe(embs, 0, k=10, planes=4, dims=64, nprobe=4).collect()
+    idx4 = lsh_topk_indexed(
+        spark, path, query_vec_id=0, k=10, query_vec=qvec, nprobe=4
+    ).collect()
+    assert [r["vec_id"] for r in mem] == [r["vec_id"] for r in idx4]
+    for a, b in zip(mem, idx4):
+        assert abs(a["cos_sim"] - b["cos_sim"]) < 1e-12
+
+
 def test_salted_join_equals_plain_join(spark, sf_dir):
     from clickstreaming_end_to_end_data_engineering_project_spark.operators.skew import salted_join
 

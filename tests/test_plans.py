@@ -183,3 +183,72 @@ def test_q15_scalar_max_is_single_row_broadcast(spark, sf_dir):
     assert any("l_shipdate" in seg[:300] for seg in pushed[1:]), (
         "ship-date range must reach the lineitem scan"
     )
+
+
+def test_rfm_segments_broadcast_thresholds_no_ntile(spark, sf_dir):
+    """customer_rfm_segments shape pins: quartile assignment must be a
+    broadcast of the 1-row threshold frame (BroadcastNestedLoopJoin over
+    one row), never a global ntile (an unpartitioned ntile window sorts
+    every customer into ONE task at scale)."""
+    df = all_specs()["customer_rfm_segments"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "ntile" not in plan.lower()
+
+
+def test_conversion_latency_quantiles_matches_python(spark, sf_dir):
+    """Differential vs a pure-Python reference over the same events:
+    per-user first view / first subsequent purchase, exact integer-rank
+    microsecond quantiles."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts").collect()
+    firsts: dict = {}
+    for r in ev:
+        if r["event_type"] not in ("view", "purchase"):
+            continue
+        v, p = firsts.get(r["user_id"], (None, None))
+        if r["event_type"] == "view" and (v is None or r["ts"] < v):
+            v = r["ts"]
+        if r["event_type"] == "purchase" and (p is None or r["ts"] < p):
+            p = r["ts"]
+        firsts[r["user_id"]] = (v, p)
+    lats = sorted(
+        (int((p - v).total_seconds() * 1_000_000), u)
+        for u, (v, p) in firsts.items()
+        if v is not None and p is not None and p > v
+    )
+    n = len(lats)
+    got = all_specs()["conversion_latency_quantiles"].fn(spark, sf_dir).head()
+    assert got["n_users"] == n
+    for p in (25, 50, 75, 90, 99):
+        want = lats[(p * n + 99) // 100 - 1][0]
+        assert got[f"p{p}_us"] == want, f"p{p}: {got[f'p{p}_us']} != {want}"
+
+
+def test_source_dup_rate_matches_python(spark, sf_dir):
+    """Differential vs a pure-Python reference: corpus-wide text groups
+    of size >= 2, rolled up per source (None texts never duplicated)."""
+    from collections import Counter
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("source", "text").collect()
+    sizes = Counter(r["text"] for r in docs if r["text"] is not None)
+    per_src: dict = {}
+    for r in docs:
+        nd, dd = per_src.get(r["source"], (0, 0))
+        nd += 1
+        if r["text"] is not None and sizes[r["text"]] >= 2:
+            dd += 1
+        per_src[r["source"]] = (nd, dd)
+    got = {
+        r["source"]: r
+        for r in all_specs()["source_dup_rate"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(per_src)
+    for src, (nd, dd) in per_src.items():
+        assert (got[src]["n_docs"], got[src]["dup_docs"]) == (nd, dd), src
+        import math
+
+        assert got[src]["dup_rate"] == math.floor(dd / nd * 1e6 + 0.5) / 1e6
