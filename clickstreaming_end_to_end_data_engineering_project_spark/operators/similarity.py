@@ -62,6 +62,122 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k for EVERY query in a (query_id, embedding)
+    frame in ONE corpus pass — the batch-serving shape: Q queries
+    amortize a single scan instead of issuing Q scans.  The query set
+    is broadcast (serving batches are driver-sized); per-query top-k
+    is row_number ≤ k over a (query) window, which Spark plans as
+    WindowGroupLimit — each task keeps only its local top-k per query
+    BEFORE the shuffle, so shuffle volume is ≤ Q·k rows per task, not
+    the corpus×Q cross product.  A query id also present in the corpus
+    is excluded from its own neighbor list.
+
+    Output: (query_id, vec_id, cos_sim, rnk) — rnk 1-based."""
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+    )
+    sim = cosine(F.col(vec_col), F.col("_qvec"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        df.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("_qid"))
+        .select(F.col("_qid").alias(query_id_col), F.col(id_col), sim.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def ivf_topk_indexed_batch(
+    spark,
+    path: str,
+    queries: "list[tuple[int, list[float]]]",
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched probe of a ``write_ivf_index`` layout: rank the stored
+    centroids per query DRIVER-side (Q × n_clusters dot products over
+    driver-sized artifacts), then scan the UNION of all probed
+    ``cluster=`` dirs ONCE — the isin over that union is a partition
+    filter, so I/O is bounded by the distinct probed clusters, shared
+    across the whole batch.  Membership (which query probes which
+    cluster) is a broadcast (query, cluster) pair join, and per-query
+    top-k is WindowGroupLimit, exactly ``brute_force_topk_batch``'s
+    shuffle bound.  Per query, results are IDENTICAL to the
+    single-query ``ivf_topk_indexed`` at the same nprobe (pinned in
+    tests).
+
+    ``queries``: [(query_id, vector)] — the serving batch, driver-sized
+    by definition.  Output: (query_id, vec_id, cos_sim, rnk)."""
+    import os
+
+    cent_rows = sorted(
+        (int(r["cluster"]), [float(x) for x in r["centroid"]])
+        for r in spark.read.schema("cluster int, centroid array<double>")
+        .parquet(os.path.join(path, "_ivf_centroids"))
+        .collect()
+    )
+    params = (
+        spark.read.schema("n_clusters int, dims int")
+        .parquet(os.path.join(path, "_ivf_params"))
+        .head()
+    )
+    import math
+
+    pairs = []
+    qrows = []
+    for qid, qv in queries:
+        if len(qv) != params.dims:
+            raise ValueError(
+                f"ivf_topk_indexed_batch: query {qid} has {len(qv)} dims, "
+                f"index expects {params.dims}"
+            )
+        # BIT-identical driver-side fold to ivf_topk_indexed's _cos
+        # (same zip order, same qn*cn association, same zero guard),
+        # so the per-query probe sets — and therefore the results —
+        # match the single-query probe exactly
+        qn = math.sqrt(sum(float(x) * float(x) for x in qv))
+
+        def _cos(c: "list[float]") -> float:
+            cn = math.sqrt(sum(x * x for x in c))
+            if qn == 0.0 or cn == 0.0:
+                return 0.0
+            return sum(float(a) * b for a, b in zip(qv, c)) / (qn * cn)
+
+        probed_q = [
+            c for c, _ in sorted(cent_rows, key=lambda cc: (-_cos(cc[1]), cc[0]))[:nprobe]
+        ]
+        qrows.append((int(qid), [float(x) for x in qv]))
+        pairs.extend((int(qid), c) for c in probed_q)
+    probed = sorted({c for _, c in pairs})
+    idx = spark.read.parquet(os.path.join(path, "vectors")).filter(
+        F.col("cluster").isin(probed)
+    )
+    pair_df = spark.createDataFrame(pairs, "_qid bigint, cluster int")
+    q_df = spark.createDataFrame(qrows, "_qid bigint, _qvec array<double>")
+    sim = cosine(F.col(vec_col), F.col("_qvec"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        idx.join(F.broadcast(pair_df), "cluster")
+        .join(F.broadcast(q_df), "_qid")
+        .filter(F.col(id_col) != F.col("_qid"))
+        .select(F.col("_qid").alias("query_id"), F.col(id_col), sim.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def _hyperplane_proj(vec: Column, plane: int, dims: int) -> Column:
     """Raw projection <vec, h_plane> where h_plane[i] = ±1 from
     xxhash64(plane, i) parity — deterministic pseudo-random hyperplane.

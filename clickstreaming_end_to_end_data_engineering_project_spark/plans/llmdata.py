@@ -357,6 +357,18 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(_embs(spark, sf_dir), query_vec_id=0, k=10)
 
 
+def embedding_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact ANN (r14 queue): top-10 neighbors for FIVE query
+    vectors in one corpus pass — the serving shape that amortizes the
+    scan across the batch (WindowGroupLimit keeps per-task state at
+    Q·k rows; see operators/similarity.py:brute_force_topk_batch)."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.brute_force_topk_batch(embs, queries, k=10)
+
+
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(_embs(spark, sf_dir), query_vec_id=0, k=10)
 
@@ -1245,6 +1257,26 @@ SPECS = [
         ORDER BY cos_sim DESC, e.vec_id
         LIMIT 10
         """,
+    ),
+    QuerySpec(
+        "embedding_topk_batch",
+        embedding_topk_batch,
+        f"""
+        WITH pairs AS (
+            SELECT q.vec_id AS query_id, e.vec_id, {_COSINE_EXPR} AS cos_sim
+            FROM embeddings e,
+                 (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+            WHERE e.vec_id <> q.vec_id
+        ), r AS (
+            SELECT query_id, vec_id, cos_sim,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk
+            FROM pairs
+        )
+        SELECT query_id, vec_id, cos_sim, CAST(rnk AS INT) AS rnk
+        FROM r WHERE rnk <= 10
+        """,
+        "batched exact cosine top-k, one corpus pass for 5 queries (r14 queue)",
     ),
     QuerySpec("embedding_lsh_topk", embedding_lsh_topk, None, "LSH-bucketed ANN (rows-only)"),
     QuerySpec(

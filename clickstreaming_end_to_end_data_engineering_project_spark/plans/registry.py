@@ -167,6 +167,12 @@ class QuerySpec:
 # foreign-tz session in r12, benched in BENCH_EXTENDED with pinned
 # digests ahead of rotation; rotate in at r13, demoting
 # doubly-verified rows per the standing policy.
+# r14 rotation queue (added in r12 after the r13 trio): embedding_topk_batch
+# (plans/llmdata.py: batched exact ANN — one corpus pass serves 5
+# queries via WindowGroupLimit per-query top-k; oracle-backed,
+# locally green at sf0.001/sf0.01).  Its written-index twin
+# ivf_topk_indexed_batch is pinned per-query-bit-equal to the
+# single-query probe in tests.
 GATE_PRIORITY = [
     # reference-parity clickstream core (pinned)
     "page_view_counts",
@@ -298,10 +304,12 @@ BENCH_EXTENDED = [
     "doc_token_entropy",
     "source_unigram_kl",
     # r12: the (new) r13-queue trio — recorded numbers + pinned
-    # digests ahead of rotation, the standing pattern
+    # digests ahead of rotation, the standing pattern — plus the
+    # r14-queue batched-ANN query
     "customer_rfm_segments",
     "conversion_latency_quantiles",
     "source_dup_rate",
+    "embedding_topk_batch",
 ]
 
 

@@ -57,11 +57,13 @@ QUERIES = ["q21_late_sole_suppliers", "q8_market_share", "q9_product_profit",
 # new operators without disturbing the historical default set)
 
 
-# only the tables the four swept queries actually load — copying
-# events/embeddings (the largest non-fact tables) would be wasted I/O
+# every table a swept query might load (events joined the set in r12
+# for the conversion-latency sweep: clones offset BOTH user_id and
+# event_id, so the user population grows with the corpus — per-user
+# history length stays fixed, the realistic growth mode)
 SWEPT_TABLES = (
     "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "documents", "embeddings",
+    "lineitem", "documents", "embeddings", "events",
 )
 
 
@@ -84,6 +86,15 @@ def build_inflated(spark, src_dir: str, dst_dir: str, copies: int) -> None:
             df = (
                 df.crossJoin(copy_ids)
                 .withColumn("doc_id", F.col("doc_id") + F.col("_copy") * F.lit(max_doc))
+                .drop("_copy")
+            )
+        elif name == "events":
+            max_uid = df.agg(F.max("user_id")).collect()[0][0] + 1
+            max_eid = df.agg(F.max("event_id")).collect()[0][0] + 1
+            df = (
+                df.crossJoin(copy_ids)
+                .withColumn("user_id", F.col("user_id") + F.col("_copy") * F.lit(max_uid))
+                .withColumn("event_id", F.col("event_id") + F.col("_copy") * F.lit(max_eid))
                 .drop("_copy")
             )
         elif name == "embeddings":

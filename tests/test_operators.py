@@ -2474,3 +2474,74 @@ def test_new_profile_operators_handle_empty_corpus(spark):
     assert token_entropy(empty).count() == 0
     assert source_unigram_kl(empty).count() == 0
     assert length_quantiles(empty).count() == 0
+
+
+def test_topk_batch_matches_per_query_and_windowgrouplimit(spark, sf_dir):
+    """brute_force_topk_batch: per query, exactly the single-query
+    brute_force_topk rows; the per-query top-k must plan as
+    WindowGroupLimit (map-side local top-k per query before the
+    shuffle — without it the shuffle carries the corpus×Q cross
+    product) over a broadcast of the query set."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        similarity as S,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    embs = load(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = S.brute_force_topk_batch(embs, queries, k=10)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["rnk"], r["vec_id"], r["cos_sim"]))
+    assert set(got) == {0, 1, 2, 3, 4}
+    for qid in range(5):
+        want = S.brute_force_topk(embs, qid, k=10).collect()
+        rows = sorted(got[qid])
+        assert [v for _, v, _ in rows] == [r["vec_id"] for r in want]
+        for (_, _, a), r in zip(rows, want):
+            assert abs(a - r["cos_sim"]) < 1e-12
+
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, "per-query top-k must push map-side"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ivf_indexed_batch_matches_single_query(spark, sf_dir, tmp_path):
+    """ivf_topk_indexed_batch over a written index: per query,
+    bit-identical to the single-query ivf_topk_indexed at the same
+    nprobe, and the batch scan's partition filter covers only the
+    UNION of probed clusters."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        similarity as S,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    embs = load(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    path = str(tmp_path / "ivf")
+    S.write_ivf_index(embs, path, n_clusters=6, iterations=2)
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in embs.filter(F.col("vec_id") < 3).collect()
+    ]
+    batch = S.ivf_topk_indexed_batch(spark, path, qs, k=10, nprobe=2)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["rnk"], r["vec_id"], r["cos_sim"]))
+    for qid, qv in qs:
+        want = S.ivf_topk_indexed(
+            spark, path, qv, k=10, nprobe=2, exclude_vec_id=qid
+        ).collect()
+        rows = sorted(got.get(qid, []))
+        assert [v for _, v, _ in rows] == [r["vec_id"] for r in want], f"query {qid}"
+        for (_, _, a), r in zip(rows, want):
+            assert a == r["cos_sim"]
+
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    seg = plan.split("PartitionFilters", 1)[1][:200]
+    assert "cluster" in seg, f"probed-cluster union must be a partition filter: {seg}"
+    import pytest
+
+    with pytest.raises(ValueError, match="dims"):
+        S.ivf_topk_indexed_batch(spark, path, [(0, [1.0, 2.0])], k=5)
