@@ -63,6 +63,25 @@ FRAME_SAMPLE_SCHEMA = StructType(
     ]
 )
 
+RESIZED_IMAGE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("duration_ms", LongType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("loudness_bucket", IntegerType(), True),
+    ]
+)
+
 
 class _FakeCodec:
     """Deterministic stand-in for PIL/ffmpeg: derives stable pseudo
@@ -81,6 +100,23 @@ class _FakeCodec:
     def video_frames(payload: bytes, every_n: int) -> list[bytes]:
         n_frames = 1 + len(payload) % 7
         return [payload[i : i + 16] for i in range(0, n_frames, every_n)]
+
+    @staticmethod
+    def resize(payload: bytes, width: int, height: int) -> bytes:
+        # deterministic fake: stretch/truncate the payload to a byte
+        # budget proportional to the target raster (1 byte / 64 px) —
+        # a real decoder returns the re-encoded image here
+        budget = max(1, width * height // 64)
+        reps = -(-budget // max(1, len(payload))) if payload else 1
+        return ((payload or b"\x00") * reps)[:budget]
+
+    @staticmethod
+    def audio_props(payload: bytes) -> tuple[int, int, int]:
+        h = hashlib.sha256(payload).digest()
+        duration_ms = 500 + int.from_bytes(h[2:4], "big") % 59_500
+        sample_rate = (8, 16, 22, 44, 48)[h[4] % 5] * 1000
+        loudness_bucket = h[5] % 10
+        return duration_ms, sample_rate, loudness_bucket
 
 
 def image_features(media: DataFrame, strict: bool = False) -> DataFrame:
@@ -130,6 +166,66 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
 
     return media.filter(F.col("kind") == "video").select("media_id", "payload").mapInPandas(
         _sample, FRAME_SAMPLE_SCHEMA
+    )
+
+
+def resize_images(
+    media: DataFrame, width: int = 224, height: int = 224, strict: bool = False
+) -> DataFrame:
+    """Batch image resize to a fixed raster (the pre-training
+    normalization step) over Arrow batches: (media_id, width, height,
+    payload).  Same 1-row→1-row narrow shape as ``image_features`` —
+    output payloads are bounded by the target raster, so the resized
+    table is safe to shuffle/write where the raw blobs were not.
+    ``strict=True`` raises like a missing-decoder build would."""
+    import pandas as pd
+
+    def _resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        if strict:
+            raise NotImplementedError("image resize requires PIL; not in this container")
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "payload": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                out["media_id"].append(mid)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["payload"].append(_FakeCodec.resize(b, width, height))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").select("media_id", "payload").mapInPandas(
+        _resize, RESIZED_IMAGE_SCHEMA
+    )
+
+
+def audio_features(media: DataFrame, strict: bool = False) -> DataFrame:
+    """Audio decode-and-measure over Arrow batches: (media_id,
+    duration_ms, sample_rate, n_bytes, loudness_bucket) — the audio
+    twin of ``image_features`` (duration/rate gates and loudness
+    stratification are the first filters an audio-corpus curation
+    pass applies)."""
+    import pandas as pd
+
+    def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        if strict:
+            raise NotImplementedError("audio decode requires ffmpeg; not in this container")
+        for pdf in batches:
+            out = {
+                "media_id": [], "duration_ms": [], "sample_rate": [],
+                "n_bytes": [], "loudness_bucket": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                dur, rate, loud = _FakeCodec.audio_props(b)
+                out["media_id"].append(mid)
+                out["duration_ms"].append(dur)
+                out["sample_rate"].append(rate)
+                out["n_bytes"].append(len(b))
+                out["loudness_bucket"].append(loud)
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "audio").select("media_id", "payload").mapInPandas(
+        _extract, AUDIO_FEATURES_SCHEMA
     )
 
 

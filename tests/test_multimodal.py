@@ -48,3 +48,37 @@ def test_media_fingerprints_find_payload_dups(spark, media):
 def test_strict_mode_raises_like_missing_lib(spark, media):
     with pytest.raises(Exception, match="(?i)NotImplementedError|PIL|decode"):
         mm.image_features(media, strict=True).collect()
+
+
+def test_resize_images_bounded_payload_and_determinism(spark, media):
+    resized = mm.resize_images(media, width=224, height=224)
+    assert resized.schema == mm.RESIZED_IMAGE_SCHEMA
+    rows = {r["media_id"]: r for r in resized.collect()}
+    assert len(rows) == 20  # images only
+    budget = 224 * 224 // 64
+    for r in rows.values():
+        assert (r["width"], r["height"]) == (224, 224)
+        # output bounded by the target raster — the property that makes
+        # the resized table safe to shuffle where raw blobs were not
+        assert len(r["payload"]) == budget
+    again = {r["media_id"]: r for r in mm.resize_images(media, 224, 224).collect()}
+    assert {k: bytes(v["payload"]) for k, v in rows.items()} == {
+        k: bytes(v["payload"]) for k, v in again.items()
+    }
+    # strict mode raises like a missing decoder build
+    with pytest.raises(Exception, match="(?i)NotImplementedError|PIL|resize"):
+        mm.resize_images(media, strict=True).collect()
+
+
+def test_audio_features_schema_and_ranges(spark, media):
+    feats = mm.audio_features(media)
+    assert feats.schema == mm.AUDIO_FEATURES_SCHEMA
+    rows = feats.collect()
+    assert len(rows) == 20  # every 3rd row is audio
+    for r in rows:
+        assert 500 <= r["duration_ms"] < 60_000
+        assert r["sample_rate"] in (8000, 16000, 22000, 44000, 48000)
+        assert 0 <= r["loudness_bucket"] <= 9
+        assert r["n_bytes"] == 128
+    with pytest.raises(Exception, match="(?i)NotImplementedError|ffmpeg|decode"):
+        mm.audio_features(media, strict=True).collect()
