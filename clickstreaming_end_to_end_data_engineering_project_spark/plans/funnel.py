@@ -145,6 +145,47 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.agg(*aggs)
 
 
+def user_inter_event_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-user inter-event gaps (r14 queue) — THE
+    input to choosing a sessionization timeout: the session gap
+    (operators/sessions.py uses 30 min) should sit in the long tail of
+    this distribution, and this query shows where the tail starts.
+
+    Shape: one lag window per user (parallel across users — partitions
+    bounded by per-user history), gaps in exact microseconds, then the
+    integer-rank quantile fold over all gaps (the length_quantiles
+    discipline; serving twin percentile_approx).  Tie-break on
+    (user_id, event_id) so simultaneous events order identically in
+    both engines."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            "event_id",
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("_gap"),
+        )
+        .filter(F.col("_gap").isNotNull())
+    )
+    wq = Window.orderBy("_gap", "user_id", "event_id")
+    ranked = gaps.select(
+        "_gap",
+        F.row_number().over(wq).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("_n"),
+    )
+    aggs = [F.max("_n").alias("n_gaps")]
+    for p in (50, 75, 90, 99):
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("_rn") == F.expr(f"(cast({p} as bigint) * _n + 99) div 100"),
+                    F.col("_gap"),
+                )
+            ).alias(f"p{p}_us")
+        )
+    return ranked.agg(*aggs)
+
+
 SPECS = [
     QuerySpec(
         "conversion_funnel",
@@ -206,6 +247,30 @@ SPECS = [
         FROM r
         """,
         "first-view→first-purchase latency quantiles (r13 queue)",
+    ),
+    QuerySpec(
+        "user_inter_event_gap_quantiles",
+        user_inter_event_gap_quantiles,
+        """
+        WITH g AS (
+            SELECT user_id, event_id,
+                   epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)) AS _gap
+            FROM events
+        ), r AS (
+            SELECT _gap,
+                   row_number() OVER (ORDER BY _gap, user_id, event_id) AS _rn,
+                   count(*) OVER () AS _n
+            FROM g WHERE _gap IS NOT NULL
+        )
+        SELECT CAST(max(_n) AS BIGINT) AS n_gaps,
+               CAST(max(CASE WHEN _rn = (50 * _n + 99) // 100 THEN _gap END) AS BIGINT) AS p50_us,
+               CAST(max(CASE WHEN _rn = (75 * _n + 99) // 100 THEN _gap END) AS BIGINT) AS p75_us,
+               CAST(max(CASE WHEN _rn = (90 * _n + 99) // 100 THEN _gap END) AS BIGINT) AS p90_us,
+               CAST(max(CASE WHEN _rn = (99 * _n + 99) // 100 THEN _gap END) AS BIGINT) AS p99_us
+        FROM r
+        """,
+        "per-user inter-event gap quantiles — the sessionization-timeout input (r14 queue)",
     ),
     QuerySpec(
         "purchase_last_view_asof",

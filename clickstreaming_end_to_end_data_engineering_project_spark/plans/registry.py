@@ -167,12 +167,14 @@ class QuerySpec:
 # foreign-tz session in r12, benched in BENCH_EXTENDED with pinned
 # digests ahead of rotation; rotate in at r13, demoting
 # doubly-verified rows per the standing policy.
-# r14 rotation queue (added in r12 after the r13 trio): embedding_topk_batch
-# (plans/llmdata.py: batched exact ANN — one corpus pass serves 5
-# queries via WindowGroupLimit per-query top-k; oracle-backed,
-# locally green at sf0.001/sf0.01).  Its written-index twin
-# ivf_topk_indexed_batch is pinned per-query-bit-equal to the
-# single-query probe in tests.
+# r14 rotation queue (added in r12 after the r13 trio):
+# embedding_topk_batch (plans/llmdata.py: batched exact ANN — one
+# corpus pass serves 5 queries via WindowGroupLimit per-query top-k;
+# its written-index twin ivf_topk_indexed_batch is pinned
+# per-query-bit-equal to the single-query probe in tests) and
+# user_inter_event_gap_quantiles (plans/funnel.py: per-user
+# inter-event gap distribution — the sessionization-timeout input).
+# Both oracle-backed, locally green at sf0.001/sf0.01.
 GATE_PRIORITY = [
     # reference-parity clickstream core (pinned)
     "page_view_counts",
@@ -310,6 +312,7 @@ BENCH_EXTENDED = [
     "conversion_latency_quantiles",
     "source_dup_rate",
     "embedding_topk_batch",
+    "user_inter_event_gap_quantiles",
 ]
 
 
