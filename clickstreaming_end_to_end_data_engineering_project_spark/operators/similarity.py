@@ -220,9 +220,9 @@ def lsh_probe_buckets(
     they cannot be replicated in Python), then the 2^planes candidate
     perturbations are enumerated and sorted driver-side — fine for the
     signature widths hyperplane-LSH uses (≤ 16 bits; wider signatures
-    want a heap-based generator and are rejected here)."""
-    if not 1 <= planes <= 16:
-        raise ValueError(f"multi-probe enumeration supports 1..16 planes, got {planes}")
+    want a heap-based generator and are rejected here — but ONLY when
+    actually multi-probing: nprobe=1 is the plain bucket computation
+    and works at any width)."""
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     projs = (
         spark.range(1)
@@ -230,11 +230,15 @@ def lsh_probe_buckets(
         .head()
     )
     base = sum((1 << p) for p in range(planes) if projs[p] >= 0)
+    if nprobe <= 1:
+        return [base]
+    if planes > 16:
+        raise ValueError(f"multi-probe enumeration supports 1..16 planes, got {planes}")
     ranked = sorted(
         (sum(abs(projs[p]) for p in range(planes) if mask & (1 << p)), mask)
         for mask in range(1 << planes)
     )
-    return [base ^ mask for _, mask in ranked[: max(1, nprobe)]]
+    return [base ^ mask for _, mask in ranked[:nprobe]]
 
 
 def lsh_bucket(vec: Column, planes: int, dims: int) -> Column:
