@@ -113,3 +113,107 @@ def dup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b") -> 
         F.col("component").alias("cluster_id"),
         (F.col("vertex") == F.col("component")).alias("is_canonical"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    iterations: int = 5,
+    damping: float = 0.85,
+    round_dp: int = 12,
+) -> DataFrame:
+    """Weighted PageRank with a FIXED iteration count — (vertex, rank)
+    after ``iterations`` power steps on the edge-weighted transition
+    matrix, with uniform teleport and dangling-mass redistribution
+    (Page et al. 1999; the textbook formulation, not a variant).
+
+    Designed to run on an AGGREGATED graph: callers collapse raw
+    events into (src, dst, weight) first, so the frame iterated here
+    is vocabulary-sized (pages², user-pairs, …), orders of magnitude
+    below the corpus — the same shape discipline as
+    ``source_unigram_kl``'s (source, token) frame.  Each round is one
+    equi-join (ranks ⋈ edges on src) + one aggregate on dst; lineage
+    is truncated per round with ``localCheckpoint`` exactly as
+    ``connected_components`` does (persist() keeps data but the
+    nested-join PLAN doubles per round and kills the driver ~round
+    10).
+
+    Cross-engine determinism: every round's rank is fixed-point
+    rounded to ``round_dp`` decimals (``dround``), so the ±1-ulp
+    sum-order differences between engines cannot compound across
+    iterations — both engines carry the IDENTICAL double into the
+    next power step (the ``doc_unigram_logprob`` round-before-exp
+    discipline, applied per iteration).  A fixed iteration count
+    (rather than a convergence test) keeps the operator replayable as
+    plain chained SQL CTEs — the oracle in plans/funnel.py generates
+    one CTE per round from the same constants.
+
+    Dangling vertices (no out-edges) donate their whole rank to the
+    uniform distribution each round, keeping total mass at 1 — drop
+    that term and ranks leak mass and diverge from the oracle.
+    """
+    from ..functions import dround
+
+    e = edges.select(
+        F.col(src).alias("_src"),
+        F.col(dst).alias("_dst"),
+        F.col(weight).cast("double").alias("_w"),
+    )
+    # transition probabilities via a window sum (a self-join on the
+    # same lineage trips Spark's ambiguous-reference resolver):
+    # exact-integer-valued doubles divided exactly — bit-identical in
+    # any engine
+    from pyspark.sql import Window
+
+    ep = e.select(
+        "_src",
+        "_dst",
+        (F.col("_w") / F.sum("_w").over(Window.partitionBy("_src"))).alias("_p"),
+    ).localCheckpoint()
+    verts = (
+        e.select(F.col("_src").alias("_v"))
+        .union(e.select(F.col("_dst").alias("_v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = verts.count()
+    if n == 0:
+        return verts.select(
+            F.col("_v").alias("vertex"), F.lit(0.0).alias("rank")
+        )
+    dangling = verts.join(
+        ep.select(F.col("_src").alias("_v")).distinct(), "_v", "left_anti"
+    ).localCheckpoint()
+    base = (1.0 - damping) / n
+    ranks = verts.select("_v", F.lit(1.0 / n).alias("_r")).localCheckpoint()
+    for _ in range(iterations):
+        contrib = (
+            ep.join(ranks, ep._src == ranks._v)
+            .groupBy(F.col("_dst").alias("_cv"))
+            .agg(F.sum(F.col("_r") * F.col("_p")).alias("_c"))
+        )
+        # dangling mass: a one-row aggregate, broadcast back — never a
+        # driver round-trip inside the loop
+        mass = dangling.join(ranks, "_v").agg(
+            F.coalesce(F.sum("_r"), F.lit(0.0)).alias("_m")
+        )
+        ranks = (
+            verts.join(contrib, verts._v == contrib._cv, "left")
+            .crossJoin(F.broadcast(mass))
+            .select(
+                "_v",
+                dround(
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_c"), F.lit(0.0))
+                        + F.col("_m") / F.lit(float(n))
+                    ),
+                    round_dp,
+                ).alias("_r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(F.col("_v").alias("vertex"), F.col("_r").alias("rank"))

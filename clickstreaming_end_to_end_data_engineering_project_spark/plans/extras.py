@@ -557,7 +557,79 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation monthly-revenue OLS trend (r15 queue) — 'is this
+    market growing and how fast', the regression-in-SQL family: one
+    grouped aggregate computes the five sufficient statistics, the
+    closed form yields slope and intercept (operators/stats.group_ols).
+
+    x = month index (integer, months since 1992-01), y = the month's
+    order revenue as exact DECIMAL — so all five sums are exact and
+    the one double division at the end is bit-identical cross-engine
+    (see operators/stats.py for the overflow-headroom note)."""
+    from ..operators.stats import group_ols
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    monthly = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (
+                (F.year("o_orderdate") - F.lit(1992)) * 12
+                + F.month("o_orderdate")
+                - 1
+            ).alias("_x"),
+        )
+        .agg(F.sum(money("o_totalprice")).alias("_y_dec"))
+    )
+    return group_ols(monthly, ["nation"], "_x", "_y_dec").withColumnRenamed(
+        "n_points", "n_months"
+    )
+
+
 SPECS = [
+    QuerySpec(
+        "nation_revenue_trend",
+        nation_revenue_trend,
+        f"""
+        WITH monthly AS (
+            SELECT n_name AS nation,
+                   (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS _x,
+                   sum(CAST(o_totalprice AS DECIMAL(12,2))) AS _y
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT nation,
+                   count(*) AS n_months,
+                   CAST(count(*) AS DOUBLE) AS _n,
+                   CAST(sum(_x) AS DOUBLE) AS _sx,
+                   CAST(sum(_x * _x) AS DOUBLE) AS _sxx,
+                   CAST(sum(_y) AS DOUBLE) AS _sy,
+                   CAST(sum(_x * _y) AS DOUBLE) AS _sxy
+            FROM monthly GROUP BY 1
+        ),
+        fit AS (
+            SELECT nation, n_months,
+                   CASE WHEN _n * _sxx - _sx * _sx <> 0
+                        THEN (_n * _sxy - _sx * _sy) / (_n * _sxx - _sx * _sx)
+                   END AS _slope,
+                   _n, _sx, _sy
+            FROM s
+        )
+        SELECT nation, n_months,
+               {sql_snippets.dround("_slope", 6)} AS slope,
+               {sql_snippets.dround("(_sy - _slope * _sx) / _n", 6)} AS intercept
+        FROM fit
+        """,
+        "per-nation monthly-revenue OLS slope/intercept from exact "
+        "sufficient statistics (r15 queue)",
+    ),
     QuerySpec(
         "customer_rfm_segments",
         customer_rfm_segments,

@@ -19,6 +19,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import dround, sql_snippets, sum_money
+from ..operators.components import pagerank
+from ..operators.rangejoin import interval_point_join
 from ..sources.tables import load
 from .registry import QuerySpec
 
@@ -186,7 +189,180 @@ def user_inter_event_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
     return ranked.agg(*aggs)
 
 
+def page_rank_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the page-transition graph (r15 queue) — 'which
+    pages does traffic structurally concentrate on', the
+    importance-ranking upgrade over raw view counts the reference's
+    README promises with its 'user journey flows' dashboard
+    (reference README.md:128-137 names journeys; ranking their graph
+    is the standard next step).
+
+    Pages are ``props.k`` (the reference's page-id slot); edges are
+    per-user CONSECUTIVE page pairs with count weights — the same lag
+    window as ``user_journey_transitions``, keyed on page not
+    event_type.  The expensive pass (events → aggregated edge frame)
+    happens once; the 5 power iterations run on the pages²-bounded
+    graph via operators/components.pagerank (localCheckpoint per
+    round, dangling-mass redistribution, per-round dround so the
+    chained-CTE oracle matches bit-for-bit)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pg = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("page"),
+    ).filter(F.col("page").isNotNull())
+    edges = (
+        pg.withColumn("prev_page", F.lag("page").over(w))
+        .filter(F.col("prev_page").isNotNull())
+        .groupBy(F.col("prev_page").alias("src"), F.col("page").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    pr = pagerank(edges, iterations=5, damping=0.85)
+    return pr.select(
+        F.col("vertex").alias("page"), dround(F.col("rank"), 6).alias("pagerank")
+    )
+
+
+def _pagerank_oracle(iterations: int = 5) -> str:
+    """Chained-CTE DuckDB twin of page_rank_pages: one CTE per power
+    iteration, each rounding to 12 dp exactly as the operator does.
+    Double literals are CAST so both engines compute (1.0-0.85)/n and
+    1.0/n with identical IEEE ops."""
+    rd12 = lambda e: sql_snippets.dround(e, 12)  # noqa: E731
+    its = []
+    for k in range(1, iterations + 1):
+        its.append(
+            f"""
+        r{k} AS (
+            SELECT v.page,
+                   {rd12(f"b.b + CAST(0.85 AS DOUBLE) * (coalesce(c._c, 0) + m._m / n.n)")} AS rank
+            FROM verts v
+            LEFT JOIN (SELECT e._dst AS page, sum(r.rank * e._p) AS _c
+                       FROM edges e JOIN r{k - 1} r ON r.page = e._src
+                       GROUP BY 1) c ON c.page = v.page
+            CROSS JOIN (SELECT coalesce(sum(r.rank), 0) AS _m
+                        FROM r{k - 1} r LEFT JOIN outs o ON o._src = r.page
+                        WHERE o._src IS NULL) m
+            CROSS JOIN n CROSS JOIN b
+        )"""
+        )
+    return f"""
+        WITH pg AS (
+            SELECT user_id, ts, event_id,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS page
+            FROM events
+        ),
+        seq AS (
+            SELECT page,
+                   lag(page) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_page
+            FROM pg WHERE page IS NOT NULL
+        ),
+        edges0 AS (
+            SELECT prev_page AS _src, page AS _dst, count(*) AS _w
+            FROM seq WHERE prev_page IS NOT NULL GROUP BY 1, 2
+        ),
+        outs AS (SELECT _src, CAST(sum(_w) AS DOUBLE) AS _W FROM edges0 GROUP BY 1),
+        edges AS (SELECT e._src, e._dst, CAST(e._w AS DOUBLE) / o._W AS _p
+                  FROM edges0 e JOIN outs o USING (_src)),
+        verts AS (SELECT DISTINCT _src AS page FROM edges0
+                  UNION SELECT DISTINCT _dst AS page FROM edges0),
+        n AS (SELECT count(*) AS n FROM verts),
+        b AS (SELECT (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n.n AS b FROM n),
+        r0 AS (SELECT page, CAST(1.0 AS DOUBLE) / n.n AS rank
+               FROM verts CROSS JOIN n),{",".join(its)}
+        SELECT page, {sql_snippets.dround("rank", 6)} AS pagerank FROM r{iterations}
+        """
+
+
+def purchase_hot_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases inside hot traffic windows (r15 queue) — the
+    point-in-interval join: windows are [minute, minute+5min) for
+    every minute whose total event count exceeds the corpus p90
+    (exact integer rank, the length_quantiles discipline), points are
+    purchase events.
+
+    The join runs through operators/rangejoin.interval_point_join —
+    bin equi-join + residual predicate, O(P + I·k) instead of the
+    O(P·I) theta join the oracle states — so this query IS the
+    range-join scale test: same semantics, different physical
+    strategy, hash-compared."""
+    ev = load(spark, sf_dir, "events")
+    pm = ev.groupBy(F.date_trunc("minute", "ts").alias("minute")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # global window over the MINUTES frame (minutes-in-range sized,
+    # not events) — the single-partition sort is bounded by time span
+    wq = Window.orderBy("cnt", "minute")
+    ranked = pm.select(
+        "minute",
+        "cnt",
+        F.row_number().over(wq).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("_n"),
+    )
+    thr = ranked.filter(
+        F.col("_rn") == F.expr("(cast(90 as bigint) * _n + 99) div 100")
+    ).select(F.col("cnt").alias("_t"))
+    hot = (
+        pm.crossJoin(F.broadcast(thr))
+        .filter(F.col("cnt") > F.col("_t"))
+        .select(
+            F.col("minute").alias("window_start"),
+            (F.col("minute") + F.expr("INTERVAL 5 MINUTES")).alias("window_end"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = interval_point_join(
+        purchases, hot, "ts", "window_start", "window_end", bin_seconds=300
+    )
+    return joined.groupBy("window_start").agg(
+        F.count(F.lit(1)).alias("purchase_cnt"),
+        sum_money("value").alias("purchase_value"),
+        F.count_distinct("user_id").alias("unique_buyers"),
+    )
+
+
 SPECS = [
+    QuerySpec(
+        "page_rank_pages",
+        page_rank_pages,
+        _pagerank_oracle(5),
+        "weighted PageRank over the page-transition graph, 5 fixed power "
+        "iterations, chained-CTE oracle (r15 queue)",
+    ),
+    QuerySpec(
+        "purchase_hot_window_join",
+        purchase_hot_window_join,
+        f"""
+        WITH pm AS (
+            SELECT date_trunc('minute', ts) AS minute, count(*) AS cnt
+            FROM events GROUP BY 1
+        ),
+        r AS (
+            SELECT minute, cnt,
+                   row_number() OVER (ORDER BY cnt, minute) AS _rn,
+                   count(*) OVER () AS _n
+            FROM pm
+        ),
+        thr AS (SELECT cnt AS _t FROM r WHERE _rn = (90 * _n + 99) // 100),
+        hot AS (
+            SELECT minute AS window_start, minute + INTERVAL 5 MINUTE AS window_end
+            FROM pm, thr WHERE cnt > _t
+        )
+        SELECT h.window_start,
+               CAST(count(*) AS BIGINT) AS purchase_cnt,
+               {sql_snippets.sum_money("e.value")} AS purchase_value,
+               count(DISTINCT e.user_id) AS unique_buyers
+        FROM hot h JOIN events e
+          ON e.event_type = 'purchase'
+         AND e.ts >= h.window_start AND e.ts < h.window_end
+        GROUP BY 1
+        """,
+        "binned interval-point range join: purchases in hot traffic windows "
+        "(oracle states the theta join; impl uses the bin equi-join)",
+    ),
     QuerySpec(
         "conversion_funnel",
         conversion_funnel,

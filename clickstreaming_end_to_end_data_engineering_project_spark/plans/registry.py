@@ -175,6 +175,21 @@ class QuerySpec:
 # user_inter_event_gap_quantiles (plans/funnel.py: per-user
 # inter-event gap distribution — the sessionization-timeout input).
 # Both oracle-backed, locally green at sf0.001/sf0.01.
+# r15 rotation queue (added late in r12 after the r13+r14 queues):
+# three NEW oracle-backed queries, each a NEW operator family —
+# page_rank_pages (plans/funnel.py: fixed-iteration weighted PageRank
+# over the page-transition graph via operators/components.pagerank;
+# chained-CTE oracle, per-round 12-dp fixed-point rounding),
+# purchase_hot_window_join (plans/funnel.py: binned interval-point
+# RANGE JOIN via operators/rangejoin.py — oracle states the theta
+# join, impl runs the bin equi-join) and nation_revenue_trend
+# (plans/extras.py: grouped OLS slope/intercept from exact decimal
+# sufficient statistics via operators/stats.py).  All three
+# oracle-green at sf0.001/sf0.01/sf0.1, property-tested against
+# pure-Python / numpy / naive-theta references, benched in
+# BENCH_EXTENDED with pinned digests ahead of rotation; rotate in
+# after the r13+r14 queues, demoting doubly-verified rows per the
+# standing policy.
 GATE_PRIORITY = [
     # reference-parity clickstream core (pinned)
     "page_view_counts",
@@ -313,6 +328,11 @@ BENCH_EXTENDED = [
     "source_dup_rate",
     "embedding_topk_batch",
     "user_inter_event_gap_quantiles",
+    # r12 (late): the r15-queue trio — recorded numbers + pinned
+    # digests ahead of rotation, the standing pattern
+    "page_rank_pages",
+    "purchase_hot_window_join",
+    "nation_revenue_trend",
 ]
 
 

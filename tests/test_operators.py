@@ -2545,3 +2545,180 @@ def test_ivf_indexed_batch_matches_single_query(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="dims"):
         S.ivf_topk_indexed_batch(spark, path, [(0, [1.0, 2.0])], k=5)
+
+
+def test_pagerank_matches_python_reference_and_conserves_mass(spark):
+    """Differential: operators/components.pagerank vs a pure-Python
+    power iteration on a random weighted digraph WITH dangling
+    vertices, replicating the per-round 12-dp fixed-point rounding.
+    Also pins mass conservation (sum of ranks == 1 up to rounding)."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.components import (
+        pagerank,
+    )
+
+    rng = random.Random(77)
+    verts = list(range(12))
+    edges = []
+    for u in verts[:9]:  # vertices 9-11 get no out-edges -> dangling
+        for v in rng.sample(verts, rng.randint(1, 4)):
+            edges.append((u, v, rng.randint(1, 5)))
+    # collapse duplicates like the caller would
+    agg: dict[tuple[int, int], int] = {}
+    for u, v, w in edges:
+        agg[(u, v)] = agg.get((u, v), 0) + w
+    edf = spark.createDataFrame(
+        [(u, v, w) for (u, v), w in agg.items()], ["src", "dst", "weight"]
+    )
+    got = {
+        r["vertex"]: r["rank"]
+        for r in pagerank(edf, iterations=5, damping=0.85).collect()
+    }
+
+    def rnd(x: float, dp: int = 12) -> float:
+        import math
+
+        s = float(10**dp)
+        return math.floor(x * s + 0.5) / s
+
+    nodes = sorted({u for u, _ in agg} | {v for _, v in agg})
+    n = len(nodes)
+    outw = {}
+    for (u, _), w in agg.items():
+        outw[u] = outw.get(u, 0.0) + float(w)
+    p = {(u, v): float(w) / outw[u] for (u, v), w in agg.items()}
+    rank = {v: 1.0 / n for v in nodes}
+    base = (1.0 - 0.85) / n
+    for _ in range(5):
+        mass = sum(rank[v] for v in nodes if v not in outw)
+        contrib = {v: 0.0 for v in nodes}
+        for (u, v), pr in p.items():
+            contrib[v] += rank[u] * pr
+        rank = {
+            v: rnd(base + 0.85 * (contrib[v] + mass / n)) for v in nodes
+        }
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - rank[v]) < 1e-9, (v, got[v], rank[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9 * len(nodes)
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    """A directed cycle is perfectly symmetric: every vertex must end
+    at exactly rank 1/n regardless of iteration count."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.components import (
+        pagerank,
+    )
+
+    n = 8
+    edf = spark.createDataFrame(
+        [(i, (i + 1) % n, 1) for i in range(n)], ["src", "dst", "weight"]
+    )
+    ranks = [r["rank"] for r in pagerank(edf, iterations=7).collect()]
+    assert len(ranks) == n
+    for r in ranks:
+        assert abs(r - 1.0 / n) < 1e-9
+
+
+def test_interval_point_join_matches_theta_join_random(spark):
+    """Differential: binned interval_point_join == the naive theta
+    join on random points/intervals, including bin-boundary landmines
+    (points exactly on starts, ends, and bin edges; intervals ending
+    exactly on bin boundaries; overlapping intervals)."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.rangejoin import (
+        interval_point_join,
+    )
+
+    rng = random.Random(99)
+    base = dt.datetime(2024, 3, 1)
+    bins = 300
+    ivals = []
+    for i in range(40):
+        start_s = rng.randint(0, 20000)
+        if i % 5 == 0:
+            start_s = (start_s // bins) * bins  # start on a bin edge
+        length = rng.choice([1, 299, 300, 301, 600, 900])
+        ivals.append(
+            (
+                i,
+                base + dt.timedelta(seconds=start_s),
+                base + dt.timedelta(seconds=start_s + length),
+            )
+        )
+    pts = []
+    for j in range(300):
+        s = rng.randint(0, 21000)
+        pts.append((j, base + dt.timedelta(seconds=s)))
+    # adversarial points: exactly on every 7th interval's start and end
+    for k, (i, st, en) in enumerate(ivals):
+        if k % 7 == 0:
+            pts.append((1000 + 2 * k, st))
+            pts.append((1001 + 2 * k, en))
+    pdf = spark.createDataFrame(pts, ["pid", "ts"])
+    idf = spark.createDataFrame(ivals, ["iid", "wstart", "wend"])
+
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_point_join(
+            pdf, idf, "ts", "wstart", "wend", bin_seconds=bins
+        ).collect()
+    }
+    want = {
+        (r["pid"], r["iid"])
+        for r in pdf.join(
+            idf, (pdf.ts >= idf.wstart) & (pdf.ts < idf.wend)
+        ).collect()
+    }
+    assert got == want and len(want) > 50
+
+    semi = {
+        r["pid"]
+        for r in interval_point_join(
+            pdf, idf, "ts", "wstart", "wend", bin_seconds=bins, how="left_semi"
+        ).collect()
+    }
+    assert semi == {pid for pid, _ in want}
+
+
+def test_group_ols_matches_numpy_and_degenerate_groups(spark):
+    """Differential: group_ols vs numpy lstsq per group; a
+    constant-x group yields NULL slope/intercept."""
+    import numpy as np
+    from pyspark.sql.types import (
+        DecimalType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.stats import (
+        group_ols,
+    )
+    from decimal import Decimal
+
+    rng = random.Random(5)
+    rows = []
+    for g in ("a", "b", "c"):
+        for x in range(0, 24):
+            y = Decimal(rng.randint(100, 99999)) / 100
+            rows.append((g, x, y))
+    rows += [("flat", 3, Decimal("10.00")), ("flat", 3, Decimal("20.00"))]
+    schema = StructType(
+        [
+            StructField("g", StringType()),
+            StructField("x", IntegerType()),
+            StructField("y", DecimalType(12, 2)),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = {r["g"]: r for r in group_ols(df, ["g"], "x", "y").collect()}
+
+    for g in ("a", "b", "c"):
+        xs = np.array([x for gg, x, _ in rows if gg == g], dtype=float)
+        ys = np.array([float(y) for gg, _, y in rows if gg == g], dtype=float)
+        a = np.vstack([xs, np.ones_like(xs)]).T
+        slope, intercept = np.linalg.lstsq(a, ys, rcond=None)[0]
+        assert abs(got[g]["slope"] - slope) < 1e-5, g
+        assert abs(got[g]["intercept"] - intercept) < 1e-4, g
+    assert got["flat"]["slope"] is None
+    assert got["flat"]["intercept"] is None
