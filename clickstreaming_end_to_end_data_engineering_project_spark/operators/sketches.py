@@ -1,0 +1,132 @@
+"""Mergeable-sketch rollups (Apache DataSketches via Spark 4 built-ins)
+— the 100 TB summary pattern: aggregate each fine-grained period ONCE
+into a sketch, then answer every coarser rollup by MERGING sketches,
+never rescanning raw data.
+
+Why this matters at scale: "distinct users per week/month" computed
+exactly needs a full shuffle of (period, user) pairs per granularity —
+at 100 TB, each rollup re-reads the corpus.  With sketches the corpus
+is read once (per-day HLL/theta/KLL state, kilobytes per period);
+weekly, monthly, all-time and any ad-hoc span are sketch merges over a
+days-sized frame.  This is also the lakehouse/streaming idiom: persist
+the daily sketch column, merge at query time.
+
+All three sketch families here are MERGEABLE summaries with published
+error bounds (Apache DataSketches library semantics, exposed as Spark
+4 SQL functions):
+- HLL (hll_sketch_agg / hll_union_agg): distinct counts, rel. stderr
+  ~1.04/sqrt(2^lgConfigK) (~1.6% at the default lgConfigK=12).
+- theta (theta_sketch_agg / theta_intersection): distinct counts under
+  SET OPERATIONS — intersections give retention/overlap estimates HLL
+  cannot express.
+- KLL (kll_sketch_agg_* / kll_merge_agg_*): rank/quantile queries with
+  a uniform rank-error guarantee (~1.65% at the default k=200).
+
+Every operator here is rows-only at the driver gate BY NATURE: the
+estimates are DataSketches-implementation-defined and no ANSI-SQL
+engine replays them.  The correctness evidence is therefore the
+exact-twin error-bound tests in tests/test_operators.py (the
+approx_count_distinct / percentile_approx precedent, SURVEY A4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def distinct_rollup_hll(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    fine: str = "day",
+    coarse: str = "week",
+) -> DataFrame:
+    """Two-level distinct-count rollup: per-``fine`` HLL sketches, then
+    per-``coarse`` estimates by sketch UNION.  Output one row per
+    coarse period: (period, approx_distinct, n_fine_periods).
+
+    The raw table is scanned exactly once (the fine aggregate); the
+    coarse level aggregates the days-sized sketch frame.
+    """
+    fine_sk = df.groupBy(F.date_trunc(fine, F.col(ts_col)).alias("_fp")).agg(
+        F.hll_sketch_agg(key_col).alias("_sk")
+    )
+    return (
+        fine_sk.groupBy(F.date_trunc(coarse, "_fp").alias("period"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("approx_distinct"),
+            F.count(F.lit(1)).alias("n_fine_periods"),
+        )
+    )
+
+
+def retention_overlap_theta(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    period: str = "week",
+) -> DataFrame:
+    """Consecutive-period retention via theta-sketch INTERSECTION:
+    for each period, the estimated number of keys active in BOTH the
+    previous period and this one — the set operation HLL cannot
+    answer.  Output (period, approx_active, approx_retained).
+
+    One scan builds per-period sketches; the lag + intersection run on
+    the periods-sized frame (a global window over per-week rows — the
+    frame is bounded by the time span, not the corpus).
+    """
+    per = df.groupBy(F.date_trunc(period, F.col(ts_col)).alias("period")).agg(
+        F.theta_sketch_agg(key_col).alias("_sk")
+    )
+    w = Window.orderBy("period")
+    lagged = per.select(
+        "period",
+        F.theta_sketch_estimate("_sk").alias("approx_active"),
+        F.lag("_sk").over(w).alias("_prev"),
+        F.col("_sk").alias("_cur"),
+    )
+    return lagged.select(
+        "period",
+        "approx_active",
+        F.when(
+            F.col("_prev").isNotNull(),
+            F.theta_sketch_estimate(
+                F.expr("theta_intersection(_prev, _cur)")
+            ),
+        ).alias("approx_retained"),
+    )
+
+
+def quantile_rollup_kll(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    fine: str = "day",
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Global quantiles assembled from per-``fine``-period KLL sketches
+    (kll_sketch_agg_double per period, kll_merge_agg_double across
+    periods) — the mergeable alternative to percentile_approx when the
+    per-period state must be PERSISTABLE and re-aggregable (incremental
+    ingest: sketch today's partition, merge with yesterday's stored
+    sketches).  Output one row: n_periods, total_n, p<50/90/99>.
+    """
+    fine_sk = df.groupBy(F.date_trunc(fine, F.col(ts_col)).alias("_fp")).agg(
+        F.kll_sketch_agg_double(F.col(value_col).cast("double")).alias("_sk")
+    )
+    merged = fine_sk.agg(
+        F.count(F.lit(1)).alias("n_periods"),
+        F.expr("kll_merge_agg_double(_sk)").alias("_m"),
+    )
+    cols = [
+        F.col("n_periods"),
+        F.kll_sketch_get_n_double("_m").alias("total_n"),
+    ]
+    for p in percentiles:
+        cols.append(
+            F.kll_sketch_get_quantile_double("_m", F.lit(p)).alias(
+                f"p{int(p * 100)}"
+            )
+        )
+    return merged.select(*cols)

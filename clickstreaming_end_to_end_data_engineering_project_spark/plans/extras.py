@@ -557,6 +557,44 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weekly_user_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly distinct users via per-DAY HLL sketches unioned per week
+    (operators/sketches.distinct_rollup_hll) — the mergeable-summary
+    rollup: one corpus scan, every coarser span a sketch merge.
+    Rows-only by nature (DataSketches estimates are implementation-
+    defined); exact-twin error bound pinned by
+    test_hll_rollup_error_bound (exact twin: count(DISTINCT) per
+    week, the dau_wau_stickiness machinery)."""
+    from ..operators.sketches import distinct_rollup_hll
+
+    return distinct_rollup_hll(load(spark, sf_dir, "events"))
+
+
+def weekly_retention_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week retained users via theta-sketch INTERSECTION —
+    the set operation HLL cannot express
+    (operators/sketches.retention_overlap_theta).  Rows-only; exact
+    twin (self-join distinct intersection) bounds the error in
+    test_theta_retention_error_bound."""
+    from ..operators.sketches import retention_overlap_theta
+
+    return retention_overlap_theta(load(spark, sf_dir, "events"))
+
+
+def purchase_value_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-value quantiles from per-day KLL sketches merged
+    globally (operators/sketches.quantile_rollup_kll) — the
+    persistable/re-aggregable alternative to percentile_approx for
+    incremental ingest.  Rows-only; rank-error vs the exact sorted
+    values bounded by test_kll_quantiles_rank_error_bound."""
+    from ..operators.sketches import quantile_rollup_kll
+
+    ev = load(spark, sf_dir, "events")
+    return quantile_rollup_kll(
+        ev.filter(F.col("event_type") == "purchase"), "ts", "value"
+    )
+
+
 def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation monthly-revenue OLS trend (r15 queue) — 'is this
     market growing and how fast', the regression-in-SQL family: one
@@ -1025,5 +1063,26 @@ SPECS = [
         FROM dau JOIN wau ON dau.day = wau.day
         """,
         "rolling-distinct DAU/WAU + stickiness via the smear trick",
+    ),
+    QuerySpec(
+        "weekly_user_hll_rollup",
+        weekly_user_hll_rollup,
+        None,
+        "per-day HLL sketches unioned per week (rows-only: DataSketches "
+        "estimates; exact-twin error bound pinned in test_operators.py)",
+    ),
+    QuerySpec(
+        "weekly_retention_theta",
+        weekly_retention_theta,
+        None,
+        "theta-sketch intersection retention (rows-only; exact-twin "
+        "error bound pinned)",
+    ),
+    QuerySpec(
+        "purchase_value_kll_quantiles",
+        purchase_value_kll_quantiles,
+        None,
+        "mergeable KLL quantile rollup (rows-only; rank-error bound "
+        "pinned)",
     ),
 ]

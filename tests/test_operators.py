@@ -2722,3 +2722,93 @@ def test_group_ols_matches_numpy_and_degenerate_groups(spark):
         assert abs(got[g]["intercept"] - intercept) < 1e-4, g
     assert got["flat"]["slope"] is None
     assert got["flat"]["intercept"] is None
+
+
+def test_hll_rollup_error_bound(spark, sf_dir):
+    """HLL weekly rollup vs exact count(DISTINCT) per week: relative
+    error within the lgConfigK=12 guarantee band (~1.6% stderr; bound
+    at 5% ≈ 3 sigma).  Sketches are deterministic, so no flake."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.sketches import (
+        distinct_rollup_hll,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    got = {
+        r["period"]: r["approx_distinct"]
+        for r in distinct_rollup_hll(ev).collect()
+    }
+    exact = {
+        r["period"]: r["d"]
+        for r in ev.groupBy(F.date_trunc("week", "ts").alias("period"))
+        .agg(F.count_distinct("user_id").alias("d"))
+        .collect()
+    }
+    assert set(got) == set(exact) and len(exact) > 3
+    for p, d in exact.items():
+        assert abs(got[p] - d) <= max(2, 0.05 * d), (p, got[p], d)
+
+
+def test_theta_retention_error_bound(spark, sf_dir):
+    """Theta intersection retention vs the exact consecutive-week
+    distinct intersection.  At fixture scale theta operates in exact
+    mode (< 4096 retained entries), so the bound is tight — assert 5%
+    anyway so the test survives larger corpora."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.sketches import (
+        retention_overlap_theta,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    got = {
+        r["period"]: (r["approx_active"], r["approx_retained"])
+        for r in retention_overlap_theta(ev).collect()
+    }
+    uw = ev.select(
+        F.date_trunc("week", "ts").alias("period"), "user_id"
+    ).distinct()
+    weeks = sorted(got)
+    exact_active = {
+        r["period"]: r["d"]
+        for r in uw.groupBy("period").agg(F.count_distinct("user_id").alias("d")).collect()
+    }
+    rows = {(r["period"], r["user_id"]) for r in uw.collect()}
+    assert got[weeks[0]][1] is None  # no previous week
+    for prev, cur in zip(weeks, weeks[1:]):
+        exact_ret = len(
+            {u for p, u in rows if p == prev} & {u for p, u in rows if p == cur}
+        )
+        a_act, a_ret = got[cur]
+        assert abs(a_act - exact_active[cur]) <= max(2, 0.05 * exact_active[cur])
+        assert abs(a_ret - exact_ret) <= max(2, 0.05 * max(exact_ret, 1)), (
+            cur,
+            a_ret,
+            exact_ret,
+        )
+
+
+def test_kll_quantiles_rank_error_bound(spark, sf_dir):
+    """KLL merged quantiles vs the exact sorted purchase values: the
+    returned value's RANK must sit within eps*n of the requested rank
+    (KLL k=200 -> eps ~1.65%; bound 4%).  Rank error, not value error
+    — the DataSketches guarantee is on ranks."""
+    import bisect
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.sketches import (
+        quantile_rollup_kll,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    row = quantile_rollup_kll(ev, "ts", "value").collect()[0]
+    vals = sorted(r["value"] for r in ev.select("value").collect())
+    n = len(vals)
+    assert row["total_n"] == n and row["n_periods"] > 3
+    for p in (50, 90, 99):
+        v = row[f"p{p}"]
+        lo = bisect.bisect_left(vals, v)
+        hi = bisect.bisect_right(vals, v)
+        target = p / 100 * n
+        # the value's true rank interval must approach the target rank
+        err = min(abs(lo - target), abs(hi - target))
+        assert err <= max(2, 0.04 * n), (p, v, lo, hi, target, n)
