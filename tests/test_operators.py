@@ -2812,3 +2812,41 @@ def test_kll_quantiles_rank_error_bound(spark, sf_dir):
         # the value's true rank interval must approach the target rank
         err = min(abs(lo - target), abs(hi - target))
         assert err <= max(2, 0.04 * n), (p, v, lo, hi, target, n)
+
+
+def test_hll_sketch_parquet_roundtrip_merge(spark, sf_dir, tmp_path):
+    """The persistable-state claim behind operators/sketches.py: write
+    the per-day sketch table to parquet (binary column), read it back,
+    and merge — the union over STORED sketches must equal the union
+    over freshly built ones (sketch bytes are the state, not a cache).
+    This is the incremental-ingest pattern: yesterday's sketches come
+    from storage, today's from the stream, one union answers both."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    path = str(tmp_path / "daily_sketches")
+    daily.write.parquet(path)
+    stored = spark.read.parquet(path)
+    assert dict(stored.dtypes)["sk"] == "binary"
+
+    def weekly(df):
+        return {
+            r["week"]: r["d"]
+            for r in df.groupBy(F.date_trunc("week", "day").alias("week"))
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("d"))
+            .collect()
+        }
+
+    fresh, roundtrip = weekly(daily), weekly(stored)
+    assert fresh == roundtrip and len(fresh) > 3
+    # incremental shape: half the days from storage, half fresh — the
+    # merged estimate is identical to the all-fresh union
+    days = sorted(r["day"] for r in daily.select("day").distinct().collect())
+    cut = days[len(days) // 2]
+    mixed = stored.filter(F.col("day") < cut).unionByName(
+        daily.filter(F.col("day") >= cut)
+    )
+    assert weekly(mixed) == fresh
