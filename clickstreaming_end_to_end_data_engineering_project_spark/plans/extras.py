@@ -557,6 +557,120 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_in_flight_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval accumulation (r16 queue): how many orders
+    are IN FLIGHT (placed, not yet fully shipped) on each day.  The
+    classic +1/−1 event-sweep: every order emits +1 at its order date
+    and −1 the day after its last lineitem shipment; the running sum
+    over days is the open-order count.
+
+    Scale shape: two scans (orders, lineitem) → per-order close date
+    (one agg on orderkey) → delta aggregation collapses to a
+    DAYS-sized frame, and only THAT frame crosses the global ordered
+    cumsum (the bounded-by-time-span discipline of
+    order_cumulative_revenue).  No interval self-join, no per-day
+    explode of the span — an order open 90 days costs 2 rows, not 90."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    close = lineitem.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("_close")
+    )
+    spans = orders.join(
+        close, orders.o_orderkey == close.l_orderkey
+    ).select(F.to_date("o_orderdate").alias("_open"), "_close")
+    # explode, NOT a union of two selects over spans: the union form
+    # plans the orders ⋈ close join once PER BRANCH (two lineitem
+    # scans — the digest caught it); the explode emits both deltas
+    # from one pass
+    deltas = spans.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("_open").alias("day"), F.lit(1).alias("_d")),
+                F.struct(
+                    F.date_add("_close", 1).alias("day"), F.lit(-1).alias("_d")
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.day", "_e._d")
+    daily = deltas.groupBy("day").agg(F.sum("_d").alias("net_change"))
+    w = Window.orderBy("day")
+    return daily.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "net_change",
+        F.sum("net_change").over(w).alias("open_orders"),
+    )
+
+
+# EWMA coefficients: computed ONCE in Python and embedded as literal
+# doubles in BOTH engines (repr() round-trips the exact double), so no
+# in-engine pow() whose last-ulp could differ.  alpha = 0.3.
+_EWMA_DECAY = [0.7**k for k in range(7)]
+
+
+def daily_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day exponentially weighted moving average of daily order
+    revenue (r16 queue) — the smoothing stage of an anomaly/trend
+    dashboard.  EWMA over a FIXED 7-day window with literal decay
+    coefficients: ewma = Σ c^k·y_{t-k} / Σ c^k over the lags present
+    (leading edge renormalizes instead of zero-filling — standard
+    'adjust=True' pandas semantics, restricted to the window).
+
+    Determinism: coefficients are Python-computed literals identical
+    in both engines; the numerator/denominator chains are built
+    left-to-right the same way; revenue enters as an exact decimal
+    sum cast to double; one final division + dround(6)."""
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(money("o_totalprice")).alias("_rev_dec")
+    )
+    w = Window.orderBy("day")
+    rev = F.col("_rev_dec").cast("double")
+    lags = [F.lag(rev, k).over(w) for k in range(7)]
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k, (c, lg) in enumerate(zip(_EWMA_DECAY, lags)):
+        num = num + F.lit(c) * F.coalesce(lg, F.lit(0.0))
+        den = den + F.lit(c) * F.when(lg.isNotNull(), F.lit(1.0)).otherwise(F.lit(0.0))
+    return daily.select(
+        F.col("day").cast("timestamp").alias("day"),
+        rev.alias("day_revenue"),
+        dround(num / den, 6).alias("ewma_revenue"),
+    )
+
+
+def _ewma_oracle() -> str:
+    """DuckDB twin of daily_revenue_ewma with the identical literal
+    coefficient chain (left-to-right addition order mirrored).  Every
+    literal is CAST AS DOUBLE: DuckDB parses bare numeric literals as
+    exact DECIMALs and would otherwise run the whole chain in exact
+    decimal arithmetic — measured a half-ulp apart from the IEEE
+    double chain Spark runs, enough to flip the 6-dp rounding on ~3 of
+    2400 days at sf0.1."""
+    num = "CAST(0.0 AS DOUBLE)"
+    den = "CAST(0.0 AS DOUBLE)"
+    for k, c in enumerate(_EWMA_DECAY):
+        num = (
+            f"({num} + CAST({c!r} AS DOUBLE) * "
+            f"coalesce(lag(_rev, {k}) OVER w, CAST(0.0 AS DOUBLE)))"
+        )
+        den = (
+            f"({den} + CAST({c!r} AS DOUBLE) * (CASE WHEN lag(_rev, {k}) OVER w"
+            " IS NOT NULL THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END))"
+        )
+    return f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   {sql_snippets.sum_money("o_totalprice")} AS _rev
+            FROM orders GROUP BY 1
+        )
+        SELECT CAST(day AS TIMESTAMP) AS day,
+               _rev AS day_revenue,
+               {sql_snippets.dround(f"{num} / {den}", 6)} AS ewma_revenue
+        FROM daily
+        WINDOW w AS (ORDER BY day)
+        """
+
+
 def weekly_user_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly distinct users via per-DAY HLL sketches unioned per week
     (operators/sketches.distinct_rollup_hll) — the mergeable-summary
@@ -1063,6 +1177,39 @@ SPECS = [
         FROM dau JOIN wau ON dau.day = wau.day
         """,
         "rolling-distinct DAU/WAU + stickiness via the smear trick",
+    ),
+    QuerySpec(
+        "orders_in_flight_daily",
+        orders_in_flight_daily,
+        """
+        WITH close AS (
+            SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS _close
+            FROM lineitem GROUP BY 1
+        ),
+        spans AS (
+            SELECT CAST(o_orderdate AS DATE) AS _open, _close
+            FROM orders JOIN close ON o_orderkey = l_orderkey
+        ),
+        deltas AS (
+            SELECT _open AS day, 1 AS _d FROM spans
+            UNION ALL
+            SELECT _close + INTERVAL 1 DAY, -1 FROM spans
+        ),
+        daily AS (SELECT CAST(day AS DATE) AS day, CAST(sum(_d) AS BIGINT) AS net_change
+                  FROM deltas GROUP BY 1)
+        SELECT CAST(day AS TIMESTAMP) AS day, net_change,
+               CAST(sum(net_change) OVER (ORDER BY day) AS BIGINT) AS open_orders
+        FROM daily
+        """,
+        "sweep-line open-order count per day: +1/-1 deltas + days-sized "
+        "cumsum, no interval explode (r16 queue)",
+    ),
+    QuerySpec(
+        "daily_revenue_ewma",
+        daily_revenue_ewma,
+        _ewma_oracle(),
+        "7-day EWMA of daily revenue with Python-literal decay "
+        "coefficients, leading-edge renormalized (r16 queue)",
     ),
     QuerySpec(
         "weekly_user_hll_rollup",
