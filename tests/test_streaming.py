@@ -5,6 +5,7 @@ batch run of the same transform; watermarks must drop late rows."""
 from __future__ import annotations
 
 import datetime as dt
+import os
 import shutil
 import tempfile
 import time
@@ -1942,3 +1943,74 @@ def test_near_dedup_survivor_compaction_and_crash_recovery(spark):
     finally:
         shutil.rmtree(store, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_streaming_sketch_ingest_equals_batch_rollup(spark, sf_dir):
+    """streaming/sketch_ingest.py end-to-end: file-stream the events
+    table in per-file micro-batches through SketchRollupSink, then the
+    store's weekly estimates must be BIT-EQUAL to the batch
+    distinct_rollup_hll over the same events (HLL union is associative
+    — not an approximate assertion).  Replaying a batch (same id) and
+    compacting the store must each leave every estimate unchanged."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.sketches import (
+        distinct_rollup_hll,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.sketch_ingest import (
+        SketchRollupSink,
+        compact_sketch_store,
+        read_distinct_rollup,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    src_dir = tempfile.mkdtemp(prefix="sketch_src_")
+    store = os.path.join(tempfile.mkdtemp(prefix="sketch_store_"), "store")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_sketch_")
+    # three time-ordered increments, one file each -> three micro-batches
+    days = sorted(r["d"] for r in ev.select(F.to_date("ts").alias("d")).distinct().collect())
+    cuts = [days[len(days) // 3], days[2 * len(days) // 3]]
+    parts = [
+        ev.filter(F.to_date("ts") < cuts[0]),
+        ev.filter((F.to_date("ts") >= cuts[0]) & (F.to_date("ts") < cuts[1])),
+        ev.filter(F.to_date("ts") >= cuts[1]),
+    ]
+    for p in parts:
+        p.coalesce(1).write.mode("append").parquet(src_dir)
+
+    sink = SketchRollupSink(store)
+    q = (
+        spark.readStream.schema(ev.schema)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    def estimates():
+        return {
+            r["period"]: r["approx_distinct"]
+            for r in read_distinct_rollup(spark, store).collect()
+        }
+
+    want = {
+        r["period"]: r["approx_distinct"]
+        for r in distinct_rollup_hll(ev).select("period", "approx_distinct").collect()
+    }
+    got = estimates()
+    assert got == want and len(want) > 3
+
+    # replay idempotence: re-deliver increment 1 under its batch id
+    sink(parts[1], 1)
+    assert estimates() == want
+    # compaction preserves every estimate and shrinks to 1 row/period
+    compact_sketch_store(spark, store)
+    assert estimates() == want
+    per_period = spark.read.parquet(store).groupBy("period").count().collect()
+    assert all(r["count"] == 1 for r in per_period)
+
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(os.path.dirname(store), ignore_errors=True)
