@@ -66,3 +66,50 @@ def group_ols(
         dround(slope, round_dp).alias("slope"),
         dround(intercept, round_dp).alias("intercept"),
     )
+
+
+def group_corr(
+    df: DataFrame,
+    group_cols: list[str],
+    x: str | Column,
+    y: str | Column,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group Pearson correlation of two INTEGER columns from six
+    exact sufficient statistics in one map-side-combinable aggregate —
+    same cost model as ``group_ols``.
+
+    Cross-engine exactness: integer inputs make every sum exact; the
+    denominator uses sqrt(), which (unlike log/pow) IEEE-754 requires
+    to be CORRECTLY ROUNDED, so both engines compute the identical
+    double; one final division + dround.  Groups with zero variance in
+    either column return NULL."""
+    from ..functions import dround
+
+    xc = (F.col(x) if isinstance(x, str) else x).cast("long")
+    yc = (F.col(y) if isinstance(y, str) else y).cast("long")
+    stats = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(xc).alias("_sx"),
+        F.sum(yc).alias("_sy"),
+        F.sum(xc * xc).alias("_sxx"),
+        F.sum(yc * yc).alias("_syy"),
+        F.sum(xc * yc).alias("_sxy"),
+    )
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    corr = F.when(
+        (dx > F.lit(0.0)) & (dy > F.lit(0.0)),
+        (n * sxy - sx * sy) / (F.sqrt(dx) * F.sqrt(dy)),
+    )
+    return stats.select(
+        *group_cols,
+        F.col("_n").alias("n_points"),
+        dround(corr, round_dp).alias("corr"),
+    )

@@ -141,6 +141,30 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.source_unigram_kl(_docs(spark, sf_dir))
 
 
+def source_len_token_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Pearson correlation of n_chars vs whitespace token
+    count (r16 queue) — the tokenization-density consistency check: a
+    source whose char/token relationship decorrelates from the rest
+    has different scripts, markup, or tokenizer behavior and needs its
+    own token-budget accounting.  One grouped aggregate of six exact
+    integer sums (operators/stats.group_corr); sqrt is IEEE
+    correctly-rounded so the oracle matches bit-for-bit."""
+    from ..operators.stats import group_corr
+
+    docs = _docs(spark, sf_dir).filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    d = docs.select(
+        "source", "n_chars", F.size(text.tokens("text")).alias("_n_tokens")
+    )
+    out = group_corr(d, ["source"], "n_chars", "_n_tokens")
+    return out.select(
+        "source",
+        F.col("n_points").alias("n_docs"),
+        F.col("corr").alias("corr_len_tokens"),
+    )
+
+
 def doc_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language z-score via applyInPandas grouped-map (rows-only:
     pandas float accumulation differs from SQL engines; differential
@@ -1984,6 +2008,38 @@ SPECS = [
         FROM tf GROUP BY doc_id
         """,
         "per-doc Shannon entropy + type-token ratio (r13 queue)",
+    ),
+    QuerySpec(
+        "source_len_token_corr",
+        source_len_token_corr,
+        f"""
+        WITH t AS (
+            SELECT source, n_chars, len({_TOKENS_SQL}) AS n_tokens
+            FROM documents
+            WHERE text IS NOT NULL AND n_chars IS NOT NULL
+        ),
+        s AS (
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(count(*) AS DOUBLE) AS _n,
+                   CAST(sum(n_chars) AS DOUBLE) AS _sx,
+                   CAST(sum(n_tokens) AS DOUBLE) AS _sy,
+                   CAST(sum(n_chars * n_chars) AS DOUBLE) AS _sxx,
+                   CAST(sum(n_tokens * n_tokens) AS DOUBLE) AS _syy,
+                   CAST(sum(n_chars * n_tokens) AS DOUBLE) AS _sxy
+            FROM t GROUP BY 1
+        )
+        SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+               {sql_snippets.dround(
+                   "CASE WHEN (_n * _sxx - _sx * _sx) > 0"
+                   " AND (_n * _syy - _sy * _sy) > 0"
+                   " THEN (_n * _sxy - _sx * _sy)"
+                   " / (sqrt(_n * _sxx - _sx * _sx) * sqrt(_n * _syy - _sy * _sy))"
+                   " END", 6)} AS corr_len_tokens
+        FROM s
+        """,
+        "per-source Pearson corr of n_chars vs token count — "
+        "tokenization-density consistency (r16 queue)",
     ),
     QuerySpec(
         "source_unigram_kl",

@@ -190,13 +190,17 @@ class QuerySpec:
 # BENCH_EXTENDED with pinned digests ahead of rotation; rotate in
 # after the r13+r14 queues, demoting doubly-verified rows per the
 # standing policy.
-# r16 rotation queue (added late in r12 after the r15 trio): two NEW
-# oracle-backed queries — orders_in_flight_daily (plans/extras.py:
+# r16 rotation queue (added late in r12 after the r15 trio): three
+# NEW oracle-backed queries — orders_in_flight_daily (plans/extras.py:
 # sweep-line interval accumulation, +1/−1 deltas + days-sized cumsum,
 # no interval explode) and daily_revenue_ewma (plans/extras.py: 7-day
 # EWMA with Python-literal decay coefficients; the oracle CASTs every
 # literal AS DOUBLE because DuckDB otherwise runs the chain in exact
-# DECIMAL — see _ewma_oracle).  Both oracle-green at
+# DECIMAL — see _ewma_oracle), plus source_len_token_corr
+# (plans/llmdata.py: per-source Pearson corr of n_chars vs token
+# count via operators/stats.group_corr — tokenization-density
+# consistency; sqrt is IEEE correctly-rounded, so oracle-bit-exact).
+# All oracle-green at
 # sf0.001/0.01/0.1, benched + digest-pinned ahead of rotation.  The
 # mergeable-sketch trio (weekly_user_hll_rollup /
 # weekly_retention_theta / purchase_value_kll_quantiles) stays
@@ -345,9 +349,10 @@ BENCH_EXTENDED = [
     "page_rank_pages",
     "purchase_hot_window_join",
     "nation_revenue_trend",
-    # r12 (late): the r16-queue pair
+    # r12 (late): the r16-queue trio
     "orders_in_flight_daily",
     "daily_revenue_ewma",
+    "source_len_token_corr",
 ]
 
 
