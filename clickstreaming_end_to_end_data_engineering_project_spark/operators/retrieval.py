@@ -1,0 +1,129 @@
+"""Lexical retrieval: BM25 scoring and reciprocal-rank fusion — the
+keyword half of a retrieval stack whose vector half is
+operators/similarity.py.  Together they give hybrid search: BM25 for
+exact-term recall, ANN for semantic recall, RRF to fuse without score
+calibration (Robertson et al. TREC-3 BM25; Cormack et al. 2009 RRF).
+
+Scale shape: one corpus tokenize computes document lengths; the term
+match is a FILTERED explode (only query terms survive the flatMap, so
+the shuffled frame is |matching (doc, term)| rows, never the full
+token stream); df/idf live on a |query|-sized frame broadcast back.
+Top-k is TakeOrderedAndProject.  Nothing here depends on a corpus-wide
+index — but the (doc, term, tf) frame IS the posting-list fragment a
+persisted inverted index would serve, so the operator drops onto one
+directly.
+
+Cross-engine determinism (BM25 is float-heavy; the discipline is the
+repo's standard): idf is dround(12) right after ln() (ln is NOT
+correctly rounded across libms — the bigram_collocations lesson);
+every literal enters SQL as CAST(... AS DOUBLE) (DuckDB parses bare
+numerics as exact DECIMALs — the daily_revenue_ewma lesson); the
+per-doc sum over matched terms is dround(6); ranking ties break on
+doc_id so equal scores order identically in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-terms query by BM25
+    (Lucene-style non-negative idf: ln(1 + (N − df + 0.5)/(df + 0.5))).
+    Output: (doc_id, n_matched_terms, bm25_score), ordered by
+    (score desc, doc_id)."""
+    from ..functions import dround
+
+    # (doc_id, doc_len) and (doc_id, term, tf) are each consumed by TWO
+    # derivations (corpus stats + the score join; df + the score join),
+    # so both are MATERIALIZED — unmaterialized, the digest showed the
+    # corpus tokenization executing once per reference (the
+    # source_unigram_kl lesson).  dl is (id, int) per doc — orders of
+    # magnitude under the token stream it replaces; matched is the
+    # posting-list fragment for |query| terms.
+    dl = (
+        docs.select(F.col(id_col), F.size(tokens(text_col)).alias("_dl"))
+        .filter(F.col("_dl") > 0)
+        .localCheckpoint()
+    )
+    # N and avgdl: one tiny agg broadcast back (exact-int division)
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("_N"),
+        (F.sum("_dl").cast("double") / F.count(F.lit(1))).alias("_avgdl"),
+    )
+    terms = [t for t in query_terms]
+    matched = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
+        .filter(F.col("_t").isin(terms))
+        .groupBy(id_col, "_t")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+        .localCheckpoint()
+    )
+    df_ = matched.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    scored = (
+        matched.join(F.broadcast(df_), "_t")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(corpus))
+    )
+    idf = dround(
+        F.log(
+            F.lit(1.0)
+            + (F.col("_N") - F.col("_df") + F.lit(0.5))
+            / (F.col("_df") + F.lit(0.5))
+        ),
+        12,
+    )
+    part = idf * (
+        F.col("_tf") * F.lit(k1 + 1.0)
+    ) / (
+        F.col("_tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_matched_terms"),
+            dround(F.sum(part), 6).alias("bm25_score"),
+        )
+        .orderBy(F.col("bm25_score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion over already-ranked lists: each input
+    must carry (id_col, rank) with rank starting at 1; fused score =
+    Σ 1/(c + rank) over the lists that ranked the doc.  All arithmetic
+    is single divisions of exact integers summed over ≤ len(rankings)
+    terms — deterministic without rounding games.  Ties break on id.
+    """
+    from functools import reduce
+
+    tagged = [r.select(F.col(id_col), F.col("rank")) for r in rankings]
+    allr = reduce(lambda a, b: a.unionByName(b), tagged)
+    return (
+        allr.select(
+            id_col, (F.lit(1.0) / (F.lit(c) + F.col("rank")).cast("double")).alias("_s")
+        )
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_lists"), F.sum("_s").alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import dround, sql_snippets
-from ..operators import components, dedup, kmeans, sampling, similarity, text
+from ..operators import components, dedup, kmeans, retrieval, sampling, similarity, text
 from ..sources.tables import load
 from .registry import QuerySpec
 
@@ -139,6 +139,96 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r13 queue) — the mixture-health / distribution-drift audit; see
     operators/text.py:source_unigram_kl."""
     return text.source_unigram_kl(_docs(spark, sf_dir))
+
+
+# fixed bag-of-terms query for the retrieval queries (mid-frequency
+# corpus vocabulary — every term exists at every sf)
+_BM25_TERMS = ["spark", "stream", "hash", "dup"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by BM25 for a fixed bag-of-terms query (r17
+    queue) — the lexical-retrieval half of the search stack
+    (operators/retrieval.py; the vector half is the ANN family).
+    Oracle-exact: idf dround(12) after ln, every SQL literal CAST AS
+    DOUBLE, per-doc sum dround(6), id tiebreak."""
+    return retrieval.bm25_topk(
+        _docs(spark, sf_dir), _BM25_TERMS, k=10, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+def _bm25_sql(terms: list[str], k1: float, b: float) -> str:
+    """DuckDB CTE chain ending in scores(doc_id, n_matched_terms,
+    bm25_score) — the literal-for-literal twin of retrieval.bm25_topk
+    (constants computed in Python once, CAST AS DOUBLE in SQL)."""
+    termlist = ", ".join(f"'{t}'" for t in terms)
+    idf = sql_snippets.dround(
+        "ln(CAST(1.0 AS DOUBLE) + (_N - _df + CAST(0.5 AS DOUBLE))"
+        " / (_df + CAST(0.5 AS DOUBLE)))",
+        12,
+    )
+    part = (
+        f"{idf} * (_tf * CAST({k1 + 1.0!r} AS DOUBLE))"
+        f" / (_tf + CAST({k1!r} AS DOUBLE) * (CAST({1.0 - b!r} AS DOUBLE)"
+        f" + CAST({b!r} AS DOUBLE) * _dl / _avgdl))"
+    )
+    return f"""
+        dl AS (
+            SELECT doc_id, len({_TOKENS_SQL}) AS _dl FROM documents
+        ),
+        dlp AS (SELECT * FROM dl WHERE _dl > 0),
+        corpus AS (
+            SELECT count(*) AS _N,
+                   CAST(sum(_dl) AS DOUBLE) / count(*) AS _avgdl
+            FROM dlp
+        ),
+        matched AS (
+            SELECT doc_id, _t, count(*) AS _tf
+            FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS _t FROM documents)
+            WHERE _t IN ({termlist})
+            GROUP BY 1, 2
+        ),
+        dft AS (SELECT _t, count(*) AS _df FROM matched GROUP BY 1),
+        scores AS (
+            SELECT m.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_matched_terms,
+                   {sql_snippets.dround(f"sum({part})", 6)} AS bm25_score
+            FROM matched m
+            JOIN dft USING (_t)
+            JOIN dlp USING (doc_id)
+            CROSS JOIN corpus
+            GROUP BY 1
+        )"""
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (r17 queue): BM25 top-20 and embedding-cosine
+    top-20 (query = vec_id 0, the embedding_topk_cosine convention)
+    fused by reciprocal-rank fusion into a final top-10 — keyword
+    recall + semantic recall with no score calibration (Cormack 2009).
+    RRF arithmetic is single divisions of exact integers, so the fused
+    scores are oracle-bit-exact with no rounding."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    embs = _embs(spark, sf_dir)
+    lex = retrieval.bm25_topk(docs, _BM25_TERMS, k=20, k1=_BM25_K1, b=_BM25_B)
+    lex_r = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25_score").desc(), F.col("doc_id")))
+        .alias("rank"),
+    )
+    sem = similarity.brute_force_topk(embs, query_vec_id=0, k=20)
+    sem_r = sem.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id")))
+        .alias("rank"),
+    )
+    return retrieval.rrf_fuse([lex_r, sem_r], k=10)
 
 
 def source_len_token_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2008,6 +2098,48 @@ SPECS = [
         FROM tf GROUP BY doc_id
         """,
         "per-doc Shannon entropy + type-token ratio (r13 queue)",
+    ),
+    QuerySpec(
+        "bm25_topk_docs",
+        bm25_topk_docs,
+        f"""
+        WITH {_bm25_sql(_BM25_TERMS, _BM25_K1, _BM25_B)}
+        SELECT doc_id, n_matched_terms, bm25_score
+        FROM scores ORDER BY bm25_score DESC, doc_id LIMIT 10
+        """,
+        "BM25 lexical retrieval top-10 for a fixed bag-of-terms query "
+        "(r17 queue)",
+    ),
+    QuerySpec(
+        "hybrid_search_rrf",
+        hybrid_search_rrf,
+        f"""
+        WITH {_bm25_sql(_BM25_TERMS, _BM25_K1, _BM25_B)},
+        lext AS (SELECT doc_id, bm25_score FROM scores
+                 ORDER BY bm25_score DESC, doc_id LIMIT 20),
+        lexr AS (SELECT doc_id,
+                        row_number() OVER (ORDER BY bm25_score DESC, doc_id)
+                            AS rank
+                 FROM lext),
+        semt AS (SELECT e.vec_id AS doc_id, {_COSINE_EXPR} AS cos_sim
+                 FROM embeddings e,
+                      (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+                 WHERE e.vec_id <> 0
+                 ORDER BY cos_sim DESC, e.vec_id LIMIT 20),
+        semr AS (SELECT doc_id,
+                        row_number() OVER (ORDER BY cos_sim DESC, doc_id)
+                            AS rank
+                 FROM semt),
+        u AS (SELECT doc_id, rank FROM lexr
+              UNION ALL
+              SELECT doc_id, rank FROM semr)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+               sum(CAST(1.0 AS DOUBLE) / (60 + rank)) AS rrf_score
+        FROM u GROUP BY 1
+        ORDER BY rrf_score DESC, doc_id LIMIT 10
+        """,
+        "hybrid BM25 + embedding-cosine retrieval fused by RRF "
+        "(r17 queue; exact-integer-rank arithmetic)",
     ),
     QuerySpec(
         "source_len_token_corr",

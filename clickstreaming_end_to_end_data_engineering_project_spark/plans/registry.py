@@ -206,6 +206,14 @@ class QuerySpec:
 # weekly_retention_theta / purchase_value_kll_quantiles) stays
 # rows-only-by-nature in the tail (DataSketches estimates; exact-twin
 # error-bound tests) — not queued for gate slots.
+# r17 rotation queue (added late in r12 after the r16 trio): the
+# retrieval pair — bm25_topk_docs (plans/llmdata.py via
+# operators/retrieval.py: BM25 lexical top-10, idf dround(12) after
+# ln, all SQL literals CAST AS DOUBLE, per-doc sum dround(6), id
+# tiebreak) and hybrid_search_rrf (BM25 top-20 + embedding-cosine
+# top-20 fused by reciprocal-rank fusion — exact-integer-rank
+# arithmetic, no rounding needed).  Both oracle-green at
+# sf0.001/0.01/0.1, benched + digest-pinned ahead of rotation.
 GATE_PRIORITY = [
     # reference-parity clickstream core (pinned)
     "page_view_counts",
@@ -353,6 +361,9 @@ BENCH_EXTENDED = [
     "orders_in_flight_daily",
     "daily_revenue_ewma",
     "source_len_token_corr",
+    # r12 (late): the r17-queue retrieval pair
+    "bm25_topk_docs",
+    "hybrid_search_rrf",
 ]
 
 

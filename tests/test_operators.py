@@ -2850,3 +2850,104 @@ def test_hll_sketch_parquet_roundtrip_merge(spark, sf_dir, tmp_path):
         daily.filter(F.col("day") >= cut)
     )
     assert weekly(mixed) == fresh
+
+
+def test_bm25_matches_python_reference(spark, sf_dir):
+    """Differential: operators/retrieval.bm25_topk vs a pure-Python
+    BM25 over the same corpus — scores to 6 dp and the exact top-10
+    (with id tiebreak) must agree."""
+    import math
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.retrieval import (
+        bm25_topk,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    terms = ["spark", "stream", "hash", "dup"]
+    k1, b = 1.2, 0.75
+    docs = load(spark, sf_dir, "documents")
+    got = bm25_topk(docs, terms, k=10, k1=k1, b=b).collect()
+
+    rows = docs.select("doc_id", "text").collect()
+    toks = {
+        r["doc_id"]: [t for t in (r["text"] or "").split() if t]
+        for r in rows
+    }
+    dl = {d: len(ts) for d, ts in toks.items() if ts}
+    n_docs = len(dl)
+    avgdl = sum(dl.values()) / n_docs
+
+    def rnd(x, dp):
+        s = float(10**dp)
+        return math.floor(x * s + 0.5) / s
+
+    tf = {}
+    for d, ts in toks.items():
+        for t in ts:
+            if t in terms:
+                tf[(d, t)] = tf.get((d, t), 0) + 1
+    df = {}
+    for (_, t) in tf:
+        df[t] = df.get(t, 0) + 1
+    scores = {}
+    for (d, t), f in tf.items():
+        idf = rnd(math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5)), 12)
+        part = idf * (f * (k1 + 1.0)) / (f + k1 * ((1.0 - b) + b * dl[d] / avgdl))
+        scores.setdefault(d, []).append(part)
+    final = sorted(
+        ((rnd(sum(ps), 6), d, len(ps)) for d, ps in scores.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:10]
+    want = [(d, n, s) for s, d, n in final]
+    assert [(r["doc_id"], r["n_matched_terms"], r["bm25_score"]) for r in got] == want
+
+
+def test_rrf_fuse_matches_hand_computation(spark):
+    """RRF over two hand-built rankings: fused scores are exact
+    rational sums; doc in both lists must outrank docs in one."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(20, 1), (40, 2)], ["doc_id", "rank"])
+    got = {r["doc_id"]: (r["n_lists"], r["rrf_score"]) for r in rrf_fuse([a, b], k=10).collect()}
+    assert got[20] == (2, 1.0 / 62 + 1.0 / 61)
+    assert got[10] == (1, 1.0 / 61)
+    assert got[40] == (1, 1.0 / 62)
+    assert got[30] == (1, 1.0 / 63)
+    order = [r["doc_id"] for r in rrf_fuse([a, b], k=10).collect()]
+    assert order[0] == 20
+
+
+def test_group_corr_matches_numpy_and_degenerates(spark):
+    """Differential: group_corr vs numpy corrcoef per group; zero
+    variance in either column yields NULL."""
+    import numpy as np
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.stats import (
+        group_corr,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for g in ("pos", "neg", "noisy"):
+        for i in range(40):
+            x = rng.randint(0, 1000)
+            if g == "pos":
+                y = 2 * x + rng.randint(0, 50)
+            elif g == "neg":
+                y = 5000 - 3 * x + rng.randint(0, 50)
+            else:
+                y = rng.randint(0, 5000)
+            rows.append((g, x, y))
+    rows += [("flatx", 7, v) for v in (1, 5, 9)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    got = {r["g"]: r for r in group_corr(df, ["g"], "x", "y").collect()}
+    for g in ("pos", "neg", "noisy"):
+        xs = np.array([x for gg, x, _ in rows if gg == g], dtype=float)
+        ys = np.array([y for gg, _, y in rows if gg == g], dtype=float)
+        want = np.corrcoef(xs, ys)[0, 1]
+        assert abs(got[g]["corr"] - want) < 1e-6, g
+    assert got["pos"]["corr"] > 0.9 and got["neg"]["corr"] < -0.9
+    assert got["flatx"]["corr"] is None
