@@ -237,12 +237,38 @@ def _indexed_probe_metrics(spark, sf_dir: str) -> "dict[str, object]":
                     "sec": round(best, 3),
                     "recall_at_10": round(len(got & exact_ids) / 10, 2),
                 }
+        # the lexical member of the written-index family (r12): probe
+        # equality with the on-the-fly bm25_topk is digest+test-pinned,
+        # so the leg records time only (recall vs itself is 1.0 by
+        # construction)
+        from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+            retrieval as R,
+        )
+
+        docs = load(spark, sf_dir, "documents")
+        bm25_path = os.path.join(work, "bm25")
+        bm25_terms = ["spark", "stream", "hash", "dup"]
+        t0 = time.perf_counter()
+        R.write_bm25_index(docs, bm25_path, n_buckets=64)
+        bm25_build = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(2):
+            try:
+                t0 = time.perf_counter()
+                R.bm25_topk_indexed(spark, bm25_path, bm25_terms, k=10).collect()
+                best = min(best, time.perf_counter() - t0)
+            except Exception:
+                pass
+        legs["bm25_topk_indexed"] = (
+            {"sec": round(best, 3)} if best != float("inf") else None
+        )
         out["indexed_probe_queries"] = legs
         out["indexed_probe_build_sec"] = {
             "lsh": round(lsh_build, 3),
             "pq": round(pq_build, 3),
             "ivfpq": round(ivfpq_build, 3),
             "ivf": round(ivf_build, 3),
+            "bm25": round(bm25_build, 3),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

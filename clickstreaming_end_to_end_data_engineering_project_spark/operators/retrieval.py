@@ -76,6 +76,15 @@ def bm25_topk(
         .join(dl, id_col)
         .crossJoin(F.broadcast(corpus))
     )
+    return _score_and_rank(scored, id_col, k, k1, b)
+
+
+def _score_and_rank(scored: DataFrame, id_col: str, k: int, k1: float, b: float) -> DataFrame:
+    """Shared scoring tail over (_tf, _df, _N, _avgdl, _dl) — ONE copy
+    of the BM25 expression tree, so the in-memory operator and the
+    written-index probe are bit-equal by construction."""
+    from ..functions import dround
+
     idf = dround(
         F.log(
             F.lit(1.0)
@@ -100,6 +109,110 @@ def bm25_topk(
         .orderBy(F.col("bm25_score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def _term_bucket(term: str, n_buckets: int) -> int:
+    """crc32(term) % n_buckets — computable identically driver-side
+    (zlib.crc32) and engine-side (F.crc32), so a probe can name its
+    partitions without touching the cluster."""
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def write_bm25_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> None:
+    """Materialize the inverted index ``bm25_topk`` builds on the fly —
+    the written-retrieval layout completing the written-ANN family's
+    pattern (LSH/IVF/PQ/IVFPQ → +BM25): posting lists
+    (term, doc_id, tf) partitioned by ``bucket = crc32(term) %
+    n_buckets``, so a probe statically prunes to the query terms'
+    buckets and reads |query|/n_buckets of the postings, never the
+    corpus.
+
+    Sidecars (underscore-prefixed, Spark-written — the
+    write_lsh_index discipline, so the layout works on s3a/hdfs):
+    - ``_doclens/``: (doc_id, _dl) — the length-normalization table;
+    - ``_termstats/``: (_t, _df) — document frequencies, so idf needs
+      no postings aggregation at probe time;
+    - ``_bm25_params/``: 1 row (n_docs, avgdl, n_buckets) — probe
+      geometry validated + the corpus constants the scorer needs.
+    """
+    import os
+
+    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
+    postings = (
+        toks.groupBy(id_col, "_t")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+        .withColumn(
+            "bucket",
+            F.pmod(F.crc32(F.col("_t").cast("binary")), F.lit(n_buckets)),
+        )
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    dl = docs.select(
+        F.col(id_col), F.size(tokens(text_col)).alias("_dl")
+    ).filter(F.col("_dl") > 0)
+    dl.write.mode("overwrite").parquet(os.path.join(path, "_doclens"))
+    spark = docs.sparkSession
+    spark.read.parquet(path).groupBy("_t").agg(
+        F.count(F.lit(1)).alias("_df")
+    ).write.mode("overwrite").parquet(os.path.join(path, "_termstats"))
+    (
+        spark.read.parquet(os.path.join(path, "_doclens"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("_dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        )
+        .withColumn("n_buckets", F.lit(n_buckets))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "_bm25_params"))
+    )
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Probe a ``write_bm25_index`` layout: read ONLY the query terms'
+    bucket directories (static partition pruning via the driver-side
+    crc32 twin), join the |query|-sized _termstats and the _doclens
+    table, and run the IDENTICAL scoring tail as ``bm25_topk`` —
+    row-for-row equality is pinned by test, not hoped for.  The probe
+    never tokenizes anything: the corpus pass was paid at write time.
+    """
+    import os
+
+    params = spark.read.parquet(os.path.join(path, "_bm25_params")).first()
+    n_buckets = params["n_buckets"]
+    terms = list(query_terms)
+    buckets = sorted({_term_bucket(t, n_buckets) for t in terms})
+    raw = spark.read.parquet(path)
+    id_col = [c for c in raw.columns if c not in ("_t", "_tf", "bucket")][0]
+    postings = raw.filter(F.col("bucket").isin(buckets)).filter(
+        F.col("_t").isin(terms)
+    )
+    termstats = spark.read.parquet(os.path.join(path, "_termstats")).filter(
+        F.col("_t").isin(terms)
+    )
+    dl = spark.read.parquet(os.path.join(path, "_doclens"))
+    scored = (
+        postings.join(F.broadcast(termstats), "_t")
+        .join(dl, id_col)
+        .withColumn("_N", F.lit(params["n_docs"]))
+        .withColumn("_avgdl", F.lit(params["avgdl"]))
+    )
+    return _score_and_rank(scored, id_col, k, k1, b)
 
 
 def rrf_fuse(

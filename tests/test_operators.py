@@ -2951,3 +2951,53 @@ def test_group_corr_matches_numpy_and_degenerates(spark):
         assert abs(got[g]["corr"] - want) < 1e-6, g
     assert got["pos"]["corr"] > 0.9 and got["neg"]["corr"] < -0.9
     assert got["flatx"]["corr"] is None
+
+
+def test_bm25_written_index_probe_matches_in_memory(spark, sf_dir, tmp_path):
+    """write_bm25_index / bm25_topk_indexed: the probe must (a) return
+    ROW-FOR-ROW what the on-the-fly bm25_topk returns (same scoring
+    tail by construction — this pins it), (b) scan ONLY the query
+    terms' bucket directories (bucket predicate in PartitionFilters +
+    executed file list confined to those buckets), and (c) never
+    tokenize: the probe plan reads the postings/sidecar parquet only."""
+    import zlib
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_indexed,
+        write_bm25_index,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    terms = ["spark", "stream", "hash", "dup"]
+    docs = load(spark, sf_dir, "documents")
+    path = str(tmp_path / "bm25_index")
+    write_bm25_index(docs, path, n_buckets=64)
+
+    probe = bm25_topk_indexed(spark, path, terms, k=10)
+    got = [(r["doc_id"], r["n_matched_terms"], r["bm25_score"]) for r in probe.collect()]
+    want = [
+        (r["doc_id"], r["n_matched_terms"], r["bm25_score"])
+        for r in bm25_topk(docs, terms, k=10).collect()
+    ]
+    assert got == want and len(got) == 10
+
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:300]
+    assert "bucket" in seg, f"bucket predicate must be a partition filter: {seg}"
+
+    # executed scan reads only the probed buckets' directories
+    # (input_file_name rejects multi-source plans, so drive the same
+    # pruned postings scan the probe plans and list ITS files)
+    probed = {zlib.crc32(t.encode()) % 64 for t in terms}
+    pruned = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(sorted(probed)))
+        .filter(F.col("_t").isin(terms))
+    )
+    files = [r[0] for r in pruned.select(F.input_file_name()).distinct().collect()]
+    posting_files = [f for f in files if "bucket=" in f]
+    assert posting_files, files
+    seen_buckets = {int(f.split("bucket=")[1].split("/")[0]) for f in posting_files}
+    assert seen_buckets <= probed, (seen_buckets, probed)
