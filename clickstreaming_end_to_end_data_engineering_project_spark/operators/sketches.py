@@ -119,14 +119,18 @@ def quantile_rollup_kll(
         F.count(F.lit(1)).alias("n_periods"),
         F.expr("kll_merge_agg_double(_sk)").alias("_m"),
     )
+    # guard the extractors: on an EMPTY corpus the merge aggregate
+    # yields a null/invalid buffer and kll_sketch_get_* raises
+    # KLL_INVALID_INPUT_SKETCH_BUFFER instead of returning NULL
+    nonempty = F.col("n_periods") > 0
     cols = [
         F.col("n_periods"),
-        F.kll_sketch_get_n_double("_m").alias("total_n"),
+        F.when(nonempty, F.kll_sketch_get_n_double("_m")).alias("total_n"),
     ]
     for p in percentiles:
         cols.append(
-            F.kll_sketch_get_quantile_double("_m", F.lit(p)).alias(
-                f"p{int(p * 100)}"
-            )
+            F.when(
+                nonempty, F.kll_sketch_get_quantile_double("_m", F.lit(p))
+            ).alias(f"p{int(p * 100)}")
         )
     return merged.select(*cols)

@@ -3001,3 +3001,87 @@ def test_bm25_written_index_probe_matches_in_memory(spark, sf_dir, tmp_path):
     assert posting_files, files
     seen_buckets = {int(f.split("bucket=")[1].split("/")[0]) for f in posting_files}
     assert seen_buckets <= probed, (seen_buckets, probed)
+
+
+def test_new_operator_families_handle_empty_input(spark):
+    """Degenerate-input sweep for the r12-late operator families:
+    empty frames must yield empty (or NULL-safe) results, never a
+    crash — the guard an unattended 100 TB pipeline needs when a
+    filter stage drops everything."""
+    import datetime as _dt
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.components import (
+        pagerank,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.rangejoin import (
+        interval_point_join,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.sketches import (
+        distinct_rollup_hll,
+        quantile_rollup_kll,
+        retention_overlap_theta,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.stats import (
+        group_corr,
+        group_ols,
+    )
+
+    edges = spark.createDataFrame(
+        [], StructType([StructField("src", LongType()), StructField("dst", LongType()), StructField("weight", LongType())])
+    )
+    assert pagerank(edges, iterations=3).count() == 0
+
+    ts_schema = StructType([StructField("pid", LongType()), StructField("ts", TimestampType())])
+    iv_schema = StructType(
+        [StructField("iid", LongType()), StructField("ws", TimestampType()), StructField("we", TimestampType())]
+    )
+    pts = spark.createDataFrame([], ts_schema)
+    ivs = spark.createDataFrame([(1, _dt.datetime(2024, 1, 1), _dt.datetime(2024, 1, 2))], iv_schema)
+    assert interval_point_join(pts, ivs, "ts", "ws", "we").count() == 0
+    assert (
+        interval_point_join(
+            spark.createDataFrame([(1, _dt.datetime(2024, 1, 1, 12))], ts_schema),
+            spark.createDataFrame([], iv_schema),
+            "ts", "ws", "we",
+        ).count()
+        == 0
+    )
+
+    docs = spark.createDataFrame(
+        [], StructType([StructField("doc_id", LongType()), StructField("text", StringType())])
+    )
+    assert bm25_topk(docs, ["spark"], k=5).count() == 0
+    ranks = spark.createDataFrame(
+        [], StructType([StructField("doc_id", LongType()), StructField("rank", IntegerType())])
+    )
+    assert rrf_fuse([ranks, ranks], k=5).count() == 0
+
+    g = spark.createDataFrame(
+        [],
+        StructType(
+            [StructField("g", StringType()), StructField("x", IntegerType()), StructField("y", IntegerType())]
+        ),
+    )
+    assert group_corr(g, ["g"], "x", "y").count() == 0
+    assert group_ols(g.withColumn("y", F.col("y").cast("decimal(12,2)")), ["g"], "x", "y").count() == 0
+
+    ev = spark.createDataFrame(
+        [], StructType([StructField("ts", TimestampType()), StructField("user_id", LongType()), StructField("value", StringType())])
+    )
+    assert distinct_rollup_hll(ev).count() == 0
+    assert retention_overlap_theta(ev).count() == 0
+    row = quantile_rollup_kll(ev, "ts", "value").collect()
+    assert len(row) == 1 and row[0]["n_periods"] == 0
