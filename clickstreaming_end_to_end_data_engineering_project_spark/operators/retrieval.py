@@ -145,19 +145,25 @@ def write_bm25_index(
     """
     import os
 
+    # the document length rides IN every posting row (the Lucene
+    # norms-in-postings design, +8 bytes/posting): a probe then scores
+    # from the pruned posting partitions ALONE — without this it would
+    # join the corpus-row-sized _doclens table on every query, a full
+    # sidecar scan per probe
+    dl = docs.select(
+        F.col(id_col), F.size(tokens(text_col)).alias("_dl")
+    ).filter(F.col("_dl") > 0)
     toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
     postings = (
         toks.groupBy(id_col, "_t")
         .agg(F.count(F.lit(1)).alias("_tf"))
+        .join(dl, id_col)
         .withColumn(
             "bucket",
             F.pmod(F.crc32(F.col("_t").cast("binary")), F.lit(n_buckets)),
         )
     )
     postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    dl = docs.select(
-        F.col(id_col), F.size(tokens(text_col)).alias("_dl")
-    ).filter(F.col("_dl") > 0)
     dl.write.mode("overwrite").parquet(os.path.join(path, "_doclens"))
     spark = docs.sparkSession
     spark.read.parquet(path).groupBy("_t").agg(
@@ -198,17 +204,17 @@ def bm25_topk_indexed(
     terms = list(query_terms)
     buckets = sorted({_term_bucket(t, n_buckets) for t in terms})
     raw = spark.read.parquet(path)
-    id_col = [c for c in raw.columns if c not in ("_t", "_tf", "bucket")][0]
+    id_col = [c for c in raw.columns if c not in ("_t", "_tf", "_dl", "bucket")][0]
     postings = raw.filter(F.col("bucket").isin(buckets)).filter(
         F.col("_t").isin(terms)
     )
     termstats = spark.read.parquet(os.path.join(path, "_termstats")).filter(
         F.col("_t").isin(terms)
     )
-    dl = spark.read.parquet(os.path.join(path, "_doclens"))
+    # _dl rides in the posting rows — no sidecar join, the probe's
+    # only scan is the pruned posting partitions
     scored = (
         postings.join(F.broadcast(termstats), "_t")
-        .join(dl, id_col)
         .withColumn("_N", F.lit(params["n_docs"]))
         .withColumn("_avgdl", F.lit(params["avgdl"]))
     )
