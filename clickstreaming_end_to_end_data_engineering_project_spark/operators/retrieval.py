@@ -246,3 +246,50 @@ def rrf_fuse(
         .orderBy(F.col("rrf_score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def hybrid_topk_indexed(
+    spark,
+    bm25_path: str,
+    ivf_path: str,
+    query_terms: list[str],
+    query_vec: "list[float]",
+    k: int = 10,
+    breadth: int = 20,
+    nprobe: int = 4,
+    exclude_vec_id: "int | None" = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+    c: int = 60,
+) -> DataFrame:
+    """The SERVING shape of hybrid retrieval: both legs probe WRITTEN
+    indexes (BM25 bucket-pruned postings + IVF cluster-pruned
+    vectors), so a query touches |query-term buckets| + nprobe
+    cluster dirs and never the corpus.  At nprobe = n_clusters the
+    semantic leg is exhaustive and the fused output is pinned equal to
+    the in-memory ``hybrid_search_rrf`` composition (tests); at the
+    serving nprobe it trades the written-ANN family's measured recall
+    for the same I/O bound as every other indexed probe."""
+    from pyspark.sql import Window
+
+    from .similarity import ivf_topk_indexed
+
+    lex = bm25_topk_indexed(spark, bm25_path, query_terms, k=breadth, k1=k1, b=b)
+    id_col = [c_ for c_ in lex.columns if c_ not in ("n_matched_terms", "bm25_score")][0]
+    lex_r = lex.select(
+        id_col,
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25_score").desc(), F.col(id_col)))
+        .alias("rank"),
+    )
+    sem = ivf_topk_indexed(
+        spark, ivf_path, query_vec, k=breadth, nprobe=nprobe,
+        exclude_vec_id=exclude_vec_id,
+    )
+    sem_r = sem.select(
+        F.col("vec_id").alias(id_col),
+        F.row_number()
+        .over(Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id")))
+        .alias("rank"),
+    )
+    return rrf_fuse([lex_r, sem_r], id_col=id_col, k=k, c=c)

@@ -3085,3 +3085,42 @@ def test_new_operator_families_handle_empty_input(spark):
     assert retention_overlap_theta(ev).count() == 0
     row = quantile_rollup_kll(ev, "ts", "value").collect()
     assert len(row) == 1 and row[0]["n_periods"] == 0
+
+
+def test_hybrid_indexed_matches_in_memory_when_exhaustive(spark, sf_dir, tmp_path):
+    """hybrid_topk_indexed with nprobe = n_clusters (exhaustive
+    semantic leg) must return exactly what the in-memory
+    hybrid_search_rrf plan computes — both legs' written layouts
+    compose without moving a single fused score."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.retrieval import (
+        hybrid_topk_indexed,
+        write_bm25_index,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.similarity import (
+        write_ivf_index,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.plans.llmdata import (
+        hybrid_search_rrf,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    embs = load(spark, sf_dir, "embeddings")
+    bm25_path = str(tmp_path / "bm25")
+    ivf_path = str(tmp_path / "ivf")
+    write_bm25_index(docs, bm25_path, n_buckets=64)
+    write_ivf_index(embs, ivf_path, n_clusters=8, iterations=2)
+    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
+
+    got = [
+        (r["doc_id"], r["n_lists"], r["rrf_score"])
+        for r in hybrid_topk_indexed(
+            spark, bm25_path, ivf_path, ["spark", "stream", "hash", "dup"],
+            qvec, k=10, breadth=20, nprobe=8, exclude_vec_id=0,
+        ).collect()
+    ]
+    want = [
+        (r["doc_id"], r["n_lists"], r["rrf_score"])
+        for r in hybrid_search_rrf(spark, sf_dir).collect()
+    ]
+    assert got == want and len(got) == 10
