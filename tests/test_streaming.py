@@ -13,6 +13,7 @@ import time
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -2014,3 +2015,69 @@ def test_streaming_sketch_ingest_equals_batch_rollup(spark, sf_dir):
     shutil.rmtree(src_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(os.path.dirname(store), ignore_errors=True)
+
+
+def test_streaming_cdc_apply_via_merge_upsert(spark):
+    """The streaming CDC-apply shape: a file stream of change batches
+    drained through foreachBatch(merge_upsert) must leave the store
+    equal to applying the batches sequentially in batch mode — and
+    re-applying the LAST batch (a replay) must not change the store
+    (upserts are content-idempotent, deletes of absent keys no-ops)."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.etl import merge_upsert
+
+    src = tempfile.mkdtemp(prefix="cdc_src_")
+    store = os.path.join(tempfile.mkdtemp(prefix="cdc_store_"), "dim")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_cdc_")
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("is_delete", BooleanType()),
+        ]
+    )
+    b1 = [(1, "a", False), (2, "b", False), (3, "c", False)]
+    b2 = [(2, "B", False), (3, None, True), (4, "d", False)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def apply_batch(batch, batch_id):
+        if batch.isEmpty():
+            return
+        merge_upsert(spark, store, batch, ["id"], delete_col="is_delete")
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # a SOURCE option: on the reader,
+        # or both files coalesce into one (key-duplicate) micro-batch
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    def state():
+        return {(r["id"], r["name"]) for r in spark.read.parquet(store).collect()}
+
+    # NOTE: file-source batch order across the two files is not
+    # guaranteed, but these change sets commute only in the keys they
+    # don't share — assert against the sequential batch apply instead
+    # of a literal.
+    want_store = os.path.join(tempfile.mkdtemp(prefix="cdc_want_"), "dim")
+    for rows in (b1, b2):
+        merge_upsert(
+            spark, want_store, spark.createDataFrame(rows, schema),
+            ["id"], delete_col="is_delete",
+        )
+    want = {(r["id"], r["name"]) for r in spark.read.parquet(want_store).collect()}
+    assert state() == want == {(1, "a"), (2, "B"), (4, "d")}
+
+    # replay the last batch: content-idempotent
+    apply_batch(spark.createDataFrame(b2, schema), 1)
+    assert state() == want
+
+    for d in (src, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(os.path.dirname(store), ignore_errors=True)
+    shutil.rmtree(os.path.dirname(want_store), ignore_errors=True)
