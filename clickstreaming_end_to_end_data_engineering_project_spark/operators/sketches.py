@@ -86,15 +86,22 @@ def retention_overlap_theta(
         F.lag("_sk").over(w).alias("_prev"),
         F.col("_sk").alias("_cur"),
     )
+    has_prev = F.col("_prev").isNotNull()
     return lagged.select(
         "period",
         "approx_active",
         F.when(
-            F.col("_prev").isNotNull(),
+            has_prev,
             F.theta_sketch_estimate(
                 F.expr("theta_intersection(_prev, _cur)")
             ),
         ).alias("approx_retained"),
+        # churn: keys active LAST period but not this one — the other
+        # set operation (a_not_b) HLL cannot express
+        F.when(
+            has_prev,
+            F.theta_sketch_estimate(F.expr("theta_difference(_prev, _cur)")),
+        ).alias("approx_churned"),
     )
 
 

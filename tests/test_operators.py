@@ -2761,7 +2761,7 @@ def test_theta_retention_error_bound(spark, sf_dir):
 
     ev = load(spark, sf_dir, "events")
     got = {
-        r["period"]: (r["approx_active"], r["approx_retained"])
+        r["period"]: (r["approx_active"], r["approx_retained"], r["approx_churned"])
         for r in retention_overlap_theta(ev).collect()
     }
     uw = ev.select(
@@ -2773,17 +2773,23 @@ def test_theta_retention_error_bound(spark, sf_dir):
         for r in uw.groupBy("period").agg(F.count_distinct("user_id").alias("d")).collect()
     }
     rows = {(r["period"], r["user_id"]) for r in uw.collect()}
-    assert got[weeks[0]][1] is None  # no previous week
+    assert got[weeks[0]][1] is None and got[weeks[0]][2] is None  # no previous week
     for prev, cur in zip(weeks, weeks[1:]):
-        exact_ret = len(
-            {u for p, u in rows if p == prev} & {u for p, u in rows if p == cur}
-        )
-        a_act, a_ret = got[cur]
+        prev_set = {u for p, u in rows if p == prev}
+        cur_set = {u for p, u in rows if p == cur}
+        exact_ret = len(prev_set & cur_set)
+        exact_churn = len(prev_set - cur_set)
+        a_act, a_ret, a_churn = got[cur]
         assert abs(a_act - exact_active[cur]) <= max(2, 0.05 * exact_active[cur])
         assert abs(a_ret - exact_ret) <= max(2, 0.05 * max(exact_ret, 1)), (
             cur,
             a_ret,
             exact_ret,
+        )
+        assert abs(a_churn - exact_churn) <= max(2, 0.05 * max(exact_churn, 1)), (
+            cur,
+            a_churn,
+            exact_churn,
         )
 
 
