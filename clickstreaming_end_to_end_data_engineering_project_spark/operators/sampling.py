@@ -246,3 +246,50 @@ def weighted_sample(df: DataFrame, key_col: str, prob_col) -> DataFrame:
         4294967296.0
     )
     return df.filter(u < prob)
+
+
+def weighted_reservoir(
+    df: DataFrame,
+    group_cols: "list[str]",
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    round_dp: int = 12,
+) -> DataFrame:
+    """Deterministic fixed-size weighted sample per group —
+    Efraimidis–Spirakis A-Res (2006): each row draws key = u^(1/w)
+    with u uniform in (0, 1]; the k largest keys per group are the
+    sample, and inclusion probabilities are exactly proportional-to-
+    weight without replacement.  The verb ``weighted_sample``
+    (Bernoulli, variable output size) cannot provide: "give me
+    EXACTLY k eval docs per language, long docs favored".
+
+    Deterministic, not pseudo-random: u derives from the Knuth
+    multiplicative hash of the id (operators/similarity.knuth_key —
+    the PQ anchor discipline, cross-engine-pinned over all int64
+    ids), so the sample is reproducible from content alone and an
+    oracle can replay it.  pow() differs by ≤1 ulp across libms, so
+    the key is dround(round_dp)-ed and ties break on the id — the
+    ln()/idf discipline applied to sampling.
+
+    One window per group partition — no global sort, no collect;
+    rows with non-positive or NULL weight are excluded (u^(1/w) is
+    undefined there), mirrored in the oracle.
+    """
+    from .similarity import knuth_key
+
+    w = F.col(weight_col).cast("double")
+    u = (knuth_key(F.col(id_col)).cast("double") + F.lit(1.0)) / F.lit(4294967296.0)
+    key = F.floor(F.pow(u, F.lit(1.0) / w) * F.lit(float(10**round_dp)) + F.lit(0.5)) / F.lit(
+        float(10**round_dp)
+    )
+    win = Window.partitionBy(*group_cols).orderBy(
+        F.col("_res_key").desc(), F.col(id_col)
+    )
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_res_key", key)
+        .withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= k)
+        .select(*group_cols, id_col, weight_col, F.col("_res_key").alias("sample_key"))
+    )

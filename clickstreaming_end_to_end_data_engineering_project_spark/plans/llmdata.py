@@ -141,6 +141,28 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.source_unigram_kl(_docs(spark, sf_dir))
 
 
+def lang_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-5-per-language weighted sample, long docs favored
+    (r17 queue) — Efraimidis–Spirakis A-Res over the content-
+    deterministic Knuth uniform (operators/sampling.weighted_reservoir):
+    the fixed-size stratified eval-set draw the Bernoulli sampler
+    (doc_quality_weighted_sample) cannot guarantee.  Oracle replays
+    the identical key construction; pow is dround(12)-ed with id
+    tiebreak, the ln()/idf discipline."""
+    return sampling.weighted_reservoir(
+        _docs(spark, sf_dir), ["lang"], k=5, weight_col="n_chars"
+    )
+
+
+# similarity.knuth_key's DuckDB twin over doc_id (the _PQ_ANCHOR_CTES
+# expression verbatim, retargeted from vec_id)
+_KNUTH_DOC_SQL = (
+    "((((doc_id % 65536) + 65536) % 65536 * 2654435761) % 4294967296"
+    " + ((((doc_id >> 16) % 65536) + 65536) % 65536 * 2654435761"
+    " % 4294967296) * 65536) % 4294967296"
+)
+
+
 # fixed bag-of-terms query for the retrieval queries (mid-frequency
 # corpus vocabulary — every term exists at every sf)
 _BM25_TERMS = ["spark", "stream", "hash", "dup"]
@@ -2098,6 +2120,33 @@ SPECS = [
         FROM tf GROUP BY doc_id
         """,
         "per-doc Shannon entropy + type-token ratio (r13 queue)",
+    ),
+    QuerySpec(
+        "lang_weighted_reservoir",
+        lang_weighted_reservoir,
+        f"""
+        WITH kk AS (
+            SELECT lang, doc_id, n_chars, {_KNUTH_DOC_SQL} AS _kk
+            FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0
+        ),
+        kx AS (
+            SELECT lang, doc_id, n_chars,
+                   {sql_snippets.dround(
+                       "pow((CAST(_kk AS DOUBLE) + CAST(1.0 AS DOUBLE))"
+                       " / CAST(4294967296.0 AS DOUBLE),"
+                       " CAST(1.0 AS DOUBLE) / CAST(n_chars AS DOUBLE))", 12)}
+                       AS sample_key
+            FROM kk
+        )
+        SELECT lang, doc_id, n_chars, sample_key
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY lang ORDER BY sample_key DESC, doc_id) AS _rn
+              FROM kx)
+        WHERE _rn <= 5
+        """,
+        "exactly-5-per-lang weighted reservoir (Efraimidis-Spirakis over "
+        "the Knuth uniform; r17 queue)",
     ),
     QuerySpec(
         "bm25_topk_docs",

@@ -207,13 +207,17 @@ class QuerySpec:
 # rows-only-by-nature in the tail (DataSketches estimates; exact-twin
 # error-bound tests) — not queued for gate slots.
 # r17 rotation queue (added late in r12 after the r16 trio): the
-# retrieval pair — bm25_topk_docs (plans/llmdata.py via
+# retrieval pair plus the fixed-size sampler — bm25_topk_docs (plans/llmdata.py via
 # operators/retrieval.py: BM25 lexical top-10, idf dround(12) after
 # ln, all SQL literals CAST AS DOUBLE, per-doc sum dround(6), id
 # tiebreak) and hybrid_search_rrf (BM25 top-20 + embedding-cosine
 # top-20 fused by reciprocal-rank fusion — exact-integer-rank
-# arithmetic, no rounding needed).  Both oracle-green at
-# sf0.001/0.01/0.1, benched + digest-pinned ahead of rotation.
+# arithmetic, no rounding needed), and lang_weighted_reservoir
+# (plans/llmdata.py via operators/sampling.weighted_reservoir:
+# Efraimidis-Spirakis exactly-k-per-group weighted sampling over the
+# content-deterministic Knuth uniform; pow dround(12) + id tiebreak).
+# All oracle-green at sf0.001/0.01/0.1, benched + digest-pinned
+# ahead of rotation.
 GATE_PRIORITY = [
     # reference-parity clickstream core (pinned)
     "page_view_counts",
@@ -361,9 +365,10 @@ BENCH_EXTENDED = [
     "orders_in_flight_daily",
     "daily_revenue_ewma",
     "source_len_token_corr",
-    # r12 (late): the r17-queue retrieval pair
+    # r12 (late): the r17-queue retrieval pair + the fixed-size sampler
     "bm25_topk_docs",
     "hybrid_search_rrf",
+    "lang_weighted_reservoir",
 ]
 
 

@@ -3130,3 +3130,30 @@ def test_hybrid_indexed_matches_in_memory_when_exhaustive(spark, sf_dir, tmp_pat
         for r in hybrid_search_rrf(spark, sf_dir).collect()
     ]
     assert got == want and len(got) == 10
+
+
+def test_weighted_reservoir_favors_weight_and_is_exact_k(spark):
+    """Statistical sanity for the A-Res sampler: with weights 1 vs
+    1000 the heavy rows must dominate the fixed-size sample (each
+    light row wins over a heavy one with probability ~w_l/(w_l+w_h));
+    output is exactly k per group and deterministic across calls."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.sampling import (
+        weighted_reservoir,
+    )
+
+    rows = [("g", i, 1000 if i % 2 == 0 else 1) for i in range(500)]
+    rows += [("h", i, 10) for i in range(30)] + [("h", 1000 + i, None) for i in range(3)]
+    df = spark.createDataFrame(rows, ["grp", "doc_id", "w"])
+    out = weighted_reservoir(df, ["grp"], k=50, weight_col="w", id_col="doc_id")
+    got = out.collect()
+    by_grp = {}
+    for r in got:
+        by_grp.setdefault(r["grp"], []).append(r)
+    assert len(by_grp["g"]) == 50
+    heavy = sum(1 for r in by_grp["g"] if r["w"] == 1000)
+    assert heavy >= 45, heavy
+    # group smaller than k: everything with a valid weight survives
+    assert len(by_grp["h"]) == 30
+    # deterministic: identical on a second run
+    again = weighted_reservoir(df, ["grp"], k=50, weight_col="w", id_col="doc_id")
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again.collect()))
