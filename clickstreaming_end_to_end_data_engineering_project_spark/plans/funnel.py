@@ -277,6 +277,56 @@ def _pagerank_oracle(iterations: int = 5) -> str:
         """
 
 
+# shared body of the recursive-BFS SQL: Spark 4 executes WITH
+# RECURSIVE natively (the UnionLoop operator), DuckDB replays the
+# IDENTICAL text — only the table name and the JSON accessor differ.
+# DISTINCT in the recursive step bounds each frontier at the page
+# vocabulary (without it the row count is PATH-count — combinatorial);
+# the hops < 4 guard terminates cycles (the page graph's diameter is
+# ~2-3; bumping the bound changes nothing on a connected graph).
+_BFS_SQL_BODY = """
+WITH RECURSIVE pg AS (
+    SELECT user_id, ts, event_id,
+           CAST({json_k} AS INT) AS page
+    FROM {events}
+),
+seq AS (
+    SELECT page,
+           lag(page) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_page
+    FROM pg WHERE page IS NOT NULL
+),
+edges AS (
+    SELECT DISTINCT prev_page AS src, page AS dst
+    FROM seq WHERE prev_page IS NOT NULL
+),
+r(page, hops) AS (
+    SELECT CAST(0 AS INT), 0
+    UNION ALL
+    SELECT DISTINCT e.dst, r.hops + 1
+    FROM r JOIN edges e ON e.src = r.page
+    WHERE r.hops < 4
+)
+SELECT page, CAST(min(hops) AS INT) AS min_hops FROM r GROUP BY page
+"""
+
+
+def page_hops_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS shortest-hops from page 0 over the click-transition graph
+    via a RECURSIVE CTE executed by Spark itself (r18 queue) — the
+    iterative-SQL surface (Spark 4's WITH RECURSIVE) that complements
+    the DataFrame-loop formulations (pagerank's power steps,
+    connected_components' label propagation).  The recursion iterates
+    the EDGES frame (pages²-bounded after the one corpus pass), and
+    DISTINCT per step keeps every frontier at most vocabulary-sized."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("_ev_bfs")
+    return spark.sql(
+        _BFS_SQL_BODY.format(
+            json_k="get_json_object(props, '$.k')", events="_ev_bfs"
+        )
+    )
+
+
 def purchase_hot_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purchases inside hot traffic windows (r15 queue) — the
     point-in-interval join: windows are [minute, minute+5min) for
@@ -331,6 +381,15 @@ SPECS = [
         _pagerank_oracle(5),
         "weighted PageRank over the page-transition graph, 5 fixed power "
         "iterations, chained-CTE oracle (r15 queue)",
+    ),
+    QuerySpec(
+        "page_hops_bfs",
+        page_hops_bfs,
+        _BFS_SQL_BODY.format(
+            json_k="json_extract_string(props, '$.k')", events="events"
+        ),
+        "BFS shortest hops from page 0 via a native recursive CTE — the "
+        "same SQL text both engines execute (r18 queue)",
     ),
     QuerySpec(
         "purchase_hot_window_join",

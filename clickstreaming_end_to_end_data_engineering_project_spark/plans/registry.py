@@ -218,6 +218,12 @@ class QuerySpec:
 # content-deterministic Knuth uniform; pow dround(12) + id tiebreak).
 # All oracle-green at sf0.001/0.01/0.1, benched + digest-pinned
 # ahead of rotation.
+# r18 rotation queue (added late in r12): page_hops_bfs
+# (plans/funnel.py: BFS shortest hops over the page-transition graph
+# via Spark 4's NATIVE recursive CTE — the same SQL text both engines
+# execute, DISTINCT-per-step frontiers, integer-only so oracle-exact
+# with no rounding).  Oracle-green at sf0.001/0.01/0.1, benched +
+# digest-pinned ahead of rotation.
 GATE_PRIORITY = [
     # reference-parity clickstream core (pinned)
     "page_view_counts",
@@ -369,6 +375,8 @@ BENCH_EXTENDED = [
     "bm25_topk_docs",
     "hybrid_search_rrf",
     "lang_weighted_reservoir",
+    # r12 (late): the r18-queue recursive-CTE BFS
+    "page_hops_bfs",
 ]
 
 
