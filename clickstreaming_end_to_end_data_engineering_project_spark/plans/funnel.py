@@ -285,7 +285,18 @@ def _pagerank_oracle(iterations: int = 5) -> str:
 # the hops < 4 guard terminates cycles (the page graph's diameter is
 # ~2-3; bumping the bound changes nothing on a connected graph).
 _BFS_SQL_BODY = """
-WITH RECURSIVE pg AS (
+WITH RECURSIVE {edge_ctes}
+r(page, hops) AS (
+    SELECT CAST(0 AS INT), 0
+    UNION ALL
+    SELECT DISTINCT e.dst, r.hops + 1
+    FROM r JOIN {edges} e ON e.src = r.page
+    WHERE r.hops < 4
+)
+SELECT page, CAST(min(hops) AS INT) AS min_hops FROM r GROUP BY page
+"""
+
+_BFS_EDGE_CTES = """pg AS (
     SELECT user_id, ts, event_id,
            CAST({json_k} AS INT) AS page
     FROM {events}
@@ -300,14 +311,6 @@ edges AS (
     SELECT DISTINCT prev_page AS src, page AS dst
     FROM seq WHERE prev_page IS NOT NULL
 ),
-r(page, hops) AS (
-    SELECT CAST(0 AS INT), 0
-    UNION ALL
-    SELECT DISTINCT e.dst, r.hops + 1
-    FROM r JOIN edges e ON e.src = r.page
-    WHERE r.hops < 4
-)
-SELECT page, CAST(min(hops) AS INT) AS min_hops FROM r GROUP BY page
 """
 
 
@@ -316,15 +319,34 @@ def page_hops_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     via a RECURSIVE CTE executed by Spark itself (r18 queue) — the
     iterative-SQL surface (Spark 4's WITH RECURSIVE) that complements
     the DataFrame-loop formulations (pagerank's power steps,
-    connected_components' label propagation).  The recursion iterates
-    the EDGES frame (pages²-bounded after the one corpus pass), and
-    DISTINCT per step keeps every frontier at most vocabulary-sized."""
-    load(spark, sf_dir, "events").createOrReplaceTempView("_ev_bfs")
-    return spark.sql(
-        _BFS_SQL_BODY.format(
-            json_k="get_json_object(props, '$.k')", events="_ev_bfs"
-        )
+    connected_components' label propagation).
+
+    The edge frame is MATERIALIZED (localCheckpoint) before the
+    recursion and only the pages²-bounded loop runs in SQL: Spark's
+    UnionLoop re-executes non-recursive CTE subtrees once per
+    iteration, so an inline edges CTE re-ran the full corpus window
+    pass per hop level — 6.07 s at sf0.1, vs ~1 s materialized (the
+    source_unigram_kl lesson, surfacing INSIDE the engine's recursive
+    execution).  DISTINCT per step keeps every frontier at most
+    vocabulary-sized; the DuckDB oracle keeps the single inline text
+    (it materializes CTEs by default)."""
+    ev = load(spark, sf_dir, "events")
+    pg = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("page"),
+    ).filter(F.col("page").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        pg.withColumn("prev_page", F.lag("page").over(w))
+        .filter(F.col("prev_page").isNotNull())
+        .select(F.col("prev_page").alias("src"), F.col("page").alias("dst"))
+        .distinct()
+        .localCheckpoint()
     )
+    edges.createOrReplaceTempView("_bfs_edges")
+    return spark.sql(_BFS_SQL_BODY.format(edge_ctes="", edges="_bfs_edges"))
 
 
 def purchase_hot_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -386,10 +408,14 @@ SPECS = [
         "page_hops_bfs",
         page_hops_bfs,
         _BFS_SQL_BODY.format(
-            json_k="json_extract_string(props, '$.k')", events="events"
+            edge_ctes=_BFS_EDGE_CTES.format(
+                json_k="json_extract_string(props, '$.k')", events="events"
+            ),
+            edges="edges",
         ),
         "BFS shortest hops from page 0 via a native recursive CTE — the "
-        "same SQL text both engines execute (r18 queue)",
+        "same recursive text both engines execute (r18 queue; Spark "
+        "materializes the edge frame first, see the docstring)",
     ),
     QuerySpec(
         "purchase_hot_window_join",
