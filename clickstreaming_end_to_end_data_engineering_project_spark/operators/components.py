@@ -123,6 +123,7 @@ def pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     round_dp: int = 12,
+    broadcast_threshold: int = 4_000_000,
 ) -> DataFrame:
     """Weighted PageRank with a FIXED iteration count — (vertex, rank)
     after ``iterations`` power steps on the edge-weighted transition
@@ -215,7 +216,11 @@ def pagerank(
     # iterations on a 100-vertex graph dropped 3.6 s → ~1 s of
     # scheduling.  Bigger graphs take the generic shuffle-join path —
     # identical math, AQE plans the exchanges.
-    bcast = (lambda df: F.broadcast(df)) if n <= 4_000_000 else (lambda df: df)
+    bcast = (
+        (lambda df: F.broadcast(df))
+        if n <= broadcast_threshold
+        else (lambda df: df)
+    )
     ranks = verts.select("_v", F.lit(1.0 / n).alias("_r")).localCheckpoint()
     for i in range(iterations):
         r_in = bcast(ranks)

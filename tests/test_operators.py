@@ -3157,3 +3157,28 @@ def test_weighted_reservoir_favors_weight_and_is_exact_k(spark):
     # deterministic: identical on a second run
     again = weighted_reservoir(df, ["grp"], k=50, weight_col="w", id_col="doc_id")
     assert sorted(map(tuple, got)) == sorted(map(tuple, again.collect()))
+
+
+def test_pagerank_shuffle_path_equals_broadcast_path(spark):
+    """The generic shuffle-join path (graphs above the broadcast
+    threshold) must produce BIT-identical ranks to the small-graph
+    broadcast path — same math, different physical strategy
+    (broadcast_threshold=0 forces the big-graph plan on the fixture)."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.components import (
+        pagerank,
+    )
+
+    rng = random.Random(21)
+    edges = {}
+    for u in range(30):
+        for v in rng.sample(range(40), rng.randint(1, 5)):
+            edges[(u, v)] = edges.get((u, v), 0) + rng.randint(1, 3)
+    edf = spark.createDataFrame(
+        [(u, v, w) for (u, v), w in edges.items()], ["src", "dst", "weight"]
+    )
+    small = {r["vertex"]: r["rank"] for r in pagerank(edf, iterations=4).collect()}
+    big = {
+        r["vertex"]: r["rank"]
+        for r in pagerank(edf, iterations=4, broadcast_threshold=0).collect()
+    }
+    assert small == big and len(small) >= 35
