@@ -118,6 +118,7 @@ def main() -> None:
         indexed_probes = _indexed_probe_metrics(spark, sf_dir)
     except Exception as exc:  # pragma: no cover - defensive
         indexed_probes = {"indexed_probe_error": f"{type(exc).__name__}: {exc}"[:300]}
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     print(
         json.dumps(
             {
@@ -125,11 +126,31 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
                 "warmup_sec": round(warmup, 3),
                 "n_queries": len(timings),
                 "extended_queries": extended,
                 **indexed_probes,
+                **stream_metrics,
+            }
+        )
+    )
+    # Compact trailer LAST (r12 lesson: the driver records only the tail
+    # of bench stdout, and the full result line outgrew that window —
+    # BENCH_r12.json ended up `parsed: null` because the line's HEAD was
+    # cut off.  Truncation eats from the head, so a small final line
+    # always survives; it repeats the governing numbers so the recorded
+    # artifact can never lose the headline total again.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "warmup_sec": round(warmup, 3),
+                "queries": timings,
                 **stream_metrics,
             }
         )

@@ -245,6 +245,12 @@ def merge_upsert(
       directories are never opened, let alone rewritten (pinned by
       test via file-mtime equality).  At 100 TB this is the
       difference between rewriting a day and rewriting a decade.
+      ``partition_col`` must itself be one of ``key_cols`` (raises
+      otherwise): only then does a key name exactly one partition,
+      making the per-partition rewrite equivalent to the whole-dataset
+      merge.  Partition values are Hive-path-escaped to address
+      exactly the directories Spark's writer created; NULL partition
+      values raise (route those through ``partition_col=None``).
 
     ``changes`` must be key-unique (asserted — a multi-row key would
     make the merge order-dependent); deletes for absent keys are
@@ -313,6 +319,20 @@ def merge_upsert(
         fsutil.swap_with_staging(spark, path, _write, job="compact")
         return {"inserted": inserted, "updated": updated, "deleted": deleted}
 
+    # the partition column must be PART of the key for the
+    # partition-scoped path: otherwise a change row whose key already
+    # lives in a DIFFERENT partition would rewrite only its own
+    # partition, leaving the stale row behind — duplicate keys and
+    # audit counts that lie (r12 advisory).  With partition_col in the
+    # key, a key names exactly one partition and per-partition rewrites
+    # are equivalent to the whole-dataset merge.
+    if partition_col not in key_cols:
+        raise ValueError(
+            "merge_upsert: partition_col must be one of key_cols for the "
+            "partition-scoped path (a key that can move between partitions "
+            "would leave its old row behind); pass partition_col=None for "
+            "a whole-dataset merge"
+        )
     sub_keys = [k for k in key_cols if k != partition_col]
     if not sub_keys:
         raise ValueError("merge_upsert: key_cols must extend beyond partition_col")
@@ -320,7 +340,13 @@ def merge_upsert(
         r[0] for r in changes.select(partition_col).distinct().collect()
     )
     for v in touched:
-        subdir = os.path.join(path, f"{partition_col}={v}")
+        # escape exactly as Spark's partitionBy writer does (and reject
+        # NULL): an unescaped ':' or '/' in a hand-built path would
+        # address a DIFFERENT directory than the one Spark wrote,
+        # silently duplicating the partition on read (r12 advisory)
+        subdir = os.path.join(
+            path, f"{partition_col}={fsutil.escape_partition_value(v)}"
+        )
         sub_ups = ups.filter(F.col(partition_col) == v).drop(partition_col)
         sub_change_keys = (
             changes.filter(F.col(partition_col) == v).select(*sub_keys).distinct()

@@ -138,3 +138,38 @@ def newest_mtime_ms(spark, path: str) -> int:
     while it.hasNext():
         newest = max(newest, it.next().getModificationTime())
     return newest
+
+
+# Characters Spark's ExternalCatalogUtils.escapePathName (inherited
+# from Hive's FileUtils) percent-encodes in partition directory names
+# on non-Windows platforms: ASCII control chars, DEL, and the shell/
+# URI-significant set below.  Kept in one place so hand-built
+# ``col=value`` paths (etl.merge_upsert's partition-scoped rewrite)
+# name EXACTLY the directory Spark's partitionBy writer created.
+_PARTITION_PATH_ESCAPE = {chr(c) for c in range(0x20)} | {
+    '"', "#", "%", "'", "*", "/", ":", "=", "?", "\\", "\x7f", "{", "[", "]", "^",
+}
+
+
+def escape_partition_value(value) -> str:
+    """The string Spark writes for ``value`` in a ``col=<value>``
+    partition directory name (ExternalCatalogUtils.escapePathName
+    semantics: percent-encode each reserved char as %XX uppercase hex).
+
+    NULL partition values are REJECTED rather than mapped to
+    ``__HIVE_DEFAULT_PARTITION__``: the callers that hand-build these
+    paths also filter rows with ``col == value``, which is never true
+    for NULL — silently routing NULLs to the default partition would
+    rewrite the wrong rows (r12 advisory)."""
+    if value is None:
+        raise ValueError(
+            "NULL partition values are not supported for hand-built "
+            "partition paths (Spark would write "
+            "__HIVE_DEFAULT_PARTITION__, but equality filters cannot "
+            "select those rows) — merge NULL-partition changes through "
+            "the unpartitioned path instead"
+        )
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _PARTITION_PATH_ESCAPE else ch
+        for ch in str(value)
+    )

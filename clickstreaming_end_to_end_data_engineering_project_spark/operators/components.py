@@ -162,6 +162,19 @@ def pagerank(
         F.col(dst).alias("_dst"),
         F.col(weight).cast("double").alias("_w"),
     )
+    # Edge weights must be positive and non-null (validated, one cheap
+    # pass over the vocabulary-sized frame): a NULL or ≤0 weight makes
+    # the per-src probability NULL or NaN, so that source's rank is
+    # neither propagated nor counted as dangling mass — total mass
+    # would silently leak, contradicting the conservation guarantee
+    # below (r12 advisory).  Raising beats guessing a semantic for
+    # non-probability weights.
+    if e.filter(F.col("_w").isNull() | (F.col("_w") <= 0)).limit(1).count():
+        raise ValueError(
+            "pagerank: edge weights must be positive and non-null "
+            "(a NULL/zero/negative weight breaks transition-probability "
+            "normalization and leaks rank mass)"
+        )
     # transition probabilities via a window sum (a self-join on the
     # same lineage trips Spark's ambiguous-reference resolver):
     # exact-integer-valued doubles divided exactly — bit-identical in

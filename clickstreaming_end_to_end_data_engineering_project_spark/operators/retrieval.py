@@ -30,6 +30,19 @@ from pyspark.sql import functions as F
 from .text import tokens
 
 
+def _qtf_frame(spark, query_terms: list[str]) -> DataFrame:
+    """(term, query-term-frequency) for a bag-of-terms query — a
+    |distinct query terms|-sized driver frame, broadcast by callers.
+    Counts are exact-integer-valued doubles (multiplication by them is
+    deterministic, and by exactly-1.0 is bit-neutral)."""
+    from collections import Counter
+
+    return spark.createDataFrame(
+        [(t, float(n)) for t, n in Counter(query_terms).items()],
+        "_t string, _qtf double",
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],
@@ -41,10 +54,12 @@ def bm25_topk(
 ) -> DataFrame:
     """Top-``k`` documents for a bag-of-terms query by BM25
     (Lucene-style non-negative idf: ln(1 + (N − df + 0.5)/(df + 0.5))).
-    Output: (doc_id, n_matched_terms, bm25_score), ordered by
-    (score desc, doc_id)."""
-    from ..functions import dround
-
+    Bag semantics are real (r12 advisory): a term repeated in
+    ``query_terms`` multiplies its per-term contribution by its query
+    frequency, the standard BM25 query weighting — not collapsed to set
+    semantics.  ``n_matched_terms`` counts DISTINCT matched terms
+    (Lucene's coordination count).  Output: (doc_id, n_matched_terms,
+    bm25_score), ordered by (score desc, doc_id)."""
     # (doc_id, doc_len) and (doc_id, term, tf) are each consumed by TWO
     # derivations (corpus stats + the score join; df + the score join),
     # so both are MATERIALIZED — unmaterialized, the digest showed the
@@ -62,7 +77,8 @@ def bm25_topk(
         F.count(F.lit(1)).alias("_N"),
         (F.sum("_dl").cast("double") / F.count(F.lit(1))).alias("_avgdl"),
     )
-    terms = [t for t in query_terms]
+    qtf = _qtf_frame(docs.sparkSession, query_terms)
+    terms = list(dict.fromkeys(query_terms))
     matched = (
         docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
         .filter(F.col("_t").isin(terms))
@@ -73,6 +89,7 @@ def bm25_topk(
     df_ = matched.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
     scored = (
         matched.join(F.broadcast(df_), "_t")
+        .join(F.broadcast(qtf), "_t")
         .join(dl, id_col)
         .crossJoin(F.broadcast(corpus))
     )
@@ -80,9 +97,12 @@ def bm25_topk(
 
 
 def _score_and_rank(scored: DataFrame, id_col: str, k: int, k1: float, b: float) -> DataFrame:
-    """Shared scoring tail over (_tf, _df, _N, _avgdl, _dl) — ONE copy
-    of the BM25 expression tree, so the in-memory operator and the
-    written-index probe are bit-equal by construction."""
+    """Shared scoring tail over (_tf, _df, _qtf, _N, _avgdl, _dl) — ONE
+    copy of the BM25 expression tree, so the in-memory operator and the
+    written-index probe are bit-equal by construction.  ``_qtf`` scales
+    each term's contribution by its query-term frequency (1.0 for
+    every term of a duplicate-free query — multiplication by exactly
+    1.0 is an IEEE no-op, so set-style queries are bit-unchanged)."""
     from ..functions import dround
 
     idf = dround(
@@ -93,12 +113,14 @@ def _score_and_rank(scored: DataFrame, id_col: str, k: int, k1: float, b: float)
         ),
         12,
     )
-    part = idf * (
-        F.col("_tf") * F.lit(k1 + 1.0)
-    ) / (
-        F.col("_tf")
-        + F.lit(k1)
-        * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
+    part = F.col("_qtf") * (
+        idf
+        * (F.col("_tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("_tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
+        )
     )
     return (
         scored.groupBy(id_col)
@@ -194,14 +216,17 @@ def bm25_topk_indexed(
     bucket directories (static partition pruning via the driver-side
     crc32 twin), join the |query|-sized _termstats and the _doclens
     table, and run the IDENTICAL scoring tail as ``bm25_topk`` —
-    row-for-row equality is pinned by test, not hoped for.  The probe
-    never tokenizes anything: the corpus pass was paid at write time.
+    row-for-row equality is pinned by test, not hoped for (including
+    bag-of-terms queries: duplicate terms weight by query frequency in
+    both probes).  The probe never tokenizes anything: the corpus pass
+    was paid at write time.
     """
     import os
 
     params = spark.read.parquet(os.path.join(path, "_bm25_params")).first()
     n_buckets = params["n_buckets"]
-    terms = list(query_terms)
+    qtf = _qtf_frame(spark, query_terms)
+    terms = list(dict.fromkeys(query_terms))
     buckets = sorted({_term_bucket(t, n_buckets) for t in terms})
     raw = spark.read.parquet(path)
     id_col = [c for c in raw.columns if c not in ("_t", "_tf", "_dl", "bucket")][0]
@@ -215,6 +240,7 @@ def bm25_topk_indexed(
     # only scan is the pruned posting partitions
     scored = (
         postings.join(F.broadcast(termstats), "_t")
+        .join(F.broadcast(qtf), "_t")
         .withColumn("_N", F.lit(params["n_docs"]))
         .withColumn("_avgdl", F.lit(params["avgdl"]))
     )

@@ -184,17 +184,28 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bm25_sql(terms: list[str], k1: float, b: float) -> str:
     """DuckDB CTE chain ending in scores(doc_id, n_matched_terms,
     bm25_score) — the literal-for-literal twin of retrieval.bm25_topk
-    (constants computed in Python once, CAST AS DOUBLE in SQL)."""
-    termlist = ", ".join(f"'{t}'" for t in terms)
+    (constants computed in Python once, CAST AS DOUBLE in SQL).
+    Bag-of-terms semantics match the operator (r12 advisory): the qtf
+    CTE carries each distinct term's query frequency and scales its
+    contribution — the parenthesization ``_qtf * ({part})`` mirrors
+    Spark's ``F.col("_qtf") * part`` exactly so the product associates
+    identically in both engines."""
+    from collections import Counter
+
+    counts = Counter(terms)
+    termlist = ", ".join(f"'{t}'" for t in counts)
+    qtf_rows = ", ".join(
+        f"('{t}', CAST({float(n)!r} AS DOUBLE))" for t, n in counts.items()
+    )
     idf = sql_snippets.dround(
         "ln(CAST(1.0 AS DOUBLE) + (_N - _df + CAST(0.5 AS DOUBLE))"
         " / (_df + CAST(0.5 AS DOUBLE)))",
         12,
     )
     part = (
-        f"{idf} * (_tf * CAST({k1 + 1.0!r} AS DOUBLE))"
+        f"_qtf * ({idf} * (_tf * CAST({k1 + 1.0!r} AS DOUBLE))"
         f" / (_tf + CAST({k1!r} AS DOUBLE) * (CAST({1.0 - b!r} AS DOUBLE)"
-        f" + CAST({b!r} AS DOUBLE) * _dl / _avgdl))"
+        f" + CAST({b!r} AS DOUBLE) * _dl / _avgdl)))"
     )
     return f"""
         dl AS (
@@ -206,6 +217,7 @@ def _bm25_sql(terms: list[str], k1: float, b: float) -> str:
                    CAST(sum(_dl) AS DOUBLE) / count(*) AS _avgdl
             FROM dlp
         ),
+        qtf AS (SELECT * FROM (VALUES {qtf_rows}) AS q(_t, _qtf)),
         matched AS (
             SELECT doc_id, _t, count(*) AS _tf
             FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS _t FROM documents)
@@ -219,6 +231,7 @@ def _bm25_sql(terms: list[str], k1: float, b: float) -> str:
                    {sql_snippets.dround(f"sum({part})", 6)} AS bm25_score
             FROM matched m
             JOIN dft USING (_t)
+            JOIN qtf USING (_t)
             JOIN dlp USING (doc_id)
             CROSS JOIN corpus
             GROUP BY 1

@@ -224,6 +224,35 @@ class QuerySpec:
 # execute, DISTINCT-per-step frontiers, integer-only so oracle-exact
 # with no rounding).  Oracle-green at sf0.001/0.01/0.1, benched +
 # digest-pinned ahead of rotation.
+# Round-13 rotation (executed): the r12 verdict's #1 directive — the
+# ENTIRE declared r13-r18 backlog (15 queries across six operator
+# families) rotates in at once for first driver rows:
+# customer_rfm_segments, conversion_latency_quantiles, source_dup_rate
+# (r13 queue), embedding_topk_batch, user_inter_event_gap_quantiles
+# (r14), page_rank_pages, purchase_hot_window_join,
+# nation_revenue_trend (r15), orders_in_flight_daily,
+# daily_revenue_ewma, source_len_token_corr (r16), bm25_topk_docs,
+# hybrid_search_rrf, lang_weighted_reservoir (r17), page_hops_bfs
+# (r18).  Demoted per the standing policy — exactly the verdict's
+# doubly-verified list, each green in ≥2 recorded rounds and every one
+# still benched in BENCH_EXTENDED (a regression still moves a recorded
+# number and a pinned digest): q2_cheapest_supplier_per_part,
+# q8_market_share, q9_product_profit, q15_top_supplier,
+# q17_small_quantity_revenue, q20_promotable_part_suppliers,
+# q21_late_sole_suppliers, doc_token_budget_sample,
+# source_mixture_weights, boilerplate_ngrams, curation_funnel_report
+# (each green r7+r8 and again r12), dau_wau_stickiness,
+# doc_winnow_dups, embedding_quant_error (green r8+…+r12), and
+# pq_code_balance (green r11+r12).  Retained for confirming rows:
+# ngram_jaccard_histogram (r11+r12), the rows-only pair
+# embedding_ivf_topk_learned / ivfpq_topk_probe (test-allowlisted),
+# and the r12 first-row quartet doc_numeric_profile /
+# doc_token_entropy / source_unigram_kl / doc_length_quantiles.
+# doc_dup_span_fraction stays gated (the r11 outlier's fix band needs
+# continued driver visibility).  After this round every oracle-backed
+# scalar query in the registry once again has a green driver row in
+# some CORRECTNESS_r*.json — new-family cadence held at ZERO this
+# round per verdict #7 so the gate could catch up.
 GATE_PRIORITY = [
     # reference-parity clickstream core (pinned)
     "page_view_counts",
@@ -256,41 +285,35 @@ GATE_PRIORITY = [
     "anomaly_minutes",
     "top3_parts_per_brand",
     "word_freq_top20",
-    # round-8 rotation: the declared r8 queue — first driver rows
-    # (+ doc_dup_span_fraction, NEW in r8: per-doc duplicated-span
-    # coverage; q13_customer_distribution demoted to make its slot —
-    # green r7)
+    # r8 fix-band watch, retained (the r11 outlier's driver visibility)
     "doc_dup_span_fraction",
-    "dau_wau_stickiness",
-    "doc_winnow_dups",
-    "embedding_quant_error",
-    # round-11 rotation, retained for confirming rows
-    # (embedding_ivf_topk_learned is rows-only by design — kmeans
-    # averaging is not SQL-replayable)
-    "pq_code_balance",
+    # round-11/12 rotations, retained for confirming rows
+    # (embedding_ivf_topk_learned / ivfpq_topk_probe are rows-only by
+    # design — float k-means training is not SQL-replayable)
     "ngram_jaccard_histogram",
     "embedding_ivf_topk_learned",
-    # round-12 rotation: first driver rows for the whole r12+r13
-    # backlog (ivfpq_topk_probe is rows-only by design — PQ codebook
-    # training is float k-means, not SQL-replayable)
     "ivfpq_topk_probe",
     "doc_numeric_profile",
     "doc_token_entropy",
     "source_unigram_kl",
     "doc_length_quantiles",
-    # retained from the r7 rotation (green r7+r8; kept while slots
-    # allow — the benched/swept tpch_deep shapes stay visible)
-    "q2_cheapest_supplier_per_part",
-    "q8_market_share",
-    "q9_product_profit",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q20_promotable_part_suppliers",
-    "q21_late_sole_suppliers",
-    "doc_token_budget_sample",
-    "source_mixture_weights",
-    "boilerplate_ngrams",
-    "curation_funnel_report",
+    # round-13 rotation: first driver rows for the ENTIRE r13-r18
+    # backlog (15 queries, six operator families — verdict r12 #1)
+    "customer_rfm_segments",
+    "conversion_latency_quantiles",
+    "source_dup_rate",
+    "embedding_topk_batch",
+    "user_inter_event_gap_quantiles",
+    "page_rank_pages",
+    "purchase_hot_window_join",
+    "nation_revenue_trend",
+    "orders_in_flight_daily",
+    "daily_revenue_ewma",
+    "source_len_token_corr",
+    "bm25_topk_docs",
+    "hybrid_search_rrf",
+    "lang_weighted_reservoir",
+    "page_hops_bfs",
 ]
 
 # Gate size the driver records; GATE_PRIORITY must fill it exactly so
@@ -377,6 +400,10 @@ BENCH_EXTENDED = [
     "lang_weighted_reservoir",
     # r12 (late): the r18-queue recursive-CTE BFS
     "page_hops_bfs",
+    # r13: demoted from the gate this round — stays benched so a
+    # regression still moves a recorded number and a pinned digest
+    # (every other demoted query was already in this list)
+    "pq_code_balance",
 ]
 
 

@@ -74,12 +74,18 @@ class SketchRollupSink:
 
 
 def _read_store(spark, store_dir: str) -> DataFrame:
+    # only a MISSING store degrades to empty (nothing ingested yet);
+    # any other read failure — e.g. a corrupted or mixed layout — must
+    # raise, not silently report an empty rollup (r12 advisory: the
+    # old blanket AnalysisException catch masked exactly that)
     from pyspark.errors import AnalysisException
 
     try:
         return spark.read.schema(_STORE_SCHEMA).parquet(store_dir)
-    except AnalysisException:  # nothing ingested yet
-        return spark.createDataFrame([], _STORE_SCHEMA)
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc):
+            return spark.createDataFrame([], _STORE_SCHEMA)
+        raise
 
 
 def read_distinct_rollup(
@@ -95,10 +101,30 @@ def read_distinct_rollup(
     )
 
 
+# compaction's output batch id: reserved (micro-batch ids are >= 0),
+# so the compacted rows live in a normal batch=<id>/ partition dir and
+# the store layout stays UNIFORM — the old compaction wrote bare
+# parquet files at the store root, and the first post-compaction
+# micro-batch (or replay) then produced a files+dirs mix that breaks
+# partition discovery (r12 advisory)
+_COMPACTED_BATCH_ID = -1
+
+
 def compact_sketch_store(spark, store_dir: str) -> None:
     """Collapse per-batch sketch rows to ONE row per fine period —
     union_agg preserves every estimate exactly (associativity), the
-    swap is crash-safe (``fsutil.swap_with_staging``)."""
+    swap is crash-safe (``fsutil.swap_with_staging``).
+
+    The merged rows land under the reserved ``batch=-1/`` partition
+    dir, keeping the store's layout identical before and after
+    compaction — micro-batches written (or replayed) AFTER a
+    compaction coexist with it, and HLL union idempotence makes a
+    replayed batch's re-merge a no-op on every estimate.  Like every
+    swap-based maintenance job here, run it only while no stream is
+    actively writing the store (the near_dedup compactor's
+    terminal-runs-only rule)."""
+    import os
+
     from ..fsutil import swap_with_staging
 
     def _write(staging: str) -> None:
@@ -106,7 +132,9 @@ def compact_sketch_store(spark, store_dir: str) -> None:
             _read_store(spark, store_dir)
             .groupBy("period")
             .agg(F.hll_union_agg("sk").alias("sk"))
-            .write.parquet(staging)
+            .write.parquet(
+                os.path.join(staging, f"batch={_COMPACTED_BATCH_ID}")
+            )
         )
 
     swap_with_staging(spark, store_dir, _write, job="compact")

@@ -289,3 +289,55 @@ def test_merge_upsert_heals_crash_debris_and_creates_target(spark, tmp_path):
     fresh = str(tmp_path / "brandnew")
     stats = merge_upsert(spark, fresh, changes, ["id"])
     assert stats == {"inserted": 1, "updated": 0, "deleted": 0}
+
+def test_merge_upsert_partition_col_must_be_a_key(spark, tmp_path):
+    """partition_col outside key_cols would let a key move between
+    partitions while its old row survives (duplicate keys, r12
+    advisory) — the partition-scoped path refuses it up front."""
+    import pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.etl import merge_upsert
+
+    path = str(tmp_path / "facts_badkey")
+    spark.createDataFrame(
+        [("2024-01-01", 1, 10.0)], ["day", "id", "v"]
+    ).write.partitionBy("day").parquet(path)
+    changes = spark.createDataFrame([("2024-01-02", 1, 11.0)], ["day", "id", "v"])
+    with pytest.raises(ValueError, match="partition_col must be one of key_cols"):
+        merge_upsert(spark, path, changes, ["id"], partition_col="day")
+
+
+def test_merge_upsert_escapes_partition_path_values(spark, tmp_path):
+    """Partition values containing Hive-reserved characters (':', '/')
+    are escaped exactly as Spark's partitionBy writer escapes them, so
+    the hand-built rewrite path addresses the directory Spark wrote —
+    not a second directory for the same logical partition (r12
+    advisory).  NULL partition values raise."""
+    import os
+
+    import pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.etl import merge_upsert
+
+    path = str(tmp_path / "facts_escaped")
+    spark.createDataFrame(
+        [("12:30", 1, 10.0), ("a/b", 2, 20.0)], ["slot", "id", "v"]
+    ).write.partitionBy("slot").parquet(path)
+    spark_dirs = {d for d in os.listdir(path) if d.startswith("slot=")}
+    assert spark_dirs == {"slot=12%3A30", "slot=a%2Fb"}  # what Spark wrote
+
+    changes = spark.createDataFrame(
+        [("12:30", 1, 11.0), ("12:30", 3, 30.0)], ["slot", "id", "v"]
+    )
+    stats = merge_upsert(spark, path, changes, ["slot", "id"], partition_col="slot")
+    assert stats == {"inserted": 1, "updated": 1, "deleted": 0}
+    # no new directory appeared — the rewrite hit Spark's escaped dir
+    assert {d for d in os.listdir(path) if d.startswith("slot=")} == spark_dirs
+    got = {(r["slot"], r["id"]): r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {("12:30", 1): 11.0, ("12:30", 3): 30.0, ("a/b", 2): 20.0}
+
+    null_changes = spark.createDataFrame(
+        [(None, 9, 90.0)], "slot string, id long, v double"
+    )
+    with pytest.raises(ValueError, match="NULL partition values"):
+        merge_upsert(spark, path, null_changes, ["slot", "id"], partition_col="slot")

@@ -3182,3 +3182,107 @@ def test_pagerank_shuffle_path_equals_broadcast_path(spark):
         for r in pagerank(edf, iterations=4, broadcast_threshold=0).collect()
     }
     assert small == big and len(small) >= 35
+
+def test_bm25_bag_semantics_weight_duplicate_query_terms(spark, tmp_path):
+    """r12 advisory: a term repeated in the query must contribute per
+    occurrence (standard bag-of-terms BM25 query weighting), not once.
+    Pinned against a pure-Python computation on a hand corpus, and the
+    written-index probe must stay row-for-row equal to the in-memory
+    operator under the duplicated query."""
+    import math
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_indexed,
+        write_bm25_index,
+    )
+
+    k1, b = 1.2, 0.75
+    corpus = [(1, "x y x"), (2, "x z"), (3, "y z z"), (4, "w w")]
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+    query = ["x", "x", "y"]  # 'x' twice: its contribution doubles
+    got = bm25_topk(docs, query, k=10, k1=k1, b=b).collect()
+
+    def rnd(x, dp):
+        s = float(10**dp)
+        return math.floor(x * s + 0.5) / s
+
+    toks = {d: t.split() for d, t in corpus}
+    dl = {d: len(ts) for d, ts in toks.items()}
+    n_docs, avgdl = len(dl), sum(dl.values()) / len(dl)
+    qtf = {"x": 2.0, "y": 1.0}
+    tf, df = {}, {}
+    for d, ts in toks.items():
+        for t in ts:
+            if t in qtf:
+                tf[(d, t)] = tf.get((d, t), 0) + 1
+    for (_, t) in tf:
+        df[t] = df.get(t, 0) + 1
+    scores = {}
+    for (d, t), f in tf.items():
+        idf = rnd(math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5)), 12)
+        part = qtf[t] * (
+            idf * (f * (k1 + 1.0)) / (f + k1 * ((1.0 - b) + b * dl[d] / avgdl))
+        )
+        scores.setdefault(d, []).append(part)
+    want = [
+        (d, n, s)
+        for s, d, n in sorted(
+            ((rnd(sum(ps), 6), d, len(ps)) for d, ps in scores.items()),
+            key=lambda x: (-x[0], x[1]),
+        )
+    ]
+    assert [(r["doc_id"], r["n_matched_terms"], r["bm25_score"]) for r in got] == want
+    # doc 1 (two 'x' + one 'y') must now clearly outrank doc 2 (one 'x')
+    assert got[0]["doc_id"] == 1
+
+    idx = str(tmp_path / "bm25_dupterms")
+    write_bm25_index(docs, idx, n_buckets=8)
+    got_idx = bm25_topk_indexed(spark, idx, query, k=10, k1=k1, b=b).collect()
+    assert [tuple(r) for r in got_idx] == [tuple(r) for r in got]
+
+
+def test_pagerank_rejects_nonpositive_or_null_weights(spark):
+    """r12 advisory: a src whose weights sum to 0 (or are NULL) would
+    get NULL/NaN transition probabilities — its rank neither propagates
+    nor counts as dangling mass, silently leaking total mass.  The
+    operator now refuses such edges up front."""
+    import pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.components import (
+        pagerank,
+    )
+
+    for bad in (0.0, -1.0, None):
+        edges = spark.createDataFrame(
+            [(1, 2, 1.0), (2, 1, bad)], "src long, dst long, weight double"
+        )
+        with pytest.raises(ValueError, match="positive and non-null"):
+            pagerank(edges, iterations=1)
+
+
+def test_weighted_reservoir_k_at_and_beyond_group_size(spark):
+    """r12 verdict #6: the k-vs-group-size edge.  k == n returns every
+    (positive-weight) row of the group; k > n must not invent rows;
+    groups larger and smaller than k coexist correctly."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.sampling import (
+        weighted_reservoir,
+    )
+
+    rows = [("a", i, float(i + 1)) for i in range(3)] + [
+        ("b", 10 + i, 1.0) for i in range(8)
+    ] + [("a", 99, 0.0), ("a", 98, None)]  # excluded: non-positive/NULL weight
+    df = spark.createDataFrame(rows, "lang string, doc_id long, w double")
+
+    exact = weighted_reservoir(df, ["lang"], k=3, weight_col="w")
+    by_group = {
+        g: sorted(r["doc_id"] for r in exact.collect() if r["lang"] == g)
+        for g in ("a", "b")
+    }
+    assert by_group["a"] == [0, 1, 2]  # k == n_valid: the whole group, once
+    assert len(by_group["b"]) == 3
+
+    over = weighted_reservoir(df, ["lang"], k=100, weight_col="w")
+    counts = {r["lang"]: r["n"] for r in over.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"a": 3, "b": 8}  # k > n: all valid rows, no extras

@@ -2011,6 +2011,17 @@ def test_streaming_sketch_ingest_equals_batch_rollup(spark, sf_dir):
     assert estimates() == want
     per_period = spark.read.parquet(store).groupBy("period").count().collect()
     assert all(r["count"] == 1 for r in per_period)
+    # layout stays uniform AFTER compaction (r12 advisory: the old
+    # root-level compacted files + a later batch=<id>/ dir broke
+    # partition discovery): a post-compaction replay must land beside
+    # the reserved batch=-1 dir, still read cleanly, and — HLL union
+    # being idempotent — move no estimate
+    sink(parts[1], 1)
+    assert estimates() == want
+    batch_dirs = sorted(
+        d for d in os.listdir(store) if d.startswith("batch=")
+    )
+    assert batch_dirs == ["batch=-1", "batch=1"]
 
     shutil.rmtree(src_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
