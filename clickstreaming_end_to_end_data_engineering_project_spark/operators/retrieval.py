@@ -133,6 +133,13 @@ def _score_and_rank(scored: DataFrame, id_col: str, k: int, k1: float, b: float)
     )
 
 
+# fixed sidecar schemas: probes read them with explicit schemas so no
+# footer-inference job runs per query (the probe-latency term that
+# would otherwise grow with segment count)
+_PARAMS_SCHEMA = "n_docs long, sum_dl long, n_buckets int"
+_TERMSTATS_SCHEMA = "_t string, _df long"
+
+
 def _term_bucket(term: str, n_buckets: int) -> int:
     """crc32(term) % n_buckets — computable identically driver-side
     (zlib.crc32) and engine-side (F.crc32), so a probe can name its
@@ -151,33 +158,82 @@ def write_bm25_index(
 ) -> None:
     """Materialize the inverted index ``bm25_topk`` builds on the fly —
     the written-retrieval layout completing the written-ANN family's
-    pattern (LSH/IVF/PQ/IVFPQ → +BM25): posting lists
-    (term, doc_id, tf) partitioned by ``bucket = crc32(term) %
-    n_buckets``, so a probe statically prunes to the query terms'
-    buckets and reads |query|/n_buckets of the postings, never the
-    corpus.
+    pattern (LSH/IVF/PQ/IVFPQ → +BM25).  The layout is SEGMENTED
+    (Lucene's increment model, r12 verdict #4): every build/append is
+    one ``batch=<id>`` increment, and corpus statistics are stored as
+    mergeable per-batch sums, so appending a day's documents writes
+    one new segment instead of rebuilding the corpus index:
 
-    Sidecars (underscore-prefixed, Spark-written — the
-    write_lsh_index discipline, so the layout works on s3a/hdfs):
-    - ``_doclens/``: (doc_id, _dl) — the length-normalization table;
-    - ``_termstats/``: (_t, _df) — document frequencies, so idf needs
-      no postings aggregation at probe time;
-    - ``_bm25_params/``: 1 row (n_docs, avgdl, n_buckets) — probe
-      geometry validated + the corpus constants the scorer needs.
+    - ``batch=<id>/bucket=<b>/``: posting rows (doc_id, term, tf, dl)
+      with ``bucket = crc32(term) % n_buckets`` — a probe statically
+      prunes to the query terms' buckets (the second-level partition
+      column prunes regardless of how many batches exist) and reads
+      |query|/n_buckets of the postings, never the corpus.  The
+      document length rides IN every posting row (Lucene's
+      norms-in-postings, +8 bytes/posting): the probe scores from the
+      pruned partitions ALONE, no corpus-sized sidecar join.
+    - ``_termstats/batch=<id>/``: (_t, _df) per segment.  Document
+      frequencies over disjoint doc sets ADD, so the probe sums the
+      query terms' rows across segments — exact-integer merge, no
+      postings aggregation at probe time.
+    - ``_doclens/batch=<id>/``: (doc_id, _dl) — the membership table
+      appends validate against (and the length audit).
+    - ``_bm25_params/batch=<id>/``: 1 row (n_docs, sum_dl, n_buckets)
+      per segment; the probe derives N = Σ n_docs and avgdl =
+      Σ sum_dl / Σ n_docs — integer sums, so the double division is
+      bit-identical to a single-build index.
+
+    This ``write`` is just the first segment (``batch=0``) onto a
+    cleared path — any prior index at ``path`` is deleted first
+    (through the Hadoop FileSystem API, so the same code maintains a
+    local, HDFS, or s3a layout — the fsutil rule).
     """
+    from ..fsutil import fs_for
+
+    _, fs, hpath = fs_for(docs.sparkSession, path)
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+    _write_bm25_segment(docs, path, 0, id_col, text_col, n_buckets)
+
+
+def _existing_bm25_batches(spark, path: str) -> "list[int]":
+    from ..fsutil import fs_for
+
+    _, fs, hpath = fs_for(spark, path)
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if name.startswith("batch="):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
+def _write_bm25_segment(
+    docs: DataFrame,
+    path: str,
+    batch_id: int,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+) -> "dict[str, int]":
+    """One segment's four directory writes, each ``batch=<id>``-scoped
+    with mode=overwrite: re-running the SAME batch id rewrites its own
+    directories (the near_dedup survivor discipline), so a crash
+    mid-append heals by replaying the append — no partial segment can
+    double-count."""
     import os
 
-    # the document length rides IN every posting row (the Lucene
-    # norms-in-postings design, +8 bytes/posting): a probe then scores
-    # from the pruned posting partitions ALONE — without this it would
-    # join the corpus-row-sized _doclens table on every query, a full
-    # sidecar scan per probe
-    dl = docs.select(
-        F.col(id_col), F.size(tokens(text_col)).alias("_dl")
-    ).filter(F.col("_dl") > 0)
-    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
+    seg = f"batch={batch_id}"
+    dl = (
+        docs.select(F.col(id_col), F.size(tokens(text_col)).alias("_dl"))
+        .filter(F.col("_dl") > 0)
+        .localCheckpoint()
+    )
     postings = (
-        toks.groupBy(id_col, "_t")
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
+        .groupBy(id_col, "_t")
         .agg(F.count(F.lit(1)).alias("_tf"))
         .join(dl, id_col)
         .withColumn(
@@ -185,22 +241,84 @@ def write_bm25_index(
             F.pmod(F.crc32(F.col("_t").cast("binary")), F.lit(n_buckets)),
         )
     )
-    postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    dl.write.mode("overwrite").parquet(os.path.join(path, "_doclens"))
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(path, seg)
+    )
     spark = docs.sparkSession
-    spark.read.parquet(path).groupBy("_t").agg(
+    spark.read.parquet(os.path.join(path, seg)).groupBy("_t").agg(
         F.count(F.lit(1)).alias("_df")
-    ).write.mode("overwrite").parquet(os.path.join(path, "_termstats"))
+    ).write.mode("overwrite").parquet(os.path.join(path, "_termstats", seg))
+    dl.write.mode("overwrite").parquet(os.path.join(path, "_doclens", seg))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("_dl").alias("sum_dl")
+    ).first()
     (
-        spark.read.parquet(os.path.join(path, "_doclens"))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            (F.sum("_dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        spark.createDataFrame(
+            [(stats["n_docs"], stats["sum_dl"] or 0, n_buckets)],
+            "n_docs long, sum_dl long, n_buckets int",
         )
-        .withColumn("n_buckets", F.lit(n_buckets))
         .coalesce(1)
         .write.mode("overwrite")
-        .parquet(os.path.join(path, "_bm25_params"))
+        .parquet(os.path.join(path, "_bm25_params", seg))
+    )
+    return {"batch_id": batch_id, "n_docs": stats["n_docs"]}
+
+
+def append_bm25_index(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_id: "int | None" = None,
+) -> "dict[str, int]":
+    """Append ``new_docs`` to an existing ``write_bm25_index`` layout
+    as one new segment — the incremental-maintenance path (r12 verdict
+    #4): cost is proportional to the APPENDED documents, not the
+    corpus, and a probe of the appended index is bit-equal to a probe
+    of a full rebuild over the union (pinned by test — df/N/avgdl all
+    merge as exact integer sums).
+
+    ``batch_id`` defaults to max(existing)+1.  Passing an explicit id
+    makes the append REPLAYABLE: re-running a batch id overwrites that
+    segment's four directories (streaming/bm25_ingest.py relies on
+    this for foreachBatch exactly-once).  New doc ids must not already
+    exist in OTHER segments (raises — BM25 stats would double-count;
+    route updates through a rebuild or a delete-then-append cycle).
+    """
+    spark = new_docs.sparkSession
+    import os
+
+    existing = _existing_bm25_batches(spark, path)
+    if not existing:
+        raise ValueError(
+            f"append_bm25_index: no index at {path} — build one with "
+            "write_bm25_index first"
+        )
+    if batch_id is None:
+        batch_id = existing[-1] + 1
+    params = spark.read.schema(_PARAMS_SCHEMA).parquet(
+        os.path.join(path, "_bm25_params")
+    )
+    n_buckets = params.select("n_buckets").first()[0]
+    other = [b for b in existing if b != batch_id]
+    if other:
+        prior = spark.read.parquet(os.path.join(path, "_doclens")).filter(
+            F.col("batch").isin(other)
+        )
+        dup = (
+            new_docs.select(F.col(id_col))
+            .join(prior, new_docs[id_col] == prior[id_col], "left_semi")
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "append_bm25_index: some new doc ids already exist in the "
+                "index — appending them would double-count df/N/avgdl; "
+                "rebuild instead"
+            )
+    return _write_bm25_segment(
+        new_docs, path, batch_id, id_col, text_col, n_buckets
     )
 
 
@@ -214,37 +332,113 @@ def bm25_topk_indexed(
 ) -> DataFrame:
     """Probe a ``write_bm25_index`` layout: read ONLY the query terms'
     bucket directories (static partition pruning via the driver-side
-    crc32 twin), join the |query|-sized _termstats and the _doclens
-    table, and run the IDENTICAL scoring tail as ``bm25_topk`` —
+    crc32 twin — ``bucket`` is the second-level partition column, so
+    the pruning holds across every ``batch=<id>`` segment), merge the
+    |query|-sized per-segment _termstats rows (df over disjoint doc
+    sets ADDS — exact integers), derive N/avgdl from the per-segment
+    sums, and run the IDENTICAL scoring tail as ``bm25_topk`` —
     row-for-row equality is pinned by test, not hoped for (including
-    bag-of-terms queries: duplicate terms weight by query frequency in
-    both probes).  The probe never tokenizes anything: the corpus pass
-    was paid at write time.
+    bag-of-terms queries and appended indexes: a probe after
+    ``append_bm25_index`` is bit-equal to a full rebuild's probe).
+    The probe never tokenizes anything: the corpus pass was paid at
+    write/append time.
     """
     import os
 
-    params = spark.read.parquet(os.path.join(path, "_bm25_params")).first()
-    n_buckets = params["n_buckets"]
+    totals = (
+        spark.read.schema(_PARAMS_SCHEMA)
+        .parquet(os.path.join(path, "_bm25_params"))
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("sum_dl").alias("sum_dl"),
+            F.max("n_buckets").alias("n_buckets"),
+            F.min("n_buckets").alias("n_buckets_min"),
+        )
+        .first()
+    )
+    if totals["n_buckets"] != totals["n_buckets_min"]:
+        raise ValueError(
+            f"bm25 index at {path} has segments with differing n_buckets"
+        )
+    n_buckets = totals["n_buckets"]
+    # avgdl from the merged integer sums — the same CAST-then-divide as
+    # the in-memory operator, so the double is bit-identical no matter
+    # how many segments the corpus arrived in
+    avgdl = float(totals["sum_dl"]) / float(totals["n_docs"])
     qtf = _qtf_frame(spark, query_terms)
     terms = list(dict.fromkeys(query_terms))
     buckets = sorted({_term_bucket(t, n_buckets) for t in terms})
     raw = spark.read.parquet(path)
-    id_col = [c for c in raw.columns if c not in ("_t", "_tf", "_dl", "bucket")][0]
+    id_col = [
+        c for c in raw.columns if c not in ("_t", "_tf", "_dl", "bucket", "batch")
+    ][0]
     postings = raw.filter(F.col("bucket").isin(buckets)).filter(
         F.col("_t").isin(terms)
     )
-    termstats = spark.read.parquet(os.path.join(path, "_termstats")).filter(
-        F.col("_t").isin(terms)
+    termstats = (
+        spark.read.schema(_TERMSTATS_SCHEMA)
+        .parquet(os.path.join(path, "_termstats"))
+        .filter(F.col("_t").isin(terms))
+        .groupBy("_t")
+        .agg(F.sum("_df").alias("_df"))
     )
     # _dl rides in the posting rows — no sidecar join, the probe's
     # only scan is the pruned posting partitions
     scored = (
         postings.join(F.broadcast(termstats), "_t")
+        .withColumn("_N", F.lit(totals["n_docs"]))
+        .withColumn("_avgdl", F.lit(avgdl))
         .join(F.broadcast(qtf), "_t")
-        .withColumn("_N", F.lit(params["n_docs"]))
-        .withColumn("_avgdl", F.lit(params["avgdl"]))
     )
     return _score_and_rank(scored, id_col, k, k1, b)
+
+
+def compact_bm25_index(spark, path: str) -> None:
+    """Collapse a segmented BM25 index to ONE segment (``batch=0``) —
+    the maintenance job that bounds probe listing cost after many
+    appends, exactly as ``sketch_ingest.compact_sketch_store`` bounds
+    the sketch store.  Every statistic merges losslessly (postings are
+    disjoint rows; df/n_docs/sum_dl are integer sums), so probes are
+    bit-identical before and after — pinned by test.  The whole index
+    root goes through one crash-safe ``fsutil.swap_with_staging``;
+    like every swap-based job, run it only while no ingest stream is
+    writing the index."""
+    import os
+
+    from ..fsutil import swap_with_staging
+
+    def _write(staging: str) -> None:
+        raw = spark.read.parquet(path)
+        id_col = [
+            c for c in raw.columns if c not in ("_t", "_tf", "_dl", "bucket", "batch")
+        ][0]
+        seg = "batch=0"
+        raw.select(id_col, "_t", "_tf", "_dl", "bucket").write.partitionBy(
+            "bucket"
+        ).parquet(os.path.join(staging, seg))
+        (
+            spark.read.schema(_TERMSTATS_SCHEMA)
+            .parquet(os.path.join(path, "_termstats"))
+            .groupBy("_t")
+            .agg(F.sum("_df").alias("_df"))
+            .write.parquet(os.path.join(staging, "_termstats", seg))
+        )
+        spark.read.parquet(os.path.join(path, "_doclens")).drop("batch").write.parquet(
+            os.path.join(staging, "_doclens", seg)
+        )
+        (
+            spark.read.schema(_PARAMS_SCHEMA)
+            .parquet(os.path.join(path, "_bm25_params"))
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("sum_dl").alias("sum_dl"),
+                F.max("n_buckets").alias("n_buckets"),
+            )
+            .coalesce(1)
+            .write.parquet(os.path.join(staging, "_bm25_params", seg))
+        )
+
+    swap_with_staging(spark, path, _write, job="compact")
 
 
 def rrf_fuse(

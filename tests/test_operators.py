@@ -3286,3 +3286,56 @@ def test_weighted_reservoir_k_at_and_beyond_group_size(spark):
     counts = {r["lang"]: r["n"] for r in over.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n")).collect()}
     assert counts == {"a": 3, "b": 8}  # k > n: all valid rows, no extras
+
+def test_bm25_append_probe_equals_full_rebuild(spark, sf_dir, tmp_path):
+    """r12 verdict #4: incremental maintenance for a written index.
+    write(A) + append(B) must probe BIT-EQUAL to a full rebuild over
+    A∪B — df/N/avgdl all merge as exact integer sums across segments.
+    Appending already-indexed doc ids raises (double-counted stats);
+    appending to a missing path raises."""
+    import pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.retrieval import (
+        append_bm25_index,
+        bm25_topk_indexed,
+        write_bm25_index,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    terms = ["spark", "stream", "hash", "dup"]
+    docs = load(spark, sf_dir, "documents")
+    part_a = docs.filter(F.col("doc_id") % 10 < 7)
+    part_b = docs.filter(F.col("doc_id") % 10 >= 7)
+
+    inc = str(tmp_path / "bm25_incremental")
+    write_bm25_index(part_a, inc, n_buckets=16)
+    out = append_bm25_index(part_b, inc)
+    assert out["batch_id"] == 1 and out["n_docs"] > 0
+
+    full = str(tmp_path / "bm25_full")
+    write_bm25_index(docs, full, n_buckets=16)
+
+    got = [tuple(r) for r in bm25_topk_indexed(spark, inc, terms, k=10).collect()]
+    want = [tuple(r) for r in bm25_topk_indexed(spark, full, terms, k=10).collect()]
+    assert got == want and len(got) == 10
+
+    with pytest.raises(ValueError, match="already exist"):
+        append_bm25_index(part_b.limit(5), inc)
+    with pytest.raises(ValueError, match="no index"):
+        append_bm25_index(part_b, str(tmp_path / "nope"))
+
+    # compaction collapses the segments losslessly: probes bit-equal,
+    # one batch=0 segment left, appends still work afterwards
+    import os
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.retrieval import (
+        compact_bm25_index,
+    )
+
+    compact_bm25_index(spark, inc)
+    assert [
+        tuple(r) for r in bm25_topk_indexed(spark, inc, terms, k=10).collect()
+    ] == want
+    assert sorted(d for d in os.listdir(inc) if d.startswith("batch=")) == ["batch=0"]
+    extra = part_b.limit(3).withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+    assert append_bm25_index(extra, inc)["batch_id"] == 1

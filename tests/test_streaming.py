@@ -1981,10 +1981,10 @@ def test_streaming_sketch_ingest_equals_batch_rollup(spark, sf_dir):
     sink = SketchRollupSink(store)
     q = (
         spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)  # READER option (r12 lesson)
         .parquet(src_dir)
         .writeStream.foreachBatch(sink)
         .option("checkpointLocation", ckpt)
-        .option("maxFilesPerTrigger", 1)
         .trigger(availableNow=True)
         .start()
     )
@@ -2092,3 +2092,64 @@ def test_streaming_cdc_apply_via_merge_upsert(spark):
         shutil.rmtree(d, ignore_errors=True)
     shutil.rmtree(os.path.dirname(store), ignore_errors=True)
     shutil.rmtree(os.path.dirname(want_store), ignore_errors=True)
+
+def test_streaming_bm25_ingest_equals_batch_build(spark, sf_dir):
+    """streaming/bm25_ingest.py end-to-end: file-stream the documents
+    table in per-file micro-batches through Bm25IngestSink, then a
+    probe of the streamed (multi-segment) index must be BIT-EQUAL to a
+    probe of a single write_bm25_index build over the same corpus —
+    the segmented layout's stats are mergeable integer sums, so this
+    is exact, not approximate.  Replaying a micro-batch (same id) must
+    rewrite its own segment and move nothing."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        write_bm25_index,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.bm25_ingest import (
+        Bm25IngestSink,
+    )
+
+    terms = ["spark", "stream", "hash", "dup"]
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    src_dir = tempfile.mkdtemp(prefix="bm25_src_")
+    index = os.path.join(tempfile.mkdtemp(prefix="bm25_store_"), "index")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_bm25_")
+    parts = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    for p in parts:
+        p.coalesce(1).write.mode("append").parquet(src_dir)
+
+    sink = Bm25IngestSink(index, n_buckets=16)
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)  # READER option (r12 lesson)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    batch = os.path.join(tempfile.mkdtemp(prefix="bm25_batch_"), "index")
+    write_bm25_index(docs, batch, n_buckets=16)
+    want = [tuple(r) for r in bm25_topk_indexed(spark, batch, terms, k=10).collect()]
+    got = [tuple(r) for r in bm25_topk_indexed(spark, index, terms, k=10).collect()]
+    assert got == want and len(got) == 10
+
+    # replay: re-deliver micro-batch 1's docs under its id — the
+    # segment is rewritten in place, the probe moves nothing.  (File
+    # order decides which part became batch 1, so recover that batch's
+    # doc set from its own _doclens segment.)
+    seg1_ids = spark.read.parquet(os.path.join(index, "_doclens")).filter(
+        F.col("batch") == 1
+    ).select("doc_id")
+    sink(docs.join(seg1_ids, "doc_id", "left_semi"), 1)
+    assert [
+        tuple(r) for r in bm25_topk_indexed(spark, index, terms, k=10).collect()
+    ] == want
+    segs = sorted(d for d in os.listdir(index) if d.startswith("batch="))
+    assert segs == ["batch=0", "batch=1", "batch=2"]
+
+    for d in (src_dir, ckpt, os.path.dirname(index), os.path.dirname(batch)):
+        shutil.rmtree(d, ignore_errors=True)
