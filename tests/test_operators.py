@@ -3339,3 +3339,94 @@ def test_bm25_append_probe_equals_full_rebuild(spark, sf_dir, tmp_path):
     assert sorted(d for d in os.listdir(inc) if d.startswith("batch=")) == ["batch=0"]
     extra = part_b.limit(3).withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
     assert append_bm25_index(extra, inc)["batch_id"] == 1
+
+def test_lsh_append_probe_equals_full_rebuild(spark, sf_dir, tmp_path):
+    """r13 (verdict missing #3 → the LSH member): write(A) + append(B)
+    must probe identically to a full rebuild over A∪B — hyperplanes
+    are content-deterministic (nothing trained), so this is exact
+    equality on both query forms, not a recall statement.  Overlapping
+    ids and a missing index raise."""
+    import pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        similarity as S,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    embs = load(spark, sf_dir, "embeddings")
+    part_a = embs.filter(F.col("vec_id") % 5 < 3)   # contains vec_id 0
+    part_b = embs.filter(F.col("vec_id") % 5 >= 3)
+
+    inc = str(tmp_path / "lsh_incremental")
+    S.write_lsh_index(part_a, inc, planes=4, dims=64)
+    out = S.append_lsh_index(part_b, inc)
+    assert out["batch_id"] == 1 and out["n_vectors"] > 0
+
+    full = str(tmp_path / "lsh_full")
+    S.write_lsh_index(embs, full, planes=4, dims=64)
+
+    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
+    for kwargs in (
+        {"query_vec_id": 0},                      # id probe via _id_map
+        {"query_vec": qvec, "nprobe": 4},         # vector probe, multi-probe
+    ):
+        got = [tuple(r) for r in S.lsh_topk_indexed(spark, inc, k=10, **kwargs).collect()]
+        want = [tuple(r) for r in S.lsh_topk_indexed(spark, full, k=10, **kwargs).collect()]
+        assert got == want and len(got) == 10, kwargs
+
+    with pytest.raises(ValueError, match="already exist"):
+        S.append_lsh_index(part_b.limit(3), inc)
+    with pytest.raises(ValueError, match="no index"):
+        S.append_lsh_index(part_b, str(tmp_path / "missing"))
+
+
+def test_ivf_append_exhaustive_probe_equals_brute_force(spark, sf_dir, tmp_path):
+    """r13 (verdict missing #3 → the IVF member): append assigns new
+    vectors to the STORED centroids (Faiss add-after-train), so an
+    exhaustive probe (nprobe = n_clusters) over the appended index must
+    equal brute-force cosine over the union — appends can never corrupt
+    scores.  Replaying a batch id moves nothing; dim mismatches and id
+    overlaps raise."""
+    import pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        similarity as S,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    embs = load(spark, sf_dir, "embeddings")
+    part_a = embs.filter(F.col("vec_id") % 5 < 3)
+    part_b = embs.filter(F.col("vec_id") % 5 >= 3)
+
+    idx = str(tmp_path / "ivf_incremental")
+    S.write_ivf_index(part_a, idx, n_clusters=6, iterations=2)
+    out = S.append_ivf_index(part_b, idx)
+    assert out["batch_id"] == 1 and out["n_vectors"] > 0
+
+    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
+    got = [
+        tuple(r)
+        for r in S.ivf_topk_indexed(
+            spark, idx, qvec, k=10, nprobe=6, exclude_vec_id=0
+        ).collect()
+    ]
+    want = [tuple(r) for r in S.brute_force_topk(embs, 0, k=10).collect()]
+    assert got == want and len(got) == 10
+
+    # replay: same batch id, same rows — segment rewritten, probe unmoved
+    S.append_ivf_index(part_b, idx, batch_id=1)
+    assert [
+        tuple(r)
+        for r in S.ivf_topk_indexed(
+            spark, idx, qvec, k=10, nprobe=6, exclude_vec_id=0
+        ).collect()
+    ] == want
+
+    with pytest.raises(ValueError, match="already exist"):
+        S.append_ivf_index(part_b.limit(3), idx)
+    with pytest.raises(ValueError, match="dims"):
+        S.append_ivf_index(
+            part_b.withColumn("embedding", F.slice("embedding", 1, 5)), idx,
+        )
+    with pytest.raises(ValueError, match="no index"):
+        S.append_ivf_index(part_b, str(tmp_path / "missing_ivf"))

@@ -2153,3 +2153,106 @@ def test_streaming_bm25_ingest_equals_batch_build(spark, sf_dir):
 
     for d in (src_dir, ckpt, os.path.dirname(index), os.path.dirname(batch)):
         shutil.rmtree(d, ignore_errors=True)
+
+def test_streaming_ann_ingest_lsh_bootstrap_and_ivf_pretrained(spark, sf_dir):
+    """streaming/ann_ingest.py end-to-end.  LshIngestSink bootstraps
+    from its first micro-batch and the streamed index probes
+    IDENTICALLY to a batch write_lsh_index over the same vectors
+    (hyperplanes are content-deterministic).  IvfIngestSink appends to
+    a pre-trained index; the exhaustive probe equals brute force over
+    everything ingested.  Replays rewrite their own segments and move
+    nothing."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        similarity as S,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.ann_ingest import (
+        IvfIngestSink,
+        LshIngestSink,
+    )
+
+    embs = load(spark, sf_dir, "embeddings")
+    src_dir = tempfile.mkdtemp(prefix="ann_src_")
+    lsh_index = os.path.join(tempfile.mkdtemp(prefix="ann_lsh_"), "index")
+    ivf_index = os.path.join(tempfile.mkdtemp(prefix="ann_ivf_"), "index")
+    parts = [embs.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+    for p in parts:
+        p.coalesce(1).write.mode("append").parquet(src_dir)
+
+    # IVF trains on part 0 (the pre-trained requirement), streams the rest
+    S.write_ivf_index(parts[0], ivf_index, n_clusters=6, iterations=2)
+
+    lsh_sink = LshIngestSink(lsh_index, planes=4, dims=64)
+    ivf_sink = IvfIngestSink(ivf_index)
+
+    def drain(sink, ckpt):
+        q = (
+            spark.readStream.schema(embs.schema)
+            .option("maxFilesPerTrigger", 1)  # READER option (r12 lesson)
+            .parquet(src_dir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    ckpt_l = tempfile.mkdtemp(prefix="ckpt_annl_")
+    drain(lsh_sink, ckpt_l)
+    full = os.path.join(tempfile.mkdtemp(prefix="ann_lshf_"), "index")
+    S.write_lsh_index(embs, full, planes=4, dims=64)
+    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
+    want_lsh = [
+        tuple(r)
+        for r in S.lsh_topk_indexed(spark, full, query_vec=qvec, k=10, nprobe=4).collect()
+    ]
+    got_lsh = [
+        tuple(r)
+        for r in S.lsh_topk_indexed(
+            spark, lsh_index, query_vec=qvec, k=10, nprobe=4
+        ).collect()
+    ]
+    assert got_lsh == want_lsh and len(got_lsh) == 10
+
+    # IvfIngestSink must refuse streaming micro-batch 0's vec_ids that
+    # are already in the trained index — so feed it only parts 1-2 by
+    # direct foreachBatch calls (segment ids 1 and 2), then replay 1
+    ivf_sink(parts[1], 1)
+    ivf_sink(parts[2], 2)
+    got_ivf = [
+        tuple(r)
+        for r in S.ivf_topk_indexed(
+            spark, ivf_index, qvec, k=10, nprobe=6, exclude_vec_id=0
+        ).collect()
+    ]
+    want_ivf = [tuple(r) for r in S.brute_force_topk(embs, 0, k=10).collect()]
+    assert got_ivf == want_ivf and len(got_ivf) == 10
+    ivf_sink(parts[1], 1)  # replay
+    assert [
+        tuple(r)
+        for r in S.ivf_topk_indexed(
+            spark, ivf_index, qvec, k=10, nprobe=6, exclude_vec_id=0
+        ).collect()
+    ] == want_ivf
+
+    # LSH replay: recover micro-batch 1's vectors from its own id-map
+    # segment (file order decides which part became which batch).
+    # MATERIALIZED first — a replay frame lazily reading the very
+    # segment being overwritten hits FAILED_READ_FILE mid-write (in a
+    # real stream the replay comes from the source, never the index).
+    seg1 = spark.read.parquet(os.path.join(lsh_index, "_id_map")).filter(
+        F.col("batch") == 1
+    ).select("vec_id")
+    replay1 = embs.join(seg1, "vec_id", "left_semi").localCheckpoint(eager=True)
+    lsh_sink(replay1, 1)
+    assert [
+        tuple(r)
+        for r in S.lsh_topk_indexed(
+            spark, lsh_index, query_vec=qvec, k=10, nprobe=4
+        ).collect()
+    ] == want_lsh
+
+    for d in (src_dir, ckpt_l):
+        shutil.rmtree(d, ignore_errors=True)
+    for d in (lsh_index, ivf_index, full):
+        shutil.rmtree(os.path.dirname(d), ignore_errors=True)
