@@ -1,8 +1,12 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line:
+the full result JSON line
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+followed by a COMPACT trailer JSON line repeating the governing numbers
+(metric/value/sf/n_queries/queries/stream rates) — the driver records
+only the tail of stdout, and in r12 the grown full line lost its head
+to that window (BENCH_r12.json parsed: null).
 
 Each query is executed to completion (count() action — forces the full
 plan without driver-side row materialization skewing the numbers; the

@@ -769,6 +769,71 @@ def write_ivf_index(
     )
 
 
+def compact_lsh_index(spark, path: str) -> None:
+    """Collapse a segmented LSH index to ONE segment (``batch=0``) —
+    bounds the probe's directory-listing cost after many appends
+    (the ``compact_bm25_index`` pattern; one crash-safe root swap).
+    Pure row movement: bucket contents and the id map are unioned
+    unchanged, so probes are identical before and after (pinned by
+    test).  Terminal-runs-only, like every swap-based job."""
+    import os
+
+    from ..fsutil import swap_with_staging
+
+    def _write(staging: str) -> None:
+        (
+            spark.read.parquet(path)
+            .drop("batch")
+            .write.partitionBy("lsh_bucket")
+            .parquet(os.path.join(staging, "batch=0"))
+        )
+        (
+            spark.read.parquet(os.path.join(path, "_id_map"))
+            .drop("batch")
+            .write.parquet(os.path.join(staging, "_id_map", "batch=0"))
+        )
+        (
+            spark.read.schema("planes int, dims int")
+            .parquet(os.path.join(path, "_lsh_params"))
+            .coalesce(1)
+            .write.parquet(os.path.join(staging, "_lsh_params"))
+        )
+
+    swap_with_staging(spark, path, _write, job="compact")
+
+
+def compact_ivf_index(spark, path: str) -> None:
+    """Collapse a segmented IVF vector store to ONE segment — the
+    ``compact_lsh_index`` twin for the cluster-partitioned layout.
+    Sidecars (centroids/params) are copied unchanged: compaction moves
+    rows, never retrains."""
+    import os
+
+    from ..fsutil import swap_with_staging
+
+    def _write(staging: str) -> None:
+        (
+            spark.read.parquet(os.path.join(path, "vectors"))
+            .drop("batch")
+            .write.partitionBy("cluster")
+            .parquet(os.path.join(staging, "vectors", "batch=0"))
+        )
+        (
+            spark.read.schema("cluster int, centroid array<double>")
+            .parquet(os.path.join(path, "_ivf_centroids"))
+            .coalesce(1)
+            .write.parquet(os.path.join(staging, "_ivf_centroids"))
+        )
+        (
+            spark.read.schema("n_clusters int, dims int")
+            .parquet(os.path.join(path, "_ivf_params"))
+            .coalesce(1)
+            .write.parquet(os.path.join(staging, "_ivf_params"))
+        )
+
+    swap_with_staging(spark, path, _write, job="compact")
+
+
 def append_ivf_index(
     new_vecs: DataFrame,
     path: str,

@@ -253,6 +253,17 @@ class QuerySpec:
 # scalar query in the registry once again has a green driver row in
 # some CORRECTNESS_r*.json — new-family cadence held at ZERO this
 # round per verdict #7 so the gate could catch up.
+# r14 rotation note (written in r13): the never-verified backlog is
+# EMPTY — no queue to declare.  The r14 gate only needs (a) confirming
+# rows for this round's 15 first-row queries (keep them gated one more
+# round, the embedding_label_pairs precedent), and (b) slots for any
+# query a future fix touches.  The r13 engine work (BM25/LSH/IVF
+# incremental appends + streaming ingest twins + compactions,
+# merge/CDC bench leg) is maintenance surface, deliberately NOT
+# registry queries: appends mutate written state, so their evidence
+# lives in probe-equality tests and the recorded bench legs
+# (indexed_probe_build_sec.{bm25,lsh,ivf}_append,
+# merge_upsert_cdc_sec), not in the oracle gate.
 GATE_PRIORITY = [
     # reference-parity clickstream core (pinned)
     "page_view_counts",

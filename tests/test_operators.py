@@ -3430,3 +3430,59 @@ def test_ivf_append_exhaustive_probe_equals_brute_force(spark, sf_dir, tmp_path)
         )
     with pytest.raises(ValueError, match="no index"):
         S.append_ivf_index(part_b, str(tmp_path / "missing_ivf"))
+
+def test_lsh_and_ivf_compaction_preserve_probes(spark, sf_dir, tmp_path):
+    """compact_lsh_index / compact_ivf_index: after build + append,
+    compaction collapses to one batch=0 segment, probes are identical
+    before/after, and further appends still work."""
+    import os
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        similarity as S,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    embs = load(spark, sf_dir, "embeddings")
+    part_a = embs.filter(F.col("vec_id") % 5 < 3)
+    part_b = embs.filter(F.col("vec_id") % 5 >= 3)
+    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
+
+    lsh = str(tmp_path / "lsh_c")
+    S.write_lsh_index(part_a, lsh, planes=4, dims=64)
+    S.append_lsh_index(part_b, lsh)
+    before = [
+        tuple(r)
+        for r in S.lsh_topk_indexed(spark, lsh, query_vec=qvec, k=10, nprobe=4).collect()
+    ]
+    S.compact_lsh_index(spark, lsh)
+    after = [
+        tuple(r)
+        for r in S.lsh_topk_indexed(spark, lsh, query_vec=qvec, k=10, nprobe=4).collect()
+    ]
+    assert after == before
+    assert sorted(d for d in os.listdir(lsh) if d.startswith("batch=")) == ["batch=0"]
+    extra = part_b.limit(3).withColumn("vec_id", F.col("vec_id") + F.lit(10_000_000))
+    assert S.append_lsh_index(extra, lsh)["batch_id"] == 1
+
+    ivf = str(tmp_path / "ivf_c")
+    S.write_ivf_index(part_a, ivf, n_clusters=6, iterations=2)
+    S.append_ivf_index(part_b, ivf)
+    before = [
+        tuple(r)
+        for r in S.ivf_topk_indexed(
+            spark, ivf, qvec, k=10, nprobe=6, exclude_vec_id=0
+        ).collect()
+    ]
+    S.compact_ivf_index(spark, ivf)
+    after = [
+        tuple(r)
+        for r in S.ivf_topk_indexed(
+            spark, ivf, qvec, k=10, nprobe=6, exclude_vec_id=0
+        ).collect()
+    ]
+    assert after == before
+    vdirs = sorted(
+        d for d in os.listdir(os.path.join(ivf, "vectors")) if d.startswith("batch=")
+    )
+    assert vdirs == ["batch=0"]
+    assert S.append_ivf_index(extra, ivf)["batch_id"] == 1
