@@ -162,30 +162,43 @@ def pagerank(
         F.col(dst).alias("_dst"),
         F.col(weight).cast("double").alias("_w"),
     )
-    # Edge weights must be positive and non-null (validated, one cheap
-    # pass over the vocabulary-sized frame): a NULL or ≤0 weight makes
-    # the per-src probability NULL or NaN, so that source's rank is
-    # neither propagated nor counted as dangling mass — total mass
-    # would silently leak, contradicting the conservation guarantee
-    # below (r12 advisory).  Raising beats guessing a semantic for
-    # non-probability weights.
-    if e.filter(F.col("_w").isNull() | (F.col("_w") <= 0)).limit(1).count():
-        raise ValueError(
-            "pagerank: edge weights must be positive and non-null "
-            "(a NULL/zero/negative weight breaks transition-probability "
-            "normalization and leaks rank mass)"
-        )
     # transition probabilities via a window sum (a self-join on the
     # same lineage trips Spark's ambiguous-reference resolver):
     # exact-integer-valued doubles divided exactly — bit-identical in
     # any engine
     from pyspark.sql import Window
 
-    ep = e.select(
+    # the division is guarded on a positive source sum: with ANSI mode
+    # on (the session default) an all-zero source would raise
+    # DIVIDE_BY_ZERO inside the checkpoint, BEFORE the validation below
+    # could produce its actionable error; for every valid input the
+    # guard is always-true and the quotient is the identical division
+    _wsum = F.sum("_w").over(Window.partitionBy("_src"))
+    epw = e.select(
         "_src",
         "_dst",
-        (F.col("_w") / F.sum("_w").over(Window.partitionBy("_src"))).alias("_p"),
+        "_w",
+        F.when(_wsum > 0, F.col("_w") / _wsum).alias("_p"),
     ).localCheckpoint()
+    # Weight validation (r12 advisory) runs on the MATERIALIZED frame,
+    # not the lazy edge input — an eager count on `e` would re-execute
+    # the caller's corpus pass a second time (caught by the r13 bench:
+    # page_rank_pages +52% from exactly that; validating a checkpointed
+    # copy of `e` still cost one extra vocab-frame materialization).
+    # The raw weight rides through the one checkpoint the operator pays
+    # anyway (+8 bytes/edge, dropped right after), so the check is a
+    # scan of materialized vocabulary-sized rows.  A NULL or ≤0 weight
+    # makes the source's probabilities NULL/NaN/denormalized — its rank
+    # would neither propagate nor count as dangling mass, silently
+    # leaking total mass.  Raising beats guessing a semantic for
+    # non-probability weights.
+    if epw.filter(F.col("_w").isNull() | (F.col("_w") <= 0)).limit(1).count():
+        raise ValueError(
+            "pagerank: edge weights must be positive and non-null "
+            "(a NULL/zero/negative weight breaks transition-probability "
+            "normalization and leaks rank mass)"
+        )
+    ep = epw.select("_src", "_dst", "_p")
     # vertex set + out-degree flag in ONE pass over the checkpointed
     # edge frame (vertex count, dangling set, and the dangling
     # existence probe all read this; computing them separately cost
