@@ -228,6 +228,13 @@ def _write_bm25_segment(
         .filter(F.col("_dl") > 0)
         .localCheckpoint()
     )
+    n_docs = dl.count()
+    if n_docs == 0:
+        # nothing tokenizable: write NOTHING rather than a data-less
+        # segment — an empty batch=<id> dir breaks schema inference for
+        # every later probe (caught by the r13 empty-segment check);
+        # replays of the same all-empty batch are likewise no-ops
+        return {"batch_id": batch_id, "n_docs": 0}
     postings = (
         docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
         .groupBy(id_col, "_t")
@@ -246,19 +253,17 @@ def _write_bm25_segment(
         F.count(F.lit(1)).alias("_df")
     ).write.mode("overwrite").parquet(os.path.join(path, "_termstats", seg))
     dl.write.mode("overwrite").parquet(os.path.join(path, "_doclens", seg))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("_dl").alias("sum_dl")
-    ).first()
+    sum_dl = dl.agg(F.sum("_dl")).first()[0]
     (
         spark.createDataFrame(
-            [(stats["n_docs"], stats["sum_dl"] or 0, n_buckets)],
+            [(n_docs, sum_dl, n_buckets)],
             "n_docs long, sum_dl long, n_buckets int",
         )
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(os.path.join(path, "_bm25_params", seg))
     )
-    return {"batch_id": batch_id, "n_docs": stats["n_docs"]}
+    return {"batch_id": batch_id, "n_docs": n_docs}
 
 
 def append_bm25_index(

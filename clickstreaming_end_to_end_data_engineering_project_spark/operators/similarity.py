@@ -374,6 +374,10 @@ def _write_lsh_segment(
     import os
 
     seg = f"batch={batch_id}"
+    if vecs.isEmpty():
+        # never write a data-less segment dir — it breaks schema
+        # inference for every later probe (the r13 empty-segment rule)
+        return
     if write_params:
         # params FIRST: a bootstrap that crashes mid-segment then
         # replays takes the append path (segments exist ⇒ params must
@@ -873,6 +877,9 @@ def append_ivf_index(
         )
     if batch_id is None:
         batch_id = existing[-1] + 1
+    if new_vecs.isEmpty():
+        # the empty-segment rule: write nothing, report nothing added
+        return {"batch_id": batch_id, "n_vectors": 0}
     params = (
         spark.read.schema("n_clusters int, dims int")
         .parquet(os.path.join(path, "_ivf_params"))

@@ -3486,3 +3486,52 @@ def test_lsh_and_ivf_compaction_preserve_probes(spark, sf_dir, tmp_path):
     )
     assert vdirs == ["batch=0"]
     assert S.append_ivf_index(extra, ivf)["batch_id"] == 1
+
+def test_index_appends_never_write_dataless_segments(spark, tmp_path):
+    """r13 empty-segment rule: an append whose effective input is empty
+    (all-empty texts for BM25; zero rows for LSH/IVF) must write
+    NOTHING — a data-less batch=<id> dir breaks parquet schema
+    inference for every later probe (this test's first scenario
+    crashed with UNABLE_TO_INFER_SCHEMA before the guard)."""
+    import os
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        retrieval as R,
+        similarity as S,
+    )
+
+    docs = spark.createDataFrame([(1, "x y"), (2, "y z")], ["doc_id", "text"])
+    idx = str(tmp_path / "bm25_empty")
+    R.write_bm25_index(docs, idx, n_buckets=4)
+    out = R.append_bm25_index(
+        spark.createDataFrame([(9, ""), (10, "   ")], ["doc_id", "text"]), idx
+    )
+    assert out == {"batch_id": 1, "n_docs": 0}
+    assert sorted(d for d in os.listdir(idx) if d.startswith("batch=")) == ["batch=0"]
+    got = [tuple(r) for r in R.bm25_topk_indexed(spark, idx, ["y"], k=10).collect()]
+    assert [g[0] for g in got] == [1, 2]  # both docs match 'y', unharmed
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.5]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    empty = vecs.limit(0)
+    lsh = str(tmp_path / "lsh_empty")
+    S.write_lsh_index(vecs, lsh, planes=2, dims=4)
+    assert S.append_lsh_index(empty, lsh)["n_vectors"] == 0
+    assert sorted(d for d in os.listdir(lsh) if d.startswith("batch=")) == ["batch=0"]
+    assert (
+        len(S.lsh_topk_indexed(spark, lsh, query_vec=[1.0, 1.0, 0.0, 0.5],
+                               k=3, nprobe=4).collect()) == 3
+    )
+
+    ivf = str(tmp_path / "ivf_empty")
+    S.write_ivf_index(vecs, ivf, n_clusters=2, iterations=1)
+    assert S.append_ivf_index(empty, ivf)["n_vectors"] == 0
+    assert sorted(
+        d for d in os.listdir(os.path.join(ivf, "vectors")) if d.startswith("batch=")
+    ) == ["batch=0"]
+    assert (
+        len(S.ivf_topk_indexed(spark, ivf, [1.0, 1.0, 0.0, 0.5],
+                               k=3, nprobe=2).collect()) == 3
+    )
