@@ -53,6 +53,13 @@ def interval_point_join(
     pb = points.withColumn(
         "_pbin", F.floor(F.unix_timestamp(F.col(point_ts)) / F.lit(bin_seconds))
     )
+    # Inverted intervals (end < start) can match nothing — the
+    # residual is unsatisfiable — but sequence(lo, hi) with hi < lo
+    # DESCENDS, so one wildly inverted row of bad data would explode
+    # into |span|/bin_seconds candidate bins of pure waste (r13
+    # self-review).  Dropping them first is semantics-neutral (the
+    # oracle's BETWEEN also matches nothing) and bounds the explode.
+    intervals = intervals.filter(F.col(end_col) >= F.col(start_col))
     # sequence() is inclusive on both ends; an interval ending exactly
     # on a bin boundary admits one extra candidate bin whose points the
     # residual predicate then rejects — cheap and correct.

@@ -40,17 +40,23 @@ def group_ols(
     """Per-group OLS fit of y on x.  Output: group cols + n_points,
     slope, intercept (both dround-ed to ``round_dp``).  Groups where
     x is constant (zero variance) return NULL slope/intercept rather
-    than dividing by zero."""
+    than dividing by zero.
+
+    NULL handling is SQL's regr_* discipline: a row where EITHER x or
+    y is NULL is excluded from ALL five statistics — counting it in n
+    while the sums skip it would silently skew every fit (r13
+    self-review; plain F.count(lit(1)) had exactly that bug)."""
     from ..functions import dround
 
     xc = F.col(x) if isinstance(x, str) else x
     yc = F.col(y_dec) if isinstance(y_dec, str) else y_dec
+    ok = xc.isNotNull() & yc.isNotNull()
     stats = df.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum(xc).alias("_sx"),
-        F.sum(xc * xc).alias("_sxx"),
-        F.sum(yc).alias("_sy_dec"),
-        F.sum(xc * yc).alias("_sxy_dec"),
+        F.count(F.when(ok, F.lit(1))).alias("_n"),
+        F.sum(F.when(ok, xc)).alias("_sx"),
+        F.sum(F.when(ok, xc * xc)).alias("_sxx"),
+        F.sum(F.when(ok, yc)).alias("_sy_dec"),
+        F.sum(F.when(ok, xc * yc)).alias("_sxy_dec"),
     )
     n = F.col("_n").cast("double")
     sx = F.col("_sx").cast("double")
@@ -83,18 +89,21 @@ def group_corr(
     denominator uses sqrt(), which (unlike log/pow) IEEE-754 requires
     to be CORRECTLY ROUNDED, so both engines compute the identical
     double; one final division + dround.  Groups with zero variance in
-    either column return NULL."""
+    either column return NULL.  NULL handling is ``group_ols``'s
+    regr_* discipline: rows where either column is NULL are excluded
+    from ALL six statistics."""
     from ..functions import dround
 
     xc = (F.col(x) if isinstance(x, str) else x).cast("long")
     yc = (F.col(y) if isinstance(y, str) else y).cast("long")
+    ok = xc.isNotNull() & yc.isNotNull()
     stats = df.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum(xc).alias("_sx"),
-        F.sum(yc).alias("_sy"),
-        F.sum(xc * xc).alias("_sxx"),
-        F.sum(yc * yc).alias("_syy"),
-        F.sum(xc * yc).alias("_sxy"),
+        F.count(F.when(ok, F.lit(1))).alias("_n"),
+        F.sum(F.when(ok, xc)).alias("_sx"),
+        F.sum(F.when(ok, yc)).alias("_sy"),
+        F.sum(F.when(ok, xc * xc)).alias("_sxx"),
+        F.sum(F.when(ok, yc * yc)).alias("_syy"),
+        F.sum(F.when(ok, xc * yc)).alias("_sxy"),
     )
     n = F.col("_n").cast("double")
     sx = F.col("_sx").cast("double")

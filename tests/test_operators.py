@@ -3535,3 +3535,72 @@ def test_index_appends_never_write_dataless_segments(spark, tmp_path):
         len(S.ivf_topk_indexed(spark, ivf, [1.0, 1.0, 0.0, 0.5],
                                k=3, nprobe=2).collect()) == 3
     )
+
+def test_group_stats_exclude_null_pairs(spark):
+    """r13 self-review fix: rows where either x or y is NULL must be
+    excluded from ALL sufficient statistics (SQL regr_* semantics) —
+    the old count(lit(1)) counted them in n while the sums skipped
+    them, silently skewing every fit.  Also pins the all-NULL group
+    (NULL outputs, no ANSI division error) and zero-variance NULLs."""
+    from decimal import Decimal
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.stats import (
+        group_corr,
+        group_ols,
+    )
+
+    rows = [
+        # group a: clean y = 2x + 1 on (1,3),(2,5),(3,7) + one NULL-x
+        # and one NULL-y row that must not move the fit
+        ("a", 1, Decimal("3.00")), ("a", 2, Decimal("5.00")),
+        ("a", 3, Decimal("7.00")), ("a", None, Decimal("99.00")),
+        ("a", 9, None),
+        ("b", None, Decimal("1.00")),        # all pairs invalid
+        ("c", 4, Decimal("8.00")), ("c", 4, Decimal("9.00")),  # zero variance
+    ]
+    df = spark.createDataFrame(rows, "g string, x int, y decimal(10,2)")
+    ols = {r["g"]: r for r in group_ols(df, ["g"], "x", "y").collect()}
+    assert ols["a"]["n_points"] == 3
+    assert ols["a"]["slope"] == 2.0 and ols["a"]["intercept"] == 1.0
+    assert ols["b"]["n_points"] == 0
+    assert ols["b"]["slope"] is None and ols["b"]["intercept"] is None
+    assert ols["c"]["slope"] is None  # zero variance
+
+    corr_rows = [
+        ("a", 1, 3), ("a", 2, 5), ("a", 3, 7),
+        ("a", None, 99), ("a", 9, None),
+        ("b", None, 1),
+    ]
+    cdf = spark.createDataFrame(corr_rows, "g string, x int, y int")
+    corr = {r["g"]: r for r in group_corr(cdf, ["g"], "x", "y").collect()}
+    assert corr["a"]["n_points"] == 3 and corr["a"]["corr"] == 1.0
+    assert corr["b"]["n_points"] == 0 and corr["b"]["corr"] is None
+
+def test_interval_point_join_drops_inverted_intervals(spark):
+    """r13 self-review: an inverted interval (end < start) matches
+    nothing, but sequence(lo, hi) DESCENDS when hi < lo — one bad row
+    spanning years would explode into thousands of waste bins.  The
+    operator drops inverted rows before binning (semantics-neutral:
+    the residual predicate is unsatisfiable for them anyway)."""
+    import datetime as dt
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.rangejoin import (
+        interval_point_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    points = spark.createDataFrame(
+        [(1, t0), (2, t0 + dt.timedelta(minutes=7))], "pid long, ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("ok", t0 - dt.timedelta(minutes=1), t0 + dt.timedelta(minutes=5)),
+            # inverted by THREE YEARS: would explode to ~315k bins
+            ("bad", t0, t0 - dt.timedelta(days=1095)),
+        ],
+        "name string, start timestamp, end timestamp",
+    )
+    got = interval_point_join(points, intervals, "ts", "start", "end").collect()
+    assert [(r["pid"], r["name"]) for r in got] == [(1, "ok")]
+    semi = interval_point_join(points, intervals, "ts", "start", "end", how="left_semi")
+    assert [r["pid"] for r in semi.collect()] == [1]
