@@ -49,6 +49,17 @@ def _qtf_col(query_terms: list[str]):
     return col.alias("_qtf")
 
 
+def _empty_bm25_result(ids: DataFrame, id_col: str) -> DataFrame:
+    """Zero-row frame with the (id, n_matched_terms, bm25_score) result
+    schema — what an empty query scores (the pre-r12 contract, restored
+    per the r13 advisory: ``_qtf_col([])`` cannot build a CASE)."""
+    return ids.select(
+        F.col(id_col),
+        F.lit(0).cast("long").alias("n_matched_terms"),
+        F.lit(0.0).alias("bm25_score"),
+    ).limit(0)
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],
@@ -65,7 +76,12 @@ def bm25_topk(
     frequency, the standard BM25 query weighting — not collapsed to set
     semantics.  ``n_matched_terms`` counts DISTINCT matched terms
     (Lucene's coordination count).  Output: (doc_id, n_matched_terms,
-    bm25_score), ordered by (score desc, doc_id)."""
+    bm25_score), ordered by (score desc, doc_id).  An EMPTY query
+    returns an empty frame with the same schema (nothing can match
+    nothing) — short-circuited up front because ``_qtf_col`` has no
+    CASE branches to build for zero terms (r13 advisory)."""
+    if not query_terms:
+        return _empty_bm25_result(docs.select(F.col(id_col)), id_col)
     # (doc_id, doc_len) and (doc_id, term, tf) are each consumed by TWO
     # derivations (corpus stats + the score join; df + the score join),
     # so both are MATERIALIZED — unmaterialized, the digest showed the
@@ -219,10 +235,21 @@ def _write_bm25_segment(
     with mode=overwrite: re-running the SAME batch id rewrites its own
     directories (the near_dedup survivor discipline), so a crash
     mid-append heals by replaying the append — no partial segment can
-    double-count."""
+    double-count.
+
+    Write ORDER matters for crash recovery (r13 advisory): the
+    ``_bm25_params`` segment lands FIRST, before the postings dir that
+    ``existing_batch_ids`` lists.  A bootstrap that crashes after the
+    postings write replays down the APPEND path (segments exist ⇒ the
+    stream sink appends), which reads ``_bm25_params`` for n_buckets —
+    params-last wedged that replay permanently on PATH_NOT_FOUND.
+    Params-first, every crash point heals: before postings → no
+    segment listed → bootstrap reruns and overwrites params; after →
+    append replays and overwrites all four dirs (same batch id)."""
     import os
 
     seg = f"batch={batch_id}"
+    spark = docs.sparkSession
     dl = (
         docs.select(F.col(id_col), F.size(tokens(text_col)).alias("_dl"))
         .filter(F.col("_dl") > 0)
@@ -235,6 +262,16 @@ def _write_bm25_segment(
         # every later probe (caught by the r13 empty-segment check);
         # replays of the same all-empty batch are likewise no-ops
         return {"batch_id": batch_id, "n_docs": 0}
+    sum_dl = dl.agg(F.sum("_dl")).first()[0]
+    (
+        spark.createDataFrame(
+            [(n_docs, sum_dl, n_buckets)],
+            "n_docs long, sum_dl long, n_buckets int",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "_bm25_params", seg))
+    )
     postings = (
         docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
         .groupBy(id_col, "_t")
@@ -248,21 +285,10 @@ def _write_bm25_segment(
     postings.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(path, seg)
     )
-    spark = docs.sparkSession
     spark.read.parquet(os.path.join(path, seg)).groupBy("_t").agg(
         F.count(F.lit(1)).alias("_df")
     ).write.mode("overwrite").parquet(os.path.join(path, "_termstats", seg))
     dl.write.mode("overwrite").parquet(os.path.join(path, "_doclens", seg))
-    sum_dl = dl.agg(F.sum("_dl")).first()[0]
-    (
-        spark.createDataFrame(
-            [(n_docs, sum_dl, n_buckets)],
-            "n_docs long, sum_dl long, n_buckets int",
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "_bm25_params", seg))
-    )
     return {"batch_id": batch_id, "n_docs": n_docs}
 
 
@@ -343,9 +369,18 @@ def bm25_topk_indexed(
     bag-of-terms queries and appended indexes: a probe after
     ``append_bm25_index`` is bit-equal to a full rebuild's probe).
     The probe never tokenizes anything: the corpus pass was paid at
-    write/append time.
+    write/append time.  An empty query returns an empty result frame
+    (same schema), mirroring ``bm25_topk``.
     """
     import os
+
+    if not query_terms:
+        raw = spark.read.parquet(path)
+        id_col = [
+            c for c in raw.columns
+            if c not in ("_t", "_tf", "_dl", "bucket", "batch")
+        ][0]
+        return _empty_bm25_result(raw.select(F.col(id_col)), id_col)
 
     totals = (
         spark.read.schema(_PARAMS_SCHEMA)

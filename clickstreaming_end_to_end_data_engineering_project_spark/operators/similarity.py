@@ -720,10 +720,14 @@ def write_ivf_index(
     nprobe-cluster probe is a PartitionFilters-pruned scan of
     nprobe/n_clusters of the data with exact in-cluster rerank — the
     no-compression member of the written-ANN family (LSH dirs, PQ
-    codes, IVFPQ residual codes being the others).  Two sidecars
+    codes, IVFPQ residual codes being the others).  Three sidecars
     (``write_lsh_index`` discipline, written through Spark):
-    ``_ivf_centroids/`` (cluster, centroid) and ``_ivf_params/``
-    (n_clusters, dims).
+    ``_ivf_centroids/`` (cluster, centroid), ``_ivf_params/``
+    (n_clusters, dims), and ``_id_map/batch=<id>/`` (id, cluster) —
+    the thin membership table ``append_ivf_index`` validates overlaps
+    against, so an append never has to scan the vector store's id
+    column (the one append-path term that grew with corpus file
+    count; r13 verdict #3).
 
     The vector store is SEGMENTED (r13):
     ``vectors/batch=<id>/cluster=<c>/``, initial build = segment 0;
@@ -750,6 +754,9 @@ def write_ivf_index(
     clustered = df.join(clusters, id_col).localCheckpoint(eager=True)
     clustered.write.partitionBy("cluster").parquet(
         os.path.join(path, "vectors", "batch=0")
+    )
+    clustered.select(id_col, "cluster").write.parquet(
+        os.path.join(path, "_id_map", "batch=0")
     )
     cents = build_ivf_centroids(clustered, "cluster", vec_col)
     spark = df.sparkSession
@@ -816,12 +823,23 @@ def compact_ivf_index(spark, path: str) -> None:
     from ..fsutil import swap_with_staging
 
     def _write(staging: str) -> None:
+        from ..fsutil import fs_for
+
         (
             spark.read.parquet(os.path.join(path, "vectors"))
             .drop("batch")
             .write.partitionBy("cluster")
             .parquet(os.path.join(staging, "vectors", "batch=0"))
         )
+        # the _id_map overlap-validation sidecar collapses with the
+        # vectors (a pre-r14 layout without one stays without — appends
+        # there fall back to the vector-store id scan)
+        id_map_root = os.path.join(path, "_id_map")
+        _, fs, id_map_hpath = fs_for(spark, id_map_root)
+        if fs.exists(id_map_hpath):
+            spark.read.parquet(id_map_root).drop("batch").write.parquet(
+                os.path.join(staging, "_id_map", "batch=0")
+            )
         (
             spark.read.schema("cluster int, centroid array<double>")
             .parquet(os.path.join(path, "_ivf_centroids"))
@@ -847,11 +865,16 @@ def append_ivf_index(
 ) -> "dict[str, int]":
     """Append vectors to a ``write_ivf_index`` layout as one new
     segment: each new vector is assigned to its nearest STORED centroid
-    (cosine, ties to the lower cluster id — the probe's own ranking
-    rule, so an appended vector lives exactly where the probe looks
-    for it first) and written under ``vectors/batch=<id>/cluster=<c>/``.
-    Cost is O(increment): one broadcast join against the
-    n_clusters-sized centroid frame, no corpus I/O, no retraining.
+    by SQUARED EUCLIDEAN distance, ties to the lower cluster id — the
+    SAME rule ``kmeans_assign`` uses at build time, so an appended
+    vector lands in exactly the cluster a rebuild over the union would
+    place it in given these centroids (r13 advisory: the earlier
+    cosine-placement rule diverged from the build's geometry for
+    non-unit-norm vectors, silently shifting serving-nprobe recall away
+    from rebuild parity) — and written under
+    ``vectors/batch=<id>/cluster=<c>/``.  Cost is O(increment): one
+    broadcast join against the n_clusters-sized centroid frame, no
+    corpus I/O, no retraining.
 
     Exactness contract (pinned by test): a probe at nprobe = n_clusters
     (exhaustive) over the appended index equals brute-force cosine over
@@ -860,9 +883,12 @@ def append_ivf_index(
     the training distribution (Faiss's add-after-train model; retrain
     = rebuild).  ``batch_id`` semantics are ``append_lsh_index``'s:
     default max+1, explicit id overwrites its own segment (replayable).
-    New ids must not exist in other segments (id-column-only scan of
-    the vector store — columnar pruning keeps it thin; raises on
-    overlap)."""
+    New ids must not exist in other segments — checked against the
+    thin ``_id_map`` sidecar (two columns, increment-sized join; never
+    the vector store — r13 verdict #3 removed the last append term
+    that grew with corpus file count), falling back to a
+    columnar-pruned id scan of the vector store for pre-r14 layouts
+    without the sidecar; raises on overlap."""
     import os
 
     from ..fsutil import existing_batch_ids
@@ -893,9 +919,23 @@ def append_ivf_index(
         )
     other = [b for b in existing if b != batch_id]
     if other:
-        prior = spark.read.parquet(vec_root).filter(
-            F.col("batch").isin(other)
-        ).select(F.col(id_col))
+        from ..fsutil import fs_for
+
+        id_map_root = os.path.join(path, "_id_map")
+        _, fs, id_map_hpath = fs_for(spark, id_map_root)
+        if fs.exists(id_map_hpath):
+            # the thin sidecar: (id, cluster) only — overlap validation
+            # cost is bounded by the id map's file count, not the
+            # vector store's (r13 verdict #3)
+            prior = spark.read.parquet(id_map_root).filter(
+                F.col("batch").isin(other)
+            ).select(F.col(id_col))
+        else:
+            # pre-r14 layout without the sidecar: columnar-pruned id
+            # scan of the vector store (the old path)
+            prior = spark.read.parquet(vec_root).filter(
+                F.col("batch").isin(other)
+            ).select(F.col(id_col))
         dup = (
             new_vecs.select(F.col(id_col))
             .join(prior, new_vecs[id_col] == prior[id_col], "left_semi")
@@ -913,19 +953,24 @@ def append_ivf_index(
     )
     if "cluster" in new_vecs.columns:
         new_vecs = new_vecs.drop("cluster")
-    sim = cosine(F.col(vec_col), F.col("centroid"))
-    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cluster"))
+    from .kmeans import _sq_dist
+
+    w = Window.partitionBy(id_col).orderBy(F.col("_d").asc(), F.col("cluster"))
     assigned = (
         new_vecs.crossJoin(F.broadcast(cents))
-        .withColumn("_sim", sim)
+        .withColumn("_d", _sq_dist(F.col(vec_col), F.col("centroid")))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_sim", "_rn", "centroid")
+        .drop("_d", "_rn", "centroid")
     )
+    assigned = assigned.localCheckpoint(eager=True)
     assigned.write.mode("overwrite").partitionBy("cluster").parquet(
         os.path.join(vec_root, f"batch={batch_id}")
     )
-    return {"batch_id": batch_id, "n_vectors": new_vecs.count()}
+    assigned.select(id_col, "cluster").write.mode("overwrite").parquet(
+        os.path.join(path, "_id_map", f"batch={batch_id}")
+    )
+    return {"batch_id": batch_id, "n_vectors": assigned.count()}
 
 
 def ivf_topk_indexed(
@@ -1565,9 +1610,23 @@ def write_ivfpq_index(
       codebook grid;
     - ``_ivfpq_params/``: 1-row (n_clusters, m, k, dims, assign_n) —
       read back by the probe so an index can never be silently probed
-      with mismatched geometry."""
+      with mismatched geometry.
+
+    The codes table is SEGMENTED (r14, the family's last O(corpus)
+    rebuild term — r13 verdict #2): ``codes/batch=<id>/cluster=<c>/``,
+    this build = segment 0.  ``append_ivfpq_index`` encodes NEW
+    vectors' residuals against the STORED codebooks and coarse
+    centroids into one new segment (Faiss add-after-train) — cluster
+    pruning holds across segments (second-level partition column).
+    Codebooks and centroids are never retrained by appends: retraining
+    IS the rebuild."""
     import os
 
+    from ..fsutil import fs_for
+
+    _, fs, hpath = fs_for(df.sparkSession, path)
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
     codes, cent_rows, codebooks = ivfpq_build(
         df,
         n_clusters=n_clusters,
@@ -1583,7 +1642,7 @@ def write_ivfpq_index(
         materialize=False,
     )
     codes.write.mode("overwrite").partitionBy("cluster").parquet(
-        os.path.join(path, "codes")
+        os.path.join(path, "codes", "batch=0")
     )
     spark = df.sparkSession
     (
@@ -1664,6 +1723,169 @@ def ivfpq_topk_indexed(
     )
 
 
+def append_ivfpq_index(
+    new_vecs: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_id: "int | None" = None,
+) -> "dict[str, int]":
+    """Append vectors to a ``write_ivfpq_index`` layout as one new
+    ``codes/batch=<id>/cluster=<c>/`` segment — Faiss's add-after-train
+    for IVFADC (r13 verdict #2, the family's last O(corpus) rebuild
+    term): each new vector is assigned to its ``assign_n`` nearest
+    STORED coarse centroids by squared Euclidean distance (the build's
+    own rule, ties to the lower cluster id), its per-assignment
+    residual is encoded against the STORED codebooks, and only the
+    increment is written.  Cost is O(increment): one broadcast join
+    against the n_clusters-sized centroid frame plus the encode pass
+    over the new rows — no corpus I/O, no retraining.
+
+    Exactness contract (pinned by test): a probe at nprobe = n_clusters
+    and shortlist ≥ corpus over the appended index equals brute-force
+    L2 over the union — the ADC estimate only ORDERS the shortlist, and
+    an exhaustive shortlist is exact-reranked in full.  At serving
+    nprobe/shortlist, recall drifts only as far as the appended data
+    drifts from the training distribution; codebook/centroid RETRAINING
+    IS THE REBUILD (``write_ivfpq_index``), exactly as for IVF appends.
+
+    ``batch_id`` semantics are ``append_ivf_index``'s: default max+1,
+    explicit id overwrites its own segment (replayable).  New ids must
+    not exist in other segments — checked against the codes table's id
+    column, which IS the family's thin membership table (id + m small
+    ints per row; 8–16× under the vectors); raises on overlap."""
+    import os
+
+    from ..fsutil import existing_batch_ids
+    from .kmeans import _sq_dist
+
+    spark = new_vecs.sparkSession
+    codes_root = os.path.join(path, "codes")
+    existing = existing_batch_ids(spark, codes_root)
+    if not existing:
+        raise ValueError(
+            f"append_ivfpq_index: no index at {path} — build one with "
+            "write_ivfpq_index first"
+        )
+    if batch_id is None:
+        batch_id = existing[-1] + 1
+    if new_vecs.isEmpty():
+        # the empty-segment rule: write nothing, report nothing added
+        return {"batch_id": batch_id, "n_vectors": 0}
+    params = (
+        spark.read.schema("n_clusters int, m int, k int, dims int, assign_n int")
+        .parquet(os.path.join(path, "_ivfpq_params"))
+        .head()
+    )
+    dims = len(new_vecs.select(vec_col).first()[0])
+    if dims != params.dims:
+        raise ValueError(
+            f"append_ivfpq_index: vectors have {dims} dims, index expects "
+            f"{params.dims}"
+        )
+    other = [b for b in existing if b != batch_id]
+    if other:
+        prior = spark.read.parquet(codes_root).filter(
+            F.col("batch").isin(other)
+        ).select(F.col(id_col))
+        dup = (
+            new_vecs.select(F.col(id_col))
+            .join(prior, new_vecs[id_col] == prior[id_col], "left_semi")
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "append_ivfpq_index: some new vector ids already exist in "
+                "the index — duplicate rows would surface in probe results; "
+                "rebuild instead"
+            )
+    cent_df = (
+        spark.read.schema("cluster int, centroid array<double>")
+        .parquet(os.path.join(path, "_ivfpq_centroids"))
+        .withColumnRenamed("centroid", "_cent")
+    )
+    books = read_pq_codebooks(spark, path)
+    if "cluster" in new_vecs.columns:
+        new_vecs = new_vecs.drop("cluster")
+    # assign_n nearest stored centroids — identical geometry to
+    # ivfpq_build's multiple assignment (WindowGroupLimit top-n per id)
+    w = Window.partitionBy("_aid").orderBy("_ad", "cluster")
+    assigned = (
+        new_vecs.select(F.col(id_col).alias("_aid"), F.col(vec_col).alias("_av"))
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("_ad", _sq_dist(F.col("_av"), F.col("_cent")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= params.assign_n)
+        .select(
+            F.col("_aid").alias(id_col),
+            "cluster",
+            F.zip_with(
+                F.col("_av"), F.col("_cent"), lambda x, c: x.cast("double") - c
+            ).alias("_resid"),
+        )
+        .localCheckpoint(eager=True)  # consumed by encode AND the join back
+    )
+    entry = assigned.select(
+        F.concat_ws(
+            "#", F.col(id_col).cast("string"), F.col("cluster").cast("string")
+        ).alias("_ek"),
+        id_col,
+        "cluster",
+        "_resid",
+    )
+    codes = (
+        pq_encode(entry, books, id_col="_ek", vec_col="_resid")
+        .join(entry.select("_ek", id_col, "cluster"), "_ek")
+        .drop("_ek")
+    )
+    codes.write.mode("overwrite").partitionBy("cluster").parquet(
+        os.path.join(codes_root, f"batch={batch_id}")
+    )
+    return {"batch_id": batch_id, "n_vectors": new_vecs.count()}
+
+
+def compact_ivfpq_index(spark, path: str) -> None:
+    """Collapse a segmented IVFPQ codes table to ONE segment — the
+    ``compact_ivf_index`` twin for the residual-code layout.  Sidecars
+    (centroids/codebooks/params) are copied unchanged: compaction
+    moves code rows, never retrains.  One crash-safe root swap;
+    terminal-runs-only like every swap-based job."""
+    import os
+
+    from ..fsutil import swap_with_staging
+
+    def _write(staging: str) -> None:
+        (
+            spark.read.parquet(os.path.join(path, "codes"))
+            .drop("batch")
+            .write.partitionBy("cluster")
+            .parquet(os.path.join(staging, "codes", "batch=0"))
+        )
+        (
+            spark.read.schema("cluster int, centroid array<double>")
+            .parquet(os.path.join(path, "_ivfpq_centroids"))
+            .coalesce(1)
+            .write.parquet(os.path.join(staging, "_ivfpq_centroids"))
+        )
+        (
+            spark.read.schema("s int, c int, cv array<double>")
+            .parquet(os.path.join(path, "_pq_codebooks"))
+            .coalesce(1)
+            .write.parquet(os.path.join(staging, "_pq_codebooks"))
+        )
+        (
+            spark.read.schema(
+                "n_clusters int, m int, k int, dims int, assign_n int"
+            )
+            .parquet(os.path.join(path, "_ivfpq_params"))
+            .coalesce(1)
+            .write.parquet(os.path.join(staging, "_ivfpq_params"))
+        )
+
+    swap_with_staging(spark, path, _write, job="compact")
+
+
 def write_pq_index(
     df: DataFrame,
     path: str,
@@ -1688,9 +1910,20 @@ def write_pq_index(
     ``codebooks`` defaults to ``train_pq_codebooks`` (Lloyd-trained);
     pass ``anchor_pq_codebooks(...)`` for the deterministic
     training-free variant.  At 10 B vectors the codes table is ~80 GB
-    vs ~2.5 TB of float32 vectors — the probe's scan bound."""
+    vs ~2.5 TB of float32 vectors — the probe's scan bound.
+
+    The codes table is SEGMENTED (r14): ``codes/batch=<id>/``, this
+    build = segment 0.  ``append_pq_index`` encodes NEW vectors
+    against the STORED codebooks into one new segment (Faiss
+    add-after-train) — O(increment), no retraining; retraining IS the
+    rebuild."""
     import os
 
+    from ..fsutil import fs_for
+
+    _, fs, hpath = fs_for(df.sparkSession, path)
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
     if codebooks is None:
         codebooks = train_pq_codebooks(df, m, k, iterations, id_col, vec_col)
     m = max(s for s, _, _ in codebooks) + 1
@@ -1712,7 +1945,7 @@ def write_pq_index(
         )
     dims = m * sub_d
     pq_encode(df, codebooks, id_col, vec_col).write.mode("overwrite").parquet(
-        os.path.join(path, "codes")
+        os.path.join(path, "codes", "batch=0")
     )
     spark = df.sparkSession
     (
@@ -1778,6 +2011,113 @@ def pq_topk_indexed(
         df, codes, books, query_vec, k=k, shortlist=shortlist,
         id_col=id_col, vec_col=vec_col,
     )
+
+
+def append_pq_index(
+    new_vecs: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_id: "int | None" = None,
+) -> "dict[str, int]":
+    """Append vectors to a ``write_pq_index`` layout as one new
+    ``codes/batch=<id>/`` segment — Faiss's add-after-train for plain
+    PQ (r13 verdict #2): new vectors are encoded against the STORED
+    codebooks and only the increment is written.  O(increment); no
+    retraining (codebook retraining IS the rebuild).
+
+    Exactness contract (pinned by test): a probe with shortlist ≥
+    corpus over the appended index equals brute-force L2 over the
+    union (the exhaustive shortlist is exact-reranked in full); at
+    serving shortlist the appended vectors carry exactly the codes a
+    same-codebook rebuild would give them, so probe results match a
+    ``write_pq_index(union, codebooks=stored)`` rebuild row for row.
+
+    ``batch_id``: default max+1; explicit id overwrites its own
+    segment (replayable).  New ids must not exist in other segments —
+    checked against the codes table's id column (the codes table IS
+    the thin membership table: id + m small ints); raises on overlap.
+    """
+    import os
+
+    from ..fsutil import existing_batch_ids
+
+    spark = new_vecs.sparkSession
+    codes_root = os.path.join(path, "codes")
+    existing = existing_batch_ids(spark, codes_root)
+    if not existing:
+        raise ValueError(
+            f"append_pq_index: no index at {path} — build one with "
+            "write_pq_index first"
+        )
+    if batch_id is None:
+        batch_id = existing[-1] + 1
+    if new_vecs.isEmpty():
+        return {"batch_id": batch_id, "n_vectors": 0}
+    params = (
+        spark.read.schema("m int, k int, dims int")
+        .parquet(os.path.join(path, "_pq_params"))
+        .head()
+    )
+    dims = len(new_vecs.select(vec_col).first()[0])
+    if dims != params.dims:
+        raise ValueError(
+            f"append_pq_index: vectors have {dims} dims, index expects "
+            f"{params.dims}"
+        )
+    other = [b for b in existing if b != batch_id]
+    if other:
+        prior = spark.read.parquet(codes_root).filter(
+            F.col("batch").isin(other)
+        ).select(F.col(id_col))
+        dup = (
+            new_vecs.select(F.col(id_col))
+            .join(prior, new_vecs[id_col] == prior[id_col], "left_semi")
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "append_pq_index: some new vector ids already exist in the "
+                "index — duplicate rows would surface in probe results; "
+                "rebuild instead"
+            )
+    books = read_pq_codebooks(spark, path)
+    pq_encode(new_vecs, books, id_col, vec_col).write.mode("overwrite").parquet(
+        os.path.join(codes_root, f"batch={batch_id}")
+    )
+    return {"batch_id": batch_id, "n_vectors": new_vecs.count()}
+
+
+def compact_pq_index(spark, path: str) -> None:
+    """Collapse a segmented PQ codes table to ONE segment — bounds the
+    probe's listing cost after many appends.  Pure row movement (codes
+    are disjoint); sidecars copied unchanged.  One crash-safe root
+    swap; terminal-runs-only."""
+    import os
+
+    from ..fsutil import swap_with_staging
+
+    def _write(staging: str) -> None:
+        (
+            spark.read.parquet(os.path.join(path, "codes"))
+            .drop("batch")
+            .write.parquet(os.path.join(staging, "codes", "batch=0"))
+        )
+        (
+            spark.read.schema("s int, c int, cv array<double>")
+            .parquet(os.path.join(path, "_pq_codebooks"))
+            .coalesce(1)
+            .write.parquet(os.path.join(staging, "_pq_codebooks"))
+        )
+        (
+            spark.read.schema("m int, k int, dims int")
+            .parquet(os.path.join(path, "_pq_params"))
+            .coalesce(1)
+            .write.parquet(os.path.join(staging, "_pq_params"))
+        )
+
+    swap_with_staging(spark, path, _write, job="compact")
 
 
 def anchor_pq_codebooks(

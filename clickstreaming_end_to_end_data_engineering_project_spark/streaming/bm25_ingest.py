@@ -51,13 +51,28 @@ class Bm25IngestSink:
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        import os
+
+        from ..fsutil import fs_for
         from ..operators.retrieval import (
             _existing_bm25_batches,
             _write_bm25_segment,
             append_bm25_index,
         )
 
-        if not _existing_bm25_batches(batch.sparkSession, self.index_dir):
+        existing = _existing_bm25_batches(batch.sparkSession, self.index_dir)
+        _, fs, params_path = fs_for(
+            batch.sparkSession, os.path.join(self.index_dir, "_bm25_params")
+        )
+        # bootstrap when no segments exist, OR when the only segment is
+        # THIS batch's own and the params sidecar is missing — the
+        # bootstrap-crash window (r13 advisory): a first micro-batch
+        # that died after the postings write but before params would
+        # otherwise replay down the append path and wedge forever on
+        # the missing sidecar.  (_write_bm25_segment now writes params
+        # first, so this branch only fires on layouts crashed under the
+        # old ordering — belt and braces.)
+        if not existing or (existing == [batch_id] and not fs.exists(params_path)):
             # first segment bootstraps the layout (geometry comes from
             # the sink's n_buckets; later segments read it back from
             # the _bm25_params sidecar so it can never drift)

@@ -3287,6 +3287,87 @@ def test_weighted_reservoir_k_at_and_beyond_group_size(spark):
         F.count(F.lit(1)).alias("n")).collect()}
     assert counts == {"a": 3, "b": 8}  # k > n: all valid rows, no extras
 
+def test_bm25_empty_query_returns_empty_frame(spark, tmp_path):
+    """r13 advisory (low): _qtf_col([]) has no CASE branches to build,
+    so an empty query_terms list crashed bm25_topk/bm25_topk_indexed
+    with AttributeError after the r12 bag-semantics change.  The
+    pre-r12 contract is restored: empty query → empty result frame,
+    same (id, n_matched_terms, bm25_score) schema on both forms."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_indexed,
+        write_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spark stream"), (2, "hash dup")], "doc_id long, text string"
+    )
+    mem = bm25_topk(docs, [], k=5)
+    assert mem.columns == ["doc_id", "n_matched_terms", "bm25_score"]
+    assert mem.count() == 0
+
+    idx = str(tmp_path / "bm25_emptyq")
+    write_bm25_index(docs, idx, n_buckets=4)
+    probed = bm25_topk_indexed(spark, idx, [], k=5)
+    assert probed.columns == ["doc_id", "n_matched_terms", "bm25_score"]
+    assert probed.count() == 0
+
+
+def test_ivf_append_assigns_by_build_euclidean_rule(spark, tmp_path):
+    """r13 advisory (low): append_ivf_index used to place new vectors
+    by COSINE while the build's kmeans_assign places by squared
+    Euclidean — for non-unit-norm vectors the two rules pick different
+    clusters, so appended vectors followed different placement geometry
+    than a rebuild's.  Now the append uses the build's own rule: this
+    vector's direction favors the far high-norm centroid (cosine) but
+    its position is next to the near one (Euclidean) — it must land
+    where a rebuild would put it."""
+    import math
+    import os
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        similarity as S,
+    )
+
+    # two well-separated groups → centroids ≈ [~10, 0] and [0, ~1]
+    pts = spark.createDataFrame(
+        [(0, [10.0, 0.0]), (1, [10.2, 0.0]), (2, [0.0, 1.0]), (3, [0.0, 1.2])],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "ivf_euclid")
+    S.write_ivf_index(pts, idx, n_clusters=2, iterations=2)
+    cents = {
+        int(r["cluster"]): [float(x) for x in r["centroid"]]
+        for r in spark.read.parquet(os.path.join(idx, "_ivf_centroids")).collect()
+    }
+
+    v = [0.5, 0.4]  # small-norm vector pointing toward the far centroid
+
+    def _sq(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    def _cos(a, b):
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    want_euclid = min(cents, key=lambda c: (_sq(v, cents[c]), c))
+    want_cosine = max(cents, key=lambda c: (_cos(v, cents[c]), -c))
+    # the fixture must actually exercise the divergence
+    assert want_euclid != want_cosine
+
+    S.append_ivf_index(
+        spark.createDataFrame([(100, v)], "vec_id long, embedding array<double>"),
+        idx,
+    )
+    landed = (
+        spark.read.parquet(os.path.join(idx, "vectors"))
+        .filter(F.col("vec_id") == 100)
+        .select("cluster")
+        .head()["cluster"]
+    )
+    assert int(landed) == want_euclid
+
+
 def test_bm25_append_probe_equals_full_rebuild(spark, sf_dir, tmp_path):
     """r12 verdict #4: incremental maintenance for a written index.
     write(A) + append(B) must probe BIT-EQUAL to a full rebuild over
@@ -3430,6 +3511,213 @@ def test_ivf_append_exhaustive_probe_equals_brute_force(spark, sf_dir, tmp_path)
         )
     with pytest.raises(ValueError, match="no index"):
         S.append_ivf_index(part_b, str(tmp_path / "missing_ivf"))
+
+def test_ivfpq_append_exhaustive_probe_equals_brute_force(spark, sf_dir, tmp_path):
+    """r13 verdict #2: Faiss add-after-train for IVFADC.  write(A) +
+    append(B) encodes B's residuals against the STORED codebooks and
+    coarse centroids; an exhaustive probe (nprobe = n_clusters,
+    shortlist ≥ corpus) over the appended index must equal brute-force
+    cosine over the union (unit-normalized corpus: L2 rank == cosine
+    rank).  Replaying a batch id moves nothing; overlaps, dim
+    mismatches, and a missing index raise; compaction collapses the
+    segments losslessly."""
+    import os
+
+    import pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        similarity as S,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    embs = S.unit_normalize(load(spark, sf_dir, "embeddings")).localCheckpoint(
+        eager=True
+    )
+    q = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
+    body = embs.filter(F.col("vec_id") != 0)
+    part_a = body.filter(F.col("vec_id") % 5 < 3)
+    part_b = body.filter(F.col("vec_id") % 5 >= 3)
+    n_body = body.count()
+
+    idx = str(tmp_path / "ivfpq_incremental")
+    kw = dict(
+        n_clusters=6, m=4, codes_k=8, coarse_iterations=2, pq_iterations=1, assign_n=2
+    )
+    S.write_ivfpq_index(part_a, idx, **kw)
+    out = S.append_ivfpq_index(part_b, idx)
+    assert out["batch_id"] == 1 and out["n_vectors"] > 0
+
+    exhaustive = lambda: [
+        r["vec_id"]
+        for r in S.ivfpq_topk_indexed(
+            spark, idx, body, q, k=10, nprobe=6, shortlist=n_body
+        ).collect()
+    ]
+    want = [r["vec_id"] for r in S.brute_force_topk(embs, 0, k=10).collect()]
+    got = exhaustive()
+    assert got == want and len(got) == 10
+
+    # replay: same batch id, same rows — segment rewritten, probe unmoved
+    S.append_ivfpq_index(part_b, idx, batch_id=1)
+    assert exhaustive() == want
+
+    with pytest.raises(ValueError, match="already exist"):
+        S.append_ivfpq_index(part_b.limit(3), idx)
+    with pytest.raises(ValueError, match="dims"):
+        S.append_ivfpq_index(
+            part_b.withColumn("embedding", F.slice("embedding", 1, 5)), idx
+        )
+    with pytest.raises(ValueError, match="no index"):
+        S.append_ivfpq_index(part_b, str(tmp_path / "missing_ivfpq"))
+    # empty append writes nothing
+    assert S.append_ivfpq_index(body.limit(0), idx)["n_vectors"] == 0
+
+    S.compact_ivfpq_index(spark, idx)
+    segs = sorted(
+        d
+        for d in os.listdir(os.path.join(idx, "codes"))
+        if d.startswith("batch=")
+    )
+    assert segs == ["batch=0"]
+    assert exhaustive() == want
+    extra = part_b.limit(3).withColumn("vec_id", F.col("vec_id") + F.lit(10_000_000))
+    assert S.append_ivfpq_index(extra, idx)["batch_id"] == 1
+
+
+def test_pq_append_matches_same_codebook_rebuild(spark, sf_dir, tmp_path):
+    """r13 verdict #2, the plain-PQ member: appended vectors carry
+    exactly the codes a same-codebook rebuild would give them
+    (deterministic anchor books make this row-for-row checkable at
+    SERVING shortlist, not just exhaustively), and an exhaustive
+    shortlist equals brute-force L2 over the union.  Overlaps and
+    missing indexes raise; compaction preserves probes."""
+    import os
+
+    import pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        similarity as S,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    embs = load(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    q = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
+    body = embs.filter(F.col("vec_id") != 0)
+    part_a = body.filter(F.col("vec_id") % 5 < 3)
+    part_b = body.filter(F.col("vec_id") % 5 >= 3)
+
+    books = S.anchor_pq_codebooks(embs, m=8, k=16)
+    inc = str(tmp_path / "pq_incremental")
+    S.write_pq_index(part_a, inc, codebooks=books)
+    out = S.append_pq_index(part_b, inc)
+    assert out["batch_id"] == 1 and out["n_vectors"] > 0
+
+    full = str(tmp_path / "pq_full")
+    S.write_pq_index(body, full, codebooks=books)
+
+    for shortlist in (50, body.count()):
+        got = [
+            tuple(r)
+            for r in S.pq_topk_indexed(
+                spark, inc, body, q, k=10, shortlist=shortlist
+            ).collect()
+        ]
+        want = [
+            tuple(r)
+            for r in S.pq_topk_indexed(
+                spark, full, body, q, k=10, shortlist=shortlist
+            ).collect()
+        ]
+        assert got == want and len(got) == 10, shortlist
+
+    with pytest.raises(ValueError, match="already exist"):
+        S.append_pq_index(part_b.limit(3), inc)
+    with pytest.raises(ValueError, match="no index"):
+        S.append_pq_index(part_b, str(tmp_path / "missing_pq"))
+    assert S.append_pq_index(body.limit(0), inc)["n_vectors"] == 0
+
+    before = [
+        tuple(r)
+        for r in S.pq_topk_indexed(spark, inc, body, q, k=10, shortlist=50).collect()
+    ]
+    S.compact_pq_index(spark, inc)
+    after = [
+        tuple(r)
+        for r in S.pq_topk_indexed(spark, inc, body, q, k=10, shortlist=50).collect()
+    ]
+    assert after == before
+    segs = sorted(
+        d for d in os.listdir(os.path.join(inc, "codes")) if d.startswith("batch=")
+    )
+    assert segs == ["batch=0"]
+    extra = part_b.limit(3).withColumn("vec_id", F.col("vec_id") + F.lit(10_000_000))
+    assert S.append_pq_index(extra, inc)["batch_id"] == 1
+
+
+def test_ivf_id_map_sidecar_bounds_append_validation(spark, tmp_path):
+    """r13 verdict #3: append_ivf_index's overlap check reads the thin
+    ``_id_map`` sidecar, never the vector store — build and append each
+    write their (id, cluster) slice, overlaps are still caught, a
+    replayed batch id rewrites its own slice, and a pre-r14 layout
+    without the sidecar falls back to the vector-store id scan."""
+    import os
+    import shutil
+
+    import pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        similarity as S,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 4), 1.0, float(i % 3), 0.5]) for i in range(24)],
+        "vec_id long, embedding array<double>",
+    )
+    part_a = vecs.filter(F.col("vec_id") < 16)
+    part_b = vecs.filter(F.col("vec_id") >= 16)
+
+    idx = str(tmp_path / "ivf_idmap")
+    S.write_ivf_index(part_a, idx, n_clusters=3, iterations=1)
+    assert os.path.isdir(os.path.join(idx, "_id_map", "batch=0"))
+    S.append_ivf_index(part_b, idx)
+    assert os.path.isdir(os.path.join(idx, "_id_map", "batch=1"))
+
+    # sidecar contents mirror the vector store's membership exactly
+    id_map = {
+        (r["vec_id"], r["batch"])
+        for r in spark.read.parquet(os.path.join(idx, "_id_map")).collect()
+    }
+    store = {
+        (r["vec_id"], r["batch"])
+        for r in spark.read.parquet(os.path.join(idx, "vectors"))
+        .select("vec_id", "batch")
+        .collect()
+    }
+    assert id_map == store and len(id_map) == 24
+
+    # overlap still raises (now detected via the sidecar)
+    with pytest.raises(ValueError, match="already exist"):
+        S.append_ivf_index(part_b.limit(2), idx)
+
+    # replaying batch 1 rewrites its own _id_map slice, no duplicates
+    S.append_ivf_index(part_b, idx, batch_id=1)
+    assert spark.read.parquet(os.path.join(idx, "_id_map")).count() == 24
+
+    # compaction collapses the sidecar with the vectors
+    S.compact_ivf_index(spark, idx)
+    segs = sorted(
+        d for d in os.listdir(os.path.join(idx, "_id_map")) if d.startswith("batch=")
+    )
+    assert segs == ["batch=0"]
+    assert spark.read.parquet(os.path.join(idx, "_id_map")).count() == 24
+
+    # pre-r14 layout (no sidecar): fallback still validates via the store
+    shutil.rmtree(os.path.join(idx, "_id_map"))
+    with pytest.raises(ValueError, match="already exist"):
+        S.append_ivf_index(part_b.limit(2), idx)
+    extra = part_b.limit(2).withColumn("vec_id", F.col("vec_id") + F.lit(1000))
+    assert S.append_ivf_index(extra, idx)["n_vectors"] == 2
+
 
 def test_lsh_and_ivf_compaction_preserve_probes(spark, sf_dir, tmp_path):
     """compact_lsh_index / compact_ivf_index: after build + append,

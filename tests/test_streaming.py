@@ -2154,6 +2154,68 @@ def test_streaming_bm25_ingest_equals_batch_build(spark, sf_dir):
     for d in (src_dir, ckpt, os.path.dirname(index), os.path.dirname(batch)):
         shutil.rmtree(d, ignore_errors=True)
 
+def test_bm25_ingest_heals_bootstrap_crash_window(spark):
+    """r13 advisory (medium): a first micro-batch that crashed AFTER
+    the postings dir was written but BEFORE the _bm25_params sidecar
+    landed used to wedge the stream permanently — the replay saw an
+    existing batch= segment, took the append path, and failed forever
+    with PATH_NOT_FOUND on the params.  Two defenses, both exercised
+    here: _write_bm25_segment now writes params FIRST, and the sink
+    falls back to bootstrap when the only segment is its own batch and
+    params are missing (heals layouts crashed under the old ordering)."""
+    import os
+    import shutil
+    import tempfile
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        write_bm25_index,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.bm25_ingest import (
+        Bm25IngestSink,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"spark stream doc{i % 3} hash") for i in range(12)],
+        "doc_id long, text string",
+    )
+    root = tempfile.mkdtemp(prefix="bm25_crash_")
+    index = os.path.join(root, "index")
+    sink = Bm25IngestSink(index, n_buckets=8)
+
+    # 1) full first batch, then simulate the OLD-ordering crash state:
+    #    postings exist, params sidecar gone
+    sink(docs, 0)
+    shutil.rmtree(os.path.join(index, "_bm25_params"))
+    # replay of the same micro-batch id must HEAL, not wedge
+    sink(docs, 0)
+
+    batch = os.path.join(root, "batch_build")
+    write_bm25_index(docs, batch, n_buckets=8)
+    terms = ["spark", "doc1"]
+    want = [tuple(r) for r in bm25_topk_indexed(spark, batch, terms, k=5).collect()]
+    got = [tuple(r) for r in bm25_topk_indexed(spark, index, terms, k=5).collect()]
+    assert got == want and len(got) == 5
+
+    # 2) the forward ordering: params land before the postings dir, so
+    #    a crash between the two replays down the BOOTSTRAP path (no
+    #    batch= dir listed).  Simulate by deleting only the segment.
+    shutil.rmtree(os.path.join(index, "batch=0"))
+    sink(docs, 0)
+    assert [
+        tuple(r) for r in bm25_topk_indexed(spark, index, terms, k=5).collect()
+    ] == want
+
+    # 3) a second batch appends normally on the healed index
+    extra = spark.createDataFrame(
+        [(100, "spark spark hash"), (101, "doc1 doc1")], "doc_id long, text string"
+    )
+    sink(extra, 1)
+    segs = sorted(d for d in os.listdir(index) if d.startswith("batch="))
+    assert segs == ["batch=0", "batch=1"]
+    shutil.rmtree(root, ignore_errors=True)
+
+
 def test_streaming_ann_ingest_lsh_bootstrap_and_ivf_pretrained(spark, sf_dir):
     """streaming/ann_ingest.py end-to-end.  LshIngestSink bootstraps
     from its first micro-batch and the streamed index probes
