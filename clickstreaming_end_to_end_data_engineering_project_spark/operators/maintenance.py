@@ -1,0 +1,105 @@
+"""Segment-count maintenance policy for the appendable written-index
+layouts — the helper that ENFORCES the operating rule SCALING.md's r13
+compaction measurements recorded ("append daily, compact on a cadence
+that bounds segment count; at ~7 segments probes stay within ~25% of
+the single-segment floor, and one compaction pays ~1 store rewrite to
+restore it").  Until r14 that rule lived only in prose; every caller
+had to remember which ``compact_*`` to run and when.
+
+``maintain_index`` closes the loop: point it at any of the five
+appendable layouts (BM25 / LSH / IVF / PQ / IVFPQ — self-identified by
+their params sidecars, so there is no layout argument to get wrong),
+and it compacts IFF the segment count exceeds ``max_segments``.  All
+compactions go through the existing crash-safe ``fsutil.
+swap_with_staging`` rename discipline, so the helper inherits its
+terminal-runs-only rule: never run it while an ingest stream is
+writing the index (the ingest sinks' own foreachBatch cadence is the
+natural place to call it between batches — foreachBatch bodies run
+serially per stream).
+
+No reference counterpart: the reference
+(salmansajidsattar/ClickStreaming_End_to_End_Data_Engineering_Project)
+has no written-index surface; this module exists for the
+LLM-data-pipeline extension mandate's 100 TB serving story.
+"""
+
+from __future__ import annotations
+
+import os
+
+# (params sidecar that identifies the layout,
+#  segment root relative to the index root,
+#  dotted compaction entrypoint within operators/)
+_LAYOUTS = (
+    ("_bm25_params", "", "retrieval", "compact_bm25_index"),
+    ("_lsh_params", "", "similarity", "compact_lsh_index"),
+    ("_ivf_params", "vectors", "similarity", "compact_ivf_index"),
+    ("_ivfpq_params", "codes", "similarity", "compact_ivfpq_index"),
+    ("_pq_params", "codes", "similarity", "compact_pq_index"),
+)
+
+
+def detect_index_kind(spark, root: str) -> "tuple[str, str, str] | None":
+    """(kind, segment_root, compact_fn_name) for the layout at
+    ``root``, identified by its params sidecar — None if ``root`` is
+    not a recognized written index.  Sidecar order matters only for
+    IVFPQ-vs-PQ, which share ``_pq_codebooks``: ``_ivfpq_params`` is
+    checked first and is unique to the IVFPQ layout."""
+    from ..fsutil import fs_for
+
+    _, fs, _ = fs_for(spark, root)
+    for sidecar, seg_rel, mod, fn in _LAYOUTS:
+        _, _, hpath = fs_for(spark, os.path.join(root, sidecar))
+        if fs.exists(hpath):
+            return (sidecar.strip("_").replace("_params", ""), seg_rel, f"{mod}.{fn}")
+    return None
+
+
+def maintain_index(
+    spark, root: str, max_segments: int = 7
+) -> "dict[str, object]":
+    """Apply the recorded compaction policy to the written index at
+    ``root``: if its ``batch=<id>`` segment count exceeds
+    ``max_segments`` (default 7 — the SCALING.md r13 operating point:
+    probes within ~25% of the single-segment floor), compact it to one
+    segment via the layout's own crash-safe compaction; otherwise do
+    nothing.  Returns ``{"kind", "segments_before", "segments_after",
+    "compacted"}``.  Raises on a path that is not a recognized index —
+    a silent no-op on a typo'd path would read as "maintained".
+
+    Idempotent and safe to call on every ingest cadence tick; the
+    compaction itself is the existing swap-based job, so the
+    terminal-runs-only rule applies (do not run concurrently with an
+    ingest stream writing ``root``)."""
+    if max_segments < 1:
+        raise ValueError(f"max_segments must be >= 1, got {max_segments}")
+    detected = detect_index_kind(spark, root)
+    if detected is None:
+        raise ValueError(
+            f"maintain_index: no recognized written-index layout at {root} "
+            "(expected a _bm25/_lsh/_ivf/_ivfpq/_pq params sidecar)"
+        )
+    kind, seg_rel, compact_ref = detected
+    from ..fsutil import existing_batch_ids
+
+    seg_root = os.path.join(root, seg_rel) if seg_rel else root
+    before = len(existing_batch_ids(spark, seg_root))
+    if before <= max_segments:
+        return {
+            "kind": kind,
+            "segments_before": before,
+            "segments_after": before,
+            "compacted": False,
+        }
+    mod_name, fn_name = compact_ref.split(".")
+    import importlib
+
+    mod = importlib.import_module(f".{mod_name}", package=__package__)
+    getattr(mod, fn_name)(spark, root)
+    after = len(existing_batch_ids(spark, seg_root))
+    return {
+        "kind": kind,
+        "segments_before": before,
+        "segments_after": after,
+        "compacted": True,
+    }

@@ -264,6 +264,18 @@ class QuerySpec:
 # lives in probe-equality tests and the recorded bench legs
 # (indexed_probe_build_sec.{bm25,lsh,ivf}_append,
 # merge_upsert_cdc_sec), not in the oracle gate.
+# Round-14 (executed): the gate is UNCHANGED — exactly the r13 verdict
+# #1 directive: the 15 r13 first-row queries stay gated for their
+# confirming rows (CORRECTNESS_r14), converting six families from
+# "verified once" to "verified, confirmed"; no new queries contest
+# slots (the backlog is empty).  The r14 engine work is again
+# maintenance surface by design: PQ/IVFPQ add-after-train appends
+# (probe-equality pinned; bench legs pq_append/ivfpq_append), the IVF
+# _id_map sidecar, maintain_index policy enforcement, and
+# extend_dup_clusters (differential-pinned vs full recompute; bench
+# pair dup_cluster_{full,extend}_sec) — all state-mutating or
+# derived-from-pinned-queries, so their evidence is tests + bench
+# legs, not oracle slots.
 GATE_PRIORITY = [
     # reference-parity clickstream core (pinned)
     "page_view_counts",

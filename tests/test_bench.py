@@ -68,3 +68,10 @@ def test_bench_prints_parseable_trailer_last(spark, monkeypatch, capsys):
     assert len(lines[-1]) < 1800  # must survive the driver's tail window
     tail = "\n".join(lines)[-1800:]
     assert json.loads([l for l in tail.splitlines() if l.strip()][-1])["value"] == full["value"]
+    # r13 verdict #5: both artifact lines self-document box state, so a
+    # load-depressed run is adjudicable from the artifact alone
+    for doc in (full, trailer):
+        for key in ("box_state_start", "box_state_end"):
+            bs = doc[key]
+            assert set(bs) == {"load_1m", "load_5m", "spin_mops"}, (key, bs)
+            assert bs["spin_mops"] > 0 and bs["load_1m"] >= 0

@@ -3132,6 +3132,63 @@ def test_hybrid_indexed_matches_in_memory_when_exhaustive(spark, sf_dir, tmp_pat
     assert got == want and len(got) == 10
 
 
+def test_hybrid_indexed_pin_holds_with_multi_segment_stores(spark, sf_dir, tmp_path):
+    """r13 verdict #7: the hybrid serving pin must survive BOTH
+    underlying stores being multi-segment post-append — the
+    compose-point most likely to regress silently.  Build each store
+    on a corpus subset, append the rest (two segments each), and the
+    exhaustive-settings hybrid probe must still equal the in-memory
+    hybrid_search_rrf composition over the full corpus: the BM25
+    append is bit-equal to a rebuild, and the IVF append's centroids
+    don't matter at nprobe = n_clusters."""
+    import os
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.retrieval import (
+        append_bm25_index,
+        hybrid_topk_indexed,
+        write_bm25_index,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.similarity import (
+        append_ivf_index,
+        write_ivf_index,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.plans.llmdata import (
+        hybrid_search_rrf,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    embs = load(spark, sf_dir, "embeddings")
+    bm25_path = str(tmp_path / "bm25_seg")
+    ivf_path = str(tmp_path / "ivf_seg")
+    write_bm25_index(docs.filter(F.col("doc_id") % 4 != 0), bm25_path, n_buckets=64)
+    append_bm25_index(docs.filter(F.col("doc_id") % 4 == 0), bm25_path)
+    write_ivf_index(
+        embs.filter(F.col("vec_id") % 4 != 0), ivf_path, n_clusters=8, iterations=2
+    )
+    append_ivf_index(embs.filter(F.col("vec_id") % 4 == 0), ivf_path)
+    for p, sub in ((bm25_path, ""), (ivf_path, "vectors")):
+        segs = sorted(
+            d for d in os.listdir(os.path.join(p, sub) if sub else p)
+            if d.startswith("batch=")
+        )
+        assert segs == ["batch=0", "batch=1"], (p, segs)
+
+    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
+    got = [
+        (r["doc_id"], r["n_lists"], r["rrf_score"])
+        for r in hybrid_topk_indexed(
+            spark, bm25_path, ivf_path, ["spark", "stream", "hash", "dup"],
+            qvec, k=10, breadth=20, nprobe=8, exclude_vec_id=0,
+        ).collect()
+    ]
+    want = [
+        (r["doc_id"], r["n_lists"], r["rrf_score"])
+        for r in hybrid_search_rrf(spark, sf_dir).collect()
+    ]
+    assert got == want and len(got) == 10
+
+
 def test_weighted_reservoir_favors_weight_and_is_exact_k(spark):
     """Statistical sanity for the A-Res sampler: with weights 1 vs
     1000 the heavy rows must dominate the fixed-size sample (each
@@ -3774,6 +3831,183 @@ def test_lsh_and_ivf_compaction_preserve_probes(spark, sf_dir, tmp_path):
     )
     assert vdirs == ["batch=0"]
     assert S.append_ivf_index(extra, ivf)["batch_id"] == 1
+
+def test_extend_dup_clusters_equals_full_recompute(spark, sf_dir):
+    """r13 verdict #8: incremental dup-cluster maintenance.  Extending
+    a dup_clusters labeling with an increment's pairs must equal a
+    full recompute over old ∪ new pairs — exercised twice: (a) a
+    synthetic case covering cross-cluster merges through a new vertex,
+    canonical flips, and a disjoint all-new cluster; (b) a real-data
+    differential on the documents table's n-gram Jaccard pairs split
+    80/20 by doc id."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        dedup,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.components import (
+        dup_clusters,
+        extend_dup_clusters,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    def rows(df):
+        return sorted(
+            (r["doc_id"], r["cluster_id"], r["is_canonical"]) for r in df.collect()
+        )
+
+    # (a) synthetic: clusters {2,3} and {10,11}; increment adds vertex 1
+    # bridging both (merged label 1 — canonical flips off 2), plus a
+    # disjoint brand-new cluster {20,21}
+    old_pairs = spark.createDataFrame([(2, 3), (10, 11)], ["doc_a", "doc_b"])
+    new_pairs = spark.createDataFrame(
+        [(1, 2), (3, 10), (20, 21)], ["doc_a", "doc_b"]
+    )
+    existing = dup_clusters(old_pairs)
+    got = extend_dup_clusters(new_pairs, existing)
+    want = dup_clusters(old_pairs.unionByName(new_pairs))
+    assert rows(got) == rows(want)
+    by_id = {d: (c, k) for d, c, k in rows(got)}
+    assert by_id[2] == (1, False) and by_id[1] == (1, True)
+    assert by_id[20] == (20, True) and by_id[21] == (20, False)
+
+    # empty increment: labeling unchanged
+    empty = new_pairs.limit(0)
+    assert rows(extend_dup_clusters(empty, existing)) == rows(existing)
+
+    # composability: extending twice == extending with the union
+    two_step = extend_dup_clusters(
+        spark.createDataFrame([(3, 10)], ["doc_a", "doc_b"]),
+        extend_dup_clusters(
+            spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"]), existing
+        ),
+    )
+    assert rows(two_step) == rows(
+        dup_clusters(
+            old_pairs.unionByName(
+                spark.createDataFrame([(1, 2), (3, 10)], ["doc_a", "doc_b"])
+            )
+        )
+    )
+
+    # (b) real-data differential on the documents table
+    docs = load(spark, sf_dir, "documents")
+    all_pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.2).localCheckpoint(
+        eager=True
+    )
+    is_old = lambda c: F.col(c) % 10 < 8
+    old = all_pairs.filter(is_old("doc_a") & is_old("doc_b"))
+    inc = all_pairs.filter(~(is_old("doc_a") & is_old("doc_b")))
+    got = extend_dup_clusters(inc, dup_clusters(old))
+    want = dup_clusters(all_pairs)
+    assert rows(got) == rows(want) and want.count() > 0
+
+
+def test_maintain_index_applies_compaction_policy(spark, tmp_path):
+    """r13 verdict #4: maintain_index enforces the SCALING.md operating
+    rule (compact when segment count exceeds max_segments) across all
+    five appendable layouts, auto-detecting the layout from its params
+    sidecar.  Drive append×8 on bm25/lsh/ivf, auto-compact at
+    max_segments=4, and pin probe equality across the compaction; the
+    below-threshold call is a no-op; an unrecognized path raises."""
+    import os
+
+    import pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        retrieval as R,
+        similarity as S,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.maintenance import (
+        maintain_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"spark stream doc{i % 3} hash") for i in range(12)],
+        "doc_id long, text string",
+    )
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 4), 1.0, float(i % 3), 0.5]) for i in range(16)],
+        "vec_id long, embedding array<double>",
+    )
+
+    bm25 = str(tmp_path / "bm25_m")
+    R.write_bm25_index(docs, bm25, n_buckets=4)
+    for j in range(8):
+        R.append_bm25_index(
+            docs.limit(2).withColumn("doc_id", F.col("doc_id") + F.lit(100 * (j + 1))),
+            bm25,
+        )
+    before = [tuple(r) for r in R.bm25_topk_indexed(spark, bm25, ["spark"], k=5).collect()]
+    out = maintain_index(spark, bm25, max_segments=4)
+    assert out == {
+        "kind": "bm25", "segments_before": 9, "segments_after": 1, "compacted": True,
+    }
+    assert [
+        tuple(r) for r in R.bm25_topk_indexed(spark, bm25, ["spark"], k=5).collect()
+    ] == before
+    # below threshold: no-op
+    assert maintain_index(spark, bm25, max_segments=4)["compacted"] is False
+
+    lsh = str(tmp_path / "lsh_m")
+    S.write_lsh_index(vecs, lsh, planes=2, dims=4)
+    for j in range(8):
+        S.append_lsh_index(
+            vecs.limit(2).withColumn("vec_id", F.col("vec_id") + F.lit(100 * (j + 1))),
+            lsh,
+        )
+    q = [1.0, 1.0, 0.0, 0.5]
+    before = [
+        tuple(r)
+        for r in S.lsh_topk_indexed(spark, lsh, query_vec=q, k=5, nprobe=4).collect()
+    ]
+    out = maintain_index(spark, lsh, max_segments=4)
+    assert out["kind"] == "lsh" and out["compacted"] and out["segments_after"] == 1
+    assert [
+        tuple(r)
+        for r in S.lsh_topk_indexed(spark, lsh, query_vec=q, k=5, nprobe=4).collect()
+    ] == before
+
+    ivf = str(tmp_path / "ivf_m")
+    S.write_ivf_index(vecs, ivf, n_clusters=2, iterations=1)
+    for j in range(8):
+        S.append_ivf_index(
+            vecs.limit(2).withColumn("vec_id", F.col("vec_id") + F.lit(100 * (j + 1))),
+            ivf,
+        )
+    before = [
+        tuple(r) for r in S.ivf_topk_indexed(spark, ivf, q, k=5, nprobe=2).collect()
+    ]
+    out = maintain_index(spark, ivf, max_segments=4)
+    assert out["kind"] == "ivf" and out["compacted"] and out["segments_after"] == 1
+    assert [
+        tuple(r) for r in S.ivf_topk_indexed(spark, ivf, q, k=5, nprobe=2).collect()
+    ] == before
+
+    # the PQ/IVFPQ members detect + compact through the same helper
+    pq = str(tmp_path / "pq_m")
+    books = S.anchor_pq_codebooks(vecs, m=2, k=4)
+    S.write_pq_index(vecs, pq, codebooks=books)
+    S.append_pq_index(
+        vecs.limit(2).withColumn("vec_id", F.col("vec_id") + F.lit(100)), pq
+    )
+    out = maintain_index(spark, pq, max_segments=1)
+    assert out["kind"] == "pq" and out["compacted"] and out["segments_after"] == 1
+
+    ivfpq = str(tmp_path / "ivfpq_m")
+    S.write_ivfpq_index(
+        vecs, ivfpq, n_clusters=2, m=2, codes_k=4,
+        coarse_iterations=1, pq_iterations=1,
+    )
+    S.append_ivfpq_index(
+        vecs.limit(2).withColumn("vec_id", F.col("vec_id") + F.lit(100)), ivfpq
+    )
+    out = maintain_index(spark, ivfpq, max_segments=1)
+    assert out["kind"] == "ivfpq" and out["compacted"] and out["segments_after"] == 1
+
+    with pytest.raises(ValueError, match="no recognized"):
+        maintain_index(spark, str(tmp_path / "not_an_index"))
+    with pytest.raises(ValueError, match="max_segments"):
+        maintain_index(spark, bm25, max_segments=0)
+
 
 def test_index_appends_never_write_dataless_segments(spark, tmp_path):
     """r13 empty-segment rule: an append whose effective input is empty
