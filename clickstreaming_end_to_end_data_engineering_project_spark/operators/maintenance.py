@@ -13,9 +13,18 @@ and it compacts IFF the segment count exceeds ``max_segments``.  All
 compactions go through the existing crash-safe ``fsutil.
 swap_with_staging`` rename discipline, so the helper inherits its
 terminal-runs-only rule: never run it while an ingest stream is
-writing the index (the ingest sinks' own foreachBatch cadence is the
-natural place to call it between batches — foreachBatch bodies run
-serially per stream).
+writing the index — and NOT from inside the stream's own foreachBatch
+either, even though batches run serially.  The reason is replay
+idempotence, not concurrency: the ingest sinks' exactly-once story is
+"a replayed batch id overwrites its own segment", but compaction
+FOLDS every segment into ``batch=0`` — if the stream crashes after an
+in-batch compaction but before the checkpoint commits that batch, the
+replay finds no segment under its own id, takes the append path, and
+the overlap check sees its rows already folded into ``batch=0``: the
+stream wedges permanently on the (correct!) duplicate-id error, and a
+layout without overlap validation would double-count instead.  Safe
+cadences: a scheduled job while the stream is stopped, or any moment
+the checkpoint is known to be committed past the newest segment.
 
 No reference counterpart: the reference
 (salmansajidsattar/ClickStreaming_End_to_End_Data_Engineering_Project)

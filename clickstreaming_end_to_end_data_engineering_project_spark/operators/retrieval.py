@@ -429,6 +429,128 @@ def bm25_topk_indexed(
     return _score_and_rank(scored, id_col, k, k1, b)
 
 
+def delete_from_bm25_index(
+    spark, path: str, doc_ids: "list", id_col: str = "doc_id"
+) -> "dict[str, int]":
+    """Delete documents from a ``write_bm25_index`` layout — the
+    missing third verb of the index CRUD story (build/append/DELETE/
+    compact), and what makes "update = delete + append" real for the
+    right-to-be-forgotten and re-crawl cases.  Cost is O(touched
+    segments): ``_doclens`` (thin, two columns) names which
+    ``batch=<id>`` segments contain the ids, and ONLY those segments
+    are rewritten minus the deleted docs — per-segment stats (df,
+    n_docs, sum_dl) are recomputed EXACTLY from the survivors, so a
+    probe after deletion is BIT-EQUAL to a fresh rebuild over the
+    surviving corpus (pinned by test; no Lucene-style stale-stats
+    tombstone window).  A segment whose docs are all deleted is
+    removed whole (the empty-segment rule).
+
+    Crash discipline: postings are rewritten FIRST (a crash after that
+    leaves the deleted docs out of results immediately, with stats
+    momentarily stale-high), then doclens/termstats/params; every
+    rewrite is idempotent filtering, so a crashed delete heals by
+    RE-RUNNING it — the same survivor discipline as appends.  Each
+    directory rewrite goes through the crash-safe staging swap, so no
+    partial write can lose surviving rows.  Terminal-runs-only, like
+    every swap-based job.  Returns {"segments_rewritten",
+    "segments_removed", "docs_deleted"}.  Unknown ids are a no-op."""
+    import os
+
+    from ..fsutil import fs_for, swap_with_staging
+
+    if not doc_ids:
+        return {"segments_rewritten": 0, "segments_removed": 0, "docs_deleted": 0}
+    existing = _existing_bm25_batches(spark, path)
+    if not existing:
+        raise ValueError(f"delete_from_bm25_index: no index at {path}")
+    ids = list(doc_ids)
+    doclens = spark.read.parquet(os.path.join(path, "_doclens"))
+    hit = (
+        doclens.filter(F.col(id_col).isin(ids))
+        .groupBy("batch")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    touched = sorted(int(r["batch"]) for r in hit)
+    n_deleted = int(sum(r["_n"] for r in hit))
+    if not touched:
+        return {"segments_rewritten": 0, "segments_removed": 0, "docs_deleted": 0}
+    jvm, fs, _ = fs_for(spark, path)
+    rewritten = removed = 0
+    for b in touched:
+        seg = f"batch={b}"
+        seg_path = os.path.join(path, seg)
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(seg_path)):
+            # a previous whole-segment removal crashed between dir
+            # deletes: finish removing the sidecar slices (idempotent)
+            for d in (os.path.join(path, "_doclens", seg),
+                      os.path.join(path, "_termstats", seg),
+                      os.path.join(path, "_bm25_params", seg)):
+                fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
+            removed += 1
+            continue
+        survivors = spark.read.parquet(seg_path).filter(
+            ~F.col(id_col).isin(ids)
+        )
+        if survivors.limit(1).count() == 0:
+            # whole segment deleted: drop its four directories
+            for d in (seg_path, os.path.join(path, "_doclens", seg),
+                      os.path.join(path, "_termstats", seg),
+                      os.path.join(path, "_bm25_params", seg)):
+                fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
+            removed += 1
+            continue
+
+        def _postings(staging: str) -> None:
+            survivors.write.partitionBy("bucket").parquet(staging)
+
+        swap_with_staging(spark, seg_path, _postings, job="erase")
+        kept = spark.read.parquet(seg_path)
+
+        def _doclens_w(staging: str) -> None:
+            kept.select(id_col, "_dl").distinct().write.parquet(staging)
+
+        swap_with_staging(
+            spark, os.path.join(path, "_doclens", seg), _doclens_w, job="erase"
+        )
+
+        def _termstats_w(staging: str) -> None:
+            kept.groupBy("_t").agg(F.count(F.lit(1)).alias("_df")).write.parquet(
+                staging
+            )
+
+        swap_with_staging(
+            spark, os.path.join(path, "_termstats", seg), _termstats_w, job="erase"
+        )
+        stats = kept.select(id_col, "_dl").distinct().agg(
+            F.count(F.lit(1)).alias("n"), F.sum("_dl").alias("s")
+        ).first()
+        n_buckets = (
+            spark.read.schema(_PARAMS_SCHEMA)
+            .parquet(os.path.join(path, "_bm25_params", seg))
+            .first()["n_buckets"]
+        )
+
+        def _params_w(staging: str) -> None:
+            (
+                spark.createDataFrame(
+                    [(stats["n"], stats["s"], n_buckets)], _PARAMS_SCHEMA
+                )
+                .coalesce(1)
+                .write.parquet(staging)
+            )
+
+        swap_with_staging(
+            spark, os.path.join(path, "_bm25_params", seg), _params_w, job="erase"
+        )
+        rewritten += 1
+    return {
+        "segments_rewritten": rewritten,
+        "segments_removed": removed,
+        "docs_deleted": n_deleted,
+    }
+
+
 def compact_bm25_index(spark, path: str) -> None:
     """Collapse a segmented BM25 index to ONE segment (``batch=0``) —
     the maintenance job that bounds probe listing cost after many

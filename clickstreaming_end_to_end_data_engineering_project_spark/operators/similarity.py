@@ -780,6 +780,157 @@ def write_ivf_index(
     )
 
 
+def _delete_ids_from_segments(
+    spark,
+    store_root: str,
+    id_col: str,
+    ids: "list",
+    partition_col: "str | None",
+    id_map_root: "str | None" = None,
+) -> "dict[str, int]":
+    """Shared delete engine for the segmented vector layouts (the
+    ``delete_from_bm25_index`` discipline without corpus stats, since
+    vector layouts carry none): discover the TOUCHED ``batch=<id>``
+    segments through the thin table (the ``_id_map`` sidecar where one
+    exists, else the store itself — columnar-pruned to the id column),
+    rewrite only those segments minus the deleted ids through the
+    crash-safe staging swap, and drop a segment whole when every id in
+    it is deleted (the empty-segment rule).  Idempotent: a crashed
+    delete heals by re-running it (filtering again is a no-op, and a
+    segment dir lost mid-removal has its sidecar slice finished off on
+    replay).  Trained sidecars (centroids, codebooks, params) are
+    untouched — deletion never retrains, exactly as appends never
+    retrain (Faiss/Lucene semantics)."""
+    import os
+
+    from ..fsutil import fs_for, swap_with_staging
+
+    if not ids:
+        return {"segments_rewritten": 0, "segments_removed": 0, "vectors_deleted": 0}
+    jvm, fs, store_hpath = fs_for(spark, store_root)
+    if not fs.exists(store_hpath):
+        raise ValueError(f"delete: no index store at {store_root}")
+    thin_root = store_root
+    if id_map_root is not None:
+        _, _, im_hpath = fs_for(spark, id_map_root)
+        if fs.exists(im_hpath):
+            thin_root = id_map_root
+    hit = (
+        spark.read.parquet(thin_root)
+        .filter(F.col(id_col).isin(ids))
+        .groupBy("batch")
+        .agg(F.countDistinct(id_col).alias("_n"))
+        .collect()
+    )
+    touched = sorted(int(r["batch"]) for r in hit)
+    n_deleted = int(sum(r["_n"] for r in hit))
+    rewritten = removed = 0
+
+    def _hp(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    for b in touched:
+        seg = f"batch={b}"
+        seg_path = os.path.join(store_root, seg)
+        im_seg = os.path.join(id_map_root, seg) if id_map_root else None
+        if not fs.exists(_hp(seg_path)):
+            # previous whole-segment removal crashed between deletes:
+            # finish the sidecar slice (idempotent replay)
+            if im_seg:
+                fs.delete(_hp(im_seg), True)
+            removed += 1
+            continue
+        survivors = spark.read.parquet(seg_path).filter(~F.col(id_col).isin(ids))
+        if survivors.limit(1).count() == 0:
+            fs.delete(_hp(seg_path), True)
+            if im_seg:
+                fs.delete(_hp(im_seg), True)
+            removed += 1
+            continue
+
+        def _store_w(staging: str) -> None:
+            w = survivors.write
+            if partition_col:
+                w = w.partitionBy(partition_col)
+            w.parquet(staging)
+
+        swap_with_staging(spark, seg_path, _store_w, job="erase")
+        if im_seg and fs.exists(_hp(im_seg)):
+            im_kept = spark.read.parquet(im_seg).filter(~F.col(id_col).isin(ids))
+
+            def _im_w(staging: str) -> None:
+                im_kept.write.parquet(staging)
+
+            swap_with_staging(spark, im_seg, _im_w, job="erase")
+        rewritten += 1
+    return {
+        "segments_rewritten": rewritten,
+        "segments_removed": removed,
+        "vectors_deleted": n_deleted,
+    }
+
+
+def delete_from_lsh_index(
+    spark, path: str, vec_ids: "list", id_col: str = "vec_id"
+) -> "dict[str, int]":
+    """Delete vectors from a ``write_lsh_index`` layout — O(touched
+    segments), discovery through the ``_id_map`` sidecar; a probe
+    after deletion is IDENTICAL to a fresh rebuild over the survivors
+    (hyperplanes are content-deterministic; pinned by test)."""
+    import os
+
+    return _delete_ids_from_segments(
+        spark, path, id_col, vec_ids, "lsh_bucket",
+        id_map_root=os.path.join(path, "_id_map"),
+    )
+
+
+def delete_from_ivf_index(
+    spark, path: str, vec_ids: "list", id_col: str = "vec_id"
+) -> "dict[str, int]":
+    """Delete vectors from a ``write_ivf_index`` layout — O(touched
+    segments).  Centroids are NOT retrained (trained state; the
+    append rule in reverse), so an exhaustive probe after deletion
+    equals brute force over the survivors (pinned), while serving-
+    nprobe recall drifts only as far as the surviving distribution
+    drifts from the training sample — retrain = rebuild."""
+    import os
+
+    return _delete_ids_from_segments(
+        spark, os.path.join(path, "vectors"), id_col, vec_ids, "cluster",
+        id_map_root=os.path.join(path, "_id_map"),
+    )
+
+
+def delete_from_pq_index(
+    spark, path: str, vec_ids: "list", id_col: str = "vec_id"
+) -> "dict[str, int]":
+    """Delete vectors from a ``write_pq_index`` layout — O(touched
+    segments) over the codes table (the codes ARE the thin table).
+    Codebooks untouched; probe after deletion equals a same-codebook
+    rebuild over the survivors (pinned)."""
+    import os
+
+    return _delete_ids_from_segments(
+        spark, os.path.join(path, "codes"), id_col, vec_ids, None
+    )
+
+
+def delete_from_ivfpq_index(
+    spark, path: str, vec_ids: "list", id_col: str = "vec_id"
+) -> "dict[str, int]":
+    """Delete vectors from a ``write_ivfpq_index`` layout — O(touched
+    segments) over the residual-codes table (multiple assignment means
+    assign_n rows per id, all removed together).  Coarse centroids and
+    codebooks untouched; exhaustive probe after deletion equals brute
+    force over the survivors (pinned)."""
+    import os
+
+    return _delete_ids_from_segments(
+        spark, os.path.join(path, "codes"), id_col, vec_ids, "cluster"
+    )
+
+
 def compact_lsh_index(spark, path: str) -> None:
     """Collapse a segmented LSH index to ONE segment (``batch=0``) —
     bounds the probe's directory-listing cost after many appends

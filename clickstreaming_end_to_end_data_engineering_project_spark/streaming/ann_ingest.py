@@ -17,11 +17,21 @@ indexes):
   exactness over probed clusters is unconditional; recall at serving
   nprobe drifts only as far as the streamed data drifts from the
   training sample — retraining is a rebuild, exactly as in batch.
+- ``PqIngestSink`` / ``IvfpqIngestSink`` (r14, with the batch appends
+  they wrap): pre-trained layouts required for the same reason
+  (codebooks — and for IVFPQ the coarse centroids — are trained
+  state); each micro-batch is encoded against the STORED codebooks
+  into one ``codes/batch=<id>`` segment.  A streamed PQ index equals
+  a same-codebook batch build bit-for-bit (encoding is deterministic
+  given the codebooks); IVFPQ additionally inherits the IVF recall
+  caveat under distribution drift.
 
-Both sinks inherit replay idempotence from the explicit ``batch_id``
+All sinks inherit replay idempotence from the explicit ``batch_id``
 overwrite semantics of ``append_*_index``: a re-delivered micro-batch
 rewrites its own segment's directories, so crashed or replayed
-batches can never double-insert a vector.
+batches can never double-insert a vector.  Compaction must NOT run
+from inside a live stream's cadence — see
+operators/maintenance.maintain_index for the replay-wedge analysis.
 """
 
 from __future__ import annotations
@@ -100,6 +110,69 @@ class IvfIngestSink:
         from ..operators.similarity import append_ivf_index
 
         append_ivf_index(
+            batch,
+            self.index_dir,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            batch_id=batch_id,
+        )
+
+
+class PqIngestSink:
+    """foreachBatch callable: micro-batch of (id, vector) rows → one
+    ``codes/batch=<id>`` segment of a PRE-TRAINED PQ layout (raises if
+    the index does not exist — train first with ``write_pq_index``).
+    Encoding against stored codebooks is deterministic, so the
+    streamed index equals a same-codebook batch build bit-for-bit."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        self.index_dir = index_dir
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        from ..operators.similarity import append_pq_index
+
+        append_pq_index(
+            batch,
+            self.index_dir,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            batch_id=batch_id,
+        )
+
+
+class IvfpqIngestSink:
+    """foreachBatch callable: micro-batch of (id, vector) rows → one
+    ``codes/batch=<id>/cluster=<c>/`` segment of a PRE-TRAINED IVFPQ
+    layout (raises if the index does not exist — train first with
+    ``write_ivfpq_index``).  Assignment to stored coarse centroids +
+    residual encoding against stored codebooks — the streaming face of
+    ``append_ivfpq_index``'s add-after-train contract."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        self.index_dir = index_dir
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        from ..operators.similarity import append_ivfpq_index
+
+        append_ivfpq_index(
             batch,
             self.index_dir,
             id_col=self.id_col,

@@ -3832,6 +3832,190 @@ def test_lsh_and_ivf_compaction_preserve_probes(spark, sf_dir, tmp_path):
     assert vdirs == ["batch=0"]
     assert S.append_ivf_index(extra, ivf)["batch_id"] == 1
 
+def test_bm25_delete_probe_equals_rebuild_over_survivors(spark, sf_dir, tmp_path):
+    """r14: the index family's DELETE verb.  Deleting docs rewrites
+    only the touched segments with their stats recomputed exactly, so
+    a probe after deletion is BIT-EQUAL to a fresh rebuild over the
+    surviving corpus — no stale-stats tombstone window.  A segment
+    emptied entirely is removed whole; unknown/empty id lists are
+    no-ops; update = delete + append round-trips; re-running a delete
+    is idempotent."""
+    import os
+
+    import pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.retrieval import (
+        append_bm25_index,
+        bm25_topk_indexed,
+        delete_from_bm25_index,
+        write_bm25_index,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    terms = ["spark", "stream", "hash", "dup"]
+    docs = load(spark, sf_dir, "documents")
+    part_a = docs.filter(F.col("doc_id") % 10 < 7)
+    part_b = docs.filter(F.col("doc_id") % 10 >= 7)
+
+    idx = str(tmp_path / "bm25_del")
+    write_bm25_index(part_a, idx, n_buckets=16)
+    append_bm25_index(part_b, idx)
+
+    # delete a slice spanning BOTH segments
+    victims = [r["doc_id"] for r in docs.filter(F.col("doc_id") % 7 == 0).collect()]
+    out = delete_from_bm25_index(spark, idx, victims)
+    assert out["segments_rewritten"] == 2 and out["docs_deleted"] > 0
+
+    survivors_df = docs.filter(~F.col("doc_id").isin(victims))
+    rebuild = str(tmp_path / "bm25_survivors")
+    write_bm25_index(survivors_df, rebuild, n_buckets=16)
+    want = [tuple(r) for r in bm25_topk_indexed(spark, rebuild, terms, k=10).collect()]
+    got = [tuple(r) for r in bm25_topk_indexed(spark, idx, terms, k=10).collect()]
+    assert got == want and len(got) == 10
+    assert not {g[0] for g in got} & set(victims)
+
+    # idempotent: re-running the same delete changes nothing
+    out2 = delete_from_bm25_index(spark, idx, victims)
+    assert out2["docs_deleted"] == 0
+    assert [
+        tuple(r) for r in bm25_topk_indexed(spark, idx, terms, k=10).collect()
+    ] == want
+
+    # update = delete + append: re-add the victims with new text and
+    # match a rebuild over the updated corpus exactly
+    updated = docs.filter(F.col("doc_id").isin(victims)).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" spark spark"))
+    )
+    append_bm25_index(updated, idx)
+    full_updated = str(tmp_path / "bm25_updated")
+    write_bm25_index(
+        survivors_df.unionByName(updated), full_updated, n_buckets=16
+    )
+    assert [
+        tuple(r) for r in bm25_topk_indexed(spark, idx, terms, k=10).collect()
+    ] == [
+        tuple(r) for r in bm25_topk_indexed(spark, full_updated, terms, k=10).collect()
+    ]
+
+    # whole-segment removal: delete every doc of segment batch=2 (the
+    # update segment) — its four dirs disappear
+    out3 = delete_from_bm25_index(spark, idx, victims)
+    assert out3["segments_removed"] == 1 and out3["segments_rewritten"] == 0
+    assert not os.path.isdir(os.path.join(idx, "batch=2"))
+    assert not os.path.isdir(os.path.join(idx, "_bm25_params", "batch=2"))
+    assert [
+        tuple(r) for r in bm25_topk_indexed(spark, idx, terms, k=10).collect()
+    ] == want
+
+    # no-ops and errors
+    assert delete_from_bm25_index(spark, idx, []) == {
+        "segments_rewritten": 0, "segments_removed": 0, "docs_deleted": 0,
+    }
+    assert delete_from_bm25_index(spark, idx, [999_999_999])["docs_deleted"] == 0
+    with pytest.raises(ValueError, match="no index"):
+        delete_from_bm25_index(spark, str(tmp_path / "nope"), [1])
+
+
+def test_vector_index_deletes_match_rebuilds_over_survivors(spark, sf_dir, tmp_path):
+    """r14: the DELETE verb across the four vector layouts.  LSH:
+    probe == rebuild over survivors (content-deterministic, exact).
+    IVF: exhaustive probe == brute force over survivors, _id_map kept
+    consistent.  PQ: probe == same-codebook rebuild over survivors.
+    IVFPQ: exhaustive probe == brute force over survivors.  Each
+    O(touched segments); trained sidecars untouched."""
+    import os
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        similarity as S,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    embs = load(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
+    victims = [
+        r["vec_id"]
+        for r in embs.filter(
+            (F.col("vec_id") % 7 == 1) & (F.col("vec_id") != 0)
+        ).collect()
+    ]
+    survivors = embs.filter(~F.col("vec_id").isin(victims)).localCheckpoint(eager=True)
+
+    # LSH
+    lsh = str(tmp_path / "lsh_del")
+    S.write_lsh_index(embs, lsh, planes=4, dims=64)
+    out = S.delete_from_lsh_index(spark, lsh, victims)
+    assert out["vectors_deleted"] == len(victims)
+    rebuild = str(tmp_path / "lsh_sur")
+    S.write_lsh_index(survivors, rebuild, planes=4, dims=64)
+    for kwargs in ({"query_vec_id": 0}, {"query_vec": qvec, "nprobe": 4}):
+        got = [tuple(r) for r in S.lsh_topk_indexed(spark, lsh, k=10, **kwargs).collect()]
+        want = [
+            tuple(r) for r in S.lsh_topk_indexed(spark, rebuild, k=10, **kwargs).collect()
+        ]
+        assert got == want and len(got) == 10, kwargs
+    # _id_map stays consistent with the store
+    assert (
+        spark.read.parquet(os.path.join(lsh, "_id_map")).count()
+        == survivors.count()
+    )
+
+    # IVF (trained on everything; deletion never retrains)
+    ivf = str(tmp_path / "ivf_del")
+    S.write_ivf_index(embs, ivf, n_clusters=6, iterations=2)
+    S.delete_from_ivf_index(spark, ivf, victims)
+    got = [
+        tuple(r)
+        for r in S.ivf_topk_indexed(
+            spark, ivf, qvec, k=10, nprobe=6, exclude_vec_id=0
+        ).collect()
+    ]
+    want = [tuple(r) for r in S.brute_force_topk(survivors, 0, k=10).collect()]
+    assert got == want and len(got) == 10
+
+    # PQ (anchor codebooks → deterministic same-codebook rebuild)
+    books = S.anchor_pq_codebooks(embs, m=8, k=16)
+    pq = str(tmp_path / "pq_del")
+    S.write_pq_index(embs, pq, codebooks=books)
+    S.delete_from_pq_index(spark, pq, victims)
+    body = survivors.filter(F.col("vec_id") != 0)
+    pq_rebuild = str(tmp_path / "pq_sur")
+    S.write_pq_index(survivors, pq_rebuild, codebooks=books)
+    got = [
+        tuple(r)
+        for r in S.pq_topk_indexed(spark, pq, body, qvec, k=10, shortlist=50).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in S.pq_topk_indexed(
+            spark, pq_rebuild, body, qvec, k=10, shortlist=50
+        ).collect()
+    ]
+    assert got == want and len(got) == 10
+
+    # IVFPQ (unit-normalized corpus; exhaustive probe == brute force)
+    normed = S.unit_normalize(embs).localCheckpoint(eager=True)
+    nbody_all = normed.filter(F.col("vec_id") != 0)
+    ivfpq = str(tmp_path / "ivfpq_del")
+    S.write_ivfpq_index(
+        nbody_all, ivfpq, n_clusters=6, m=4, codes_k=8,
+        coarse_iterations=2, pq_iterations=1, assign_n=2,
+    )
+    S.delete_from_ivfpq_index(spark, ivfpq, victims)
+    nbody_sur = normed.filter(
+        (F.col("vec_id") != 0) & ~F.col("vec_id").isin(victims)
+    ).localCheckpoint(eager=True)
+    got = [
+        r["vec_id"]
+        for r in S.ivfpq_topk_indexed(
+            spark, ivfpq, nbody_sur, [float(x) for x in normed.filter(
+                F.col("vec_id") == 0).head()["embedding"]],
+            k=10, nprobe=6, shortlist=nbody_sur.count(),
+        ).collect()
+    ]
+    want = [r["vec_id"] for r in S.brute_force_topk(survivors, 0, k=10).collect()]
+    assert got == want and len(got) == 10
+
+
 def test_extend_dup_clusters_equals_full_recompute(spark, sf_dir):
     """r13 verdict #8: incremental dup-cluster maintenance.  Extending
     a dup_clusters labeling with an increment's pairs must equal a

@@ -2318,3 +2318,97 @@ def test_streaming_ann_ingest_lsh_bootstrap_and_ivf_pretrained(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
     for d in (lsh_index, ivf_index, full):
         shutil.rmtree(os.path.dirname(d), ignore_errors=True)
+
+
+def test_streaming_pq_and_ivfpq_ingest_pretrained(spark, sf_dir):
+    """r14: the PQ/IVFPQ ingest twins.  Both sinks require pre-trained
+    layouts (codebooks are trained state).  A streamed PQ index must
+    probe IDENTICALLY to a same-codebook batch build over the same
+    vectors (encoding against stored codebooks is deterministic); the
+    IVFPQ sink's exhaustive probe must equal brute force over
+    everything ingested.  Replays rewrite their own segments and move
+    nothing; both raise on a missing index."""
+    import pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        similarity as S,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.ann_ingest import (
+        IvfpqIngestSink,
+        PqIngestSink,
+    )
+
+    embs = load(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    parts = [
+        embs.filter(F.col("vec_id") % 3 == i).localCheckpoint(eager=True)
+        for i in range(3)
+    ]
+    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
+
+    # --- PQ: train on part 0, stream parts 1-2, compare to a
+    # same-codebook batch build over the full corpus
+    books = S.anchor_pq_codebooks(embs, m=8, k=16)
+    pq_index = os.path.join(tempfile.mkdtemp(prefix="ann_pq_"), "index")
+    S.write_pq_index(parts[0], pq_index, codebooks=books)
+    pq_sink = PqIngestSink(pq_index)
+    pq_sink(parts[1], 1)
+    pq_sink(parts[2], 2)
+    full = os.path.join(tempfile.mkdtemp(prefix="ann_pqf_"), "index")
+    S.write_pq_index(embs, full, codebooks=books)
+    body = embs.filter(F.col("vec_id") != 0)
+    want_pq = [
+        tuple(r)
+        for r in S.pq_topk_indexed(spark, full, body, qvec, k=10, shortlist=50).collect()
+    ]
+    probe = lambda: [
+        tuple(r)
+        for r in S.pq_topk_indexed(
+            spark, pq_index, body, qvec, k=10, shortlist=50
+        ).collect()
+    ]
+    # the streamed index also contains vec 0 itself (it matches with
+    # l2 0) — exclude it the same way on both sides via the rerank df
+    got_pq = probe()
+    assert got_pq == want_pq and len(got_pq) == 10
+    pq_sink(parts[1], 1)  # replay
+    assert probe() == want_pq
+    with pytest.raises(ValueError, match="no index"):
+        PqIngestSink(pq_index + "_missing")(parts[1], 9)
+
+    # --- IVFPQ: train on part 0 (unit-normalized corpus for cosine
+    # serving), stream the rest, exhaustive probe == brute force
+    normed = S.unit_normalize(embs).localCheckpoint(eager=True)
+    nparts = [
+        normed.filter(F.col("vec_id") % 3 == i).localCheckpoint(eager=True)
+        for i in range(3)
+    ]
+    ivfpq_index = os.path.join(tempfile.mkdtemp(prefix="ann_ivfpq_"), "index")
+    S.write_ivfpq_index(
+        nparts[0], ivfpq_index, n_clusters=6, m=4, codes_k=8,
+        coarse_iterations=2, pq_iterations=1, assign_n=2,
+    )
+    ivfpq_sink = IvfpqIngestSink(ivfpq_index)
+    ivfpq_sink(nparts[1], 1)
+    ivfpq_sink(nparts[2], 2)
+    nbody = normed.filter(F.col("vec_id") != 0)
+    n_body = nbody.count()
+    nq = [float(x) for x in normed.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exhaustive = lambda: [
+        r["vec_id"]
+        for r in S.ivfpq_topk_indexed(
+            # +1: the streamed codes include vec 0 itself (rank-0 ADC
+            # hit), which must not evict the last real candidate from
+            # an "exhaustive" shortlist
+            spark, ivfpq_index, nbody, nq, k=10, nprobe=6, shortlist=n_body + 1
+        ).collect()
+    ]
+    want_ids = [r["vec_id"] for r in S.brute_force_topk(embs, 0, k=10).collect()]
+    assert exhaustive() == want_ids
+    ivfpq_sink(nparts[2], 2)  # replay
+    assert exhaustive() == want_ids
+    with pytest.raises(ValueError, match="no index"):
+        IvfpqIngestSink(ivfpq_index + "_missing")(nparts[1], 9)
+
+    for d in (pq_index, full, ivfpq_index):
+        shutil.rmtree(os.path.dirname(d), ignore_errors=True)
