@@ -70,6 +70,42 @@ def heal_swap_crash(spark, path: str) -> None:
             return
 
 
+def heal_segment_debris(spark, root: str) -> None:
+    """Heal crashed PER-SEGMENT swap jobs inside a partition-discovered
+    store root (r14, with the delete verbs — the first swaps that
+    operate on ``batch=<id>`` dirs INSIDE a discovered tree rather
+    than on a whole index root): a crash can strand
+    ``batch=<id>.{job}_{old,staging}`` sibling directories, and unlike
+    root-level swap debris (which lives harmlessly BESIDE the index),
+    these sit where partition discovery walks — every later read of
+    the store would mis-parse them as partition values.  For each
+    debris entry: restore the live segment from its ``_old`` backup if
+    the live dir is missing (``heal_swap_crash``), then delete any
+    remaining suffix dirs once the live segment exists.  A staging dir
+    with NO live and NO old sibling is left untouched — that state is
+    outside the swap protocol and deleting it could destroy data we
+    cannot attribute.  Idempotent; call before reading a store a
+    crashed segment job may have touched."""
+    import os
+    import re
+
+    jvm, fs, hpath = fs_for(spark, root)
+    if not fs.exists(hpath):
+        return
+    pat = re.compile(
+        r"^(?P<base>.+)\.(" + "|".join(_JOBS) + r")_(old|staging)$"
+    )
+    names = [status.getPath().getName() for status in fs.listStatus(hpath)]
+    for name in names:
+        m = pat.match(name)
+        if not m:
+            continue
+        base = os.path.join(root, m.group("base"))
+        heal_swap_crash(spark, base)
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(base)):
+            fs.delete(jvm.org.apache.hadoop.fs.Path(os.path.join(root, name)), True)
+
+
 def swap_with_staging(spark, path: str, write_fn, job: str = "compact") -> None:
     """Run the full discipline around ``write_fn``.
 
@@ -187,5 +223,11 @@ def existing_batch_ids(spark, path: str) -> "list[int]":
     for status in fs.listStatus(hpath):
         name = status.getPath().getName()
         if name.startswith("batch="):
-            out.append(int(name.split("=", 1)[1]))
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                # not a segment: crash debris (batch=<id>.erase_old) or
+                # a foreign dir — listing must not die on it (the
+                # heal_segment_debris job owns cleaning it up)
+                continue
     return sorted(out)

@@ -89,9 +89,21 @@ def maintain_index(
             "(expected a _bm25/_lsh/_ivf/_ivfpq/_pq params sidecar)"
         )
     kind, seg_rel, compact_ref = detected
-    from ..fsutil import existing_batch_ids
+    from ..fsutil import existing_batch_ids, heal_segment_debris
 
     seg_root = os.path.join(root, seg_rel) if seg_rel else root
+    # a crashed segment-level job (a delete) leaves batch=<id>.erase_*
+    # debris that would poison the compaction's partition-discovery
+    # reads — heal every segmented dir of the layout first
+    sidecars = {
+        "bm25": ("", "_doclens", "_termstats", "_bm25_params"),
+        "lsh": ("", "_id_map"),
+        "ivf": ("vectors", "_id_map"),
+        "ivfpq": ("codes",),
+        "pq": ("codes",),
+    }[kind]
+    for sub in sidecars:
+        heal_segment_debris(spark, os.path.join(root, sub) if sub else root)
     before = len(existing_batch_ids(spark, seg_root))
     if before <= max_segments:
         return {

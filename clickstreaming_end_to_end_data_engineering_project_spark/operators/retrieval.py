@@ -456,10 +456,16 @@ def delete_from_bm25_index(
     "segments_removed", "docs_deleted"}.  Unknown ids are a no-op."""
     import os
 
-    from ..fsutil import fs_for, swap_with_staging
+    from ..fsutil import fs_for, heal_segment_debris, swap_with_staging
 
     if not doc_ids:
         return {"segments_rewritten": 0, "segments_removed": 0, "docs_deleted": 0}
+    # a crashed per-segment swap leaves batch=<id>.erase_* debris that
+    # poisons partition discovery — heal all four roots BEFORE any
+    # listing or read (a stranded live segment must be restored before
+    # _existing_bm25_batches counts segments)
+    for sub in ("", "_doclens", "_termstats", "_bm25_params"):
+        heal_segment_debris(spark, os.path.join(path, sub) if sub else path)
     existing = _existing_bm25_batches(spark, path)
     if not existing:
         raise ValueError(f"delete_from_bm25_index: no index at {path}")

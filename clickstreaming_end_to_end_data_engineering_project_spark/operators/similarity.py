@@ -807,11 +807,17 @@ def _delete_ids_from_segments(
 
     if not ids:
         return {"segments_rewritten": 0, "segments_removed": 0, "vectors_deleted": 0}
+    from ..fsutil import heal_segment_debris
+
     jvm, fs, store_hpath = fs_for(spark, store_root)
     if not fs.exists(store_hpath):
         raise ValueError(f"delete: no index store at {store_root}")
+    # a crashed per-segment swap leaves batch=<id>.erase_* debris that
+    # poisons partition discovery — heal BEFORE the discovery read
+    heal_segment_debris(spark, store_root)
     thin_root = store_root
     if id_map_root is not None:
+        heal_segment_debris(spark, id_map_root)
         _, _, im_hpath = fs_for(spark, id_map_root)
         if fs.exists(im_hpath):
             thin_root = id_map_root

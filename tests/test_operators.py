@@ -4016,6 +4016,145 @@ def test_vector_index_deletes_match_rebuilds_over_survivors(spark, sf_dir, tmp_p
     assert got == want and len(got) == 10
 
 
+def test_delete_heals_crashed_segment_swap_debris(spark, tmp_path):
+    """r14 self-review catch: per-segment swaps (the delete verb) are
+    the first swap jobs operating INSIDE a partition-discovered tree,
+    so crash debris (batch=<id>.erase_{old,staging} sibling dirs) sits
+    where partition discovery walks and would poison every later read.
+    Re-running the delete must first heal: restore a live segment
+    stranded in its .erase_old backup, drop garbage staging dirs, and
+    then complete normally — the re-run-to-heal discipline made real
+    for both crash positions."""
+    import os
+    import shutil
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        retrieval as R,
+        similarity as S,
+    )
+
+    # BM25: strand segment batch=0 mid-swap (live renamed to .erase_old)
+    docs = spark.createDataFrame(
+        [(i, f"spark stream doc{i % 3} hash") for i in range(12)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "bm25_debris")
+    R.write_bm25_index(docs.filter(F.col("doc_id") < 6), idx, n_buckets=4)
+    R.append_bm25_index(docs.filter(F.col("doc_id") >= 6), idx)
+    os.rename(os.path.join(idx, "batch=0"), os.path.join(idx, "batch=0.erase_old"))
+    os.makedirs(os.path.join(idx, "batch=1.erase_staging"))
+    out = R.delete_from_bm25_index(spark, idx, [3])
+    assert out["docs_deleted"] == 1
+    left = sorted(d for d in os.listdir(idx) if d.startswith("batch="))
+    assert left == ["batch=0", "batch=1"]  # restored + garbage cleared
+    got = [tuple(r) for r in R.bm25_topk_indexed(spark, idx, ["spark"], k=12).collect()]
+    assert len(got) == 11 and 3 not in {g[0] for g in got}
+
+    # LSH: same two crash states on the vector store + its id map
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 4), 1.0, float(i % 3), 0.5]) for i in range(16)],
+        "vec_id long, embedding array<double>",
+    )
+    lsh = str(tmp_path / "lsh_debris")
+    S.write_lsh_index(vecs.filter(F.col("vec_id") < 8), lsh, planes=2, dims=4)
+    S.append_lsh_index(vecs.filter(F.col("vec_id") >= 8), lsh)
+    os.rename(os.path.join(lsh, "batch=1"), os.path.join(lsh, "batch=1.erase_old"))
+    os.makedirs(os.path.join(lsh, "_id_map", "batch=0.erase_staging"))
+    out = S.delete_from_lsh_index(spark, lsh, [5])
+    assert out["vectors_deleted"] == 1
+    assert sorted(d for d in os.listdir(lsh) if d.startswith("batch=")) == [
+        "batch=0", "batch=1",
+    ]
+    assert not os.path.isdir(os.path.join(lsh, "_id_map", "batch=0.erase_staging"))
+    rebuild = str(tmp_path / "lsh_debris_rebuild")
+    S.write_lsh_index(vecs.filter(F.col("vec_id") != 5), rebuild, planes=2, dims=4)
+    q = [1.0, 1.0, 0.0, 0.5]
+    assert [
+        tuple(r)
+        for r in S.lsh_topk_indexed(spark, lsh, query_vec=q, k=5, nprobe=4).collect()
+    ] == [
+        tuple(r)
+        for r in S.lsh_topk_indexed(spark, rebuild, query_vec=q, k=5, nprobe=4).collect()
+    ]
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_index_lifecycle_build_append_delete_compact_equals_rebuild(
+    spark, sf_dir, tmp_path
+):
+    """r14 lifecycle composition: the five maintenance verbs compose.
+    For BM25 and IVF — build(A) → append(B) → append(C) → delete(D) →
+    maintain_index(auto-compact) → probe must equal a fresh rebuild
+    over the FINAL corpus state (A∪B∪C − D): bit-equal for BM25
+    (stats recomputed exactly at every step), exhaustive-probe ==
+    brute-force for IVF (centroids are trained state and the final
+    comparison is exact rerank).  This is the living-index serving
+    story end to end, not per-verb."""
+    import os
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        retrieval as R,
+        similarity as S,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.maintenance import (
+        maintain_index,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    embs = load(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    part = lambda df, c, i: df.filter(F.col(c) % 3 == i)
+    victims_docs = [
+        r["doc_id"] for r in docs.filter(F.col("doc_id") % 11 == 3).collect()
+    ]
+    victims_vecs = [
+        r["vec_id"]
+        for r in embs.filter(
+            (F.col("vec_id") % 11 == 3) & (F.col("vec_id") != 0)
+        ).collect()
+    ]
+
+    # --- BM25 lifecycle
+    terms = ["spark", "stream", "hash", "dup"]
+    idx = str(tmp_path / "bm25_life")
+    R.write_bm25_index(part(docs, "doc_id", 0), idx, n_buckets=16)
+    R.append_bm25_index(part(docs, "doc_id", 1), idx)
+    R.append_bm25_index(part(docs, "doc_id", 2), idx)
+    R.delete_from_bm25_index(spark, idx, victims_docs)
+    out = maintain_index(spark, idx, max_segments=1)
+    assert out["compacted"] and out["segments_after"] == 1
+    final_docs = docs.filter(~F.col("doc_id").isin(victims_docs))
+    rebuild = str(tmp_path / "bm25_life_rebuild")
+    R.write_bm25_index(final_docs, rebuild, n_buckets=16)
+    got = [tuple(r) for r in R.bm25_topk_indexed(spark, idx, terms, k=10).collect()]
+    want = [tuple(r) for r in R.bm25_topk_indexed(spark, rebuild, terms, k=10).collect()]
+    assert got == want and len(got) == 10
+
+    # --- IVF lifecycle (trained once on part 0; never retrained)
+    ivf = str(tmp_path / "ivf_life")
+    S.write_ivf_index(part(embs, "vec_id", 0), ivf, n_clusters=6, iterations=2)
+    S.append_ivf_index(part(embs, "vec_id", 1), ivf)
+    S.append_ivf_index(part(embs, "vec_id", 2), ivf)
+    S.delete_from_ivf_index(spark, ivf, victims_vecs)
+    out = maintain_index(spark, ivf, max_segments=1)
+    assert out["compacted"] and out["segments_after"] == 1
+    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
+    final_vecs = embs.filter(~F.col("vec_id").isin(victims_vecs))
+    got = [
+        tuple(r)
+        for r in S.ivf_topk_indexed(
+            spark, ivf, qvec, k=10, nprobe=6, exclude_vec_id=0
+        ).collect()
+    ]
+    want = [tuple(r) for r in S.brute_force_topk(final_vecs, 0, k=10).collect()]
+    assert got == want and len(got) == 10
+    # the _id_map sidecar survived the whole lifecycle consistently
+    assert (
+        spark.read.parquet(os.path.join(ivf, "_id_map")).count()
+        == final_vecs.count()
+    )
+
+
 def test_extend_dup_clusters_equals_full_recompute(spark, sf_dir):
     """r13 verdict #8: incremental dup-cluster maintenance.  Extending
     a dup_clusters labeling with an increment's pairs must equal a
