@@ -368,6 +368,35 @@ def _indexed_probe_metrics(spark, sf_dir: str) -> "dict[str, object]":
             ivfpq_append = round(time.perf_counter() - t0, 3)
         except Exception:
             ivfpq_append = None
+        # delete legs (r14): remove HALF the appended increment's ids —
+        # a PARTIAL segment rewrite (the representative delete; a full
+        # segment drop is just dir removal), recording the cost model
+        # behind "deleting a doc rewrites a day's segment, not the
+        # corpus"
+        try:
+            victims = [
+                r[0]
+                for r in inc.filter(F.col("doc_id") % 40 == 0)
+                .select("doc_id")
+                .collect()
+            ]
+            t0 = time.perf_counter()
+            R.delete_from_bm25_index(spark, bm25_path, victims)
+            bm25_delete = round(time.perf_counter() - t0, 3)
+        except Exception:
+            bm25_delete = None
+        try:
+            vvictims = [
+                r[0]
+                for r in vinc.filter(F.col("vec_id") % 40 == 0)
+                .select("vec_id")
+                .collect()
+            ]
+            t0 = time.perf_counter()
+            S.delete_from_ivf_index(spark, ivf_path, vvictims)
+            ivf_delete = round(time.perf_counter() - t0, 3)
+        except Exception:
+            ivf_delete = None
         out["indexed_probe_queries"] = legs
         out["indexed_probe_build_sec"] = {
             "lsh": round(lsh_build, 3),
@@ -380,6 +409,8 @@ def _indexed_probe_metrics(spark, sf_dir: str) -> "dict[str, object]":
             "ivf_append": ivf_append,
             "pq_append": pq_append,
             "ivfpq_append": ivfpq_append,
+            "bm25_delete": bm25_delete,
+            "ivf_delete": ivf_delete,
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
