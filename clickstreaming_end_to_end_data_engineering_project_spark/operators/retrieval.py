@@ -375,12 +375,17 @@ def bm25_topk_indexed(
     import os
 
     if not query_terms:
-        raw = spark.read.parquet(path)
-        id_col = [
-            c for c in raw.columns
-            if c not in ("_t", "_tf", "_dl", "bucket", "batch")
-        ][0]
-        return _empty_bm25_result(raw.select(F.col(id_col)), id_col)
+        # infer the id column from the thin two-column _doclens sidecar
+        # — the postings root would cost a full file listing per empty
+        # query and mis-parse stranded batch=<id>.erase_* debris (r15
+        # advisory); _doclens is segment-count-sized and healed first
+        from ..fsutil import heal_segment_debris
+
+        doclens_root = os.path.join(path, "_doclens")
+        heal_segment_debris(spark, doclens_root)
+        dl = spark.read.parquet(doclens_root)
+        id_col = [c for c in dl.columns if c not in ("_dl", "batch")][0]
+        return _empty_bm25_result(dl.select(F.col(id_col)), id_col)
 
     totals = (
         spark.read.schema(_PARAMS_SCHEMA)
@@ -447,11 +452,18 @@ def delete_from_bm25_index(
 
     Crash discipline: postings are rewritten FIRST (a crash after that
     leaves the deleted docs out of results immediately, with stats
-    momentarily stale-high), then doclens/termstats/params; every
-    rewrite is idempotent filtering, so a crashed delete heals by
-    RE-RUNNING it — the same survivor discipline as appends.  Each
-    directory rewrite goes through the crash-safe staging swap, so no
-    partial write can lose surviving rows.  Terminal-runs-only, like
+    momentarily stale-high), then termstats/params, and ``_doclens``
+    strictly LAST — ``_doclens`` is the DISCOVERY table this very
+    function uses to find touched segments, so as long as it still
+    lists the deleted ids, a re-run re-finds the batch and re-heals
+    every other directory; rewriting it before the stats (the pre-r15
+    order) left a crash window where termstats/params stayed
+    permanently stale because the re-run no longer saw the segment as
+    touched (r15 advisory).  Every rewrite is idempotent filtering, so
+    a crashed delete heals by RE-RUNNING it — the same survivor
+    discipline as appends.  Each directory rewrite goes through the
+    crash-safe staging swap, so no partial write can lose surviving
+    rows.  Terminal-runs-only, like
     every swap-based job.  Returns {"segments_rewritten",
     "segments_removed", "docs_deleted"}.  Unknown ids are a no-op."""
     import os
@@ -488,10 +500,12 @@ def delete_from_bm25_index(
         seg_path = os.path.join(path, seg)
         if not fs.exists(jvm.org.apache.hadoop.fs.Path(seg_path)):
             # a previous whole-segment removal crashed between dir
-            # deletes: finish removing the sidecar slices (idempotent)
-            for d in (os.path.join(path, "_doclens", seg),
-                      os.path.join(path, "_termstats", seg),
-                      os.path.join(path, "_bm25_params", seg)):
+            # deletes: finish removing the sidecar slices (idempotent;
+            # _doclens LAST — it is the discovery table that got us
+            # here, so it must outlive the stats slices)
+            for d in (os.path.join(path, "_termstats", seg),
+                      os.path.join(path, "_bm25_params", seg),
+                      os.path.join(path, "_doclens", seg)):
                 fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
             removed += 1
             continue
@@ -499,10 +513,11 @@ def delete_from_bm25_index(
             ~F.col(id_col).isin(ids)
         )
         if survivors.limit(1).count() == 0:
-            # whole segment deleted: drop its four directories
-            for d in (seg_path, os.path.join(path, "_doclens", seg),
-                      os.path.join(path, "_termstats", seg),
-                      os.path.join(path, "_bm25_params", seg)):
+            # whole segment deleted: drop its four directories,
+            # _doclens last (discovery table — see docstring)
+            for d in (seg_path, os.path.join(path, "_termstats", seg),
+                      os.path.join(path, "_bm25_params", seg),
+                      os.path.join(path, "_doclens", seg)):
                 fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
             removed += 1
             continue
@@ -512,13 +527,6 @@ def delete_from_bm25_index(
 
         swap_with_staging(spark, seg_path, _postings, job="erase")
         kept = spark.read.parquet(seg_path)
-
-        def _doclens_w(staging: str) -> None:
-            kept.select(id_col, "_dl").distinct().write.parquet(staging)
-
-        swap_with_staging(
-            spark, os.path.join(path, "_doclens", seg), _doclens_w, job="erase"
-        )
 
         def _termstats_w(staging: str) -> None:
             kept.groupBy("_t").agg(F.count(F.lit(1)).alias("_df")).write.parquet(
@@ -548,6 +556,16 @@ def delete_from_bm25_index(
 
         swap_with_staging(
             spark, os.path.join(path, "_bm25_params", seg), _params_w, job="erase"
+        )
+
+        def _doclens_w(staging: str) -> None:
+            kept.select(id_col, "_dl").distinct().write.parquet(staging)
+
+        # _doclens LAST: every earlier crash point leaves the deleted
+        # ids listed here, so a re-run still discovers this segment as
+        # touched and re-heals the stats (r15 advisory)
+        swap_with_staging(
+            spark, os.path.join(path, "_doclens", seg), _doclens_w, job="erase"
         )
         rewritten += 1
     return {

@@ -1121,11 +1121,17 @@ def append_ivf_index(
         .drop("_d", "_rn", "centroid")
     )
     assigned = assigned.localCheckpoint(eager=True)
-    assigned.write.mode("overwrite").partitionBy("cluster").parquet(
-        os.path.join(vec_root, f"batch={batch_id}")
-    )
+    # _id_map slice FIRST (r15 advisory): batch ids are listed from the
+    # VECTORS root, so a crash between the two writes replays the same
+    # default batch_id and mode("overwrite") replaces both directories;
+    # the reverse order left a window where ids lived in the store but
+    # not in _id_map, and a retried append (max+1 from the vectors
+    # listing) passed the id_map overlap check and duplicated them.
     assigned.select(id_col, "cluster").write.mode("overwrite").parquet(
         os.path.join(path, "_id_map", f"batch={batch_id}")
+    )
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+        os.path.join(vec_root, f"batch={batch_id}")
     )
     return {"batch_id": batch_id, "n_vectors": assigned.count()}
 
@@ -1776,14 +1782,18 @@ def write_ivfpq_index(
     centroids into one new segment (Faiss add-after-train) — cluster
     pruning holds across segments (second-level partition column).
     Codebooks and centroids are never retrained by appends: retraining
-    IS the rebuild."""
+    IS the rebuild.
+
+    Rebuilding over an EXISTING index goes through the crash-safe
+    staging swap (r15 advisory, the ``write_pq_index`` discipline): the
+    old index stays live until the new one fully lands."""
     import os
 
-    from ..fsutil import fs_for
+    from ..fsutil import fs_for, heal_swap_crash, swap_with_staging
 
-    _, fs, hpath = fs_for(df.sparkSession, path)
-    if fs.exists(hpath):
-        fs.delete(hpath, True)
+    spark = df.sparkSession
+    heal_swap_crash(spark, path)
+    _, fs, hpath = fs_for(spark, path)
     codes, cent_rows, codebooks = ivfpq_build(
         df,
         n_clusters=n_clusters,
@@ -1798,32 +1808,35 @@ def write_ivfpq_index(
         # in-memory materialization ivfpq_build does for probe reuse
         materialize=False,
     )
-    codes.write.mode("overwrite").partitionBy("cluster").parquet(
-        os.path.join(path, "codes", "batch=0")
-    )
-    spark = df.sparkSession
-    (
-        spark.createDataFrame(cent_rows, "cluster int, centroid array<double>")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "_ivfpq_centroids"))
-    )
-    (
-        spark.createDataFrame(codebooks, "s int, c int, cv array<double>")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "_pq_codebooks"))
-    )
     dims = len(cent_rows[0][1])
-    (
-        spark.createDataFrame(
-            [(int(n_clusters), int(m), int(codes_k), int(dims), int(assign_n))],
-            "n_clusters int, m int, k int, dims int, assign_n int",
+
+    def _build(root: str) -> None:
+        codes.write.partitionBy("cluster").parquet(
+            os.path.join(root, "codes", "batch=0")
         )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "_ivfpq_params"))
-    )
+        (
+            spark.createDataFrame(cent_rows, "cluster int, centroid array<double>")
+            .coalesce(1)
+            .write.parquet(os.path.join(root, "_ivfpq_centroids"))
+        )
+        (
+            spark.createDataFrame(codebooks, "s int, c int, cv array<double>")
+            .coalesce(1)
+            .write.parquet(os.path.join(root, "_pq_codebooks"))
+        )
+        (
+            spark.createDataFrame(
+                [(int(n_clusters), int(m), int(codes_k), int(dims), int(assign_n))],
+                "n_clusters int, m int, k int, dims int, assign_n int",
+            )
+            .coalesce(1)
+            .write.parquet(os.path.join(root, "_ivfpq_params"))
+        )
+
+    if fs.exists(hpath):
+        swap_with_staging(spark, path, _build, job="compact")
+    else:
+        _build(path)
 
 
 def ivfpq_topk_indexed(
@@ -1983,9 +1996,12 @@ def append_ivfpq_index(
         )
         .localCheckpoint(eager=True)  # consumed by encode AND the join back
     )
+    # the (id, cluster) encode key is a STRUCT, not a delimited string
+    # concat (r15 advisory: string ids containing '#' could collide
+    # across (id, cluster) pairs and cross-wire codes to wrong rows)
     entry = assigned.select(
-        F.concat_ws(
-            "#", F.col(id_col).cast("string"), F.col("cluster").cast("string")
+        F.struct(
+            F.col(id_col).alias("_k_id"), F.col("cluster").alias("_k_cl")
         ).alias("_ek"),
         id_col,
         "cluster",
@@ -2073,14 +2089,19 @@ def write_pq_index(
     build = segment 0.  ``append_pq_index`` encodes NEW vectors
     against the STORED codebooks into one new segment (Faiss
     add-after-train) — O(increment), no retraining; retraining IS the
-    rebuild."""
+    rebuild.
+
+    Rebuilding over an EXISTING index goes through the crash-safe
+    staging swap (r15 advisory): the old index stays live and probe-able
+    until the new build fully lands — the pre-r15 delete-then-train
+    order left no index at all if the long training/build failed."""
     import os
 
-    from ..fsutil import fs_for
+    from ..fsutil import fs_for, heal_swap_crash, swap_with_staging
 
-    _, fs, hpath = fs_for(df.sparkSession, path)
-    if fs.exists(hpath):
-        fs.delete(hpath, True)
+    spark = df.sparkSession
+    heal_swap_crash(spark, path)
+    _, fs, hpath = fs_for(spark, path)
     if codebooks is None:
         codebooks = train_pq_codebooks(df, m, k, iterations, id_col, vec_col)
     m = max(s for s, _, _ in codebooks) + 1
@@ -2101,22 +2122,28 @@ def write_pq_index(
             f"centroid must be {sub_d}-dim"
         )
     dims = m * sub_d
-    pq_encode(df, codebooks, id_col, vec_col).write.mode("overwrite").parquet(
-        os.path.join(path, "codes", "batch=0")
-    )
-    spark = df.sparkSession
-    (
-        spark.createDataFrame(codebooks, "s int, c int, cv array<double>")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "_pq_codebooks"))
-    )
-    (
-        spark.createDataFrame([(int(m), int(k), int(dims))], "m int, k int, dims int")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "_pq_params"))
-    )
+
+    def _build(root: str) -> None:
+        pq_encode(df, codebooks, id_col, vec_col).write.parquet(
+            os.path.join(root, "codes", "batch=0")
+        )
+        (
+            spark.createDataFrame(codebooks, "s int, c int, cv array<double>")
+            .coalesce(1)
+            .write.parquet(os.path.join(root, "_pq_codebooks"))
+        )
+        (
+            spark.createDataFrame(
+                [(int(m), int(k), int(dims))], "m int, k int, dims int"
+            )
+            .coalesce(1)
+            .write.parquet(os.path.join(root, "_pq_params"))
+        )
+
+    if fs.exists(hpath):
+        swap_with_staging(spark, path, _build, job="compact")
+    else:
+        _build(path)
 
 
 def read_pq_codebooks(spark, path: str) -> "list[tuple[int, int, list[float]]]":

@@ -4449,3 +4449,233 @@ def test_interval_point_join_drops_inverted_intervals(spark):
     assert [(r["pid"], r["name"]) for r in got] == [(1, "ok")]
     semi = interval_point_join(points, intervals, "ts", "start", "end", how="left_semi")
     assert [r["pid"] for r in semi.collect()] == [1]
+
+
+def test_bm25_delete_any_crash_point_heals_on_rerun(spark, tmp_path, monkeypatch):
+    """r15 advisory (medium): delete_from_bm25_index must rewrite
+    ``_doclens`` strictly LAST — it is the discovery table the delete
+    itself uses to find touched segments, so every earlier crash point
+    leaves the deleted ids listed there and a RE-RUN re-finds the
+    segment and re-heals the stats.  Fault-inject a crash after each of
+    the first three per-segment swaps (postings / termstats / params),
+    re-run, and require the probe to be BIT-EQUAL to a fresh rebuild
+    over the survivors every time."""
+    import pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark import fsutil
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        retrieval as R,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"spark stream doc{i % 4} hash tok{i % 7}") for i in range(24)],
+        "doc_id long, text string",
+    )
+    survivors = docs.filter(~F.col("doc_id").isin([3, 9]))
+    rebuilt = str(tmp_path / "bm25_rebuild")
+    R.write_bm25_index(survivors, rebuilt, n_buckets=4)
+    terms = ["spark", "doc1", "tok2"]
+    want = [tuple(r) for r in R.bm25_topk_indexed(spark, rebuilt, terms, k=24).collect()]
+
+    real_swap = fsutil.swap_with_staging
+    for crash_after in (1, 2, 3):
+        idx = str(tmp_path / f"bm25_crash{crash_after}")
+        R.write_bm25_index(docs, idx, n_buckets=4)
+        calls = {"n": 0}
+
+        def crashing(spark_, path, write_fn, job="compact", _ca=crash_after):
+            real_swap(spark_, path, write_fn, job=job)
+            calls["n"] += 1
+            if calls["n"] == _ca:
+                raise RuntimeError("injected crash")
+
+        monkeypatch.setattr(fsutil, "swap_with_staging", crashing)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            R.delete_from_bm25_index(spark, idx, [3, 9])
+        monkeypatch.setattr(fsutil, "swap_with_staging", real_swap)
+        # the deleted ids are still listed in _doclens, so the re-run
+        # re-discovers the touched segment and completes all four swaps
+        out = R.delete_from_bm25_index(spark, idx, [3, 9])
+        assert out["segments_rewritten"] == 1
+        got = [tuple(r) for r in R.bm25_topk_indexed(spark, idx, terms, k=24).collect()]
+        assert got == want, f"crash after swap {crash_after} did not heal"
+
+
+def test_ivf_append_crash_before_vectors_write_retries_clean(spark, tmp_path):
+    """r15 advisory (medium): append_ivf_index writes the ``_id_map``
+    slice BEFORE the vectors segment.  A crash between the two leaves
+    an orphaned _id_map slice; since batch ids are listed from the
+    VECTORS root, a retry replays the SAME batch id and
+    mode("overwrite") replaces both directories — no duplicate ids can
+    enter the store (the reverse order let a retry pass the overlap
+    check and insert every appended id twice)."""
+    import os
+    import shutil
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        similarity as S,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3), 1.0, float(i) / 7.0]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    part_a = vecs.filter(F.col("vec_id") < 18)
+    part_b = vecs.filter(F.col("vec_id") >= 18)
+    idx = str(tmp_path / "ivf_crash")
+    S.write_ivf_index(part_a, idx, n_clusters=3, iterations=2)
+    out = S.append_ivf_index(part_b, idx)
+    assert out["batch_id"] == 1
+    # simulate the crash window: _id_map slice landed, vectors did not
+    shutil.rmtree(os.path.join(idx, "vectors", "batch=1"))
+    # the retry must NOT see the orphaned slice as a conflict: vectors
+    # listing still says max batch is 0, so the default id replays 1
+    out = S.append_ivf_index(part_b, idx)
+    assert out["batch_id"] == 1 and out["n_vectors"] == 12
+    q = [1.0, 2.0, 1.0, 0.5]
+    got = [
+        r["vec_id"]
+        for r in S.ivf_topk_indexed(spark, idx, q, k=8, nprobe=3).collect()
+    ]
+    want = [r["vec_id"] for r in S.brute_force_topk(
+        vecs.union(spark.createDataFrame([(10**9, q)], vecs.schema)),
+        query_vec_id=10**9, k=8,
+    ).collect()]
+    assert got == want
+    # the id map carries each id exactly once (no duplicate slices)
+    im = spark.read.parquet(os.path.join(idx, "_id_map"))
+    assert im.count() == im.select("vec_id").distinct().count() == 30
+
+
+def test_pq_and_ivfpq_rebuild_failure_preserves_old_index(spark, tmp_path):
+    """r15 advisory (low): rebuilding write_pq_index / write_ivfpq_index
+    over an existing root goes through the staged swap — a failure
+    during the long training/build leaves the OLD index live and
+    probe-able (the pre-r15 delete-then-train order left nothing)."""
+    import pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        similarity as S,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 7) % 11), float(i % 4), 0.5, float(i % 6)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    q = [3.0, 1.0, 0.5, 2.0]
+    # poison pill: evaluating the id column raises at ACTION time, so
+    # the failure lands inside the build writes, not at plan time
+    bad = vecs.withColumn(
+        "vec_id",
+        F.when(F.raise_error(F.lit("boom")).isNull(), F.col("vec_id")),
+    )
+
+    pq = str(tmp_path / "pq_staged")
+    books = S.anchor_pq_codebooks(vecs, m=2, k=8)
+    S.write_pq_index(vecs, pq, codebooks=books)
+    before = [tuple(r) for r in S.pq_topk_indexed(spark, pq, vecs, q, k=5).collect()]
+    with pytest.raises(Exception, match="boom"):
+        S.write_pq_index(bad, pq, codebooks=books)
+    assert [
+        tuple(r) for r in S.pq_topk_indexed(spark, pq, vecs, q, k=5).collect()
+    ] == before
+
+    ivfpq = str(tmp_path / "ivfpq_staged")
+    normed = S.unit_normalize(vecs)
+    kw = dict(n_clusters=3, m=2, codes_k=8, coarse_iterations=1, pq_iterations=1)
+    S.write_ivfpq_index(normed, ivfpq, **kw)
+    before = [
+        tuple(r)
+        for r in S.ivfpq_topk_indexed(
+            spark, ivfpq, normed, q, k=5, nprobe=3, shortlist=40
+        ).collect()
+    ]
+    with pytest.raises(Exception, match="boom"):
+        S.write_ivfpq_index(S.unit_normalize(bad), ivfpq, **kw)
+    assert [
+        tuple(r)
+        for r in S.ivfpq_topk_indexed(
+            spark, ivfpq, normed, q, k=5, nprobe=3, shortlist=40
+        ).collect()
+    ] == before
+
+
+def test_bm25_empty_query_reads_only_doclens_sidecar(spark, tmp_path):
+    """r15 advisory (low): the empty-query path infers the id column
+    from the thin ``_doclens`` sidecar instead of a full postings-root
+    listing — and heals _doclens debris first, so stranded
+    ``batch=<id>.erase_*`` dirs (from a crashed delete) cannot poison
+    its partition discovery.  Debris under the POSTINGS root is
+    irrelevant to this path (never read)."""
+    import os
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        retrieval as R,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"spark doc{i % 3}") for i in range(9)], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "bm25_empty")
+    R.write_bm25_index(docs, idx, n_buckets=4)
+    # staging debris beside live segments in BOTH roots (crash mid-write)
+    os.makedirs(os.path.join(idx, "batch=0.erase_staging"))
+    os.makedirs(os.path.join(idx, "_doclens", "batch=0.erase_staging"))
+    out = R.bm25_topk_indexed(spark, idx, [], k=10)
+    assert out.columns == ["doc_id", "n_matched_terms", "bm25_score"]
+    assert out.count() == 0
+    # the _doclens debris was healed away; postings debris untouched
+    assert not os.path.isdir(os.path.join(idx, "_doclens", "batch=0.erase_staging"))
+    assert os.path.isdir(os.path.join(idx, "batch=0.erase_staging"))
+
+
+def test_ivfpq_append_struct_key_handles_hash_in_string_ids(spark, tmp_path):
+    """r15 advisory (low): the append's (id, cluster) encode key is a
+    STRUCT, not a '#'-delimited string concat — string ids containing
+    '#' must round-trip without cross-wiring codes.  Each appended id
+    carries exactly assign_n code rows with distinct clusters, and the
+    exhaustive probe equals brute-force L2 over the union."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        similarity as S,
+    )
+
+    ids = [f"doc#{i}#x" if i % 3 == 0 else f"d{i}" for i in range(24)]
+    vecs = spark.createDataFrame(
+        [(ids[i], [float((i * 5) % 7), float(i % 4), 1.0, float(i % 9)])
+         for i in range(24)],
+        "doc string, embedding array<double>",
+    )
+    normed = S.unit_normalize(vecs).localCheckpoint(eager=True)
+    part_a = normed.filter(F.length("doc") <= 3)
+    part_b = normed.filter(F.length("doc") > 3)
+    idx = str(tmp_path / "ivfpq_hash_ids")
+    kw = dict(n_clusters=3, m=2, codes_k=8, coarse_iterations=1,
+              pq_iterations=1, assign_n=2)
+    S.write_ivfpq_index(part_a, idx, id_col="doc", **kw)
+    out = S.append_ivfpq_index(part_b, idx, id_col="doc")
+    assert out["n_vectors"] == part_b.count()
+
+    import os
+
+    seg = spark.read.parquet(os.path.join(idx, "codes", "batch=1"))
+    per_id = seg.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("cluster").alias("nc"),
+    )
+    assert per_id.filter((F.col("n") != 2) | (F.col("nc") != 2)).count() == 0
+
+    q = [0.5, 0.5, 0.5, 0.5]
+    got = [
+        r["doc"]
+        for r in S.ivfpq_topk_indexed(
+            spark, idx, normed, q, k=6, nprobe=3, shortlist=24, id_col="doc"
+        ).collect()
+    ]
+    probe = spark.createDataFrame([("__q__", q)], "doc string, embedding array<double>")
+    want = [
+        r["doc"]
+        for r in S.brute_force_topk(
+            normed.union(probe), query_vec_id="__q__", k=6, id_col="doc"
+        ).collect()
+    ]
+    assert got == want
