@@ -223,8 +223,14 @@ def _indexed_probe_metrics(spark, sf_dir: str) -> "dict[str, object]":
         t0 = time.perf_counter()
         S.write_lsh_index(embs, lsh_path, planes=4, dims=len(qvec))
         lsh_build = time.perf_counter() - t0
+        # m=16/k=32 (r15): the recorded m=8/k=16 raw-PQ recall floor was
+        # 0.3 at sf0.1 — noise-like 32-dim vectors are PQ's worst case,
+        # and the sweep (SCALING.md r15) showed coarser geometry cannot
+        # be bought back with shortlist alone (0.9 took shortlist=400 =
+        # 20% of the corpus).  2-dim subspaces with 32 codes reach
+        # recall 1.0 at shortlist 10·k, still 8x compression.
         t0 = time.perf_counter()
-        S.write_pq_index(embs, pq_path, m=8, k=16, iterations=2)
+        S.write_pq_index(embs, pq_path, m=16, k=32, iterations=2)
         pq_build = time.perf_counter() - t0
         ivfpq_path = os.path.join(work, "ivfpq")
         normed = S.unit_normalize(embs).localCheckpoint(eager=True)
@@ -251,6 +257,13 @@ def _indexed_probe_metrics(spark, sf_dir: str) -> "dict[str, object]":
             r["vec_id"]
             for r in S.brute_force_topk(embs, query_vec_id=0, k=10).collect()
         }
+        # the filtered leg ranks a different (predicate-matching) corpus,
+        # so its recall target is the exact FILTERED top-10
+        exact_filtered_ids = {
+            r["vec_id"]
+            for r in S.brute_force_topk_filtered(embs, 0, "label = 3", k=10).collect()
+        }
+        truth = {"ivf_topk_indexed_filtered": exact_filtered_ids}
         legs = {}
         for name, fn in (
             (
@@ -266,7 +279,7 @@ def _indexed_probe_metrics(spark, sf_dir: str) -> "dict[str, object]":
                 "pq_topk_indexed",
                 lambda: S.pq_topk_indexed(
                     spark, pq_path, embs.filter(F.col("vec_id") != 0),
-                    qvec, k=10, shortlist=50,
+                    qvec, k=10, shortlist=100,
                 ).collect(),
             ),
             (
@@ -279,6 +292,18 @@ def _indexed_probe_metrics(spark, sf_dir: str) -> "dict[str, object]":
                 "ivf_topk_indexed",
                 lambda: S.ivf_topk_indexed(
                     spark, ivf_path, qvec, k=10, nprobe=4, exclude_vec_id=0
+                ).collect(),
+            ),
+            (
+                # metadata-filtered probe (r15): predicate pushed INSIDE
+                # the nprobe-pruned cluster scan; nprobe oversampled 4→8
+                # for the ~10% selectivity (see operator docstring).
+                # recall_at_10 for this leg is measured against the
+                # FILTERED exact ground truth below, not exact_ids.
+                "ivf_topk_indexed_filtered",
+                lambda: S.ivf_topk_indexed_filtered(
+                    spark, ivf_path, qvec, "label = 3", k=10, nprobe=8,
+                    exclude_vec_id=0,
                 ).collect(),
             ),
         ):
@@ -294,9 +319,10 @@ def _indexed_probe_metrics(spark, sf_dir: str) -> "dict[str, object]":
                 legs[name] = None
             else:
                 got = {r["vec_id"] for r in rows}
+                want = truth.get(name, exact_ids)
                 legs[name] = {
                     "sec": round(best, 3),
-                    "recall_at_10": round(len(got & exact_ids) / 10, 2),
+                    "recall_at_10": round(len(got & want) / 10, 2),
                 }
         # the lexical member of the written-index family (r12): probe
         # equality with the on-the-fly bm25_topk is digest+test-pinned,
@@ -392,11 +418,77 @@ def _indexed_probe_metrics(spark, sf_dir: str) -> "dict[str, object]":
                 .select("vec_id")
                 .collect()
             ]
+        except Exception:
+            vvictims = []
+        try:
             t0 = time.perf_counter()
             S.delete_from_ivf_index(spark, ivf_path, vvictims)
             ivf_delete = round(time.perf_counter() - t0, 3)
         except Exception:
             ivf_delete = None
+        # r15 (r14 verdict #4): delete-cost legs for the remaining three
+        # layouts, so the touched-segment-rewrite cost claim is
+        # monitored for all five (same victim set — half the increment)
+        try:
+            t0 = time.perf_counter()
+            S.delete_from_lsh_index(spark, lsh_path, vvictims)
+            lsh_delete = round(time.perf_counter() - t0, 3)
+        except Exception:
+            lsh_delete = None
+        try:
+            t0 = time.perf_counter()
+            S.delete_from_pq_index(spark, pq_path, vvictims)
+            pq_delete = round(time.perf_counter() - t0, 3)
+        except Exception:
+            pq_delete = None
+        try:
+            t0 = time.perf_counter()
+            S.delete_from_ivfpq_index(spark, ivfpq_path, vvictims)
+            ivfpq_delete = round(time.perf_counter() - t0, 3)
+        except Exception:
+            ivfpq_delete = None
+        # r15 (r14 verdict #6): one recorded number for the policy
+        # maintain_index enforces — append 8 daily increments onto the
+        # IVF layout (segment count passes the max_segments=7 operating
+        # point), let the helper auto-compact, then probe.  Recorded as
+        # the full cycle plus its compact/probe components.
+        try:
+            from clickstreaming_end_to_end_data_engineering_project_spark.operators.maintenance import (
+                maintain_index,
+            )
+
+            t0 = time.perf_counter()
+            for i in range(8):
+                day = embs.filter(F.col("vec_id") % 40 == i % 40).withColumn(
+                    "vec_id", F.col("vec_id") + F.lit(20_000_000 + i * 1_000_000)
+                )
+                S.append_ivf_index(day, ivf_path)
+            appends_sec = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            stats = maintain_index(spark, ivf_path, max_segments=7)
+            compact_sec = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            S.ivf_topk_indexed(
+                spark, ivf_path, qvec, k=10, nprobe=4, exclude_vec_id=0
+            ).collect()
+            probe_sec = time.perf_counter() - t0
+            maintain_cycle = {
+                "maintain_cycle_sec": round(
+                    appends_sec + compact_sec + probe_sec, 3
+                ),
+                "maintain_cycle_appends_sec": round(appends_sec, 3),
+                "maintain_cycle_compact_sec": round(compact_sec, 3),
+                "maintain_cycle_probe_sec": round(probe_sec, 3),
+                "maintain_cycle_compacted": bool(stats["compacted"]),
+                "maintain_cycle_segments": [
+                    stats["segments_before"], stats["segments_after"]
+                ],
+            }
+        except Exception as exc:
+            maintain_cycle = {
+                "maintain_cycle_error": f"{type(exc).__name__}: {exc}"[:300]
+            }
+        out.update(maintain_cycle)
         out["indexed_probe_queries"] = legs
         out["indexed_probe_build_sec"] = {
             "lsh": round(lsh_build, 3),
@@ -411,6 +503,9 @@ def _indexed_probe_metrics(spark, sf_dir: str) -> "dict[str, object]":
             "ivfpq_append": ivfpq_append,
             "bm25_delete": bm25_delete,
             "ivf_delete": ivf_delete,
+            "lsh_delete": lsh_delete,
+            "pq_delete": pq_delete,
+            "ivfpq_delete": ivfpq_delete,
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

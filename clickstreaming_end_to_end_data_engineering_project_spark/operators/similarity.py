@@ -62,6 +62,40 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_filtered(
+    df: DataFrame,
+    query_vec_id,
+    predicate,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k among the rows matching ``predicate`` (a
+    Column or SQL string) — METADATA-FILTERED ANN, the most common
+    real retrieval request shape ("nearest English docs", "nearest
+    within this tenant").  The predicate is applied BEFORE ranking:
+    filtering a top-k result AFTER ranking silently returns fewer than
+    k rows whenever any unfiltered neighbor out-ranks a matching one.
+    Declarative filter + TakeOrderedAndProject, so Catalyst pushes the
+    predicate into the scan (row-group pruning on the metadata column
+    at scale).  The query row itself is looked up UNFILTERED — the
+    query need not satisfy its own predicate.
+
+    Output: (id, cos_sim) desc, id tiebreak — ``brute_force_topk``'s
+    contract over the filtered corpus."""
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    q = df.filter(F.col(id_col) == query_vec_id).select(F.col(vec_col).alias("_qvec"))
+    sim = cosine(F.col(vec_col), F.col("_qvec"))
+    return (
+        df.filter(F.col(id_col) != query_vec_id)
+        .filter(pred)
+        .crossJoin(F.broadcast(q))
+        .select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def brute_force_topk_batch(
     df: DataFrame,
     queries: DataFrame,
@@ -1193,6 +1227,77 @@ def ivf_topk_indexed(
     )
 
 
+def ivf_topk_indexed_filtered(
+    spark,
+    path: str,
+    query_vec: "list[float]",
+    predicate,
+    k: int = 10,
+    nprobe: int = 4,
+    exclude_vec_id: "int | None" = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Metadata-filtered probe of a ``write_ivf_index`` layout (r14
+    verdict, missing #2): the single most common real ANN request —
+    top-k among rows matching ``predicate`` (Column or SQL string).
+    ``write_ivf_index`` stores the FULL input row (metadata columns
+    ride beside the vector), so the predicate is evaluated INSIDE the
+    nprobe probed ``cluster=`` dirs, BEFORE ranking — a filter after
+    top-k returns <k rows whenever any non-matching neighbor out-ranks
+    a matching one.  The scan stays partition-pruned to nprobe dirs
+    and the metadata predicate additionally prunes row groups via
+    parquet column stats (both visible in .explain).
+
+    Recall: at nprobe = n_clusters the result is EXACT over the
+    filtered corpus (pinned by test vs ``brute_force_topk_filtered``).
+    At serving nprobe, a selective predicate thins each probed cluster
+    rather than concentrating in one, so OVERSAMPLE nprobe relative to
+    the unfiltered setting (rule of thumb: nprobe / selectivity — the
+    bench leg records measured recall at the serving setting).
+
+    Same (cos_sim desc, id) output contract as ``ivf_topk_indexed``."""
+    import math
+    import os
+
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    params = (
+        spark.read.schema("n_clusters int, dims int")
+        .parquet(os.path.join(path, "_ivf_params"))
+        .head()
+    )
+    if len(query_vec) != params.dims:
+        raise ValueError(
+            f"ivf_topk_indexed_filtered: query has {len(query_vec)} dims, "
+            f"index expects {params.dims}"
+        )
+    cents = [
+        (int(r["cluster"]), [float(x) for x in r["centroid"]])
+        for r in spark.read.schema("cluster int, centroid array<double>")
+        .parquet(os.path.join(path, "_ivf_centroids"))
+        .collect()
+    ]
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+
+    def _cos(c: "list[float]") -> float:
+        cn = math.sqrt(sum(x * x for x in c))
+        if qn == 0.0 or cn == 0.0:
+            return 0.0
+        return sum(float(a) * b for a, b in zip(query_vec, c)) / (qn * cn)
+
+    probed = [c for c, _ in sorted(cents, key=lambda cc: (-_cos(cc[1]), cc[0]))[:nprobe]]
+    idx = spark.read.parquet(os.path.join(path, "vectors"))
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = idx.filter(F.col("cluster").isin(probed)).filter(pred)
+    if exclude_vec_id is not None:
+        out = out.filter(F.col(id_col) != exclude_vec_id)
+    return (
+        out.select(F.col(id_col), cosine(F.col(vec_col), qlit).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def pairwise_above_threshold(
     df: DataFrame,
     threshold: float,
@@ -1881,6 +1986,72 @@ def ivfpq_topk_indexed(
     codes = spark.read.parquet(os.path.join(path, "codes"))
     return ivfpq_topk(
         df,
+        codes,
+        cent_rows,
+        books,
+        query_vec,
+        k=k,
+        nprobe=nprobe,
+        shortlist=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def ivfpq_topk_indexed_filtered(
+    spark,
+    path: str,
+    df: DataFrame,
+    query_vec: "list[float]",
+    predicate,
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Metadata-filtered IVFADC probe (r14 verdict, missing #2): the
+    codes table stores no metadata (it is m bytes per vector by
+    design), so the predicate is evaluated on ``df`` — the
+    full-precision table that already serves the exact rerank — and
+    the probed clusters' codes are SEMI-JOINED against the matching
+    ids BEFORE the ADC shortlist is cut.  Filtering earlier keeps
+    every shortlist slot for a row that can actually be returned
+    (post-shortlist filtering burns slots on non-matching rows: at 10%
+    selectivity a 200-slot shortlist would carry ~20 usable
+    candidates); filtering after top-k would return <k rows outright.
+
+    At nprobe = n_clusters and shortlist ≥ the FILTERED corpus the
+    result is exact over the matching rows (pinned by test).  At
+    serving settings, oversample shortlist by ~1/selectivity relative
+    to the unfiltered configuration.  Output contract is
+    ``ivfpq_topk_indexed``'s: (id, l2_dist) ascending, id tiebreak."""
+    import os
+
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    params = (
+        spark.read.schema("n_clusters int, m int, k int, dims int, assign_n int")
+        .parquet(os.path.join(path, "_ivfpq_params"))
+        .head()
+    )
+    if len(query_vec) != params.dims:
+        raise ValueError(
+            f"ivfpq_topk_indexed_filtered: query has {len(query_vec)} dims, "
+            f"index expects {params.dims}"
+        )
+    cent_rows = sorted(
+        (int(r["cluster"]), [float(x) for x in r["centroid"]])
+        for r in spark.read.schema("cluster int, centroid array<double>")
+        .parquet(os.path.join(path, "_ivfpq_centroids"))
+        .collect()
+    )
+    books = read_pq_codebooks(spark, path)
+    matching = df.filter(pred)
+    codes = spark.read.parquet(os.path.join(path, "codes")).join(
+        matching.select(F.col(id_col)), id_col, "left_semi"
+    )
+    return ivfpq_topk(
+        matching,
         codes,
         cent_rows,
         books,

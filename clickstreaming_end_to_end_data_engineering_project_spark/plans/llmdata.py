@@ -518,6 +518,75 @@ def embedding_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk_batch(embs, queries, k=10)
 
 
+def embedding_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered exact ANN (r15 queue, the r14 verdict's #1
+    directive): top-10 cosine neighbors of vec 0 AMONG ``label = 3``
+    rows — the filter applies BEFORE ranking (a post-top-k filter
+    silently returns <k rows).  The written-index serving twin is
+    ``similarity.ivf_topk_indexed_filtered`` (predicate pushed inside
+    the nprobe-pruned cluster scan), pinned exact at exhaustive nprobe
+    in tests and recall-recorded in bench."""
+    return similarity.brute_force_topk_filtered(
+        _embs(spark, sf_dir), query_vec_id=0, predicate=F.col("label") == 3, k=10
+    )
+
+
+def embedding_topk_doc_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN where the predicate lives in ANOTHER table (r15
+    queue): top-10 cosine neighbors of vec 0 among vectors whose
+    document (doc_id = vec_id) is English — the payload-join shape
+    every real retrieval stack hits (vectors in one store, metadata in
+    another).  The matching-id frame enters as a broadcast semi-join
+    BEFORE ranking, so the corpus pass stays one scan and the top-k
+    heap only ever sees eligible rows.  The query vector is looked up
+    UNFILTERED — the query need not satisfy its own predicate (at
+    sf0.001 doc 0 is not English; the filtered-ANN contract still
+    returns its k English neighbors)."""
+    embs = _embs(spark, sf_dir)
+    en_ids = (
+        _docs(spark, sf_dir)
+        .filter(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    q = embs.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qvec"))
+    return (
+        embs.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(en_ids), "vec_id", "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            similarity.cosine(F.col("embedding"), F.col("_qvec")).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+def embedding_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise ANN (r15 queue): the top-3 nearest neighbors of vec 0
+    WITHIN EVERY label — category-diversified retrieval in ONE corpus
+    pass.  Per-label top-k is row_number over a (label) window, which
+    Spark plans as WindowGroupLimit: each task keeps 3 rows per label
+    before the shuffle, so shuffle volume is labels·k rows, not the
+    corpus."""
+    from pyspark.sql import Window
+
+    embs = _embs(spark, sf_dir)
+    q = embs.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qvec"))
+    w = Window.partitionBy("label").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        embs.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "label",
+            "vec_id",
+            similarity.cosine(F.col("embedding"), F.col("_qvec")).alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(_embs(spark, sf_dir), query_vec_id=0, k=10)
 
@@ -1426,6 +1495,52 @@ SPECS = [
         FROM r WHERE rnk <= 10
         """,
         "batched exact cosine top-k, one corpus pass for 5 queries (r14 queue)",
+    ),
+    QuerySpec(
+        "embedding_topk_filtered",
+        embedding_topk_filtered,
+        f"""
+        SELECT e.vec_id, {_COSINE_EXPR} AS cos_sim
+        FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0 AND e.label = 3
+        ORDER BY cos_sim DESC, e.vec_id
+        LIMIT 10
+        """,
+        "metadata-filtered exact ANN: filter BEFORE top-k (r15 queue)",
+    ),
+    QuerySpec(
+        "embedding_topk_doc_filtered",
+        embedding_topk_doc_filtered,
+        f"""
+        SELECT e.vec_id, {_COSINE_EXPR} AS cos_sim
+        FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+          AND EXISTS (SELECT 1 FROM documents d
+                      WHERE d.doc_id = e.vec_id AND d.lang = 'en')
+        ORDER BY cos_sim DESC, e.vec_id
+        LIMIT 10
+        """,
+        "filtered ANN with the predicate in another table (r15 queue)",
+    ),
+    QuerySpec(
+        "embedding_topk_per_label",
+        embedding_topk_per_label,
+        f"""
+        WITH scored AS (
+            SELECT e.label, e.vec_id, {_COSINE_EXPR} AS cos_sim
+            FROM embeddings e,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            WHERE e.vec_id <> 0
+        ), r AS (
+            SELECT label, vec_id, cos_sim,
+                   row_number() OVER (
+                       PARTITION BY label ORDER BY cos_sim DESC, vec_id) AS rnk
+            FROM scored
+        )
+        SELECT label, vec_id, cos_sim, CAST(rnk AS INT) AS rnk
+        FROM r WHERE rnk <= 3
+        """,
+        "group-wise ANN: per-label top-3 in one corpus pass (r15 queue)",
     ),
     QuerySpec("embedding_lsh_topk", embedding_lsh_topk, None, "LSH-bucketed ANN (rows-only)"),
     QuerySpec(

@@ -264,6 +264,23 @@ class QuerySpec:
 # lives in probe-equality tests and the recorded bench legs
 # (indexed_probe_build_sec.{bm25,lsh,ivf}_append,
 # merge_upsert_cdc_sec), not in the oracle gate.
+# Round-15 rotation (executed): the r14 verdict #1 directive — the 15
+# r13-rotation queries are doubly driver-verified (green r13 AND r14)
+# and demotable; the round adds the filtered-ANN family (three NEW
+# oracle-backed queries, all bit-exact vs DuckDB at sf0.001/0.01/0.1):
+# embedding_topk_filtered (metadata predicate applied BEFORE top-k —
+# the r14 verdict's named missing shape, with the written-index twin
+# ivf_topk_indexed_filtered pinned exact at exhaustive nprobe and
+# recall-recorded in bench), embedding_topk_doc_filtered (the
+# predicate lives in ANOTHER table — broadcast semi-join before
+# ranking; the payload-join shape) and embedding_topk_per_label
+# (group-wise top-3 per label in one corpus pass — WindowGroupLimit).
+# Demoted per the standing policy: the r13-queue trio
+# customer_rfm_segments / conversion_latency_quantiles /
+# source_dup_rate (each green r13+r14, each still benched in
+# BENCH_EXTENDED with pinned digests).  The remaining 12 r13-rotation
+# queries stay gated one more round (slots are not contested — the
+# never-verified backlog is empty beyond this round's three).
 # Round-14 (executed): the gate is UNCHANGED — exactly the r13 verdict
 # #1 directive: the 15 r13 first-row queries stay gated for their
 # confirming rows (CORRECTNESS_r14), converting six families from
@@ -320,11 +337,12 @@ GATE_PRIORITY = [
     "doc_token_entropy",
     "source_unigram_kl",
     "doc_length_quantiles",
-    # round-13 rotation: first driver rows for the ENTIRE r13-r18
-    # backlog (15 queries, six operator families — verdict r12 #1)
-    "customer_rfm_segments",
-    "conversion_latency_quantiles",
-    "source_dup_rate",
+    # round-15 rotation: the filtered-ANN family (first driver rows)
+    "embedding_topk_filtered",
+    "embedding_topk_doc_filtered",
+    "embedding_topk_per_label",
+    # round-13 rotation, retained for a third round (confirmed r13+r14;
+    # the r13-queue trio rotated out in r15 for the family above)
     "embedding_topk_batch",
     "user_inter_event_gap_quantiles",
     "page_rank_pages",
@@ -427,6 +445,11 @@ BENCH_EXTENDED = [
     # regression still moves a recorded number and a pinned digest
     # (every other demoted query was already in this list)
     "pq_code_balance",
+    # r15: the filtered-ANN family — recorded numbers + pinned digests
+    # alongside their gate rotation (the standing pattern)
+    "embedding_topk_filtered",
+    "embedding_topk_doc_filtered",
+    "embedding_topk_per_label",
 ]
 
 

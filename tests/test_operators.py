@@ -4679,3 +4679,98 @@ def test_ivfpq_append_struct_key_handles_hash_in_string_ids(spark, tmp_path):
         ).collect()
     ]
     assert got == want
+
+
+def test_filtered_ann_probe_matches_filtered_brute_force(spark, sf_dir, tmp_path):
+    """r14 verdict missing #2 / r15 directive #1: metadata-filtered ANN.
+    The predicate must apply BEFORE ranking — a post-top-k filter
+    returns <k rows — and the written-index probe
+    (ivf_topk_indexed_filtered) pushes it INSIDE the partition-pruned
+    cluster scan: at nprobe = n_clusters it is EXACT vs
+    brute_force_topk_filtered; at serving nprobe every returned row
+    still satisfies the predicate.  The label predicate reaches the
+    parquet scan as a pushed filter (reader-level row-group pruning at
+    scale) while cluster pruning stays a PartitionFilter."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        similarity as S,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    embs = load(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    q = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
+    want = S.brute_force_topk_filtered(embs, 0, "label = 3", k=10).collect()
+    assert len(want) == 10
+    label3 = {r["vec_id"] for r in embs.filter("label = 3").collect()}
+    assert {r["vec_id"] for r in want} <= label3
+
+    # the shape matters: post-filtering the UNFILTERED top-10 loses rows
+    post = [
+        r for r in S.brute_force_topk(embs, 0, k=10).collect()
+        if r["vec_id"] in label3
+    ]
+    assert len(post) < 10
+
+    path = str(tmp_path / "ivf_filtered")
+    S.write_ivf_index(embs, path, n_clusters=6, iterations=2)
+    exact = S.ivf_topk_indexed_filtered(
+        spark, path, q, "label = 3", k=10, nprobe=6, exclude_vec_id=0
+    )
+    got = exact.collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+    for g, w in zip(got, want):
+        assert abs(g["cos_sim"] - w["cos_sim"]) < 1e-12
+
+    plan = exact._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+    assert "EqualTo(label,3)" in plan, "label predicate must reach the scan"
+
+    # serving nprobe: recall may drop, eligibility may not
+    serving = S.ivf_topk_indexed_filtered(
+        spark, path, q, F.col("label") == 3, k=10, nprobe=3, exclude_vec_id=0
+    ).collect()
+    assert 0 < len(serving) <= 10
+    assert {r["vec_id"] for r in serving} <= label3
+
+
+def test_ivfpq_filtered_probe_exact_at_exhaustive_settings(spark, sf_dir, tmp_path):
+    """The IVFADC member of the filtered-ANN surface: the codes table
+    carries no metadata, so the probe semi-joins the probed clusters'
+    codes against the predicate-matching ids BEFORE the ADC shortlist
+    is cut.  At nprobe = n_clusters and shortlist ≥ the filtered corpus
+    the result equals brute-force cosine over the matching rows
+    (unit-norm corpus: L2 rank == cosine rank); at serving settings
+    every returned row satisfies the predicate."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        similarity as S,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    embs = S.unit_normalize(load(spark, sf_dir, "embeddings")).localCheckpoint(
+        eager=True
+    )
+    q = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
+    body = embs.filter(F.col("vec_id") != 0)
+    path = str(tmp_path / "ivfpq_filtered")
+    S.write_ivfpq_index(
+        body, path, n_clusters=6, m=4, codes_k=8,
+        coarse_iterations=2, pq_iterations=1, assign_n=2,
+    )
+    n_match = body.filter("label = 3").count()
+    got = [
+        r["vec_id"]
+        for r in S.ivfpq_topk_indexed_filtered(
+            spark, path, body, q, "label = 3", k=10, nprobe=6, shortlist=n_match
+        ).collect()
+    ]
+    want = [
+        r["vec_id"]
+        for r in S.brute_force_topk_filtered(embs, 0, "label = 3", k=10).collect()
+    ]
+    assert got == want and len(got) == 10
+
+    label3 = {r["vec_id"] for r in body.filter("label = 3").collect()}
+    serving = S.ivfpq_topk_indexed_filtered(
+        spark, path, body, q, F.col("label") == 3, k=10, nprobe=3, shortlist=40
+    ).collect()
+    assert 0 < len(serving) <= 10
+    assert {r["vec_id"] for r in serving} <= label3
