@@ -4774,3 +4774,98 @@ def test_ivfpq_filtered_probe_exact_at_exhaustive_settings(spark, sf_dir, tmp_pa
     ).collect()
     assert 0 < len(serving) <= 10
     assert {r["vec_id"] for r in serving} <= label3
+
+
+def test_hybrid_indexed_pin_survives_deletes_on_both_stores(spark, sf_dir, tmp_path):
+    """r14 verdict #5: the CRUD compose-point most likely to regress
+    silently — docs deleted from the BM25 store AND vectors deleted
+    from the IVF store (on multi-segment layouts, partial-segment
+    rewrites on both sides), then the exhaustive-settings hybrid probe
+    must equal the in-memory RRF composition over the SURVIVING corpus:
+    BM25 per-segment stats recompute exactly, and IVF centroid
+    staleness cannot matter at nprobe = n_clusters."""
+    from pyspark.sql import Window
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        retrieval as R,
+        similarity as S,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    embs = load(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    bm25_path = str(tmp_path / "bm25_del")
+    ivf_path = str(tmp_path / "ivf_del")
+    R.write_bm25_index(docs.filter(F.col("doc_id") % 4 != 0), bm25_path, n_buckets=64)
+    R.append_bm25_index(docs.filter(F.col("doc_id") % 4 == 0), bm25_path)
+    S.write_ivf_index(
+        embs.filter(F.col("vec_id") % 4 != 0), ivf_path, n_clusters=8, iterations=2
+    )
+    S.append_ivf_index(embs.filter(F.col("vec_id") % 4 == 0), ivf_path)
+
+    # victims span BOTH segments of each store (ids 8,16 in batch=1;
+    # ids 7,9,15 in batch=0), and both deletes partially rewrite
+    victims = [7, 8, 9, 15, 16]
+    out_b = R.delete_from_bm25_index(spark, bm25_path, victims)
+    out_v = S.delete_from_ivf_index(spark, ivf_path, victims)
+    assert out_b["docs_deleted"] == 5 and out_v["vectors_deleted"] == 5
+    assert out_b["segments_rewritten"] == 2 and out_v["segments_rewritten"] == 2
+
+    terms = ["spark", "stream", "hash", "dup"]
+    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
+    got = [
+        tuple(r)
+        for r in R.hybrid_topk_indexed(
+            spark, bm25_path, ivf_path, terms, qvec,
+            k=10, breadth=20, nprobe=8, exclude_vec_id=0,
+        ).collect()
+    ]
+
+    surviving_docs = docs.filter(~F.col("doc_id").isin(victims))
+    surviving_embs = embs.filter(~F.col("vec_id").isin(victims))
+    lex_r = R.bm25_topk(surviving_docs, terms, k=20).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25_score").desc(), F.col("doc_id")))
+        .alias("rank"),
+    )
+    sem_r = S.brute_force_topk(surviving_embs, query_vec_id=0, k=20).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id")))
+        .alias("rank"),
+    )
+    want = [tuple(r) for r in R.rrf_fuse([lex_r, sem_r], k=10).collect()]
+    assert got == want and len(got) == 10
+
+
+def test_filtered_ann_probes_return_empty_on_no_matching_rows(spark, tmp_path):
+    """A predicate matching nothing returns an EMPTY frame with the
+    standard probe schema — never an error, never unfiltered rows
+    (the <k-rows contract taken to its k=0 extreme)."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        similarity as S,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, float(i % 5), 0.25], i % 2) for i in range(20)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    q = [1.0, 1.0, 1.0, 1.0]
+    assert S.brute_force_topk_filtered(vecs, 0, "label = 99", k=5).count() == 0
+
+    ivf = str(tmp_path / "ivf_nomatch")
+    S.write_ivf_index(vecs, ivf, n_clusters=2, iterations=1)
+    out = S.ivf_topk_indexed_filtered(spark, ivf, q, "label = 99", k=5, nprobe=2)
+    assert out.columns == ["vec_id", "cos_sim"] and out.count() == 0
+
+    ivfpq = str(tmp_path / "ivfpq_nomatch")
+    normed = S.unit_normalize(vecs)
+    S.write_ivfpq_index(
+        normed, ivfpq, n_clusters=2, m=2, codes_k=4,
+        coarse_iterations=1, pq_iterations=1,
+    )
+    out = S.ivfpq_topk_indexed_filtered(
+        spark, ivfpq, normed, q, "label = 99", k=5, nprobe=2, shortlist=20
+    )
+    assert out.columns == ["vec_id", "l2_dist"] and out.count() == 0
