@@ -68,6 +68,7 @@ def bm25_topk(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    eligible=None,
 ) -> DataFrame:
     """Top-``k`` documents for a bag-of-terms query by BM25
     (Lucene-style non-negative idf: ln(1 + (N − df + 0.5)/(df + 0.5))).
@@ -79,7 +80,17 @@ def bm25_topk(
     bm25_score), ordered by (score desc, doc_id).  An EMPTY query
     returns an empty frame with the same schema (nothing can match
     nothing) — short-circuited up front because ``_qtf_col`` has no
-    CASE branches to build for zero terms (r13 advisory)."""
+    CASE branches to build for zero terms (r13 advisory).
+
+    ``eligible`` (r15, the r16 queue): an optional predicate (Column or
+    SQL string) restricting which docs may be RANKED — Lucene's
+    filtered-query semantics: corpus statistics (N, avgdl, df) stay
+    COLLECTION-WIDE, so an eligible doc's score is identical with and
+    without the filter (pinned by test), and only the ranking pool
+    shrinks.  Filtering before the rank (not after the top-k) keeps
+    the k-rows contract; filtering the stats too would silently change
+    every score and make filtered results incomparable across
+    filters."""
     if not query_terms:
         return _empty_bm25_result(docs.select(F.col(id_col)), id_col)
     # (doc_id, doc_len) and (doc_id, term, tf) are each consumed by TWO
@@ -107,7 +118,14 @@ def bm25_topk(
         .agg(F.count(F.lit(1)).alias("_tf"))
         .localCheckpoint()
     )
+    # df is computed from the UNFILTERED posting fragment — the
+    # collection-wide statistic the eligibility filter must not touch
     df_ = matched.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    if eligible is not None:
+        pred = F.expr(eligible) if isinstance(eligible, str) else eligible
+        matched = matched.join(
+            docs.filter(pred).select(F.col(id_col)), id_col, "left_semi"
+        )
     scored = (
         matched.join(F.broadcast(df_), "_t")
         .withColumn("_qtf", _qtf_col(query_terms))
@@ -357,6 +375,7 @@ def bm25_topk_indexed(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    eligible_ids: "DataFrame | None" = None,
 ) -> DataFrame:
     """Probe a ``write_bm25_index`` layout: read ONLY the query terms'
     bucket directories (static partition pruning via the driver-side
@@ -371,7 +390,15 @@ def bm25_topk_indexed(
     The probe never tokenizes anything: the corpus pass was paid at
     write/append time.  An empty query returns an empty result frame
     (same schema), mirroring ``bm25_topk``.
-    """
+
+    ``eligible_ids`` (r15, the r16 queue): an optional one-column id
+    frame restricting which docs may be ranked — the written-layout
+    twin of ``bm25_topk``'s ``eligible`` predicate (postings carry no
+    metadata, so eligibility arrives as an id set, Lucene's filter
+    bitset re-expressed as a semi-join).  Statistics stay
+    collection-wide (the sidecars are untouched); the semi-join lands
+    on the already-pruned posting fragment, BEFORE ranking.  Pinned
+    equal to the in-memory operator under the same filter."""
     import os
 
     if not query_terms:
@@ -416,6 +443,10 @@ def bm25_topk_indexed(
     postings = raw.filter(F.col("bucket").isin(buckets)).filter(
         F.col("_t").isin(terms)
     )
+    if eligible_ids is not None:
+        postings = postings.join(
+            eligible_ids.select(F.col(id_col)), id_col, "left_semi"
+        )
     termstats = (
         spark.read.schema(_TERMSTATS_SCHEMA)
         .parquet(os.path.join(path, "_termstats"))
@@ -663,6 +694,7 @@ def hybrid_topk_indexed(
     k1: float = 1.2,
     b: float = 0.75,
     c: int = 60,
+    eligible_ids: "DataFrame | None" = None,
 ) -> DataFrame:
     """The SERVING shape of hybrid retrieval: both legs probe WRITTEN
     indexes (BM25 bucket-pruned postings + IVF cluster-pruned
@@ -671,12 +703,22 @@ def hybrid_topk_indexed(
     semantic leg is exhaustive and the fused output is pinned equal to
     the in-memory ``hybrid_search_rrf`` composition (tests); at the
     serving nprobe it trades the written-ANN family's measured recall
-    for the same I/O bound as every other indexed probe."""
+    for the same I/O bound as every other indexed probe.
+
+    ``eligible_ids`` (r15, the r16 queue): an optional one-column
+    (doc-id-named) frame restricting BOTH legs before their per-leg
+    ranking — the filtered-search form (BM25 stats stay
+    collection-wide; the IVF leg semi-joins the pruned cluster scan).
+    The id column must carry the BM25 layout's doc-id name; the
+    semantic leg renames it to ``vec_id`` internally."""
     from pyspark.sql import Window
 
-    from .similarity import ivf_topk_indexed
+    from .similarity import ivf_topk_indexed, ivf_topk_indexed_filtered
 
-    lex = bm25_topk_indexed(spark, bm25_path, query_terms, k=breadth, k1=k1, b=b)
+    lex = bm25_topk_indexed(
+        spark, bm25_path, query_terms, k=breadth, k1=k1, b=b,
+        eligible_ids=eligible_ids,
+    )
     id_col = [c_ for c_ in lex.columns if c_ not in ("n_matched_terms", "bm25_score")][0]
     lex_r = lex.select(
         id_col,
@@ -684,10 +726,17 @@ def hybrid_topk_indexed(
         .over(Window.orderBy(F.col("bm25_score").desc(), F.col(id_col)))
         .alias("rank"),
     )
-    sem = ivf_topk_indexed(
-        spark, ivf_path, query_vec, k=breadth, nprobe=nprobe,
-        exclude_vec_id=exclude_vec_id,
-    )
+    if eligible_ids is not None:
+        sem = ivf_topk_indexed_filtered(
+            spark, ivf_path, query_vec,
+            eligible_ids.select(F.col(id_col).alias("vec_id")),
+            k=breadth, nprobe=nprobe, exclude_vec_id=exclude_vec_id,
+        )
+    else:
+        sem = ivf_topk_indexed(
+            spark, ivf_path, query_vec, k=breadth, nprobe=nprobe,
+            exclude_vec_id=exclude_vec_id,
+        )
     sem_r = sem.select(
         F.col("vec_id").alias(id_col),
         F.row_number()

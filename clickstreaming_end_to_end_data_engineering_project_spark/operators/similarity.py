@@ -1256,7 +1256,13 @@ def ivf_topk_indexed_filtered(
     the unfiltered setting (rule of thumb: nprobe / selectivity — the
     bench leg records measured recall at the serving setting).
 
-    Same (cos_sim desc, id) output contract as ``ivf_topk_indexed``."""
+    Same (cos_sim desc, id) output contract as ``ivf_topk_indexed``.
+
+    ``predicate`` accepts a Column, a SQL string, or a one-column
+    DataFrame of eligible ids (named ``id_col``) — the id-set form for
+    predicates living OUTSIDE the index (e.g. a documents-table
+    filter); it lands as a semi-join on the pruned cluster scan,
+    before ranking, exactly like the column form."""
     import math
     import os
 
@@ -1288,7 +1294,11 @@ def ivf_topk_indexed_filtered(
     probed = [c for c, _ in sorted(cents, key=lambda cc: (-_cos(cc[1]), cc[0]))[:nprobe]]
     idx = spark.read.parquet(os.path.join(path, "vectors"))
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
-    out = idx.filter(F.col("cluster").isin(probed)).filter(pred)
+    out = idx.filter(F.col("cluster").isin(probed))
+    if isinstance(pred, DataFrame):
+        out = out.join(pred.select(F.col(id_col)), id_col, "left_semi")
+    else:
+        out = out.filter(pred)
     if exclude_vec_id is not None:
         out = out.filter(F.col(id_col) != exclude_vec_id)
     return (

@@ -266,6 +266,90 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.rrf_fuse([lex_r, sem_r], k=10)
 
 
+def hybrid_search_rrf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered hybrid retrieval (r16 queue — the r15 filtered-ANN
+    theme composed with the retrieval stack): BM25 top-20 among
+    ENGLISH documents + embedding-cosine top-20 among English-doc
+    vectors, RRF-fused into a top-10.  The BM25 leg uses Lucene's
+    filtered-query semantics (collection-wide N/avgdl/df — an eligible
+    doc scores identically with and without the filter; only the
+    ranking pool shrinks, via a semi-join BEFORE the top-k), and the
+    semantic leg reuses the embedding_topk_doc_filtered shape.  The
+    serving twin is ``hybrid_topk_indexed(eligible_ids=...)``, pinned
+    equal at exhaustive nprobe in tests."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    embs = _embs(spark, sf_dir)
+    lex = retrieval.bm25_topk(
+        docs, _BM25_TERMS, k=20, k1=_BM25_K1, b=_BM25_B,
+        eligible=F.col("lang") == "en",
+    )
+    lex_r = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25_score").desc(), F.col("doc_id")))
+        .alias("rank"),
+    )
+    en_ids = docs.filter(F.col("lang") == "en").select(
+        F.col("doc_id").alias("vec_id")
+    )
+    q = embs.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qvec"))
+    sem = (
+        embs.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(en_ids), "vec_id", "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            similarity.cosine(F.col("embedding"), F.col("_qvec")).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(20)
+    )
+    sem_r = sem.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id")))
+        .alias("rank"),
+    )
+    return retrieval.rrf_fuse([lex_r, sem_r], k=10)
+
+
+def doc_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination ACTION (r16 queue — the removal paired
+    with the doc_split_contamination signal, in the direction real
+    pipelines apply it): the benchmark (test split) is immutable, so
+    TRAIN docs sharing too many 8-gram shingles with the test
+    vocabulary are dropped before training (Brown et al. 2020 App. C
+    uses 13-grams; Gopher/Lee et al. filter train-side the same way).
+    8-grams, not the trigrams the doc_split_contamination SIGNAL uses:
+    short-shingle vocabularies SATURATE as the eval set grows (at
+    sf0.1 the trigram overlap floor across all train docs is 0.53 —
+    every doc would be dropped at any sane threshold), while 8-gram
+    overlap stays near zero except for genuine near-dups at every
+    scale (median 0.0 / max 1.0 at sf0.001-0.1).  Output: every train
+    doc with its exact contamination fraction (0.0 when it shares
+    nothing) and the keep decision at the 0.5 threshold.  The test
+    shingle VOCABULARY (distinct shingles, far smaller than the
+    (doc, shingle) index) is built once and joined against the train
+    index — at corpus scale the vocabulary persists and is reused
+    across training runs."""
+    split = sampling.train_test_split(_docs(spark, sf_dir), "doc_id")
+    train = split.filter(F.col("split") == "train")
+    evals = split.filter(F.col("split") == "test")
+    cont = dedup.ngram_contamination(evals, train, n=8).select(
+        "doc_id", "contamination"
+    )
+    return (
+        train.join(cont, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("contamination", F.lit(0.0)).alias("contamination"),
+            (F.coalesce("contamination", F.lit(0.0)) <= F.lit(0.5)).alias("kept"),
+        )
+    )
+
+
 def source_len_token_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Pearson correlation of n_chars vs whitespace token
     count (r16 queue) — the tokenization-density consistency check: a
@@ -1616,6 +1700,47 @@ SPECS = [
         """,
     ),
     QuerySpec(
+        "doc_decontaminated_corpus",
+        doc_decontaminated_corpus,
+        f"""
+        WITH sp AS (
+            SELECT doc_id, {_TOKENS_SQL} AS t,
+                   CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc'
+                        THEN 'train' ELSE 'test' END AS split
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, split, unnest(list_distinct(
+                CASE WHEN len(t) >= 8
+                     THEN list_transform(range(len(t) - 7),
+                                         i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                                           || ' ' || t[i+4] || ' ' || t[i+5]
+                                           || ' ' || t[i+6] || ' ' || t[i+7]
+                                           || ' ' || t[i+8])
+                     ELSE [list_aggregate(t, 'string_agg', ' ')] END)) AS shingle
+            FROM sp
+        ), tev AS (
+            SELECT DISTINCT shingle FROM sh WHERE split = 'test'
+        ), tr AS (
+            SELECT doc_id, shingle FROM sh WHERE split = 'train'
+        ), sizes AS (
+            SELECT doc_id, count(*) AS total FROM tr GROUP BY 1
+        ), shared AS (
+            SELECT doc_id, count(*) AS shared
+            FROM tr JOIN tev USING (shingle) GROUP BY 1
+        )
+        SELECT t.doc_id,
+               coalesce(shared * 1.0 / total, CAST(0.0 AS DOUBLE))
+                   AS contamination,
+               coalesce(shared * 1.0 / total, CAST(0.0 AS DOUBLE)) <= 0.5
+                   AS kept
+        FROM (SELECT doc_id FROM sp WHERE split = 'train') t
+        LEFT JOIN shared USING (doc_id)
+        LEFT JOIN sizes USING (doc_id)
+        """,
+        "eval-set decontamination action: train docs dropped when their "
+        "test-vocab trigram overlap exceeds 0.5 (r16 queue)",
+    ),
+    QuerySpec(
         "doc_train_test_split",
         doc_train_test_split,
         """
@@ -2317,6 +2442,39 @@ SPECS = [
         """,
         "hybrid BM25 + embedding-cosine retrieval fused by RRF "
         "(r17 queue; exact-integer-rank arithmetic)",
+    ),
+    QuerySpec(
+        "hybrid_search_rrf_filtered",
+        hybrid_search_rrf_filtered,
+        f"""
+        WITH {_bm25_sql(_BM25_TERMS, _BM25_K1, _BM25_B)},
+        en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+        lext AS (SELECT doc_id, bm25_score FROM scores JOIN en USING (doc_id)
+                 ORDER BY bm25_score DESC, doc_id LIMIT 20),
+        lexr AS (SELECT doc_id,
+                        row_number() OVER (ORDER BY bm25_score DESC, doc_id)
+                            AS rank
+                 FROM lext),
+        semt AS (SELECT e.vec_id AS doc_id, {_COSINE_EXPR} AS cos_sim
+                 FROM embeddings e,
+                      (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+                 WHERE e.vec_id <> 0
+                   AND EXISTS (SELECT 1 FROM en WHERE en.doc_id = e.vec_id)
+                 ORDER BY cos_sim DESC, e.vec_id LIMIT 20),
+        semr AS (SELECT doc_id,
+                        row_number() OVER (ORDER BY cos_sim DESC, doc_id)
+                            AS rank
+                 FROM semt),
+        u AS (SELECT doc_id, rank FROM lexr
+              UNION ALL
+              SELECT doc_id, rank FROM semr)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+               sum(CAST(1.0 AS DOUBLE) / (60 + rank)) AS rrf_score
+        FROM u GROUP BY 1
+        ORDER BY rrf_score DESC, doc_id LIMIT 10
+        """,
+        "filtered hybrid retrieval: both legs restricted to English docs "
+        "before ranking, BM25 stats collection-wide (r16 queue)",
     ),
     QuerySpec(
         "source_len_token_corr",

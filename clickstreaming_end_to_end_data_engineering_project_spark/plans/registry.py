@@ -264,6 +264,25 @@ class QuerySpec:
 # lives in probe-equality tests and the recorded bench legs
 # (indexed_probe_build_sec.{bm25,lsh,ivf}_append,
 # merge_upsert_cdc_sec), not in the oracle gate.
+# r16 rotation queue (declared in r15, the standing
+# implement-ahead-of-rotation pattern): two NEW oracle-backed queries,
+# both implemented, bit-exact vs DuckDB at sf0.001/0.01/0.1, benched in
+# BENCH_EXTENDED with pinned digests — rotate in next round, demoting
+# doubly-verified rows per the standing policy:
+# hybrid_search_rrf_filtered (plans/llmdata.py: filtered hybrid
+# retrieval — BM25 top-20 among English docs under Lucene
+# filtered-query semantics (collection-wide stats, eligibility
+# semi-join BEFORE the top-k; operators/retrieval.bm25_topk(eligible=)
+# + bm25_topk_indexed(eligible_ids=)) fused with English-filtered
+# cosine top-20 by RRF; serving twin
+# hybrid_topk_indexed(eligible_ids=...) pinned equal at exhaustive
+# nprobe) and doc_decontaminated_corpus (plans/llmdata.py: the
+# eval-set decontamination ACTION — train docs dropped when their
+# TEST-vocab 8-gram overlap exceeds 0.5; 8-grams not trigrams because
+# short-shingle vocabularies saturate as the eval set grows — at sf0.1
+# the trigram overlap floor is 0.53 across ALL train docs, while
+# 8-gram overlap isolates exactly the near-dup-seeded docs at every
+# scale: 6/9/86 dropped at sf0.001/0.01/0.1).
 # Round-15 rotation (executed): the r14 verdict #1 directive — the 15
 # r13-rotation queries are doubly driver-verified (green r13 AND r14)
 # and demotable; the round adds the filtered-ANN family (three NEW
@@ -450,6 +469,10 @@ BENCH_EXTENDED = [
     "embedding_topk_filtered",
     "embedding_topk_doc_filtered",
     "embedding_topk_per_label",
+    # r15 (late): the r16-queue pair — recorded numbers + pinned
+    # digests ahead of rotation
+    "hybrid_search_rrf_filtered",
+    "doc_decontaminated_corpus",
 ]
 
 

@@ -4869,3 +4869,92 @@ def test_filtered_ann_probes_return_empty_on_no_matching_rows(spark, tmp_path):
         spark, ivfpq, normed, q, "label = 99", k=5, nprobe=2, shortlist=20
     )
     assert out.columns == ["vec_id", "l2_dist"] and out.count() == 0
+
+
+def test_bm25_eligible_filter_keeps_collection_stats(spark, sf_dir, tmp_path):
+    """r15 (r16 queue): Lucene filtered-query semantics for BM25 — the
+    ``eligible`` predicate shrinks the RANKING POOL only; corpus
+    statistics stay collection-wide, so an eligible doc's
+    (n_matched_terms, bm25_score) is IDENTICAL with and without the
+    filter.  The written-index twin (``eligible_ids`` id-frame) is
+    bit-equal to the in-memory form."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        retrieval as R,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    terms = ["spark", "stream", "hash", "dup"]
+    n = docs.count()
+    full = {
+        r["doc_id"]: (r["n_matched_terms"], r["bm25_score"])
+        for r in R.bm25_topk(docs, terms, k=n).collect()
+    }
+    filt = R.bm25_topk(
+        docs, terms, k=n, eligible=F.col("lang") == "en"
+    ).collect()
+    en = {r["doc_id"] for r in docs.filter("lang = 'en'").collect()}
+    assert filt and {r["doc_id"] for r in filt} <= en
+    for r in filt:
+        assert (r["n_matched_terms"], r["bm25_score"]) == full[r["doc_id"]], (
+            "eligibility filtering must not change collection-wide scores"
+        )
+    # the filtered pool is the en-restriction of the full ranking
+    want_ids = sorted(
+        (d for d in full if d in en),
+        key=lambda d: (-full[d][1], d),
+    )[: len(filt)]
+    assert [r["doc_id"] for r in filt] == want_ids
+
+    idx = str(tmp_path / "bm25_eligible")
+    R.write_bm25_index(docs, idx, n_buckets=16)
+    en_ids = docs.filter("lang = 'en'").select("doc_id")
+    got = [
+        tuple(r)
+        for r in R.bm25_topk_indexed(
+            spark, idx, terms, k=10, eligible_ids=en_ids
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in R.bm25_topk(
+            docs, terms, k=10, eligible=F.col("lang") == "en"
+        ).collect()
+    ]
+    assert got == want and len(got) == 10
+
+
+def test_hybrid_indexed_filtered_matches_in_memory(spark, sf_dir, tmp_path):
+    """r15 (r16 queue): the filtered hybrid serving path —
+    ``hybrid_topk_indexed(eligible_ids=...)`` routes the id set into
+    BOTH written-index legs (BM25 semi-join on the pruned postings,
+    IVF semi-join on the pruned cluster scan) and must equal the
+    in-memory ``hybrid_search_rrf_filtered`` composition at exhaustive
+    nprobe."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        retrieval as R,
+        similarity as S,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.plans.llmdata import (
+        hybrid_search_rrf_filtered,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    embs = load(spark, sf_dir, "embeddings")
+    bm25_path = str(tmp_path / "bm25_hf")
+    ivf_path = str(tmp_path / "ivf_hf")
+    R.write_bm25_index(docs, bm25_path, n_buckets=64)
+    S.write_ivf_index(embs, ivf_path, n_clusters=8, iterations=2)
+    qvec = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
+    en_ids = docs.filter("lang = 'en'").select("doc_id")
+    got = [
+        tuple(r)
+        for r in R.hybrid_topk_indexed(
+            spark, bm25_path, ivf_path, ["spark", "stream", "hash", "dup"],
+            qvec, k=10, breadth=20, nprobe=8, exclude_vec_id=0,
+            eligible_ids=en_ids,
+        ).collect()
+    ]
+    want = [tuple(r) for r in hybrid_search_rrf_filtered(spark, sf_dir).collect()]
+    assert got == want and len(got) == 10
