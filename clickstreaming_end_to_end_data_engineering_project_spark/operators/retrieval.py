@@ -222,17 +222,29 @@ def write_bm25_index(
       Σ sum_dl / Σ n_docs — integer sums, so the double division is
       bit-identical to a single-build index.
 
-    This ``write`` is just the first segment (``batch=0``) onto a
-    cleared path — any prior index at ``path`` is deleted first
-    (through the Hadoop FileSystem API, so the same code maintains a
-    local, HDFS, or s3a layout — the fsutil rule).
+    This ``write`` is just the first segment (``batch=0``).
+    Rebuilding over an EXISTING index goes through the crash-safe
+    staging swap (r15, the write_pq_index discipline extended to the
+    whole write_* family): the old index stays probe-able until the
+    new build fully lands.  All filesystem work goes through the
+    Hadoop FileSystem API, so the same code maintains a local, HDFS,
+    or s3a layout (the fsutil rule).
     """
-    from ..fsutil import fs_for
+    from ..fsutil import fs_for, heal_swap_crash, swap_with_staging
 
-    _, fs, hpath = fs_for(docs.sparkSession, path)
+    spark = docs.sparkSession
+    heal_swap_crash(spark, path)
+    _, fs, hpath = fs_for(spark, path)
     if fs.exists(hpath):
-        fs.delete(hpath, True)
-    _write_bm25_segment(docs, path, 0, id_col, text_col, n_buckets)
+        swap_with_staging(
+            spark, path,
+            lambda staging: _write_bm25_segment(
+                docs, staging, 0, id_col, text_col, n_buckets
+            ),
+            job="compact",
+        )
+    else:
+        _write_bm25_segment(docs, path, 0, id_col, text_col, n_buckets)
 
 
 def _existing_bm25_batches(spark, path: str) -> "list[int]":

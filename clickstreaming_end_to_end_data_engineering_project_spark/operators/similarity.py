@@ -381,11 +381,29 @@ def write_lsh_index(
     (xxhash64 seeds, nothing trained), so an appended index is
     IDENTICAL, bucket for bucket, to a full rebuild over the union,
     and probes prune on the second-level ``lsh_bucket`` partition
-    column across every segment."""
-    from ..fsutil import fs_for
+    column across every segment.
 
-    _, fs, hpath = fs_for(df.sparkSession, path)
+    Rebuilding over an EXISTING index goes through the crash-safe
+    staging swap (r15, the write_pq_index discipline extended to the
+    whole write_* family): the old index stays probe-able until the
+    new build fully lands."""
+    from ..fsutil import fs_for, heal_swap_crash, swap_with_staging
+
+    spark = df.sparkSession
+    heal_swap_crash(spark, path)
+    _, fs, hpath = fs_for(spark, path)
+    if fs.exists(hpath) and not df.isEmpty():
+        swap_with_staging(
+            spark, path,
+            lambda staging: _write_lsh_segment(
+                df, staging, 0, planes, dims, id_col, vec_col, write_params=True
+            ),
+            job="compact",
+        )
+        return
     if fs.exists(hpath):
+        # empty-input rebuild: pre-r15 semantics (clear, then the
+        # segment writer's empty guard leaves no index)
         fs.delete(hpath, True)
     _write_lsh_segment(df, path, 0, planes, dims, id_col, vec_col, write_params=True)
 
@@ -771,47 +789,56 @@ def write_ivf_index(
     retrained by appends (Faiss's add-after-train model): probe
     results over the probed clusters stay exact, and recall degrades
     only as far as the data distribution drifts from the training
-    sample — retraining IS the rebuild."""
+    sample — retraining IS the rebuild.
+
+    Rebuilding over an EXISTING index goes through the crash-safe
+    staging swap (r15, the write_pq_index discipline extended to the
+    whole write_* family): a failure anywhere in training or the build
+    writes leaves the old index live and probe-able."""
     import os
 
-    from ..fsutil import fs_for
+    from ..fsutil import fs_for, heal_swap_crash, swap_with_staging
     from .kmeans import kmeans_assign
 
-    _, fs, hpath = fs_for(df.sparkSession, path)
-    if fs.exists(hpath):
-        fs.delete(hpath, True)
+    spark = df.sparkSession
+    heal_swap_crash(spark, path)
+    _, fs, hpath = fs_for(spark, path)
     clusters = kmeans_assign(
         df, k=n_clusters, iterations=iterations, id_col=id_col, vec_col=vec_col
     )
     if "cluster" in df.columns:
         df = df.drop("cluster")
     clustered = df.join(clusters, id_col).localCheckpoint(eager=True)
-    clustered.write.partitionBy("cluster").parquet(
-        os.path.join(path, "vectors", "batch=0")
-    )
-    clustered.select(id_col, "cluster").write.parquet(
-        os.path.join(path, "_id_map", "batch=0")
-    )
     cents = build_ivf_centroids(clustered, "cluster", vec_col)
-    spark = df.sparkSession
-    (
-        cents.select(
-            F.col("cluster").cast("int"),
-            F.col("centroid").cast("array<double>"),
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "_ivf_centroids"))
-    )
     dims = len(df.select(vec_col).first()[0])
-    (
-        spark.createDataFrame(
-            [(int(n_clusters), int(dims))], "n_clusters int, dims int"
+
+    def _build(root: str) -> None:
+        clustered.write.partitionBy("cluster").parquet(
+            os.path.join(root, "vectors", "batch=0")
         )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "_ivf_params"))
-    )
+        clustered.select(id_col, "cluster").write.parquet(
+            os.path.join(root, "_id_map", "batch=0")
+        )
+        (
+            cents.select(
+                F.col("cluster").cast("int"),
+                F.col("centroid").cast("array<double>"),
+            )
+            .coalesce(1)
+            .write.parquet(os.path.join(root, "_ivf_centroids"))
+        )
+        (
+            spark.createDataFrame(
+                [(int(n_clusters), int(dims))], "n_clusters int, dims int"
+            )
+            .coalesce(1)
+            .write.parquet(os.path.join(root, "_ivf_params"))
+        )
+
+    if fs.exists(hpath):
+        swap_with_staging(spark, path, _build, job="compact")
+    else:
+        _build(path)
 
 
 def _delete_ids_from_segments(

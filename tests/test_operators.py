@@ -4958,3 +4958,65 @@ def test_hybrid_indexed_filtered_matches_in_memory(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in hybrid_search_rrf_filtered(spark, sf_dir).collect()]
     assert got == want and len(got) == 10
+
+
+def test_lsh_bm25_ivf_rebuild_failure_preserves_old_index(spark, tmp_path):
+    """r15: the staged-swap rebuild discipline extended from PQ/IVFPQ
+    to the whole write_* family — a failing rebuild of an LSH, BM25,
+    or IVF index leaves the OLD index live and probe-able (the pre-r15
+    delete-then-build order left nothing)."""
+    import pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        retrieval as R,
+        similarity as S,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 3) % 7), float(i % 5), 1.0, float(i % 4)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    bad_vecs = vecs.withColumn(
+        "vec_id", F.when(F.raise_error(F.lit("boom")).isNull(), F.col("vec_id"))
+    )
+    q = [1.0, 0.5, 1.0, 0.5]
+
+    lsh = str(tmp_path / "lsh_staged")
+    S.write_lsh_index(vecs, lsh, planes=2, dims=4)
+    before = [
+        tuple(r)
+        for r in S.lsh_topk_indexed(spark, lsh, query_vec=q, k=5, nprobe=4).collect()
+    ]
+    with pytest.raises(Exception, match="boom"):
+        S.write_lsh_index(bad_vecs, lsh, planes=2, dims=4)
+    assert [
+        tuple(r)
+        for r in S.lsh_topk_indexed(spark, lsh, query_vec=q, k=5, nprobe=4).collect()
+    ] == before
+
+    ivf = str(tmp_path / "ivf_staged")
+    S.write_ivf_index(vecs, ivf, n_clusters=3, iterations=1)
+    before = [
+        tuple(r) for r in S.ivf_topk_indexed(spark, ivf, q, k=5, nprobe=3).collect()
+    ]
+    with pytest.raises(Exception, match="boom"):
+        S.write_ivf_index(bad_vecs, ivf, n_clusters=3, iterations=1)
+    assert [
+        tuple(r) for r in S.ivf_topk_indexed(spark, ivf, q, k=5, nprobe=3).collect()
+    ] == before
+
+    docs = spark.createDataFrame(
+        [(i, f"spark doc{i % 3} stream") for i in range(12)],
+        "doc_id long, text string",
+    )
+    bad_docs = docs.withColumn(
+        "doc_id", F.when(F.raise_error(F.lit("boom")).isNull(), F.col("doc_id"))
+    )
+    bm = str(tmp_path / "bm25_staged")
+    R.write_bm25_index(docs, bm, n_buckets=4)
+    before = [tuple(r) for r in R.bm25_topk_indexed(spark, bm, ["spark"], k=12).collect()]
+    with pytest.raises(Exception, match="boom"):
+        R.write_bm25_index(bad_docs, bm, n_buckets=4)
+    assert [
+        tuple(r) for r in R.bm25_topk_indexed(spark, bm, ["spark"], k=12).collect()
+    ] == before
