@@ -4769,11 +4769,20 @@ def test_ivfpq_filtered_probe_exact_at_exhaustive_settings(spark, sf_dir, tmp_pa
     assert got == want and len(got) == 10
 
     label3 = {r["vec_id"] for r in body.filter("label = 3").collect()}
-    serving = S.ivfpq_topk_indexed_filtered(
+    serving_df = S.ivfpq_topk_indexed_filtered(
         spark, path, body, q, F.col("label") == 3, k=10, nprobe=3, shortlist=40
-    ).collect()
+    )
+    serving = serving_df.collect()
     assert 0 < len(serving) <= 10
     assert {r["vec_id"] for r in serving} <= label3
+    # the eligibility semi-join must NOT defeat cluster partition
+    # pruning: Catalyst pushes the isin through the join, so the codes
+    # scan still reads nprobe/n_clusters of the directories
+    plan = serving_df._jdf.queryExecution().executedPlan().toString()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l and "codes" in l]
+    assert pf and all("cluster" in l.split("PartitionFilters:")[1][:60] for l in pf), (
+        "codes scan lost its cluster PartitionFilter under the filtered probe"
+    )
 
 
 def test_hybrid_indexed_pin_survives_deletes_on_both_stores(spark, sf_dir, tmp_path):
