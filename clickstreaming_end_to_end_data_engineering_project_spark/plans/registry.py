@@ -277,12 +277,15 @@ class QuerySpec:
 # cosine top-20 by RRF; serving twin
 # hybrid_topk_indexed(eligible_ids=...) pinned equal at exhaustive
 # nprobe) and doc_decontaminated_corpus (plans/llmdata.py: the
-# eval-set decontamination ACTION — train docs dropped when their
-# TEST-vocab 8-gram overlap exceeds 0.5; 8-grams not trigrams because
-# short-shingle vocabularies saturate as the eval set grows — at sf0.1
-# the trigram overlap floor is 0.53 across ALL train docs, while
-# 8-gram overlap isolates exactly the near-dup-seeded docs at every
-# scale: 6/9/86 dropped at sf0.001/0.01/0.1).
+# eval-set decontamination ACTION — the SURVIVING train corpus after
+# dropping docs whose TEST-vocab 8-gram overlap exceeds 0.5; 8-grams
+# not trigrams because short-shingle vocabularies saturate as the
+# eval set grows — at sf0.1 the trigram overlap floor is 0.53 across
+# ALL train docs, while 8-gram overlap isolates exactly the
+# near-dup-seeded docs at every scale: 6/9/86 dropped at
+# sf0.001/0.01/0.1.  Returns survivors, not keep-flags: a keep-flag
+# left join under count() let Catalyst eliminate the join and the
+# benchmark timed a bare row count — see the plan docstring).
 # Round-15 rotation (executed): the r14 verdict #1 directive — the 15
 # r13-rotation queries are doubly driver-verified (green r13 AND r14)
 # and demotable; the round adds the filtered-ANN family (three NEW
