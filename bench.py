@@ -124,13 +124,27 @@ def main() -> None:
     # (winnow_dups' doc frame, curation paths), and running them before
     # the stream legs would add executor memory/GC pressure no earlier
     # round's stream measurement had — order preserves comparability.
+    # Extended legs execute via a NOOP WRITE, not count() (r15): count
+    # lets Catalyst eliminate cardinality-preserving operators whose
+    # outputs the count never reads — unfiltered windows, and left
+    # joins whose right side is unique per key — and an audit found 7
+    # extended legs losing exactly those nodes (customer_rfm_segments
+    # dropped all 6 of its windows).  These legs exist to catch
+    # regressions in those operators, so the action must evaluate
+    # every output column.  The HEADLINE loop above stays on count()
+    # for r1-baseline comparability — and a test pins that no headline
+    # leg loses Join/Window/Generate/Aggregate nodes under count, so
+    # that total remains honest.  Extended numbers are comparable only
+    # within the same action (r15+ vs r15+).
     extended: dict[str, float | None] = {}
     for name in EXTENDED:
         best = float("inf")
         for _ in range(2):
             try:
                 t0 = time.perf_counter()
-                specs[name].fn(spark, sf_dir).count()
+                specs[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
                 best = min(best, time.perf_counter() - t0)
             except Exception:  # a failed rep must not discard a good one
                 pass

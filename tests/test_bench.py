@@ -75,3 +75,46 @@ def test_bench_prints_parseable_trailer_last(spark, monkeypatch, capsys):
             bs = doc[key]
             assert set(bs) == {"load_1m", "load_5m", "spin_mops"}, (key, bs)
             assert bs["spin_mops"] > 0 and bs["load_1m"] >= 0
+
+
+def test_headline_legs_lose_nothing_under_count_action(spark):
+    """r15 benchmark-honesty guard: the headline loop times queries via
+    count(), and Catalyst may ELIMINATE cardinality-preserving
+    operators whose outputs a count never reads (unfiltered windows;
+    left joins with a unique right side) — a leg that loses such a
+    node is timing a cheaper plan than the query it claims to measure
+    (found live on doc_decontaminated_corpus's first form, whose
+    entire shingle pipeline vanished).  Every HEADLINE leg must keep
+    all of its Join/Window/Generate/Aggregate nodes under the count
+    action; extended legs run a noop write instead, which evaluates
+    every output column and makes the question moot."""
+    import re
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.plans.registry import (
+        BENCH_HEADLINE,
+        all_specs,
+    )
+
+    specs = all_specs()
+
+    def op_counts(plan: str) -> dict:
+        out: dict = {}
+        for m in re.finditer(r"\b(\w*Join\w*|Window|Generate|Aggregate)\b", plan):
+            kind = "Join" if "Join" in m.group(1) else m.group(1)
+            out[kind] = out.get(kind, 0) + 1
+        return out
+
+    sf = "/root/testdata/sf0.001"
+    hollow = {}
+    for name in BENCH_HEADLINE:
+        df = specs[name].fn(spark, sf)
+        full = op_counts(df._jdf.queryExecution().optimizedPlan().toString())
+        cnt = op_counts(
+            df.groupBy().count()._jdf.queryExecution().optimizedPlan().toString()
+        )
+        dropped = {k: full[k] - cnt.get(k, 0) for k in full if cnt.get(k, 0) < full[k]}
+        if dropped:
+            hollow[name] = dropped
+    assert not hollow, (
+        f"headline legs time a cheaper plan than they claim under count(): {hollow}"
+    )
