@@ -525,6 +525,7 @@ def lsh_topk_indexed(
     vec_col: str = "embedding",
     query_vec: "list[float] | None" = None,
     nprobe: int = 1,
+    predicate=None,
 ) -> DataFrame:
     """Probe a pre-bucketed LSH index (``write_lsh_index`` layout) —
     total I/O is bounded by ONE bucket directory plus (for id probes)
@@ -558,7 +559,14 @@ def lsh_topk_indexed(
     the sf0.1 fixture: recall@10 0.2 single-bucket → 0.8 at nprobe 4,
     scripts/ann_probe_bench.py).  ``nprobe=1`` probes the query's own
     bucket exactly as before; probing ALL 2^planes buckets is
-    brute-force cosine (the exhaustive-parity test pin)."""
+    brute-force cosine (the exhaustive-parity test pin).
+
+    ``predicate`` (r15, the filtered-ANN family's LSH member): a
+    Column, SQL string, or one-column id frame restricting which rows
+    may be RANKED — evaluated INSIDE the bucket-pruned scan (the
+    layout stores full rows, so metadata rides beside the vectors),
+    before the top-k; at nprobe = 2^planes the result is exact over
+    the matching rows (brute-force-filtered parity)."""
     import os
 
     params = (
@@ -596,9 +604,16 @@ def lsh_topk_indexed(
         if len(buckets) == 1
         else F.col("lsh_bucket").isin(buckets)
     )
+    out = idx.filter(bucket_pred & exclude)
+    if predicate is not None:
+        if isinstance(predicate, DataFrame):
+            out = out.join(predicate.select(F.col(id_col)), id_col, "left_semi")
+        else:
+            out = out.filter(
+                F.expr(predicate) if isinstance(predicate, str) else predicate
+            )
     return (
-        idx.filter(bucket_pred & exclude)
-        .select(F.col(id_col), sim.alias("cos_sim"))
+        out.select(F.col(id_col), sim.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
@@ -2401,6 +2416,54 @@ def pq_topk_indexed(
     codes = spark.read.parquet(os.path.join(path, "codes"))
     return pq_topk_rerank(
         df, codes, books, query_vec, k=k, shortlist=shortlist,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+def pq_topk_indexed_filtered(
+    spark,
+    path: str,
+    df: DataFrame,
+    query_vec: "list[float]",
+    predicate,
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Metadata-filtered PQ probe — the plain-PQ member of the r15
+    filtered-ANN family (``ivfpq_topk_indexed_filtered``'s discipline
+    without the coarse quantizer): codes carry no metadata, so the
+    predicate (Column, SQL string, or one-column id frame) is
+    evaluated on ``df`` and the codes table is SEMI-JOINED against the
+    matching ids BEFORE the ADC shortlist is cut — every shortlist
+    slot goes to a returnable row.  With shortlist ≥ the filtered
+    corpus the result is exact over the matching rows (pinned); at
+    serving shortlist, oversample by ~1/selectivity."""
+    import os
+
+    params = (
+        spark.read.schema("m int, k int, dims int")
+        .parquet(os.path.join(path, "_pq_params"))
+        .head()
+    )
+    if len(query_vec) != params.dims:
+        raise ValueError(
+            f"pq_topk_indexed_filtered: query has {len(query_vec)} dims, "
+            f"index expects {params.dims}"
+        )
+    if isinstance(predicate, DataFrame):
+        matching = df.join(predicate.select(F.col(id_col)), id_col, "left_semi")
+    else:
+        matching = df.filter(
+            F.expr(predicate) if isinstance(predicate, str) else predicate
+        )
+    books = read_pq_codebooks(spark, path)
+    codes = spark.read.parquet(os.path.join(path, "codes")).join(
+        matching.select(F.col(id_col)), id_col, "left_semi"
+    )
+    return pq_topk_rerank(
+        matching, codes, books, query_vec, k=k, shortlist=shortlist,
         id_col=id_col, vec_col=vec_col,
     )
 

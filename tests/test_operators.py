@@ -5029,3 +5029,75 @@ def test_lsh_bm25_ivf_rebuild_failure_preserves_old_index(spark, tmp_path):
     assert [
         tuple(r) for r in R.bm25_topk_indexed(spark, bm, ["spark"], k=12).collect()
     ] == before
+
+
+def test_lsh_and_pq_filtered_probes_match_filtered_brute_force(spark, sf_dir, tmp_path):
+    """The remaining two members of the r15 filtered-ANN family: the
+    LSH probe's predicate is evaluated inside the bucket-pruned scan
+    (full rows ride in the layout; exact at nprobe = 2^planes), and
+    the PQ probe semi-joins the codes against the matching ids before
+    the ADC shortlist (exact at shortlist ≥ the filtered corpus).
+    Both the Column and the id-frame predicate forms are exercised."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        similarity as S,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    embs = load(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    q = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
+    want = [
+        r["vec_id"]
+        for r in S.brute_force_topk_filtered(embs, 0, "label = 3", k=10).collect()
+    ]
+    label3 = {r["vec_id"] for r in embs.filter("label = 3").collect()}
+
+    lsh = str(tmp_path / "lsh_filtered")
+    S.write_lsh_index(embs, lsh, planes=2, dims=len(q))
+    got = [
+        r["vec_id"]
+        for r in S.lsh_topk_indexed(
+            spark, lsh, query_vec=q, query_vec_id=0, k=10, nprobe=4,
+            predicate="label = 3",
+        ).collect()
+    ]
+    assert got == want and len(got) == 10
+    # serving nprobe + id-frame predicate form: eligibility holds
+    serving = S.lsh_topk_indexed(
+        spark, lsh, query_vec=q, query_vec_id=0, k=10, nprobe=2,
+        predicate=embs.filter("label = 3").select("vec_id"),
+    ).collect()
+    assert {r["vec_id"] for r in serving} <= label3
+
+    pq = str(tmp_path / "pq_filtered")
+    books = S.anchor_pq_codebooks(embs, m=8, k=16)
+    S.write_pq_index(embs, pq, codebooks=books)
+    body = embs.filter(F.col("vec_id") != 0)
+    n_match = body.filter("label = 3").count()
+    got = [
+        r["vec_id"]
+        for r in S.pq_topk_indexed_filtered(
+            spark, pq, body, q, F.col("label") == 3, k=10, shortlist=n_match
+        ).collect()
+    ]
+    # PQ ranks by exact L2 after the rerank — the ground truth is the
+    # exact L2 top-10 over the filtered corpus (cosine order need not
+    # coincide on non-normalized vectors)
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.kmeans import (
+        _sq_dist,
+    )
+
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    want_l2 = [
+        r["vec_id"]
+        for r in body.filter("label = 3")
+        .select("vec_id", _sq_dist(F.col("embedding"), qlit).alias("_d"))
+        .orderBy(F.col("_d").asc(), F.col("vec_id"))
+        .limit(10)
+        .collect()
+    ]
+    assert got == want_l2 and len(got) == 10
+    serving = S.pq_topk_indexed_filtered(
+        spark, pq, body, q, "label = 3", k=10, shortlist=30
+    ).collect()
+    assert 0 < len(serving) <= 10
+    assert {r["vec_id"] for r in serving} <= label3
