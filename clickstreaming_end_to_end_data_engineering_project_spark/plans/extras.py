@@ -742,7 +742,71 @@ def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (r15, the r17 queue — a NEW
+    family: self-maintainable materialized aggregates).  A 100 TB
+    deployment never recomputes its daily rollup over all history when
+    a day of events lands; it keeps MERGEABLE partials (count + exact
+    decimal sum per key) and folds the increment in — the classic
+    incremental-view-maintenance contract (Gray et al.'s
+    distributive aggregates; every streaming sink's re-agg relies on
+    the same algebra, reference stream_processor.py:299-428 re-agg
+    SPEC).  This query PROVES the merge: events split 80/20 by a
+    content-stable rule into 'history' and 'increment', each rolled up
+    independently (the stored-partial shape), then merged by summing
+    partials — and the oracle computes the SAME rollup directly over
+    all events, so the driver's hash compare enforces
+    merge(partial(A), partial(B)) == full(A ∪ B) bit-for-bit.  The
+    derived average divides the exact decimal total by the merged
+    count at the END (averages are NOT mergeable; their sufficient
+    statistics are).  At scale the merge's cost is O(increment +
+    affected keys): history partials arrive as a stored table, never
+    recomputed (see etl.merge_upsert for landing them copy-on-write).
+    """
+    ev = load(spark, sf_dir, "events")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.to_date("ts").cast("timestamp").alias("event_date"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(money("value")).alias("_v"),
+        )
+
+    base = partial(ev.filter(F.col("event_id") % 10 < 8))
+    delta = partial(ev.filter(F.col("event_id") % 10 >= 8))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_date", "event_type")
+        .agg(F.sum("_n").alias("n_events"), F.sum("_v").alias("_vm"))
+        .select(
+            "event_date",
+            "event_type",
+            "n_events",
+            F.col("_vm").cast("double").alias("total_value"),
+            (F.col("_vm").cast("double") / F.col("n_events")).alias("avg_value"),
+        )
+    )
+
+
 SPECS = [
+    QuerySpec(
+        "events_incremental_rollup",
+        events_incremental_rollup,
+        """
+        SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date,
+               event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+                   AS avg_value
+        FROM events
+        GROUP BY 1, 2
+        """,
+        "incremental aggregate maintenance: merged partials must equal "
+        "the direct rollup (r17 queue)",
+    ),
     QuerySpec(
         "nation_revenue_trend",
         nation_revenue_trend,

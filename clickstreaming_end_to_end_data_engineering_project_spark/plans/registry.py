@@ -264,6 +264,16 @@ class QuerySpec:
 # lives in probe-equality tests and the recorded bench legs
 # (indexed_probe_build_sec.{bm25,lsh,ivf}_append,
 # merge_upsert_cdc_sec), not in the oracle gate.
+# r17 rotation queue (declared late in r15): events_incremental_rollup
+# (plans/extras.py) — incremental aggregate maintenance, a NEW family:
+# events split 80/20 by a content-stable rule into history + increment,
+# each rolled up to mergeable partials (exact int counts + exact
+# decimal sums), merged by summing partials, averages divided at the
+# END — and the oracle computes the same rollup DIRECTLY over all
+# events, so the driver hash enforces merge(partial(A), partial(B)) ==
+# full(A ∪ B).  Oracle-bit-exact at sf0.001/0.01/0.1 under a foreign
+# session timezone; any-split merge==full property pinned in
+# tests/test_plans.py; benched + digest-pinned ahead of rotation.
 # r16 rotation queue (declared in r15, the standing
 # implement-ahead-of-rotation pattern): two NEW oracle-backed queries,
 # both implemented, bit-exact vs DuckDB at sf0.001/0.01/0.1, benched in
@@ -476,6 +486,8 @@ BENCH_EXTENDED = [
     # digests ahead of rotation
     "hybrid_search_rrf_filtered",
     "doc_decontaminated_corpus",
+    # r15 (late): the r17-queue incremental-rollup query
+    "events_incremental_rollup",
 ]
 
 

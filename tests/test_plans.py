@@ -252,3 +252,58 @@ def test_source_dup_rate_matches_python(spark, sf_dir):
         import math
 
         assert got[src]["dup_rate"] == math.floor(dd / nd * 1e6 + 0.5) / 1e6
+
+
+def test_incremental_rollup_merge_equals_full_for_any_split(spark):
+    """Property behind events_incremental_rollup (r17 queue): for ANY
+    partition of the input into history + increment — including empty
+    and single-sided splits — merging the two partial rollups equals
+    the direct rollup over the union, bit for bit (counts are exact
+    ints; value totals are exact decimal sums, order-independent by
+    construction; the average divides at the end)."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import functions as F
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.functions import money
+
+    rng = random.Random(77)
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (
+            i,
+            base + dt.timedelta(hours=rng.randint(0, 120)),
+            rng.choice(["view", "purchase", "click"]),
+            round(rng.uniform(0, 500), 2) if rng.random() > 0.1 else None,
+        )
+        for i in range(400)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    ).localCheckpoint(eager=True)
+
+    def partial(df):
+        return df.groupBy(
+            F.to_date("ts").cast("timestamp").alias("event_date"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("_n"), F.sum(money("value")).alias("_v"))
+
+    def finish(p):
+        return (
+            p.groupBy("event_date", "event_type")
+            .agg(F.sum("_n").alias("n"), F.sum("_v").alias("_vm"))
+            .select(
+                "event_date", "event_type", "n",
+                F.col("_vm").cast("double").alias("total"),
+            )
+        )
+
+    want = sorted(map(tuple, finish(partial(ev)).collect()))
+    for frac in (0.0, 0.2, 0.5, 1.0):
+        cut = int(400 * frac)
+        a = ev.filter(F.col("event_id") < cut)
+        b = ev.filter(F.col("event_id") >= cut)
+        got = sorted(
+            map(tuple, finish(partial(a).unionByName(partial(b))).collect())
+        )
+        assert got == want, f"split at {frac} diverged"
