@@ -1064,14 +1064,28 @@ def compact_ivf_index(spark, path: str) -> None:
             .write.partitionBy("cluster")
             .parquet(os.path.join(staging, "vectors", "batch=0"))
         )
-        # the _id_map overlap-validation sidecar collapses with the
-        # vectors (a pre-r14 layout without one stays without — appends
-        # there fall back to the vector-store id scan)
+        # the _id_map overlap-validation sidecar is REBUILT from the
+        # vector store rather than copied (r15): with the append's
+        # id_map-FIRST write order, a crash between the two writes can
+        # orphan an _id_map slice whose vectors never landed — copying
+        # would fold those phantom ids into batch=0 and later appends
+        # of the same ids would fail the overlap check forever.
+        # Deriving from the store makes compaction the heal point; the
+        # extra scan is column-pruned to (id, cluster).  A pre-r14
+        # layout without an id map stays without — appends there fall
+        # back to the vector-store id scan.
         id_map_root = os.path.join(path, "_id_map")
         _, fs, id_map_hpath = fs_for(spark, id_map_root)
         if fs.exists(id_map_hpath):
-            spark.read.parquet(id_map_root).drop("batch").write.parquet(
-                os.path.join(staging, "_id_map", "batch=0")
+            idc = [
+                c
+                for c in spark.read.parquet(id_map_root).columns
+                if c not in ("cluster", "batch")
+            ][0]
+            (
+                spark.read.parquet(os.path.join(path, "vectors"))
+                .select(idc, "cluster")
+                .write.parquet(os.path.join(staging, "_id_map", "batch=0"))
             )
         (
             spark.read.schema("cluster int, centroid array<double>")

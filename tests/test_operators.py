@@ -5101,3 +5101,51 @@ def test_lsh_and_pq_filtered_probes_match_filtered_brute_force(spark, sf_dir, tm
     ).collect()
     assert 0 < len(serving) <= 10
     assert {r["vec_id"] for r in serving} <= label3
+
+
+def test_ivf_compaction_heals_orphaned_id_map_slice(spark, tmp_path):
+    """r15 follow-through on the id_map-FIRST append ordering: a crash
+    between the id_map write and the vectors write orphans an _id_map
+    slice.  A direct retry heals it (same default batch id — pinned
+    elsewhere); compaction must too, by REBUILDING _id_map from the
+    vector store instead of folding the phantom ids into batch=0 —
+    otherwise a later append of those ids would fail the overlap check
+    forever."""
+    import os
+    import shutil
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        similarity as S,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 4), 1.0, float(i % 3), 0.5]) for i in range(24)],
+        "vec_id long, embedding array<double>",
+    )
+    part_a = vecs.filter(F.col("vec_id") < 16)
+    part_b = vecs.filter(F.col("vec_id") >= 16)
+    idx = str(tmp_path / "ivf_orphan")
+    S.write_ivf_index(part_a, idx, n_clusters=2, iterations=1)
+    S.append_ivf_index(part_b, idx)
+    # crash window: id_map slice landed, vectors batch=1 did not
+    shutil.rmtree(os.path.join(idx, "vectors", "batch=1"))
+    S.compact_ivf_index(spark, idx)
+    im = spark.read.parquet(os.path.join(idx, "_id_map"))
+    assert im.count() == 16  # phantom ids NOT folded in
+    # the once-crashed increment appends cleanly after compaction
+    out = S.append_ivf_index(part_b, idx)
+    assert out["n_vectors"] == 8
+    q = [1.0, 1.0, 1.0, 0.5]
+    got = [
+        r["vec_id"]
+        for r in S.ivf_topk_indexed(spark, idx, q, k=6, nprobe=2).collect()
+    ]
+    want = [
+        r["vec_id"]
+        for r in S.brute_force_topk(
+            vecs.union(spark.createDataFrame([(10**9, q)], vecs.schema)),
+            query_vec_id=10**9,
+            k=6,
+        ).collect()
+    ]
+    assert got == want
