@@ -443,11 +443,19 @@ def _write_lsh_segment(
             .parquet(os.path.join(path, "_lsh_params"))
         )
     bucketed = vecs.withColumn("lsh_bucket", lsh_bucket(F.col(vec_col), planes, dims))
-    bucketed.write.mode("overwrite").partitionBy("lsh_bucket").parquet(
-        os.path.join(path, seg)
-    )
+    # _id_map slice FIRST (r15, the append_ivf_index advisory applied
+    # to its LSH twin): batch ids are listed from the VECTORS root and
+    # append overlap is validated against _id_map, so a crash between
+    # the two writes must leave the DISCOVERABLE side (vectors) absent
+    # — the retry then replays the same batch id and overwrites both.
+    # The old vectors-first order let a crashed append strand a
+    # vectors segment invisible to the overlap check: the retry took
+    # batch max+1 and inserted every id twice.
     bucketed.select(id_col, "lsh_bucket").write.mode("overwrite").parquet(
         os.path.join(path, "_id_map", seg)
+    )
+    bucketed.write.mode("overwrite").partitionBy("lsh_bucket").parquet(
+        os.path.join(path, seg)
     )
 
 
@@ -1031,9 +1039,19 @@ def compact_lsh_index(spark, path: str) -> None:
             .write.partitionBy("lsh_bucket")
             .parquet(os.path.join(staging, "batch=0"))
         )
+        # _id_map REBUILT from the store, not copied (r15, the
+        # compact_ivf_index rule): the id_map-FIRST append ordering
+        # means a crashed append can orphan a slice whose vectors
+        # never landed — copying would fold phantom ids into batch=0
+        # and wedge later appends of those ids on the overlap check
+        idc = [
+            c
+            for c in spark.read.parquet(os.path.join(path, "_id_map")).columns
+            if c not in ("lsh_bucket", "batch")
+        ][0]
         (
-            spark.read.parquet(os.path.join(path, "_id_map"))
-            .drop("batch")
+            spark.read.parquet(path)
+            .select(idc, "lsh_bucket")
             .write.parquet(os.path.join(staging, "_id_map", "batch=0"))
         )
         (

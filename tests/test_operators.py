@@ -5149,3 +5149,61 @@ def test_ivf_compaction_heals_orphaned_id_map_slice(spark, tmp_path):
         ).collect()
     ]
     assert got == want
+
+
+def test_lsh_append_crash_before_vectors_write_retries_clean(spark, tmp_path):
+    """r15: the append_ivf_index crash-ordering advisory applied to its
+    LSH twin (found by symmetry audit): _write_lsh_segment lays the
+    _id_map slice down BEFORE the vectors segment, so a crash between
+    the writes leaves only the orphan slice — a retry replays the SAME
+    default batch id (listed from the vectors root) and overwrites
+    both.  The old vectors-first order gave the retry batch max+1 and
+    the overlap check (which reads _id_map) let every id in twice.
+    Compaction also heals the orphan by rebuilding _id_map from the
+    store."""
+    import os
+    import shutil
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        similarity as S,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 4), 1.0, float(i % 3), 0.5]) for i in range(24)],
+        "vec_id long, embedding array<double>",
+    )
+    part_a = vecs.filter(F.col("vec_id") < 16)
+    part_b = vecs.filter(F.col("vec_id") >= 16)
+    idx = str(tmp_path / "lsh_crash")
+    S.write_lsh_index(part_a, idx, planes=2, dims=4)
+    out = S.append_lsh_index(part_b, idx)
+    assert out["batch_id"] == 1
+    # crash window: _id_map slice landed, vectors batch=1 did not
+    shutil.rmtree(os.path.join(idx, "batch=1"))
+    out = S.append_lsh_index(part_b, idx)
+    assert out["batch_id"] == 1 and out["n_vectors"] == 8
+    im = spark.read.parquet(os.path.join(idx, "_id_map"))
+    assert im.count() == im.select("vec_id").distinct().count() == 24
+    q = [1.0, 1.0, 1.0, 0.5]
+    got = [
+        tuple(r)
+        for r in S.lsh_topk_indexed(spark, idx, query_vec=q, k=8, nprobe=4).collect()
+    ]
+    rebuild = str(tmp_path / "lsh_crash_rebuild")
+    S.write_lsh_index(vecs, rebuild, planes=2, dims=4)
+    want = [
+        tuple(r)
+        for r in S.lsh_topk_indexed(
+            spark, rebuild, query_vec=q, k=8, nprobe=4
+        ).collect()
+    ]
+    assert got == want
+
+    # orphan slice + COMPACTION: phantom ids must not fold into batch=0
+    idx2 = str(tmp_path / "lsh_orphan")
+    S.write_lsh_index(part_a, idx2, planes=2, dims=4)
+    S.append_lsh_index(part_b, idx2)
+    shutil.rmtree(os.path.join(idx2, "batch=1"))
+    S.compact_lsh_index(spark, idx2)
+    assert spark.read.parquet(os.path.join(idx2, "_id_map")).count() == 16
+    assert S.append_lsh_index(part_b, idx2)["n_vectors"] == 8
