@@ -267,15 +267,23 @@ def _write_bm25_segment(
     mid-append heals by replaying the append — no partial segment can
     double-count.
 
-    Write ORDER matters for crash recovery (r13 advisory): the
-    ``_bm25_params`` segment lands FIRST, before the postings dir that
-    ``existing_batch_ids`` lists.  A bootstrap that crashes after the
-    postings write replays down the APPEND path (segments exist ⇒ the
-    stream sink appends), which reads ``_bm25_params`` for n_buckets —
-    params-last wedged that replay permanently on PATH_NOT_FOUND.
-    Params-first, every crash point heals: before postings → no
-    segment listed → bootstrap reruns and overwrites params; after →
-    append replays and overwrites all four dirs (same batch id)."""
+    Write ORDER matters for crash recovery (r13 advisory + r15
+    symmetry audit): ``_bm25_params`` lands FIRST (a bootstrap that
+    crashes after the postings write replays down the APPEND path,
+    which reads params for n_buckets — params-last wedged that replay
+    on PATH_NOT_FOUND), then ``_doclens`` — the slice append OVERLAP
+    VALIDATION reads — and only then the postings dir that
+    ``existing_batch_ids`` lists, then ``_termstats``.  Doclens before
+    postings is the ``append_ivf_index`` id_map-first rule: a crash
+    between them leaves the batch UNDISCOVERABLE, so a default-id
+    retry replays the SAME id and overwrites everything; the pre-r15
+    postings-first order let a crash window strand a listed segment
+    invisible to the overlap check — the retry took max+1 and
+    double-counted every id's stats.  A crash AFTER postings leaves
+    the batch discoverable AND validated: a default-id retry raises
+    the (correct) duplicate error, and the healing replay is an
+    explicit same-batch-id append — which is exactly what the
+    streaming ingest sink does on every restart."""
     import os
 
     seg = f"batch={batch_id}"
@@ -302,6 +310,7 @@ def _write_bm25_segment(
         .write.mode("overwrite")
         .parquet(os.path.join(path, "_bm25_params", seg))
     )
+    dl.write.mode("overwrite").parquet(os.path.join(path, "_doclens", seg))
     postings = (
         docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
         .groupBy(id_col, "_t")
@@ -318,7 +327,6 @@ def _write_bm25_segment(
     spark.read.parquet(os.path.join(path, seg)).groupBy("_t").agg(
         F.count(F.lit(1)).alias("_df")
     ).write.mode("overwrite").parquet(os.path.join(path, "_termstats", seg))
-    dl.write.mode("overwrite").parquet(os.path.join(path, "_doclens", seg))
     return {"batch_id": batch_id, "n_docs": n_docs}
 
 

@@ -5207,3 +5207,43 @@ def test_lsh_append_crash_before_vectors_write_retries_clean(spark, tmp_path):
     S.compact_lsh_index(spark, idx2)
     assert spark.read.parquet(os.path.join(idx2, "_id_map")).count() == 16
     assert S.append_lsh_index(part_b, idx2)["n_vectors"] == 8
+
+
+def test_bm25_append_crash_before_postings_write_retries_clean(spark, tmp_path):
+    """r15 symmetry audit, the BM25 member: _write_bm25_segment lays
+    _doclens (the overlap-validation slice) down BEFORE the postings
+    dir that batch-id discovery lists.  A crash between the two leaves
+    the batch undiscoverable, so a default-id retry replays the SAME
+    batch id and overwrites every directory — the pre-r15
+    postings-first order gave the retry max+1 and double-counted
+    stats.  Probe after the healed retry is bit-equal to a full
+    rebuild."""
+    import os
+    import shutil
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        retrieval as R,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"spark stream doc{i % 4} tok{i % 7}") for i in range(24)],
+        "doc_id long, text string",
+    )
+    part_a = docs.filter(F.col("doc_id") < 16)
+    part_b = docs.filter(F.col("doc_id") >= 16)
+    idx = str(tmp_path / "bm25_crash_order")
+    R.write_bm25_index(part_a, idx, n_buckets=4)
+    out = R.append_bm25_index(part_b, idx)
+    assert out["batch_id"] == 1
+    # crash window: params + doclens slices landed, postings (and the
+    # termstats derived from them) did not
+    shutil.rmtree(os.path.join(idx, "batch=1"))
+    shutil.rmtree(os.path.join(idx, "_termstats", "batch=1"))
+    out = R.append_bm25_index(part_b, idx)
+    assert out["batch_id"] == 1 and out["n_docs"] == 8
+    terms = ["spark", "doc1", "tok2"]
+    got = [tuple(r) for r in R.bm25_topk_indexed(spark, idx, terms, k=24).collect()]
+    rebuilt = str(tmp_path / "bm25_crash_rebuild")
+    R.write_bm25_index(docs, rebuilt, n_buckets=4)
+    want = [tuple(r) for r in R.bm25_topk_indexed(spark, rebuilt, terms, k=24).collect()]
+    assert got == want and len(got) == 24
