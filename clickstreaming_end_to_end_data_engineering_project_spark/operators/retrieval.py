@@ -350,10 +350,20 @@ def append_bm25_index(
     this for foreachBatch exactly-once).  New doc ids must not already
     exist in OTHER segments (raises — BM25 stats would double-count;
     route updates through a rebuild or a delete-then-append cycle).
+
+    The increment is MATERIALIZED before any directory is overwritten
+    (r15): a replay's input may lawfully derive from the index's own
+    sidecars (e.g. "re-deliver the docs _doclens says batch N holds"),
+    and the doclens-first write order would otherwise invalidate that
+    lazy input's file listing mid-append.  Increments are
+    increment-sized by definition, so the checkpoint is bounded — the
+    whole-corpus initial build keeps the lazy path (its crash healing
+    is the staged-swap rebuild, never an in-place replay).
     """
     spark = new_docs.sparkSession
     import os
 
+    new_docs = new_docs.localCheckpoint(eager=True)
     existing = _existing_bm25_batches(spark, path)
     if not existing:
         raise ValueError(

@@ -479,15 +479,19 @@ def append_lsh_index(
     (streaming/ann_ingest.LshIngestSink's exactly-once).  New ids must
     not already exist in OTHER segments (checked against the thin
     ``_id_map`` sidecar, never the vector data; raises on overlap).
-    A replayed ``new_vecs`` must come from the SOURCE (or a
-    materialized frame), not a lazy read of the segment being
-    overwritten — Spark would be reading the files mid-replacement.
+    The increment is MATERIALIZED up front (r15 — the caller contract
+    "replayed input must not lazily read the segment being
+    overwritten" is now enforced rather than documented): with the
+    id_map-first write order, an input deriving from the index's own
+    sidecars would otherwise lose its files mid-append.  Increments
+    are increment-sized, so the checkpoint is bounded.
     """
     import os
 
     from ..fsutil import existing_batch_ids
 
     spark = new_vecs.sparkSession
+    new_vecs = new_vecs.localCheckpoint(eager=True)
     existing = existing_batch_ids(spark, path)
     if not existing:
         raise ValueError(
