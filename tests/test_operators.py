@@ -5247,3 +5247,49 @@ def test_bm25_append_crash_before_postings_write_retries_clean(spark, tmp_path):
     R.write_bm25_index(docs, rebuilt, n_buckets=4)
     want = [tuple(r) for r in R.bm25_topk_indexed(spark, rebuilt, terms, k=24).collect()]
     assert got == want and len(got) == 24
+
+
+def test_filtered_probe_composes_with_append_and_delete(spark, tmp_path):
+    """r15 compose-point: the filtered probe over a LIVED-IN index —
+    build, append (two segments), delete across both — must equal
+    brute-force-filtered over the surviving corpus at exhaustive
+    nprobe: the predicate semi-structure cannot interact badly with
+    segment discovery, and deletions are invisible to the filter."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        similarity as S,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            (i, [float((i * 3) % 7), 1.0, float(i % 5), 0.25], i % 3)
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    idx = str(tmp_path / "ivf_lived_in")
+    S.write_ivf_index(vecs.filter(F.col("vec_id") < 28), idx, n_clusters=3,
+                      iterations=1)
+    S.append_ivf_index(vecs.filter(F.col("vec_id") >= 28), idx)
+    victims = [3, 9, 30, 36]  # label-0 members across both segments
+    out = S.delete_from_ivf_index(spark, idx, victims)
+    assert out["vectors_deleted"] == 4
+    survivors = vecs.filter(~F.col("vec_id").isin(victims))
+    q = [1.0, 1.0, 1.0, 0.5]
+    got = [
+        r["vec_id"]
+        for r in S.ivf_topk_indexed_filtered(
+            spark, idx, q, "label = 0", k=8, nprobe=3
+        ).collect()
+    ]
+    probe = spark.createDataFrame(
+        [(10**9, q, 99)], "vec_id long, embedding array<double>, label int"
+    )
+    want = [
+        r["vec_id"]
+        for r in S.brute_force_topk_filtered(
+            survivors.union(probe), 10**9, "label = 0", k=8
+        ).collect()
+    ]
+    assert got == want and len(got) == len(
+        [v for v in range(40) if v % 3 == 0 and v not in victims][:8]
+    ) == 8
