@@ -118,3 +118,34 @@ def test_headline_legs_lose_nothing_under_count_action(spark):
     assert not hollow, (
         f"headline legs time a cheaper plan than they claim under count(): {hollow}"
     )
+
+
+def test_count_honesty_guard_detects_a_hollow_plan(spark):
+    """Negative control for the guard above: a deliberately
+    count-eliminable shape (left join with a unique right side whose
+    columns the count never reads) must be DETECTED — if the op-count
+    comparison ever stops seeing the drop (regex rot, explain-format
+    drift), this fails before the guard silently green-lights a hollow
+    headline leg."""
+    import re
+
+    base = spark.range(100).withColumnRenamed("id", "k")
+    right = spark.range(100).withColumnRenamed("id", "k").groupBy("k").count()
+    hollow = base.join(right, "k", "left")
+
+    def op_counts(plan: str) -> dict:
+        out: dict = {}
+        for m in re.finditer(r"\b(\w*Join\w*|Window|Generate|Aggregate)\b", plan):
+            kind = "Join" if "Join" in m.group(1) else m.group(1)
+            out[kind] = out.get(kind, 0) + 1
+        return out
+
+    full = op_counts(hollow._jdf.queryExecution().optimizedPlan().toString())
+    cnt = op_counts(
+        hollow.groupBy().count()._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert full.get("Join", 0) >= 1
+    assert cnt.get("Join", 0) < full["Join"], (
+        "the join-elimination shape stopped being detectable — the "
+        "headline count-honesty guard is blind"
+    )
