@@ -139,6 +139,7 @@ def ivf_topk_indexed_batch(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    predicate=None,
 ) -> DataFrame:
     """Batched probe of a ``write_ivf_index`` layout: rank the stored
     centroids per query DRIVER-side (Q × n_clusters dot products over
@@ -153,7 +154,13 @@ def ivf_topk_indexed_batch(
     tests).
 
     ``queries``: [(query_id, vector)] — the serving batch, driver-sized
-    by definition.  Output: (query_id, vec_id, cos_sim, rnk)."""
+    by definition.  Output: (query_id, vec_id, cos_sim, rnk).
+
+    ``predicate`` (r15): a Column, SQL string, or one-column id frame
+    shared by the whole batch (the per-tenant batch-serving shape) —
+    evaluated on the unioned pruned scan BEFORE per-query ranking,
+    exactly ``ivf_topk_indexed_filtered``'s rule; per query, results
+    equal the single-query filtered probe at the same nprobe."""
     import os
 
     cent_rows = sorted(
@@ -198,6 +205,13 @@ def ivf_topk_indexed_batch(
     idx = spark.read.parquet(os.path.join(path, "vectors")).filter(
         F.col("cluster").isin(probed)
     )
+    if predicate is not None:
+        if isinstance(predicate, DataFrame):
+            idx = idx.join(predicate.select(F.col(id_col)), id_col, "left_semi")
+        else:
+            idx = idx.filter(
+                F.expr(predicate) if isinstance(predicate, str) else predicate
+            )
     pair_df = spark.createDataFrame(pairs, "_qid bigint, cluster int")
     q_df = spark.createDataFrame(qrows, "_qid bigint, _qvec array<double>")
     sim = cosine(F.col(vec_col), F.col("_qvec"))

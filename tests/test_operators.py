@@ -5293,3 +5293,39 @@ def test_filtered_probe_composes_with_append_and_delete(spark, tmp_path):
     assert got == want and len(got) == len(
         [v for v in range(40) if v % 3 == 0 and v not in victims][:8]
     ) == 8
+
+
+def test_ivf_batch_filtered_matches_single_query_filtered(spark, sf_dir, tmp_path):
+    """r15: the batched probe's shared predicate (the per-tenant
+    batch-serving shape) must equal the single-query filtered probe
+    per query at the same nprobe — and every returned row satisfies
+    the predicate."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import (
+        similarity as S,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    embs = load(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in embs.filter(F.col("vec_id") < 3).collect()
+    ]
+    idx = str(tmp_path / "ivf_batch_filtered")
+    S.write_ivf_index(embs, idx, n_clusters=6, iterations=2)
+    batch = S.ivf_topk_indexed_batch(
+        spark, idx, qs, k=10, nprobe=6, predicate="label = 3"
+    )
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["rnk"], r["vec_id"], r["cos_sim"]))
+    label3 = {r["vec_id"] for r in embs.filter("label = 3").collect()}
+    assert set(got) == {0, 1, 2}
+    for qid, qv in qs:
+        single = S.ivf_topk_indexed_filtered(
+            spark, idx, qv, "label = 3", k=10, nprobe=6, exclude_vec_id=qid
+        ).collect()
+        rows = sorted(got[qid])
+        assert [v for _, v, _ in rows] == [r["vec_id"] for r in single]
+        assert {v for _, v, _ in rows} <= label3
+        for (_, _, a), r in zip(rows, single):
+            assert abs(a - r["cos_sim"]) < 1e-12
