@@ -256,6 +256,129 @@ def ngram_jaccard_histogram(
         doc_cached.unpersist()
 
 
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT Jaccard-threshold set-similarity self-join via prefix
+    filtering — same output contract as ``ngram_jaccard_pairs`` with
+    NO doc-frequency cap: correct on boilerplate-heavy corpora where
+    the cap changes semantics, at a cost that stays sub-quadratic
+    because candidates come only from the globally RAREST slice of
+    each document's shingle set.
+
+    Published design (no reference-repo counterpart — the reference
+    has no dedup at all): prefix filtering per Chaudhuri, Ganti,
+    Kaushik (ICDE 2006) with the PPJoin length + positional filters
+    (Xiao, Wang, Lin, Yu, WWW 2008) in the MapReduce layout of
+    Vernica, Carey, Li (SIGMOD 2010) — token ordering by ascending
+    global document frequency, so the inverted index is built over
+    LOW-df shingles only and the hot-shingle skew that forces
+    ``ngram_jaccard_pairs``' cap never reaches the join.
+
+    Filter soundness with a float threshold: every bound below is
+    rounded in the SAFE direction (floor where the exact bound is a
+    ceiling), so prefixes are never too short and candidate filters
+    never reject a qualifying pair — at worst one extra prefix token /
+    a few extra candidates, all removed by exact verification.
+      - prefix length  p = s − floor(t·s) + 1  ≥  s − ceil(t·s) + 1
+        (the exact bound: a partner has ≥ ceil(t·s) shingles in
+        common, all partners share a token inside p);
+      - length filter  floor(t·max(sa,sb)) ≤ min(sa,sb)
+        (exact: t·max ≤ min, since J ≤ min/max);
+      - positional filter  1 + min(sa−pa, sb−pb) ≥ floor(α) with
+        α = t/(1+t)·(sa+sb)  (exact overlap requirement: ceil(α);
+        pa/pb are 1-based positions in the df-sorted full set, so
+        everything after position p contributes at most s−p overlap).
+
+    Cost shape at corpus scale: one vocabulary-sized doc-frequency
+    aggregation, one (index ⋈ df) shuffle to rank shingles, one
+    per-doc re-group (collect_list is doc-sized, bounded), a self-join
+    over the PREFIX index (rare tokens only — the skew-proof join),
+    then two pair-sized joins for exact ``array_intersect``
+    verification.  More shuffles than the capped path, but every one
+    is either vocabulary-bounded or candidate-bounded; this is the
+    price of exactness without semantic caps.  Pinned equal to
+    ``ngram_jaccard_pairs(max_doc_freq=None)`` and to a brute-force
+    reference in tests."""
+    doc_cached = df.select(
+        F.col(id_col).alias("_id"), _shingle_array(text_col, n).alias("_sh")
+    ).persist()
+    try:
+        exploded = doc_cached.select("_id", F.explode("_sh").alias("shingle"))
+        dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        # rank each doc's shingles rarest-first by (global df, hash) —
+        # any consistent global order is correct; ascending df keeps
+        # hot shingles OUT of prefixes (the skew-proofing)
+        ranked = (
+            exploded.join(dfreq, "shingle")
+            .groupBy("_id")
+            .agg(
+                F.count(F.lit(1)).alias("_s"),
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("_df"), F.col("shingle")))
+                ).alias("_ord"),
+            )
+        )
+        t = float(threshold)
+        plen = F.greatest(
+            F.lit(1), F.col("_s") - F.floor(F.lit(t) * F.col("_s")).cast("int") + 1
+        )
+        pref = ranked.select(
+            "_id",
+            "_s",
+            F.posexplode(F.slice(F.transform("_ord", lambda x: x["shingle"]), 1, plen)).alias(
+                "_pos0", "shingle"
+            ),
+        ).select("_id", "_s", (F.col("_pos0") + 1).alias("_p"), "shingle")
+        a, b = pref.alias("a"), pref.alias("b")
+        alpha = F.lit(t / (1.0 + t)) * (F.col("a._s") + F.col("b._s"))
+        cand = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .filter(
+                (
+                    F.floor(F.lit(t) * F.greatest("a._s", "b._s"))
+                    <= F.least("a._s", "b._s")
+                )
+                & (
+                    1
+                    + F.least(
+                        F.col("a._s") - F.col("a._p"), F.col("b._s") - F.col("b._p")
+                    )
+                    >= F.floor(alpha)
+                )
+            )
+            .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+            .distinct()
+        )
+        sa = doc_cached.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("_sha"))
+        sb = doc_cached.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("_shb"))
+        inter = F.size(F.array_intersect("_sha", "_shb"))
+        out = (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                (
+                    inter
+                    / (F.size("_sha") + F.size("_shb") - inter)
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        doc_cached.unpersist()
+
+
 def keep_first_per_fingerprint(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

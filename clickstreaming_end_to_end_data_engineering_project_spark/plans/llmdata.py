@@ -586,6 +586,25 @@ def doc_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def prefix_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-dup pairs at Jaccard ≥ 0.5 with NO hot-shingle cap
+    (r18 queue, new family: prefix-filtered set-similarity join).
+    ``ngram_jaccard_dups`` buys skew-safety by dropping shingles with
+    doc-frequency > MAX_SHINGLE_DOC_FREQ — a semantic compromise that
+    changes results on boilerplate-heavy corpora.  This query gets the
+    same skew-safety from prefix filtering instead (candidates come
+    only from each doc's globally-RAREST shingles), so the output is
+    the uncapped ground truth: exactly the all-pairs Jaccard join.
+    Threshold 0.5 sits in the fixture corpus's separation gap (near-dup
+    mass ≥ 0.7, incidental overlap < 0.3 at every SF — see
+    ngram_jaccard_histogram), where prefix filtering is effective
+    (prefix ≈ half the set).  Differential-pinned equal to
+    ``ngram_jaccard_pairs(max_doc_freq=None)`` and a brute-force
+    reference in tests; see operators/dedup.prefix_jaccard_pairs for
+    the filter-soundness derivation."""
+    return dedup.prefix_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
 def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(_docs(spark, sf_dir))
 
@@ -956,6 +975,35 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2
+"""
+
+# Uncapped ground truth for prefix_jaccard_dups: the all-pairs Jaccard
+# join with NO doc-frequency cap (the Spark side replaces the cap with
+# prefix filtering, which is exact).  jaccard is int/int double
+# division in both engines — bit-exact.
+_JACCARD_UNCAPPED_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+), sh_all AS (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(len(t) - 2),
+                                 i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+             ELSE [list_aggregate(t, 'string_agg', ' ')] END)) AS shingle
+    FROM toks
+), sizes AS (
+    SELECT doc_id, count(*) AS n FROM sh_all GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM sh_all a JOIN sh_all b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       i * 1.0 / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
 """
 
 # Connected components over the (deterministic, oracle-exact) Jaccard
@@ -1519,6 +1567,12 @@ SPECS = [
         GROUP BY 1
         """,
         "candidate-pair Jaccard distribution (threshold calibration)",
+    ),
+    QuerySpec(
+        "prefix_jaccard_dups",
+        prefix_jaccard_dups,
+        _JACCARD_UNCAPPED_ORACLE,
+        "exact uncapped Jaccard pairs via prefix-filtered similarity join",
     ),
     QuerySpec("minhash_lsh_dups", minhash_lsh_dups, None, "MinHash+LSH candidates (rows-only)"),
     QuerySpec(

@@ -488,6 +488,9 @@ BENCH_EXTENDED = [
     "doc_decontaminated_corpus",
     # r15 (late): the r17-queue incremental-rollup query
     "events_incremental_rollup",
+    # r15 (late): the r18-queue prefix-filtered similarity join —
+    # recorded numbers + pinned digests ahead of rotation
+    "prefix_jaccard_dups",
 ]
 
 

@@ -5329,3 +5329,124 @@ def test_ivf_batch_filtered_matches_single_query_filtered(spark, sf_dir, tmp_pat
         assert {v for _, v, _ in rows} <= label3
         for (_, _, a), r in zip(rows, single):
             assert abs(a - r["cos_sim"]) < 1e-12
+
+
+def test_prefix_jaccard_matches_uncapped_inverted_index(spark, sf_dir):
+    """prefix_jaccard_pairs is an EXACT algorithm: on the fixture
+    corpus it must equal the uncapped inverted-index join bit-for-bit
+    (pair set AND jaccard doubles) at the registry threshold."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in prefix_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert len(got) > 0
+    assert got == want
+
+
+def test_prefix_jaccard_matches_python_reference_threshold_sweep(spark):
+    """Filter-soundness sweep: random corpus (short docs, repeats)
+    against a brute-force all-pairs reference at thresholds including
+    non-binary-representable ones (0.3/0.6) — the floor-rounded prefix
+    length and length/positional filters must never lose a pair."""
+    import itertools
+    import random as _random
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    rng = _random.Random(77)
+    vocab = [f"w{i}" for i in range(14)]
+    docs = []
+    for i in range(45):
+        length = rng.choice([1, 2, 3, 5, 8, 30, 60])
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(length))))
+    # seed exact and near duplicates so high thresholds are non-empty
+    docs.append((100, docs[3][1]))
+    docs.append((101, docs[7][1] + " extra token here"))
+
+    def py_shingles(text, n=3):
+        toks = text.split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for t in (0.3, 0.5, 0.6, 0.8, 0.95):
+        expected = {}
+        for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+            sa, sb = py_shingles(ta), py_shingles(tb)
+            inter = len(sa & sb)
+            if inter:
+                j = inter / (len(sa) + len(sb) - inter)
+                if j >= t:
+                    expected[(min(ia, ib), max(ia, ib))] = round(j, 9)
+        got = {
+            (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+            for r in prefix_jaccard_pairs(df, threshold=t).collect()
+        }
+        assert got == expected, f"threshold {t}"
+
+
+def test_prefix_jaccard_exact_on_boilerplate_heavy_corpus(spark):
+    """The design point: a universal boilerplate shingle forces
+    ngram_jaccard_pairs to choose between skew (uncapped) and changed
+    semantics (capped drops pairs that genuinely qualify).  The prefix
+    join returns the uncapped ground truth — the hot shingle lands at
+    the df-sorted TAIL of every doc, outside every prefix, so it never
+    reaches the candidate join at all."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    # every doc opens with the same 3 tokens (one shared hot shingle);
+    # docs 2i/2i+1 are near-dups of each other beyond the boilerplate
+    docs = []
+    for i in range(12):
+        body = " ".join(f"t{i}_{j}" for j in range(8))
+        docs.append((2 * i, f"common header line {body}"))
+        docs.append((2 * i + 1, f"common header line {body} tail{i}"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    want = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in prefix_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    assert len(got) == 12  # exactly the seeded near-dup pairs
+    assert got == want
+    # the capped path at this corpus's hot-shingle df would lose pairs
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.5, max_doc_freq=4).collect()
+    }
+    assert capped != got
+
+
+def test_prefix_jaccard_leaves_no_cached_dataframes(spark, sf_dir):
+    """prefix_jaccard_pairs persists the doc-level shingle frame; it
+    must unpersist before returning (result is localCheckpoint-ed)."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    docs = load(spark, sf_dir, "documents")
+    assert prefix_jaccard_pairs(docs, threshold=0.5).count() > 0
+    assert cm.isEmpty(), "prefix_jaccard_pairs leaked a cached DataFrame"
