@@ -141,3 +141,88 @@ def quantile_rollup_kll(
             ).alias(f"p{int(p * 100)}")
         )
     return merged.select(*cols)
+
+
+def heavy_hitters(
+    items: DataFrame, item_col: str = "item", k: int = 100
+) -> DataFrame:
+    """EXACT deterministic heavy hitters: every item occurring in
+    strictly more than N/k of the N non-null rows, with its exact
+    count — via a two-pass Misra–Gries candidate screen, the fourth
+    member of the mergeable-summary family (and unlike HLL/theta/KLL,
+    oracle-exact: the summaries only PRUNE, the answer is recounted).
+
+    Published design: the Misra–Gries "frequent" algorithm (Misra &
+    Gries 1982) with per-partition summaries merged as in Agarwal et
+    al., "Mergeable Summaries" (PODS 2012).  Pass 1 keeps at most
+    ``k`` weighted counters per task — when capacity is exceeded, the
+    (k+1)-th largest count is subtracted from every counter and
+    non-positive ones are dropped (the batched decrement; each event
+    removes ≥ k+1 units, so an item's undercount is < N_p/(k+1)).
+    Guarantee: freq(x) > N/k globally ⇒ in some partition
+    freq_p(x) > N_p/k > N_p/(k+1) (averaging), so x survives that
+    partition's summary.  Pass 2 recounts ONLY the candidate items
+    exactly (broadcast semi-join + map-side-combined groupBy) and
+    applies the threshold with pure integer arithmetic
+    (freq · k > N — no division, engine-exact).
+
+    Why not a plain groupBy at 100 TB: the full key-space aggregation
+    materializes hash state for EVERY distinct item per task (n-gram
+    vocabularies run to billions — spill territory); the MG pass is
+    O(k) state per task regardless of vocabulary, and the exact pass
+    aggregates only rows matching ≤ k·tasks surviving candidates.
+
+    NULL items are excluded from both N and candidacy (the oracle
+    convention: WHERE item IS NOT NULL).  Output: (<item_col>, freq),
+    independent of partitioning — pinned in tests under adversarial
+    repartitioning."""
+    import pandas as pd
+
+    m = int(k)
+    if m < 1:
+        raise ValueError("k must be >= 1")
+    strs = items.select(F.col(item_col).cast("string").alias("item"))
+
+    def mg(batches):
+        counters: dict = {}
+        n = 0
+        for pdf in batches:
+            s = pdf["item"].dropna()
+            n += len(s)
+            for item, cnt in s.value_counts().items():
+                counters[item] = counters.get(item, 0) + int(cnt)
+            if len(counters) > m:
+                vals = sorted(counters.values(), reverse=True)
+                delta = vals[m]
+                counters = {i: c - delta for i, c in counters.items() if c > delta}
+        yield pd.DataFrame(
+            {
+                "item": list(counters.keys()) + [None],
+                "n_rows": [0] * len(counters) + [n],
+            }
+        )
+
+    # the summary is tiny (≤ k+1 rows per task); eager-materialize so
+    # the candidate list and the row total don't re-run pass 1
+    summ = strs.mapInPandas(mg, "item string, n_rows long").localCheckpoint(eager=True)
+    cand = (
+        summ.filter(F.col("item").isNotNull())
+        .select(F.col("item").alias("_hh_item"))
+        .distinct()
+    )
+    total = summ.groupBy().agg(F.sum("n_rows").alias("_n_total"))
+    exact = (
+        items.filter(F.col(item_col).isNotNull())
+        .join(
+            F.broadcast(cand),
+            F.col(item_col).cast("string") == F.col("_hh_item"),
+            "left_semi",
+        )
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("freq") * F.lit(m).cast("long") > F.col("_n_total"))
+        .select(item_col, "freq")
+    )

@@ -14,7 +14,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import dround, sql_snippets
-from ..operators import components, dedup, kmeans, retrieval, sampling, similarity, text
+from ..operators import (
+    components,
+    dedup,
+    kmeans,
+    retrieval,
+    sampling,
+    similarity,
+    sketches,
+    text,
+)
 from ..sources.tables import load
 from .registry import QuerySpec
 
@@ -584,6 +593,32 @@ def doc_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", F.coalesce("cluster_id", "doc_id").alias("split_key"), "split"
     )
+
+
+def bigram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigrams above 0.1% of total bigram mass, exact counts
+    (r18 queue, new family: deterministic frequency summaries).  The
+    boilerplate-phrase detector at 100 TB: a plain groupBy over an
+    n-gram vocabulary materializes billions of hash-agg keys per task;
+    ``sketches.heavy_hitters`` runs a Misra–Gries candidate screen
+    with O(k) state per task, then recounts only survivors exactly —
+    so the output is oracle-exact (freq·k > N in pure integer
+    arithmetic), unlike the HLL/theta/KLL members of the sketch
+    family.  Partitioning-independence pinned in tests."""
+    docs = _docs(spark, sf_dir)
+    toks = text.tokens("text")
+    with_toks = docs.select(toks.alias("_t")).filter(F.size("_t") >= 2)
+    m = F.size("_t") - 1
+    grams = with_toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("_t", 1, m),
+                F.slice("_t", 2, m),
+                lambda x, y: F.concat_ws(" ", x, y),
+            )
+        ).alias("bigram")
+    )
+    return sketches.heavy_hitters(grams, "bigram", k=1000)
 
 
 def prefix_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1573,6 +1608,25 @@ SPECS = [
         prefix_jaccard_dups,
         _JACCARD_UNCAPPED_ORACLE,
         "exact uncapped Jaccard pairs via prefix-filtered similarity join",
+    ),
+    QuerySpec(
+        "bigram_heavy_hitters",
+        bigram_heavy_hitters,
+        # pure integer threshold (freq*k > N) — engine-exact, no division
+        f"""
+        WITH t AS (SELECT {_TOKENS_SQL} AS tk FROM documents),
+        g AS (
+            SELECT unnest(list_zip(tk[1:len(tk)-1], tk[2:len(tk)])) AS p
+            FROM t WHERE len(tk) >= 2
+        ), bg AS (
+            SELECT p[1] || ' ' || p[2] AS bigram FROM g
+        ), n AS (SELECT count(*) AS n_total FROM bg)
+        SELECT bigram, count(*) AS freq
+        FROM bg CROSS JOIN n
+        GROUP BY bigram, n_total
+        HAVING count(*) * 1000 > n_total
+        """,
+        "exact heavy hitters via Misra-Gries candidate screen + recount",
     ),
     QuerySpec("minhash_lsh_dups", minhash_lsh_dups, None, "MinHash+LSH candidates (rows-only)"),
     QuerySpec(

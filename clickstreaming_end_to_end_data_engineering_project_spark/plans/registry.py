@@ -491,6 +491,9 @@ BENCH_EXTENDED = [
     # r15 (late): the r18-queue prefix-filtered similarity join —
     # recorded numbers + pinned digests ahead of rotation
     "prefix_jaccard_dups",
+    # r15 (late): the r18-queue exact heavy hitters (Misra-Gries
+    # screen + exact recount)
+    "bigram_heavy_hitters",
 ]
 
 

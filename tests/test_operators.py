@@ -5450,3 +5450,84 @@ def test_prefix_jaccard_leaves_no_cached_dataframes(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     assert prefix_jaccard_pairs(docs, threshold=0.5).count() > 0
     assert cm.isEmpty(), "prefix_jaccard_pairs leaked a cached DataFrame"
+
+
+def test_heavy_hitters_matches_exact_groupby(spark, sf_dir):
+    """heavy_hitters is exact by construction (MG only prunes, the
+    recount is exact): equal to the plain full-vocabulary groupBy
+    threshold at several k on the fixture bigram stream."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.sketches import (
+        heavy_hitters,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.text import tokens
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    with_toks = docs.select(tokens("text").alias("_t")).filter(F.size("_t") >= 2)
+    m = F.size("_t") - 1
+    grams = with_toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("_t", 1, m), F.slice("_t", 2, m),
+                lambda x, y: F.concat_ws(" ", x, y),
+            )
+        ).alias("bigram")
+    )
+    n_total = grams.count()
+    counts = {r["bigram"]: r["freq"] for r in
+              grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("freq")).collect()}
+    for k in (100, 1000, 5000):
+        want = {(b, f) for b, f in counts.items() if f * k > n_total}
+        got = {(r["bigram"], r["freq"])
+               for r in heavy_hitters(grams, "bigram", k=k).collect()}
+        assert got == want, f"k={k}"
+    assert len(heavy_hitters(grams, "bigram", k=1000).collect()) > 0
+
+
+def test_heavy_hitters_partitioning_invariant_under_decrements(spark):
+    """The adversarial case the fixtures can't produce: vocabulary far
+    above capacity k, forcing the MG decrement path in every task.
+    The output must be the exact answer regardless of partitioning
+    (1 task, balanced, and skewed layouts)."""
+    import random as _random
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    rng = _random.Random(42)
+    rows = []
+    rows += [("hot",)] * 3000                      # ~30% of mass
+    rows += [(f"warm{i}",) for i in range(3) for _ in range(800)]  # ~8% each
+    rows += [(f"cold{rng.randrange(4000)}",) for _ in range(4600)]  # long tail
+    rng.shuffle(rows)
+    n = len(rows)
+    exact = {}
+    for (w,) in rows:
+        exact[w] = exact.get(w, 0) + 1
+    k = 15  # threshold N/15 ≈ 667: hot (3000) and warm* (800) qualify
+    want = {(w, c) for w, c in exact.items() if c * k > n}
+    assert {w for w, _ in want} == {"hot", "warm0", "warm1", "warm2"}
+    df = spark.createDataFrame(rows, ["item"])
+    for parts in (1, 3, 17):
+        got = {
+            (r["item"], r["freq"])
+            for r in heavy_hitters(df.repartition(parts), "item", k=k).collect()
+        }
+        assert got == want, f"partitions={parts}"
+
+
+def test_heavy_hitters_nulls_and_nonstring_items(spark):
+    """NULL items are excluded from N and candidacy; non-string item
+    columns are screened via an injective string cast but recounted
+    and returned in their original type."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    rows = [(7,)] * 6 + [(1,), (2,), (3,)] + [(None,)] * 20
+    df = spark.createDataFrame(rows, "item int")
+    # N = 9 non-null rows; k=3 → threshold freq*3 > 9 → only item 7 (6*3=18)
+    got = [(r["item"], r["freq"]) for r in heavy_hitters(df, "item", k=3).collect()]
+    assert got == [(7, 6)]
+    assert got[0][0] == 7 and isinstance(got[0][0], int)
