@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import dround, money, sql_snippets
+from ..operators import skyline
 from ..sources.tables import load
 from .registry import QuerySpec
 
@@ -790,7 +791,41 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of the parts catalog — parts where no other part
+    is simultaneously cheaper-or-equal and larger-or-equal with one
+    strict (r18 queue, new family: skyline).  The oracle states the
+    quadratic NOT EXISTS form; the impl runs the grid-pruned two-phase
+    plan (operators/skyline.skyline_2d: bucket prefix-max prune, then
+    a same-bucket-only residual anti-join — provably equivalent, see
+    the operator docstring).  Pure comparisons on the stored values,
+    no arithmetic — engine-exact.  Grid-choice invariance and a
+    brute-force differential are pinned in tests."""
+    part = load(spark, sf_dir, "part")
+    return skyline.skyline_2d(
+        part.select("p_partkey", "p_retailprice", "p_size"),
+        min_col="p_retailprice",
+        max_col="p_size",
+    )
+
+
 SPECS = [
+    QuerySpec(
+        "part_price_size_skyline",
+        part_price_size_skyline,
+        """
+        SELECT p_partkey, p_retailprice, p_size
+        FROM part a
+        WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+          AND NOT EXISTS (
+            SELECT 1 FROM part b
+            WHERE b.p_retailprice <= a.p_retailprice
+              AND b.p_size >= a.p_size
+              AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+          )
+        """,
+        "2-D skyline (Pareto frontier) via grid-pruned two-phase plan",
+    ),
     QuerySpec(
         "events_incremental_rollup",
         events_incremental_rollup,

@@ -494,6 +494,8 @@ BENCH_EXTENDED = [
     # r15 (late): the r18-queue exact heavy hitters (Misra-Gries
     # screen + exact recount)
     "bigram_heavy_hitters",
+    # r15 (late): the r18-queue grid-pruned 2-D skyline
+    "part_price_size_skyline",
 ]
 
 

@@ -5531,3 +5531,66 @@ def test_heavy_hitters_nulls_and_nonstring_items(spark):
     got = [(r["item"], r["freq"]) for r in heavy_hitters(df, "item", k=3).collect()]
     assert got == [(7, 6)]
     assert got[0][0] == 7 and isinstance(got[0][0], int)
+
+
+def test_skyline_matches_bruteforce_with_ties_and_nulls(spark):
+    """skyline_2d vs a quadratic python reference on a random frame
+    with duplicated points (mutual ties must BOTH survive), equal
+    prices at different sizes, and NULLs (excluded)."""
+    import random as _random
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.skyline import (
+        skyline_2d,
+    )
+
+    rng = _random.Random(5)
+    rows = [(i, float(rng.randrange(20)) / 2.0, rng.randrange(12)) for i in range(300)]
+    rows += [(1000, 1.5, 7), (1001, 1.5, 7)]      # exact tie pair
+    rows += [(1002, None, 3), (1003, 2.0, None)]  # excluded
+    pts = [(i, p, s) for i, p, s in rows if p is not None and s is not None]
+    want = {
+        (i, p, s)
+        for i, p, s in pts
+        if not any(
+            op <= p and os_ >= s and (op < p or os_ > s) for _, op, os_ in pts
+        )
+    }
+    df = spark.createDataFrame(rows, "id long, price double, size int")
+    got = {
+        (r["id"], r["price"], r["size"])
+        for r in skyline_2d(df, "price", "size").collect()
+    }
+    assert got == want
+    if (1000, 1.5, 7) in want:
+        assert (1001, 1.5, 7) in got  # mutual ties both kept
+
+
+def test_skyline_grid_choice_never_changes_results(spark, sf_dir):
+    """The bucket grid is a cost knob only: the default integer floor,
+    a coarse grid, and a degenerate single-bucket grid (which disables
+    pruning entirely — the residual join does all the work) must
+    return identical skylines on the part fixture."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.skyline import (
+        skyline_2d,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+
+    def key(df):
+        return sorted(
+            (r["p_partkey"], r["p_retailprice"], r["p_size"]) for r in df.collect()
+        )
+
+    default = key(skyline_2d(part, "p_retailprice", "p_size"))
+    coarse = key(
+        skyline_2d(
+            part, "p_retailprice", "p_size",
+            bucket=F.floor(F.col("p_retailprice") / 25),
+        )
+    )
+    degenerate = key(
+        skyline_2d(part, "p_retailprice", "p_size", bucket=F.lit(0))
+    )
+    assert len(default) > 0
+    assert default == coarse == degenerate
