@@ -359,3 +359,104 @@ def pagerank(
         if (i + 1) % 2 == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint()
     return ranks.select(F.col("_v").alias("vertex"), F.col("_r").alias("rank"))
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact triangle count, wedge count, and global clustering
+    coefficient of the UNDIRECTED simple graph underlying ``edges``
+    (direction/self-loops/multiplicity are normalized away) — the
+    cohesion metric family the graph suite lacked next to
+    pagerank/BFS/connected-components.
+
+    Published design: the degree-ordered "forward"/compact-forward
+    algorithm (Schank & Wagner, WEA 2005; Latapy 2008), in the join
+    layout of Suri & Vassilvitskii, "Counting triangles and the curse
+    of the last reducer" (WWW 2011).  Each edge is oriented from the
+    endpoint with the LOWER (degree, node) rank to the higher, so
+    every out-neighborhood is O(√m) regardless of hub degree — the
+    wedge self-join on the oriented source never explodes on a hub
+    vertex, which is exactly the "last reducer" skew that kills the
+    naive two-path join.  Each triangle {a,b,c} is generated exactly
+    once, as the wedge at its lowest-ranked vertex closed by the
+    oriented (mid, high) edge.
+
+    Outputs one row: n_triangles, n_wedges (Σ d(d−1)/2 — the
+    denominator's path count), global_clustering = 3·T/W (0.0 on a
+    wedgeless graph).  All-integer counts; the final ratio is one
+    int/int double division — oracle-exact."""
+    # the canonical edge frame feeds the degree agg AND (via oriented)
+    # three join aliases; without materialization Catalyst re-derives
+    # the whole upstream lineage — including the caller's corpus
+    # window pass — once per alias (first digest showed 43 exchanges /
+    # 17 windows; persisted: the corpus pass runs once)
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+        .persist()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("_du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("_dv"))
+    ru = F.struct(F.col("_du").alias("d"), F.col("u").alias("n"))
+    rv = F.struct(F.col("_dv").alias("d"), F.col("v").alias("n"))
+    oriented = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(ru < rv, ru).otherwise(rv).alias("lo"),
+            F.when(ru < rv, rv).otherwise(ru).alias("hi"),
+        )
+        .persist()
+    )
+    try:
+        a, b, c = oriented.alias("a"), oriented.alias("b"), oriented.alias("c")
+        tri = (
+            a.join(
+                b,
+                (F.col("a.lo") == F.col("b.lo")) & (F.col("a.hi") < F.col("b.hi")),
+            )
+            .join(
+                c,
+                (F.col("c.lo.n") == F.col("a.hi.n"))
+                & (F.col("c.hi.n") == F.col("b.hi.n")),
+                "left_semi",
+            )
+            .agg(F.count(F.lit(1)).alias("n_triangles"))
+        )
+        # Σ d(d−1) is even; sum longs then halve by shift — never a
+        # double in the path, so exact past 2^53 (a hub with 10^8
+        # neighbors overflows double-division long before int64)
+        wedges = deg.agg(
+            F.coalesce(
+                F.sum((F.col("d") * (F.col("d") - 1)).cast("long")), F.lit(0)
+            ).alias("_s2")
+        ).select(F.shiftright(F.col("_s2"), 1).alias("n_wedges"))
+        return (
+            tri.crossJoin(F.broadcast(wedges))
+            .select(
+                "n_triangles",
+                "n_wedges",
+                F.when(
+                    F.col("n_wedges") > 0,
+                    F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("global_clustering"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        oriented.unpersist()
+        e.unpersist()

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import dround, sql_snippets, sum_money
-from ..operators.components import pagerank
+from ..operators.components import pagerank, triangle_stats
 from ..operators.rangejoin import interval_point_join
 from ..sources.tables import load
 from .registry import QuerySpec
@@ -223,6 +223,34 @@ def page_rank_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("vertex").alias("page"), dround(F.col("rank"), 6).alias("pagerank")
     )
+
+
+def page_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohesion metrics of the page-transition graph (r18 queue, graph
+    family extension): exact triangle count, wedge count, and global
+    clustering coefficient — "how clique-like is the navigation
+    graph", the standard next number after pagerank's importance and
+    BFS's reachability.  Same edge derivation as page_rank_pages /
+    page_hops_bfs (per-user consecutive ``props.k`` pages), normalized
+    to the undirected simple graph.  The impl runs the degree-ordered
+    oriented wedge join (skew-safe — see
+    operators/components.triangle_stats); the oracle states the
+    node-ordered quadratic form.  All-integer counts, one final
+    int/int double division — oracle-exact."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pg = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("page"),
+    ).filter(F.col("page").isNotNull())
+    edges = (
+        pg.withColumn("prev_page", F.lag("page").over(w))
+        .filter(F.col("prev_page").isNotNull())
+        .select(F.col("prev_page").alias("src"), F.col("page").alias("dst"))
+    )
+    return triangle_stats(edges)
 
 
 def _pagerank_oracle(iterations: int = 5) -> str:
@@ -532,6 +560,48 @@ SPECS = [
         FROM r
         """,
         "per-user inter-event gap quantiles — the sessionization-timeout input (r14 queue)",
+    ),
+    QuerySpec(
+        "page_triangle_stats",
+        page_triangle_stats,
+        """
+        WITH pg AS (
+            SELECT user_id, ts, event_id,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS page
+            FROM events
+        ),
+        seq AS (
+            SELECT page,
+                   lag(page) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_page
+            FROM pg WHERE page IS NOT NULL
+        ),
+        ue AS (
+            SELECT DISTINCT least(prev_page, page) AS u,
+                            greatest(prev_page, page) AS v
+            FROM seq WHERE prev_page IS NOT NULL AND prev_page <> page
+        ),
+        deg AS (
+            SELECT node, count(*) AS d
+            FROM (SELECT u AS node FROM ue UNION ALL SELECT v FROM ue)
+            GROUP BY node
+        ),
+        tri AS (
+            SELECT count(*) AS t
+            FROM ue e1
+            JOIN ue e2 ON e2.u = e1.u AND e2.v > e1.v
+            JOIN ue e3 ON e3.u = e1.v AND e3.v = e2.v
+        ),
+        wd AS (SELECT CAST(sum(d * (d - 1)) AS BIGINT) // 2 AS w FROM deg)
+        SELECT CAST(t AS BIGINT) AS n_triangles,
+               CAST(w AS BIGINT) AS n_wedges,
+               CASE WHEN w > 0 THEN 3.0 * t / w ELSE 0.0 END
+                   AS global_clustering
+        FROM tri, wd
+        """,
+        "exact triangles / wedges / clustering coefficient of the "
+        "page-transition graph via the degree-ordered oriented join "
+        "(oracle states the node-ordered quadratic form)",
     ),
     QuerySpec(
         "purchase_last_view_asof",

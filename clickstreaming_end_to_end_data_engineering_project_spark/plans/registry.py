@@ -496,6 +496,8 @@ BENCH_EXTENDED = [
     "bigram_heavy_hitters",
     # r15 (late): the r18-queue grid-pruned 2-D skyline
     "part_price_size_skyline",
+    # r15 (late): the r18-queue degree-ordered triangle/clustering stats
+    "page_triangle_stats",
 ]
 
 

@@ -5594,3 +5594,71 @@ def test_skyline_grid_choice_never_changes_results(spark, sf_dir):
     )
     assert len(default) > 0
     assert default == coarse == degenerate
+
+
+def test_triangle_stats_matches_bruteforce(spark):
+    """triangle_stats vs an itertools reference on random graphs with
+    self-loops, duplicate and reversed edges (all normalized away)."""
+    import itertools
+    import random as _random
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.components import (
+        triangle_stats,
+    )
+
+    rng = _random.Random(11)
+    for trial, (n_nodes, n_edges) in enumerate([(12, 40), (25, 90), (8, 60)]):
+        raw = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        raw += [(3, 3), (raw[0][1], raw[0][0])]  # self-loop + reversed dup
+        und = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        tris = sum(
+            1
+            for x, y, z in itertools.combinations(sorted(adj), 3)
+            if y in adj[x] and z in adj[x] and z in adj[y]
+        )
+        wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+        want_cc = 3.0 * tris / wedges if wedges else 0.0
+        df = spark.createDataFrame(raw, ["src", "dst"])
+        row = triangle_stats(df).collect()[0]
+        assert (row["n_triangles"], row["n_wedges"]) == (tris, wedges), trial
+        assert abs(row["global_clustering"] - want_cc) < 1e-12, trial
+
+
+def test_triangle_stats_star_graph_has_wedges_no_triangles(spark):
+    """The hub shape the degree-ordered orientation exists for: a star
+    (one hub, many leaves) has C(n,2) wedges and zero triangles, and
+    every oriented edge points leaf→hub so no out-neighborhood exceeds
+    size 1."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.components import (
+        triangle_stats,
+    )
+
+    df = spark.createDataFrame([(0, i) for i in range(1, 41)], ["src", "dst"])
+    row = triangle_stats(df).collect()[0]
+    assert row["n_triangles"] == 0
+    assert row["n_wedges"] == 40 * 39 // 2
+    assert row["global_clustering"] == 0.0
+
+
+def test_triangle_stats_leaves_no_cached_dataframes(spark):
+    """triangle_stats persists the canonical-edge and oriented frames;
+    both must be unpersisted before returning (result is eagerly
+    localCheckpoint-ed, so the caches are never needed again)."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.components import (
+        triangle_stats,
+    )
+
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    df = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 30) for i in range(60)], ["src", "dst"]
+    )
+    assert triangle_stats(df).count() == 1
+    assert cm.isEmpty(), "triangle_stats leaked a cached DataFrame"
