@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..functions import dround, sql_snippets, sum_money
 from ..operators.components import pagerank, triangle_stats
 from ..operators.rangejoin import interval_point_join
+from ..operators.scd import scd2_from_changelog
 from ..sources.tables import load
 from .registry import QuerySpec
 
@@ -251,6 +252,28 @@ def page_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("prev_page").alias("src"), F.col("page").alias("dst"))
     )
     return triangle_stats(edges)
+
+
+def user_page_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build (r18 queue, new family: dimensional
+    history): each user's page-location history as versioned
+    [valid_from, valid_to) intervals — one row per RUN of consecutive
+    visits to the same page, open interval (NULL valid_to) for the
+    current version.  The warehouse shape that answers "what was X at
+    time t" with a plain key+interval join; the as-of compose against
+    purchases is pinned equal to the direct last-value-window as-of in
+    tests (operators/scd.asof_join_scd2).  Two per-user windows, no
+    global sort — see operators/scd.scd2_from_changelog."""
+    ev = load(spark, sf_dir, "events")
+    pg = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("page"),
+    ).filter(F.col("page").isNotNull())
+    return scd2_from_changelog(
+        pg, "user_id", "ts", ["page"], tiebreak_cols=["event_id"]
+    )
 
 
 def _pagerank_oracle(iterations: int = 5) -> str:
@@ -602,6 +625,33 @@ SPECS = [
         "exact triangles / wedges / clustering coefficient of the "
         "page-transition graph via the degree-ordered oriented join "
         "(oracle states the node-ordered quadratic form)",
+    ),
+    QuerySpec(
+        "user_page_scd2",
+        user_page_scd2,
+        """
+        WITH pg AS (
+            SELECT user_id, ts, event_id,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS page
+            FROM events
+        ),
+        lagd AS (
+            SELECT user_id, ts, event_id, page,
+                   lag(page) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_page
+            FROM pg WHERE page IS NOT NULL
+        ),
+        runs AS (
+            SELECT user_id, page, ts, event_id
+            FROM lagd WHERE page IS DISTINCT FROM prev_page
+        )
+        SELECT user_id, page, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+        FROM runs
+        """,
+        "SCD Type-2 dimension build: per-user page history as "
+        "[valid_from, valid_to) version intervals",
     ),
     QuerySpec(
         "purchase_last_view_asof",

@@ -498,6 +498,8 @@ BENCH_EXTENDED = [
     "part_price_size_skyline",
     # r15 (late): the r18-queue degree-ordered triangle/clustering stats
     "page_triangle_stats",
+    # r15 (late): the r18-queue SCD Type-2 dimension build
+    "user_page_scd2",
 ]
 
 

@@ -5662,3 +5662,97 @@ def test_triangle_stats_leaves_no_cached_dataframes(spark):
     )
     assert triangle_stats(df).count() == 1
     assert cm.isEmpty(), "triangle_stats leaked a cached DataFrame"
+
+
+def test_scd2_from_changelog_matches_python_reference(spark):
+    """SCD2 build vs a pure-python reference: no-op repeats collapsed,
+    NULL attr transitions handled null-safely (NULL→NULL is a no-op;
+    NULL→v and v→NULL are changes), same-instant ties ordered by the
+    tiebreak column."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.scd import (
+        scd2_from_changelog,
+    )
+
+    log = [
+        # (key, ts, seq, status)
+        (1, 10, 0, "a"),
+        (1, 20, 0, "a"),      # no-op
+        (1, 30, 0, None),     # change to NULL
+        (1, 40, 0, None),     # NULL no-op
+        (1, 50, 0, "b"),      # change from NULL
+        (2, 10, 0, "x"),
+        (2, 10, 1, "y"),      # same-instant tie: seq orders it after x
+        (2, 60, 0, "y"),      # no-op vs the tie winner
+        (3, 5, 0, "solo"),
+    ]
+    rows = {}
+    for k, ts, seq, s in sorted(log, key=lambda r: (r[0], r[1], r[2])):
+        rows.setdefault(k, [])
+        if not rows[k] or rows[k][-1][1] != s:
+            rows[k].append([ts, s])
+    want = set()
+    for k, runs in rows.items():
+        for i, (ts, s) in enumerate(runs):
+            nxt = runs[i + 1][0] if i + 1 < len(runs) else None
+            want.add((k, s, ts, nxt))
+    df = spark.createDataFrame(log, "k long, ts long, seq int, status string")
+    got = {
+        (r["k"], r["status"], r["valid_from"], r["valid_to"])
+        for r in scd2_from_changelog(
+            df, "k", "ts", ["status"], tiebreak_cols=["seq"]
+        ).collect()
+    }
+    assert got == want
+    # the tie at (2, ts=10): both entries survive (x→y is a change),
+    # x gets the empty [10, 10) interval, y runs to 2's next change
+    assert (2, "x", 10, 10) in got
+    assert (2, "y", 10, None) in got
+
+
+def test_scd2_asof_compose_matches_direct_window_asof(spark, sf_dir):
+    """The point of the dimension: joining purchases against the
+    user_page_scd2 intervals must give exactly the page the direct
+    last-value window as-of computes at each purchase timestamp."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.scd import (
+        asof_join_scd2,
+        scd2_from_changelog,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    pg = ev.select(
+        "user_id", "ts", "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("page"),
+    ).filter(F.col("page").isNotNull())
+    dim = scd2_from_changelog(pg, "user_id", "ts", ["page"], tiebreak_cols=["event_id"])
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    joined = asof_join_scd2(
+        purchases, dim.withColumnRenamed("user_id", "p_user"), "p_user", "p_ts"
+    )
+    got = {(r["event_id"], r["page"]) for r in joined.collect()}
+    # direct as-of: page of the latest page-event at or before the purchase
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "order_rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = pg.select(
+        "user_id", "ts", F.lit(0).alias("order_rank"), F.lit(None).alias("event_id"), "page"
+    ).unionByName(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.lit(1).alias("order_rank"), "event_id",
+            F.lit(None).cast("int").alias("page"),
+        )
+    )
+    direct = (
+        merged.withColumn("asof_page", F.last("page", ignorenulls=True).over(w))
+        .filter(F.col("event_id").isNotNull() & F.col("asof_page").isNotNull())
+        .select("event_id", "asof_page")
+    )
+    want = {(r["event_id"], r["asof_page"]) for r in direct.collect()}
+    assert len(got) > 0
+    assert got == want
