@@ -2412,3 +2412,142 @@ def test_streaming_pq_and_ivfpq_ingest_pretrained(spark, sf_dir):
 
     for d in (pq_index, full, ivfpq_index):
         shutil.rmtree(os.path.dirname(d), ignore_errors=True)
+
+
+def test_streaming_heavy_hitter_ingest_equals_batch_operator(spark, sf_dir):
+    """streaming/hh_ingest.py end-to-end: file-stream the documents
+    table in per-file micro-batches, explode to bigrams, fold each
+    batch into a Misra-Gries summary (≤ k+1 stored rows per batch
+    regardless of vocabulary), then the exact recount served from the
+    candidate store must be BIT-EQUAL to the batch heavy_hitters over
+    the same corpus — the merge guarantee makes the store a superset
+    of the true heavy hitters, and the recount is exact.  Replaying a
+    batch under its id must change nothing."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.sketches import (
+        heavy_hitters,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.text import tokens
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.hh_ingest import (
+        HeavyHitterSink,
+        heavy_hitters_from_store,
+        read_candidate_summary,
+        read_total,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    src_dir = tempfile.mkdtemp(prefix="hh_src_")
+    store = os.path.join(tempfile.mkdtemp(prefix="hh_store_"), "store")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_hh_")
+    parts = [
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1) for i in range(3)
+    ]
+    for p in parts:
+        p.write.mode("append").parquet(src_dir)
+
+    def grams_of(df):
+        with_toks = df.select(tokens("text").alias("_t")).filter(F.size("_t") >= 2)
+        m = F.size("_t") - 1
+        return with_toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("_t", 1, m), F.slice("_t", 2, m),
+                    lambda x, y: F.concat_ws(" ", x, y),
+                )
+            ).alias("bigram")
+        )
+
+    k = 1000
+    sink = HeavyHitterSink(store, item_col="bigram", k=k)
+    q = (
+        grams_of(
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    corpus = grams_of(docs)
+    want = {
+        (r["bigram"], r["freq"]) for r in heavy_hitters(corpus, "bigram", k=k).collect()
+    }
+    assert len(want) > 0
+
+    def served():
+        return {
+            (r["bigram"], r["freq"])
+            for r in heavy_hitters_from_store(spark, store, corpus, "bigram", k).collect()
+        }
+
+    assert served() == want
+    assert read_total(spark, store) == corpus.count()
+    # per-batch row bound: ≤ k+1 rows per batch dir regardless of vocab
+    for d in os.listdir(store):
+        if d.startswith("batch="):
+            assert spark.read.parquet(os.path.join(store, d)).count() <= k + 1
+    # replay idempotence: re-deliver increment 1 under its batch id
+    sink(grams_of(parts[1]), 1)
+    assert served() == want
+    assert read_total(spark, store) == corpus.count()
+
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(os.path.dirname(store), ignore_errors=True)
+
+
+def test_hh_ingest_superset_guarantee_under_tiny_capacity(spark):
+    """Adversarial decrement coverage the fixture can't produce: a
+    skewed synthetic stream ingested at capacity k with vocabulary far
+    above k, split so the heavy items are diluted differently per
+    batch.  The merged store must still contain every true heavy
+    hitter (the N/(k+1) undercount bound) and the recount must equal
+    the batch operator exactly; merged lower bounds must respect the
+    error bound."""
+    import random as _random
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.sketches import (
+        heavy_hitters,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.hh_ingest import (
+        HeavyHitterSink,
+        heavy_hitters_from_store,
+        read_candidate_summary,
+    )
+
+    rng = _random.Random(9)
+    rows = ["hot"] * 2400 + [f"warm{i}" for i in range(3) for _ in range(700)]
+    rows += [f"cold{rng.randrange(3000)}" for _ in range(5500)]
+    rng.shuffle(rows)
+    n = len(rows)
+    exact = {}
+    for w in rows:
+        exact[w] = exact.get(w, 0) + 1
+    k = 15  # threshold N/15 ≈ 667: hot (2400) and warm* (700) qualify
+    want = {(w, c) for w, c in exact.items() if c * k > n}
+    assert {w for w, _ in want} == {"hot", "warm0", "warm1", "warm2"}
+
+    store = os.path.join(tempfile.mkdtemp(prefix="hh_tiny_"), "store")
+    sink = HeavyHitterSink(store, item_col="item", k=k)
+    corpus = spark.createDataFrame([(w,) for w in rows], ["item"])
+    cut = len(rows) // 3
+    for i, chunk in enumerate([rows[:cut], rows[cut : 2 * cut], rows[2 * cut :]]):
+        sink(spark.createDataFrame([(w,) for w in chunk], ["item"]), i)
+
+    got = {
+        (r["item"], r["freq"])
+        for r in heavy_hitters_from_store(spark, store, corpus, "item", k).collect()
+    }
+    assert got == want
+    # merged lower bounds: w_lower ≤ true freq, undercount ≤ N/(k+1)
+    lower = {
+        r["item"]: r["w_lower"] for r in read_candidate_summary(spark, store).collect()
+    }
+    for item, w_lower in lower.items():
+        assert w_lower <= exact[item]
+        assert exact[item] - w_lower <= n // (k + 1) + 1
+
+    shutil.rmtree(os.path.dirname(store), ignore_errors=True)
