@@ -313,6 +313,29 @@ class QuerySpec:
 # BENCH_EXTENDED with pinned digests).  The remaining 12 r13-rotation
 # queries stay gated one more round (slots are not contested — the
 # never-verified backlog is empty beyond this round's three).
+# r18 rotation queue (declared late in r15, the standing
+# implement-ahead-of-rotation pattern — joining the earlier-declared
+# r16 pair, r17 rollup, and prefix_jaccard_dups): FIVE new
+# oracle-backed queries, each a NEW operator family, all bit-exact vs
+# DuckDB at sf0.001/0.01/0.1, benched in BENCH_EXTENDED with pinned
+# digests ahead of rotation —
+#   prefix_jaccard_dups (operators/dedup.prefix_jaccard_pairs: exact
+#     UNCAPPED Jaccard pairs via prefix-filtered set-similarity join;
+#     PPJoin filters, all float bounds rounded lossless-ward);
+#   bigram_heavy_hitters (operators/sketches.heavy_hitters:
+#     Misra-Gries candidate screen + exact recount, integer threshold
+#     freq*k > N; streaming twin streaming/hh_ingest.py pinned
+#     bit-equal through a real file-stream);
+#   part_price_size_skyline (operators/skyline.skyline_2d: grid-pruned
+#     two-phase Pareto frontier, same-bucket-only residual anti-join);
+#   page_triangle_stats (operators/components.triangle_stats:
+#     degree-ordered oriented wedge join — triangles/wedges/global
+#     clustering, all-integer until one final division);
+#   user_page_scd2 (operators/scd.scd2_from_changelog: SCD Type-2
+#     dimension build, two windows on one exchange; asof_join_scd2
+#     compose pinned equal to the direct window as-of).
+# Rotate in at r16+ as slots free up, demoting doubly-verified rows
+# per the standing policy.
 # Round-14 (executed): the gate is UNCHANGED — exactly the r13 verdict
 # #1 directive: the 15 r13 first-row queries stay gated for their
 # confirming rows (CORRECTNESS_r14), converting six families from
