@@ -5756,3 +5756,68 @@ def test_scd2_asof_compose_matches_direct_window_asof(spark, sf_dir):
     want = {(r["event_id"], r["asof_page"]) for r in direct.collect()}
     assert len(got) > 0
     assert got == want
+
+
+def test_heavy_hitters_k2_majority_element(spark):
+    """k=2 is the strict-majority case (freq·2 > N, the Boyer–Moore
+    guarantee): the majority item must be returned when one exists,
+    regardless of partitioning, and nothing otherwise.  k=1 is
+    vacuously empty (freq > N is impossible) — pinned so the contract
+    threshold can never drift to >=."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    maj = [("m",)] * 60 + [(f"x{i}",) for i in range(59)]
+    df = spark.createDataFrame(maj, ["item"])
+    for parts in (1, 5):
+        got = [
+            (r["item"], r["freq"])
+            for r in heavy_hitters(df.repartition(parts), "item", k=2).collect()
+        ]
+        assert got == [("m", 60)], parts
+    nomaj = spark.createDataFrame([("a",)] * 50 + [("b",)] * 50, ["item"])
+    assert heavy_hitters(nomaj, "item", k=2).collect() == []  # 50*2 == 100, not >
+    assert heavy_hitters(df, "item", k=1).collect() == []
+
+
+def test_skyline_negative_and_decimal_values(spark):
+    """skyline_2d on negative doubles (floor grid spans negative
+    buckets) and on an exact DECIMAL column — pure comparisons, so
+    both must match the brute force exactly."""
+    from decimal import Decimal
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.skyline import (
+        skyline_2d,
+    )
+
+    pts = [(0, -3.7, 2), (1, -3.7, 5), (2, -0.1, 9), (3, 1.2, 9), (4, -9.9, 1)]
+    want = {
+        (i, p, s)
+        for i, p, s in pts
+        if not any(op <= p and os_ >= s and (op < p or os_ > s) for _, op, os_ in pts)
+    }
+    df = spark.createDataFrame(pts, "id long, price double, size int")
+    got = {(r["id"], r["price"], r["size"]) for r in skyline_2d(df, "price", "size").collect()}
+    assert got == want
+    dec = [(i, Decimal(str(p)), s) for i, p, s in pts]
+    ddf = spark.createDataFrame(dec, "id long, price decimal(10,2), size int")
+    got_dec = {r["id"] for r in skyline_2d(ddf, "price", "size").collect()}
+    assert got_dec == {i for i, _, _ in want}
+
+
+def test_prefix_jaccard_all_identical_docs(spark):
+    """Degenerate corpus: every doc byte-identical — every pair is a
+    J=1.0 near-dup and the prefix join must return all C(n,2) pairs
+    (ties in the df order must not lose any)."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(8)],
+        ["doc_id", "text"],
+    )
+    got = prefix_jaccard_pairs(df, threshold=0.9).collect()
+    assert len(got) == 8 * 7 // 2
+    assert all(r["jaccard"] == 1.0 for r in got)
