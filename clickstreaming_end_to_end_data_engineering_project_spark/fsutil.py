@@ -231,3 +231,21 @@ def existing_batch_ids(spark, path: str) -> "list[int]":
                 # heal_segment_debris job owns cleaning it up)
                 continue
     return sorted(out)
+
+
+def read_store_or_empty(spark, path: str, schema):
+    """Read a written summary/sketch store, degrading ONLY a missing
+    path to an empty frame of ``schema``.  Any other read failure —
+    corrupted files, a mixed files+dirs layout — must raise, not
+    silently report an empty store (the r12 advisory rule; previously
+    duplicated verbatim in sketch_ingest and hh_ingest, where a Spark
+    error-string change could have been fixed in one copy and kept
+    masking in the other)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.schema(schema).parquet(path)
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc):
+            return spark.createDataFrame([], schema)
+        raise

@@ -79,4 +79,7 @@ def asof_join_scd2(
         & (facts[ts_col] >= dim["valid_from"])
         & (dim["valid_to"].isNull() | (facts[ts_col] < dim["valid_to"]))
     )
-    return facts.join(dim, cond, how)
+    # drop the dimension's copy of the key: a condition-style join keeps
+    # both sides' columns, and two identically-named key columns make
+    # any downstream select/groupBy on the key ambiguous
+    return facts.join(dim, cond, how).drop(dim[key_col])

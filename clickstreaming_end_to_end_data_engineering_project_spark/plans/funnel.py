@@ -190,6 +190,21 @@ def user_inter_event_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
     return ranked.agg(*aggs)
 
 
+def _page_events(ev: DataFrame) -> DataFrame:
+    """(user_id, ts, event_id, page) — pages live in the ``props.k``
+    JSON slot (the reference's page-id convention).  The ONE copy of
+    this derivation: page_rank_pages, page_hops_bfs,
+    page_triangle_stats, and user_page_scd2 all consume it, so the
+    page-id slot or the null rule can never silently diverge between
+    the graph/dimension queries (r15 review)."""
+    return ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("page"),
+    ).filter(F.col("page").isNotNull())
+
+
 def page_rank_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the page-transition graph (r15 queue) — 'which
     pages does traffic structurally concentrate on', the
@@ -208,12 +223,7 @@ def page_rank_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     chained-CTE oracle matches bit-for-bit)."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pg = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("page"),
-    ).filter(F.col("page").isNotNull())
+    pg = _page_events(ev)
     edges = (
         pg.withColumn("prev_page", F.lag("page").over(w))
         .filter(F.col("prev_page").isNotNull())
@@ -240,12 +250,7 @@ def page_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     int/int double division — oracle-exact."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pg = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("page"),
-    ).filter(F.col("page").isNotNull())
+    pg = _page_events(ev)
     edges = (
         pg.withColumn("prev_page", F.lag("page").over(w))
         .filter(F.col("prev_page").isNotNull())
@@ -265,12 +270,7 @@ def user_page_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests (operators/scd.asof_join_scd2).  Two per-user windows, no
     global sort — see operators/scd.scd2_from_changelog."""
     ev = load(spark, sf_dir, "events")
-    pg = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("page"),
-    ).filter(F.col("page").isNotNull())
+    pg = _page_events(ev)
     return scd2_from_changelog(
         pg, "user_id", "ts", ["page"], tiebreak_cols=["event_id"]
     )
@@ -382,12 +382,7 @@ def page_hops_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized; the DuckDB oracle keeps the single inline text
     (it materializes CTEs by default)."""
     ev = load(spark, sf_dir, "events")
-    pg = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.get_json_object("props", "$.k").cast("int").alias("page"),
-    ).filter(F.col("page").isNotNull())
+    pg = _page_events(ev)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     edges = (
         pg.withColumn("prev_page", F.lag("page").over(w))
@@ -615,7 +610,8 @@ SPECS = [
             JOIN ue e2 ON e2.u = e1.u AND e2.v > e1.v
             JOIN ue e3 ON e3.u = e1.v AND e3.v = e2.v
         ),
-        wd AS (SELECT CAST(sum(d * (d - 1)) AS BIGINT) // 2 AS w FROM deg)
+        wd AS (SELECT CAST(coalesce(sum(d * (d - 1)), 0) AS BIGINT) // 2 AS w
+               FROM deg)
         SELECT CAST(t AS BIGINT) AS n_triangles,
                CAST(w AS BIGINT) AS n_wedges,
                CASE WHEN w > 0 THEN 3.0 * t / w ELSE 0.0 END

@@ -55,37 +55,38 @@ class HeavyHitterSink:
         items = batch.select(
             F.col(self.item_col).cast("string").alias("item")
         ).filter(F.col("item").isNotNull())
-        counts = items.groupBy("item").agg(F.count(F.lit(1)).alias("w"))
-        # the (k+1)-th largest batch count is the MG decrement; the
-        # collect is k+1 rows — driver-bounded by construction
-        top = counts.orderBy(F.desc("w"), "item").limit(self.k + 1).collect()
-        delta = int(top[self.k]["w"]) if len(top) > self.k else 0
-        summ = counts.filter(F.col("w") > delta).select(
-            "item", (F.col("w") - delta).alias("w")
-        )
-        total = items.groupBy().agg(F.count(F.lit(1)).alias("w")).select(
-            F.lit(None).cast("string").alias("item"), "w"
-        )
-        (
-            summ.unionByName(total)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(self.store_dir, f"batch={batch_id}"))
-        )
+        # counts feeds the top-(k+1) collect, the summary write, AND
+        # the batch total (sum of w == non-null item count) — persist
+        # so the micro-batch source is scanned once, not three times
+        counts = items.groupBy("item").agg(F.count(F.lit(1)).alias("w")).persist()
+        try:
+            # the (k+1)-th largest batch count is the MG decrement; the
+            # collect is k+1 rows — driver-bounded by construction
+            top = counts.orderBy(F.desc("w"), "item").limit(self.k + 1).collect()
+            delta = int(top[self.k]["w"]) if len(top) > self.k else 0
+            summ = counts.filter(F.col("w") > delta).select(
+                "item", (F.col("w") - delta).alias("w")
+            )
+            total = (
+                counts.groupBy()
+                # coalesce: an all-null-items batch has empty counts
+                .agg(F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("w"))
+                .select(F.lit(None).cast("string").alias("item"), "w")
+            )
+            (
+                summ.unionByName(total)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(self.store_dir, f"batch={batch_id}"))
+            )
+        finally:
+            counts.unpersist()
 
 
 def _read_store(spark, store_dir: str) -> DataFrame:
-    # only a MISSING store degrades to empty; any other failure raises
-    # (the sketch_ingest r12-advisory rule: a corrupted store must not
-    # silently read as "no heavy hitters")
-    from pyspark.errors import AnalysisException
+    from ..fsutil import read_store_or_empty
 
-    try:
-        return spark.read.schema(_STORE_SCHEMA).parquet(store_dir)
-    except AnalysisException as exc:
-        if "PATH_NOT_FOUND" in str(exc):
-            return spark.createDataFrame([], _STORE_SCHEMA)
-        raise
+    return read_store_or_empty(spark, store_dir, _STORE_SCHEMA)
 
 
 def read_candidate_summary(spark, store_dir: str) -> DataFrame:

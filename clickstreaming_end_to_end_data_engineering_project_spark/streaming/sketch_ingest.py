@@ -74,18 +74,9 @@ class SketchRollupSink:
 
 
 def _read_store(spark, store_dir: str) -> DataFrame:
-    # only a MISSING store degrades to empty (nothing ingested yet);
-    # any other read failure — e.g. a corrupted or mixed layout — must
-    # raise, not silently report an empty rollup (r12 advisory: the
-    # old blanket AnalysisException catch masked exactly that)
-    from pyspark.errors import AnalysisException
+    from ..fsutil import read_store_or_empty
 
-    try:
-        return spark.read.schema(_STORE_SCHEMA).parquet(store_dir)
-    except AnalysisException as exc:
-        if "PATH_NOT_FOUND" in str(exc):
-            return spark.createDataFrame([], _STORE_SCHEMA)
-        raise
+    return read_store_or_empty(spark, store_dir, _STORE_SCHEMA)
 
 
 def read_distinct_rollup(
