@@ -124,3 +124,69 @@ def maintain_index(
         "segments_after": after,
         "compacted": True,
     }
+
+
+# kind (as detect_index_kind reports it) → the layout's delete verb.
+# All five share the (spark, path, ids, id_col) signature and the
+# O(touched-segment) staged-swap discipline.
+_DELETE_VERBS = {
+    "bm25": ("retrieval", "delete_from_bm25_index", "doc_id"),
+    "lsh": ("similarity", "delete_from_lsh_index", "vec_id"),
+    "ivf": ("similarity", "delete_from_ivf_index", "vec_id"),
+    "ivfpq": ("similarity", "delete_from_ivfpq_index", "vec_id"),
+    "pq": ("similarity", "delete_from_pq_index", "vec_id"),
+}
+
+
+def forget_ids(
+    spark,
+    ids: "list",
+    index_roots: "tuple[str, ...] | list[str]" = (),
+    datasets: "tuple[tuple[str, str], ...] | list[tuple[str, str]]" = (),
+    id_col_overrides: "dict[str, str] | None" = None,
+) -> "dict[str, dict]":
+    """Right-to-be-forgotten CASCADE: erase ``ids`` from every given
+    written index (layout auto-detected, dispatched to that layout's
+    delete verb) and from every ``(parquet_path, id_col)`` dataset
+    (staged-swap row rewrite via ``etl.delete_user_data``) — the
+    capstone verb over the per-store deletes, for the erasure-request
+    case where one id must vanish from the corpus AND every derived
+    serving store in one operation.
+
+    Crash/replay discipline: every step is individually crash-safe
+    (staged swaps) and IDEMPOTENT (deleting absent ids is a no-op), so
+    the cascade's contract is run-to-completion-or-re-run — keep the
+    erasure request (the ids) until a full pass completes, exactly the
+    GDPR request-log practice.  Derived stores are erased BEFORE the
+    datasets: a crash mid-cascade then leaves the corpus row present
+    as the discoverable record that the request is unfinished, rather
+    than indexes silently serving ids whose source row is already
+    gone.
+
+    Returns {target_path: report} with each delete verb's own counts
+    plus {"rows_removed": n} per dataset.  Raises on an index root
+    with no recognized layout (a typo'd path must not read as
+    "forgotten")."""
+    import importlib
+
+    report: "dict[str, dict]" = {}
+    overrides = id_col_overrides or {}
+    for root in index_roots:
+        detected = detect_index_kind(spark, root)
+        if detected is None:
+            raise ValueError(
+                f"forget_ids: no recognized written-index layout at {root}"
+            )
+        kind = detected[0]
+        mod_name, fn_name, default_col = _DELETE_VERBS[kind]
+        mod = importlib.import_module(f".{mod_name}", package=__package__)
+        res = getattr(mod, fn_name)(
+            spark, root, ids, id_col=overrides.get(root, default_col)
+        )
+        report[root] = {"kind": kind, **res}
+    for path, id_col in datasets:
+        from ..etl import delete_user_data
+
+        removed = delete_user_data(spark, path, ids, user_col=id_col)
+        report[path] = {"kind": "dataset", "rows_removed": removed}
+    return report

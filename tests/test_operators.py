@@ -5821,3 +5821,82 @@ def test_prefix_jaccard_all_identical_docs(spark):
     got = prefix_jaccard_pairs(df, threshold=0.9).collect()
     assert len(got) == 8 * 7 // 2
     assert all(r["jaccard"] == 1.0 for r in got)
+
+
+def test_forget_ids_cascade_across_indexes_and_dataset(spark, sf_dir, tmp_path):
+    """The right-to-be-forgotten capstone: one forget_ids call erases
+    the same ids from a BM25 index, an IVF index, AND a corpus parquet
+    dataset.  Probes afterwards equal fresh rebuilds over the
+    survivors, the dataset rows are gone, re-running the cascade is a
+    no-op (the run-to-completion-or-re-run contract), and a typo'd
+    index path raises instead of reading as forgotten."""
+    import os
+
+    import pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.maintenance import (
+        forget_ids,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        write_bm25_index,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.similarity import (
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    embs = load(spark, sf_dir, "embeddings")
+    bm25 = str(tmp_path / "bm25")
+    ivf = str(tmp_path / "ivf")
+    corpus = str(tmp_path / "corpus.parquet")
+    write_bm25_index(docs, bm25, n_buckets=16)
+    write_ivf_index(embs, ivf, n_clusters=6, iterations=2)
+    docs.write.parquet(corpus)
+
+    victims = [int(r["doc_id"]) for r in docs.filter(F.col("doc_id") % 9 == 3).collect()][:20]
+    report = forget_ids(
+        spark,
+        victims,
+        index_roots=[bm25, ivf],
+        datasets=[(corpus, "doc_id")],
+    )
+    assert report[bm25]["kind"] == "bm25" and report[bm25]["docs_deleted"] > 0
+    assert report[ivf]["kind"] == "ivf"
+    assert report[corpus]["rows_removed"] == len(victims)
+
+    # dataset: victims gone, everything else intact
+    left = spark.read.parquet(corpus)
+    assert left.filter(F.col("doc_id").isin(victims)).count() == 0
+    assert left.count() == docs.count() - len(victims)
+
+    # serving stores equal rebuilds over the survivors
+    surv_docs = docs.filter(~F.col("doc_id").isin(victims))
+    surv_embs = embs.filter(~F.col("vec_id").isin(victims))
+    bm25_ref = str(tmp_path / "bm25_ref")
+    ivf_ref = str(tmp_path / "ivf_ref")
+    write_bm25_index(surv_docs, bm25_ref, n_buckets=16)
+    write_ivf_index(surv_embs, ivf_ref, n_clusters=6, iterations=2)
+    terms = ["spark", "stream", "hash", "dup"]
+    assert [tuple(r) for r in bm25_topk_indexed(spark, bm25, terms, k=10).collect()] == [
+        tuple(r) for r in bm25_topk_indexed(spark, bm25_ref, terms, k=10).collect()
+    ]
+    qv = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = [r["vec_id"] for r in ivf_topk_indexed(spark, ivf, qv, k=10, nprobe=6).collect()]
+    assert not set(got) & set(victims)
+    # exhaustive-nprobe equality vs the survivor rebuild would need the
+    # same trained centroids; membership + the per-verb rebuild pins
+    # (test_vector_index_deletes_match_rebuilds_over_survivors) cover
+    # the geometry — here the cascade contract is what's under test
+
+    # idempotent re-run: every target reports zero work
+    report2 = forget_ids(
+        spark, victims, index_roots=[bm25, ivf], datasets=[(corpus, "doc_id")]
+    )
+    assert report2[bm25]["docs_deleted"] == 0
+    assert report2[corpus]["rows_removed"] == 0
+
+    with pytest.raises(ValueError, match="no recognized written-index layout"):
+        forget_ids(spark, victims, index_roots=[str(tmp_path / "nope")])
