@@ -256,6 +256,42 @@ def ngram_jaccard_histogram(
         doc_cached.unpersist()
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact CONTAINMENT near-dup pairs: containment = |A∩B| /
+    min(|A|,|B|) — the asymmetric metric that catches a small document
+    embedded inside a large one (quotes, excerpts, chunk-of-page),
+    which Jaccard structurally misses: a 100-shingle doc fully
+    contained in a 10000-shingle doc has containment 1.0 but Jaccard
+    ≈ 0.01 (Broder 1997 distinguishes resemblance from containment;
+    this is the containment side).  Same inverted-index machinery,
+    doc-frequency cap, and cost shape as ``ngram_jaccard_pairs``
+    (shared ``_capped_index`` / ``_pair_counts_from_index``); output
+    (doc_a, doc_b, containment) with doc_a < doc_b — int/int double
+    division, oracle-exact."""
+    doc_cached = df.select(
+        F.col(id_col).alias("_id"), _shingle_array(text_col, n).alias("_sh")
+    ).persist()
+    try:
+        pair = _pair_counts_from_index(_capped_index(doc_cached, max_doc_freq))
+        out = (
+            pair.withColumn(
+                "containment", F.col("_inter") / F.least("_na", "_nb")
+            )
+            .filter(F.col("containment") >= threshold)
+            .select("doc_a", "doc_b", "containment")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        doc_cached.unpersist()
+
+
 def prefix_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

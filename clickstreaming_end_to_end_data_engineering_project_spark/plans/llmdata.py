@@ -621,6 +621,21 @@ def bigram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.heavy_hitters(grams, "bigram", k=1000)
 
 
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excerpt/quote detection (r18 queue): pairs whose shingle-set
+    CONTAINMENT |A∩B|/min(|A|,|B|) ≥ 0.9 — the asymmetric dedup metric
+    for a small doc embedded in a big one, which the Jaccard queries
+    structurally miss (containment 1.0 can coexist with Jaccard 0.01).
+    Same capped inverted-index machinery as ngram_jaccard_dups; the
+    excerpt-finds-what-Jaccard-misses property is pinned on a seeded
+    corpus in tests (the fixture's near-dups happen to be full-doc
+    mutations, so here the pair SET coincides with Jaccard's while the
+    values differ)."""
+    return dedup.ngram_containment_pairs(
+        _docs(spark, sf_dir), threshold=0.9, max_doc_freq=MAX_SHINGLE_DOC_FREQ
+    )
+
+
 def prefix_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT near-dup pairs at Jaccard ≥ 0.5 with NO hot-shingle cap
     (r18 queue, new family: prefix-filtered set-similarity join).
@@ -1627,6 +1642,20 @@ SPECS = [
         HAVING count(*) * 1000 > n_total
         """,
         "exact heavy hitters via Misra-Gries candidate screen + recount",
+    ),
+    QuerySpec(
+        "doc_containment_pairs",
+        doc_containment_pairs,
+        f"""
+        WITH {_JACCARD_CTES}
+        SELECT doc_a, doc_b,
+               i * 1.0 / least(sa.n, sb.n) AS containment
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i * 1.0 / least(sa.n, sb.n) >= 0.9
+        """,
+        "asymmetric containment near-dup pairs (excerpt/quote detection)",
     ),
     QuerySpec("minhash_lsh_dups", minhash_lsh_dups, None, "MinHash+LSH candidates (rows-only)"),
     QuerySpec(

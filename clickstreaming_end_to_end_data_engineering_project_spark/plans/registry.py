@@ -523,6 +523,8 @@ BENCH_EXTENDED = [
     "page_triangle_stats",
     # r15 (late): the r18-queue SCD Type-2 dimension build
     "user_page_scd2",
+    # r15 (late): the r18-queue asymmetric containment pairs
+    "doc_containment_pairs",
 ]
 
 

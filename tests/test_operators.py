@@ -5900,3 +5900,78 @@ def test_forget_ids_cascade_across_indexes_and_dataset(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="no recognized written-index layout"):
         forget_ids(spark, victims, index_roots=[str(tmp_path / "nope")])
+
+
+def test_containment_finds_excerpts_jaccard_misses(spark):
+    """The containment metric's reason to exist: a short doc fully
+    embedded in a long one has containment 1.0 but tiny Jaccard.  The
+    pair must appear in ngram_containment_pairs and NOT in
+    ngram_jaccard_pairs at any useful threshold; values match a
+    python reference exactly."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    long_body = " ".join(f"w{i}" for i in range(300))
+    excerpt = " ".join(f"w{i}" for i in range(40, 60))  # 20 tokens inside
+    docs = [
+        (0, long_body),
+        (1, excerpt),
+        (2, " ".join(f"z{i}" for i in range(50))),  # unrelated
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in ngram_containment_pairs(df, threshold=0.9).collect()
+    }
+    # excerpt: 18 shingles, all present among the long doc's 298
+    assert cont == {(0, 1): 1.0}
+    jac = ngram_jaccard_pairs(df, threshold=0.2).collect()
+    assert jac == []  # J = 18/298 ≈ 0.06 — invisible to Jaccard
+
+
+def test_containment_matches_python_reference(spark, sf_dir):
+    """Differential on the fixture corpus (capped index, registry
+    threshold): exact containment values against a python reference
+    over the same shingle sets."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.plans.llmdata import (
+        MAX_SHINGLE_DOC_FREQ,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+
+    def sh(text, n=3):
+        toks = text.split()
+        if len(toks) < n:
+            return frozenset({" ".join(toks)})
+        return frozenset(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+
+    sets = {i: sh(t) for i, t in rows}
+    from collections import Counter
+
+    dfreq = Counter(s for ss in sets.values() for s in ss)
+    hot = {s for s, c in dfreq.items() if c > MAX_SHINGLE_DOC_FREQ}
+    sets = {i: ss - hot for i, ss in sets.items()}
+    import itertools
+
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter and min(len(sets[a]), len(sets[b])) > 0:
+            c = inter / min(len(sets[a]), len(sets[b]))
+            if c >= 0.9:
+                want[(a, b)] = round(c, 9)
+    got = {
+        (r["doc_a"], r["doc_b"]): round(r["containment"], 9)
+        for r in ngram_containment_pairs(
+            docs, threshold=0.9, max_doc_freq=MAX_SHINGLE_DOC_FREQ
+        ).collect()
+    }
+    assert len(got) > 0
+    assert got == want
