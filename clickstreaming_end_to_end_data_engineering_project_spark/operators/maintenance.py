@@ -163,15 +163,22 @@ def forget_ids(
     than indexes silently serving ids whose source row is already
     gone.
 
-    Returns {target_path: report} with each delete verb's own counts
-    plus {"rows_removed": n} per dataset.  Raises on an index root
-    with no recognized layout (a typo'd path must not read as
+    Returns {("index"|"dataset", target_path): report} with each delete
+    verb's own counts plus {"rows_removed": n} per dataset — keys are
+    ROLE-NAMESPACED tuples, not bare paths, so a path appearing both as
+    an index root and a dataset (or listed twice) can never silently
+    overwrite an earlier report entry and hide erasure evidence; a
+    duplicate within the same role raises instead.  Raises on an index
+    root with no recognized layout (a typo'd path must not read as
     "forgotten")."""
     import importlib
 
-    report: "dict[str, dict]" = {}
+    report: "dict[tuple[str, str], dict]" = {}
     overrides = id_col_overrides or {}
     for root in index_roots:
+        key = ("index", root)
+        if key in report:
+            raise ValueError(f"forget_ids: index root listed twice: {root}")
         detected = detect_index_kind(spark, root)
         if detected is None:
             raise ValueError(
@@ -183,10 +190,13 @@ def forget_ids(
         res = getattr(mod, fn_name)(
             spark, root, ids, id_col=overrides.get(root, default_col)
         )
-        report[root] = {"kind": kind, **res}
+        report[key] = {"kind": kind, **res}
     for path, id_col in datasets:
+        key = ("dataset", path)
+        if key in report:
+            raise ValueError(f"forget_ids: dataset listed twice: {path}")
         from ..etl import delete_user_data
 
         removed = delete_user_data(spark, path, ids, user_col=id_col)
-        report[path] = {"kind": "dataset", "rows_removed": removed}
+        report[key] = {"kind": "dataset", "rows_removed": removed}
     return report

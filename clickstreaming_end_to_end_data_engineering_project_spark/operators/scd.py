@@ -73,7 +73,20 @@ def asof_join_scd2(
     [valid_from, valid_to) interval contains its timestamp.  An
     equi-join on the key with the interval predicate as the join
     condition — per-key version lists are small, so this stays a
-    hash/sort-merge join on the key, never a global theta join."""
+    hash/sort-merge join on the key, never a global theta join.
+
+    ``how`` is restricted to inner/left (and their semi/anti probe
+    forms): the result drops ``dim``'s copy of the key column, so a
+    right/full join would strip dim-only rows of their only non-null
+    key value — a silently-lossy shape this raises on instead."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"asof_join_scd2: how={how!r} would drop dim-only rows' key "
+            "(dim's key column is removed from the output); use "
+            "inner/left/semi/anti"
+        )
     cond = (
         (facts[key_col] == dim[key_col])
         & (facts[ts_col] >= dim["valid_from"])

@@ -1818,11 +1818,11 @@ def ivfpq_build(
         train_src, m=m, k=codes_k, iterations=pq_iterations, id_col=id_col, vec_col="_resid"
     )
     # encode EVERY (id, cluster) entry's residual.  pq_encode keys by
-    # id alone, so encode per-entry via a composite key, then restore.
+    # id alone, so encode per-entry via a composite STRUCT key (typed,
+    # collision-free by construction — no delimiter to collide with),
+    # then restore.
     entry = resid.select(
-        F.concat_ws("#", F.col(id_col).cast("string"), F.col("cluster").cast("string")).alias(
-            "_ek"
-        ),
+        F.struct(F.col(id_col).alias("_id"), F.col("cluster").alias("_cl")).alias("_ek"),
         id_col,
         "cluster",
         "_resid",

@@ -175,7 +175,16 @@ def heavy_hitters(
     NULL items are excluded from both N and candidacy (the oracle
     convention: WHERE item IS NOT NULL).  Output: (<item_col>, freq),
     independent of partitioning — pinned in tests under adversarial
-    repartitioning."""
+    repartitioning.
+
+    DETERMINISM CONTRACT: ``items`` is evaluated TWICE (the MG screen +
+    N in pass 1, the exact recount in pass 2 — the checkpoint freezes
+    only the pass-1 summary, not the input).  A nondeterministic source
+    (``sample()`` without a seed, ``rand()``-derived columns, a file
+    listing mutating mid-job) can make the recount disagree with N and
+    silently void the exactness guarantee — the same same-stream
+    requirement streaming/hh_ingest.py documents for its micro-batches.
+    Persist or checkpoint such inputs before calling."""
     import pandas as pd
 
     m = int(k)

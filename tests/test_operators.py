@@ -5758,6 +5758,27 @@ def test_scd2_asof_compose_matches_direct_window_asof(spark, sf_dir):
     assert got == want
 
 
+def test_scd2_asof_rejects_lossy_join_sides(spark):
+    """asof_join_scd2 drops dim's key column, so right/full joins would
+    strip dim-only rows of their only non-null key — they must raise;
+    left and semi/anti stay accepted."""
+    import pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.scd import (
+        asof_join_scd2,
+    )
+
+    facts = spark.createDataFrame([(1, 10)], "k long, ts long")
+    dim = spark.createDataFrame(
+        [(1, "a", 0, None)], "k long, v string, valid_from long, valid_to long"
+    )
+    for bad in ("right", "full", "outer", "full_outer", "cross"):
+        with pytest.raises(ValueError, match="asof_join_scd2"):
+            asof_join_scd2(facts, dim, "k", "ts", how=bad)
+    assert asof_join_scd2(facts, dim, "k", "ts", how="left").count() == 1
+    assert asof_join_scd2(facts, dim, "k", "ts", how="left_semi").count() == 1
+
+
 def test_heavy_hitters_k2_majority_element(spark):
     """k=2 is the strict-majority case (freq·2 > N, the Boyer–Moore
     guarantee): the majority item must be returned when one exists,
@@ -5863,9 +5884,10 @@ def test_forget_ids_cascade_across_indexes_and_dataset(spark, sf_dir, tmp_path):
         index_roots=[bm25, ivf],
         datasets=[(corpus, "doc_id")],
     )
-    assert report[bm25]["kind"] == "bm25" and report[bm25]["docs_deleted"] > 0
-    assert report[ivf]["kind"] == "ivf"
-    assert report[corpus]["rows_removed"] == len(victims)
+    assert report[("index", bm25)]["kind"] == "bm25"
+    assert report[("index", bm25)]["docs_deleted"] > 0
+    assert report[("index", ivf)]["kind"] == "ivf"
+    assert report[("dataset", corpus)]["rows_removed"] == len(victims)
 
     # dataset: victims gone, everything else intact
     left = spark.read.parquet(corpus)
@@ -5895,11 +5917,19 @@ def test_forget_ids_cascade_across_indexes_and_dataset(spark, sf_dir, tmp_path):
     report2 = forget_ids(
         spark, victims, index_roots=[bm25, ivf], datasets=[(corpus, "doc_id")]
     )
-    assert report2[bm25]["docs_deleted"] == 0
-    assert report2[corpus]["rows_removed"] == 0
+    assert report2[("index", bm25)]["docs_deleted"] == 0
+    assert report2[("dataset", corpus)]["rows_removed"] == 0
 
     with pytest.raises(ValueError, match="no recognized written-index layout"):
         forget_ids(spark, victims, index_roots=[str(tmp_path / "nope")])
+
+    # duplicate targets raise instead of overwriting report evidence
+    with pytest.raises(ValueError, match="listed twice"):
+        forget_ids(spark, victims, index_roots=[bm25, bm25])
+    with pytest.raises(ValueError, match="listed twice"):
+        forget_ids(
+            spark, victims, datasets=[(corpus, "doc_id"), (corpus, "doc_id")]
+        )
 
 
 def test_containment_finds_excerpts_jaccard_misses(spark):
