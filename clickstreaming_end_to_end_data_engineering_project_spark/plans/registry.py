@@ -336,6 +336,32 @@ class QuerySpec:
 #     compose pinned equal to the direct window as-of).
 # Rotate in at r16+ as slots free up, demoting doubly-verified rows
 # per the standing policy.
+# Round-16 rotation (executed): the r15 verdict #1 directive — the
+# ENTIRE implement-ahead backlog (9 queries: the r16-declared pair
+# hybrid_search_rrf_filtered + doc_decontaminated_corpus, the
+# r17-declared events_incremental_rollup, and the six r18-queue
+# families prefix_jaccard_dups / bigram_heavy_hitters /
+# part_price_size_skyline / page_triangle_stats / user_page_scd2 /
+# doc_containment_pairs) rotates in at once for first driver rows —
+# every one oracle-bit-exact in the local battery at sf0.001/0.01/0.1
+# with pinned digests and recorded BENCH_EXTENDED legs.  Demoted per
+# the standing policy, exactly 9 multiply-verified rows (each green in
+# ≥3 recorded rounds AND still benched in BENCH_EXTENDED with pinned
+# digests, so a regression still moves a recorded number):
+# ngram_jaccard_histogram (green r11-r15), the r12 first-row quartet
+# doc_numeric_profile / doc_token_entropy / source_unigram_kl /
+# doc_length_quantiles (green r12-r15), and 4 of the 12 retained
+# r13-rotation queries — embedding_topk_batch (its family keeps 5
+# other gated queries incl. the r15 filtered trio),
+# user_inter_event_gap_quantiles, page_rank_pages,
+# nation_revenue_trend (each green r13+r14+r15).  Kept untouched: the
+# pinned core, the two sanctioned rows-only slots, the r15
+# filtered-ANN trio (first rows r15 — confirming rows due this round
+# per the embedding_label_pairs precedent), and the remaining 8
+# r13-rotation queries (purchase_hot_window_join,
+# orders_in_flight_daily, daily_revenue_ewma, source_len_token_corr,
+# bm25_topk_docs, hybrid_search_rrf, lang_weighted_reservoir,
+# page_hops_bfs — slots were not contested beyond the 9).
 # Round-14 (executed): the gate is UNCHANGED — exactly the r13 verdict
 # #1 directive: the 15 r13 first-row queries stay gated for their
 # confirming rows (CORRECTNESS_r14), converting six families from
@@ -382,27 +408,17 @@ GATE_PRIORITY = [
     "word_freq_top20",
     # r8 fix-band watch, retained (the r11 outlier's driver visibility)
     "doc_dup_span_fraction",
-    # round-11/12 rotations, retained for confirming rows
-    # (embedding_ivf_topk_learned / ivfpq_topk_probe are rows-only by
-    # design — float k-means training is not SQL-replayable)
-    "ngram_jaccard_histogram",
+    # sanctioned rows-only pair (float k-means training is not
+    # SQL-replayable; allowlisted in tests/test_correctness.py)
     "embedding_ivf_topk_learned",
     "ivfpq_topk_probe",
-    "doc_numeric_profile",
-    "doc_token_entropy",
-    "source_unigram_kl",
-    "doc_length_quantiles",
-    # round-15 rotation: the filtered-ANN family (first driver rows)
+    # round-15 rotation: the filtered-ANN family (confirming rows)
     "embedding_topk_filtered",
     "embedding_topk_doc_filtered",
     "embedding_topk_per_label",
-    # round-13 rotation, retained for a third round (confirmed r13+r14;
-    # the r13-queue trio rotated out in r15 for the family above)
-    "embedding_topk_batch",
-    "user_inter_event_gap_quantiles",
-    "page_rank_pages",
+    # round-13 rotation, retained for a fourth round (slots were not
+    # contested beyond the r16 nine)
     "purchase_hot_window_join",
-    "nation_revenue_trend",
     "orders_in_flight_daily",
     "daily_revenue_ewma",
     "source_len_token_corr",
@@ -410,6 +426,16 @@ GATE_PRIORITY = [
     "hybrid_search_rrf",
     "lang_weighted_reservoir",
     "page_hops_bfs",
+    # round-16 rotation: the implement-ahead backlog (first driver rows)
+    "hybrid_search_rrf_filtered",
+    "doc_decontaminated_corpus",
+    "events_incremental_rollup",
+    "prefix_jaccard_dups",
+    "bigram_heavy_hitters",
+    "part_price_size_skyline",
+    "page_triangle_stats",
+    "user_page_scd2",
+    "doc_containment_pairs",
 ]
 
 # Gate size the driver records; GATE_PRIORITY must fill it exactly so
