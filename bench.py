@@ -67,6 +67,23 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     box_start = _box_state()
+    # Depressed-box retry (r15 verdict #5): the r15 driver artifact
+    # burned a round-over-round comparison on a loaded box (load_1m
+    # 4.37 → 11.276 s total vs 9.571 s idle, same plan digests).  One
+    # BOUNDED retry: if the box is loaded at start, sleep and re-sample
+    # before timing anything; BOTH states are recorded so the artifact
+    # shows what happened.  Env knobs exist so the unit suite (which
+    # runs under its own load) can disable the sleep.
+    retry_fields: dict[str, object] = {}
+    load_threshold = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_THRESHOLD", "2.0"))
+    retry_sleep = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_SLEEP", "150"))
+    if box_start["load_1m"] > load_threshold and retry_sleep > 0:
+        time.sleep(retry_sleep)
+        retry_fields = {
+            "box_state_depressed": box_start,
+            "box_retry_slept_sec": round(retry_sleep, 1),
+        }
+        box_start = _box_state()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
@@ -180,6 +197,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "box_state_start": box_start,
                 "box_state_end": box_end,
+                **retry_fields,
                 "extended_queries": extended,
                 **indexed_probes,
                 **maintenance,
@@ -204,6 +222,7 @@ def main() -> None:
                 "warmup_sec": round(warmup, 3),
                 "box_state_start": box_start,
                 "box_state_end": box_end,
+                **retry_fields,
                 "queries": timings,
                 **stream_metrics,
             }
@@ -503,6 +522,48 @@ def _indexed_probe_metrics(spark, sf_dir: str) -> "dict[str, object]":
                 "maintain_cycle_error": f"{type(exc).__name__}: {exc}"[:300]
             }
         out.update(maintain_cycle)
+        # forget-cascade leg (r15 verdict #4): ONE erasure request
+        # against every serving store + the source datasets — the
+        # recorded cost of operators/maintenance.forget_ids, the GDPR
+        # verb.  Runs LAST against the already-built (and by now
+        # appended/deleted-into) five layouts, which is exactly the
+        # state a production cascade meets; dataset copies are setup
+        # (untimed), the cascade itself is one timed call.
+        try:
+            from clickstreaming_end_to_end_data_engineering_project_spark.operators.maintenance import (
+                forget_ids,
+            )
+
+            docs_copy = os.path.join(work, "docs_ds.parquet")
+            events_copy = os.path.join(work, "events_ds.parquet")
+            docs.write.parquet(docs_copy)
+            load(spark, sf_dir, "events").write.parquet(events_copy)
+            forget_victims = [
+                r[0]
+                for r in docs.filter(F.col("doc_id") % 97 == 5)
+                .select("doc_id")
+                .limit(200)
+                .collect()
+            ]
+            t0 = time.perf_counter()
+            rep = forget_ids(
+                spark,
+                forget_victims,
+                index_roots=[bm25_path, lsh_path, ivf_path, pq_path, ivfpq_path],
+                datasets=[(docs_copy, "doc_id"), (events_copy, "user_id")],
+            )
+            out.update(
+                {
+                    "forget_cascade_sec": round(time.perf_counter() - t0, 3),
+                    "forget_cascade_ids": len(forget_victims),
+                    "forget_cascade_targets": len(rep),
+                    "forget_cascade_dataset_rows_removed": sum(
+                        v.get("rows_removed", 0) for v in rep.values()
+                    ),
+                }
+            )
+        except Exception as exc:  # pragma: no cover - defensive
+            out["forget_cascade_error"] = f"{type(exc).__name__}: {exc}"[:300]
         out["indexed_probe_queries"] = legs
         out["indexed_probe_build_sec"] = {
             "lsh": round(lsh_build, 3),
