@@ -415,6 +415,142 @@ def prefix_jaccard_pairs(
         doc_cached.unpersist()
 
 
+def prefix_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """EXACT containment-threshold set-similarity self-join via prefix
+    filtering — same output contract as ``ngram_containment_pairs``
+    with NO doc-frequency cap: exact excerpt/quote detection on
+    boilerplate-heavy corpora where the cap changes semantics (a
+    template shingle above the cap can BE the excerpt's evidence).
+
+    Published design: the prefix filter of Chaudhuri, Ganti, Kaushik
+    (ICDE 2006) adapted to the OVERLAP-threshold form of Vernica,
+    Carey, Li (SIGMOD 2010 §3.4's generalization), with tokens ranked
+    by ascending global document frequency.  Containment
+    |A∩B|/min(|A|,|B|) ≥ t fixes the required overlap from the SMALLER
+    set alone: o = ceil(t·s_small).  That asymmetry shapes the join:
+
+      - SMALL role (the indexed side): every doc emits its prefix of
+        length s − floor(t·s) + 1 over its df-sorted shingles — the
+        prefix lemma (the globally rarest element of A∩B lies within
+        it when |A∩B| ≥ ceil(t·s_small), since all of A∩B sits at or
+        after its position).
+      - LARGE role (the probe side): every doc emits its FULL
+        df-ranked postings.  No shorter probe side is sound: a
+        1-shingle doc contained in a huge one can match on ANY of the
+        huge doc's shingles, so the large side has no prefix bound —
+        this is containment's structural extra cost over Jaccard.
+      - Role assignment (a.s, a.id) < (b.s, b.id) lexicographically:
+        each unordered pair is generated exactly once, with the
+        smaller set always on the prefix side (equal sizes: either
+        role is sound, the id picks one).
+
+    Skew safety WITHOUT the cap: a hot (high-df) shingle sorts LAST,
+    so it enters small-side prefixes only for docs that consist almost
+    entirely of hot shingles; the per-shingle candidate count is
+    (prefix postings) × (full postings), and the first factor stays
+    tiny exactly where the second explodes.
+
+    Positional filter (pair-wise sound, applied per matching row then
+    OR-ed by the candidate ``distinct``): a match at 1-based df-rank
+    positions (pa, pb) caps the remaining overlap at
+    1 + min(s_a − pa, s_b − pb), which must reach the requirement.
+    Float bounds round LOSSLESS-ward per the repo convention: the
+    exact requirement ceil(t·s_small) is relaxed to floor(t·s_small)
+    (never the reverse), and the prefix uses s − floor(t·s) + 1 ≥ the
+    exact s − ceil(t·s) + 1 — filters may pass a few extra candidates,
+    all removed by exact ``array_intersect`` verification, and can
+    never drop a qualifying pair at a 1-ulp boundary.
+
+    Output (doc_a, doc_b, containment) with doc_a < doc_b by id —
+    int/int double division, oracle-exact.  Pinned equal to
+    ``ngram_containment_pairs(max_doc_freq=None)``, to brute force
+    across a threshold sweep, and shown to DIFFER from the capped path
+    on a boilerplate corpus in tests."""
+    doc_cached = df.select(
+        F.col(id_col).alias("_id"), _shingle_array(text_col, n).alias("_sh")
+    ).persist()
+    try:
+        exploded = doc_cached.select("_id", F.explode("_sh").alias("shingle"))
+        dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        ranked = (
+            exploded.join(dfreq, "shingle")
+            .groupBy("_id")
+            .agg(
+                F.count(F.lit(1)).alias("_s"),
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("_df"), F.col("shingle")))
+                ).alias("_ord"),
+            )
+        )
+        t = float(threshold)
+        # small-role prefix: s - floor(t*s) + 1 (>= the exact
+        # s - ceil(t*s) + 1 — at worst one token too long, never short)
+        plen = F.greatest(
+            F.lit(1), F.col("_s") - F.floor(F.lit(t) * F.col("_s")).cast("int") + 1
+        )
+        shingles_ranked = F.transform("_ord", lambda x: x["shingle"])
+        pref = ranked.select(
+            "_id",
+            "_s",
+            F.posexplode(F.slice(shingles_ranked, 1, plen)).alias("_pos0", "shingle"),
+        ).select("_id", "_s", (F.col("_pos0") + 1).alias("_p"), "shingle")
+        full = ranked.select(
+            "_id",
+            "_s",
+            F.posexplode(shingles_ranked).alias("_pos0", "shingle"),
+        ).select("_id", "_s", (F.col("_pos0") + 1).alias("_p"), "shingle")
+        a, b = pref.alias("a"), full.alias("b")
+        # required overlap comes from the SMALL side (a) alone,
+        # floor-relaxed losslessly
+        required = F.floor(F.lit(t) * F.col("a._s"))
+        cand = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (
+                    (F.col("a._s") < F.col("b._s"))
+                    | (
+                        (F.col("a._s") == F.col("b._s"))
+                        & (F.col("a._id") < F.col("b._id"))
+                    )
+                ),
+            )
+            .filter(
+                1
+                + F.least(
+                    F.col("a._s") - F.col("a._p"), F.col("b._s") - F.col("b._p")
+                )
+                >= required
+            )
+            .select(F.col("a._id").alias("_id_sm"), F.col("b._id").alias("_id_lg"))
+            .distinct()
+        )
+        sa = doc_cached.select(F.col("_id").alias("_id_sm"), F.col("_sh").alias("_sha"))
+        sb = doc_cached.select(F.col("_id").alias("_id_lg"), F.col("_sh").alias("_shb"))
+        inter = F.size(F.array_intersect("_sha", "_shb"))
+        out = (
+            cand.join(sa, "_id_sm")
+            .join(sb, "_id_lg")
+            .select(
+                F.least("_id_sm", "_id_lg").alias("doc_a"),
+                F.greatest("_id_sm", "_id_lg").alias("doc_b"),
+                (inter / F.least(F.size("_sha"), F.size("_shb"))).alias(
+                    "containment"
+                ),
+            )
+            .filter(F.col("containment") >= threshold)
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        doc_cached.unpersist()
+
+
 def keep_first_per_fingerprint(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

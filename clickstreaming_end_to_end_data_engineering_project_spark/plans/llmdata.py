@@ -655,6 +655,24 @@ def prefix_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.prefix_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+def prefix_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT excerpt/quote pairs at containment ≥ 0.9 with NO
+    hot-shingle cap (r17 queue; r15 verdict directive #2).
+    ``doc_containment_pairs`` pays the cap's semantic compromise — an
+    excerpt made of boilerplate shingles is invisible once the cap
+    drops them.  This query extends the prefix-filter machinery to the
+    asymmetric overlap threshold (overlap ≥ ceil(t·min(sa,sb)) — the
+    smaller set's prefix is indexed, the larger set probes with full
+    df-ranked postings), so the output is the uncapped ground truth:
+    exactly the all-pairs containment join.  Differential-pinned equal
+    to ``ngram_containment_pairs(max_doc_freq=None)``, to brute force
+    across a threshold sweep, and shown to differ from the capped path
+    on a boilerplate corpus in tests; see
+    operators/dedup.prefix_containment_pairs for the soundness
+    derivation."""
+    return dedup.prefix_containment_pairs(_docs(spark, sf_dir), threshold=0.9)
+
+
 def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(_docs(spark, sf_dir))
 
@@ -1656,6 +1674,37 @@ SPECS = [
         WHERE i * 1.0 / least(sa.n, sb.n) >= 0.9
         """,
         "asymmetric containment near-dup pairs (excerpt/quote detection)",
+    ),
+    QuerySpec(
+        "prefix_containment_dups",
+        prefix_containment_dups,
+        # the UNCAPPED all-pairs containment join — same shingle CTEs
+        # as _JACCARD_UNCAPPED_ORACLE, min-denominator metric
+        f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+        ), sh_all AS (
+            SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(t) >= 3
+                     THEN list_transform(range(len(t) - 2),
+                                         i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+                     ELSE [list_aggregate(t, 'string_agg', ' ')] END)) AS shingle
+            FROM toks
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM sh_all GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM sh_all a JOIN sh_all b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               i * 1.0 / least(sa.n, sb.n) AS containment
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i * 1.0 / least(sa.n, sb.n) >= 0.9
+        """,
+        "exact uncapped containment pairs via prefix-filtered similarity join",
     ),
     QuerySpec("minhash_lsh_dups", minhash_lsh_dups, None, "MinHash+LSH candidates (rows-only)"),
     QuerySpec(

@@ -551,6 +551,15 @@ BENCH_EXTENDED = [
     "user_page_scd2",
     # r15 (late): the r18-queue asymmetric containment pairs
     "doc_containment_pairs",
+    # r16: the r17-queue uncapped containment twin (prefix-filtered) —
+    # recorded numbers + pinned digests ahead of rotation
+    "prefix_containment_dups",
+    # r16: demoted from the gate this round and not previously benched —
+    # added so EVERY demoted query keeps a recorded number and a pinned
+    # digest (the standing demotion invariant)
+    "doc_numeric_profile",
+    "doc_length_quantiles",
+    "ngram_jaccard_histogram",
 ]
 
 

@@ -5452,6 +5452,143 @@ def test_prefix_jaccard_leaves_no_cached_dataframes(spark, sf_dir):
     assert cm.isEmpty(), "prefix_jaccard_pairs leaked a cached DataFrame"
 
 
+def test_prefix_containment_matches_uncapped_inverted_index(spark, sf_dir):
+    """prefix_containment_pairs is an EXACT algorithm: on the fixture
+    corpus it must equal ngram_containment_pairs(max_doc_freq=None)
+    bit-for-bit (pair set AND containment doubles) at the registry
+    threshold."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        ngram_containment_pairs,
+        prefix_containment_pairs,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in prefix_containment_pairs(docs, threshold=0.9).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in ngram_containment_pairs(
+            docs, threshold=0.9, max_doc_freq=None
+        ).collect()
+    }
+    assert len(got) > 0
+    assert got == want
+
+
+def test_prefix_containment_matches_python_reference_threshold_sweep(spark):
+    """Filter-soundness sweep for the ASYMMETRIC metric: random corpus
+    with seeded excerpts (tiny docs fully embedded in big ones — the
+    min-denominator case the small-role prefix must not lose), exact
+    duplicates, and equal-size near-dups, against a brute-force
+    all-pairs reference at thresholds including non-binary-
+    representable ones (0.3/0.6) and the t=1.0 boundary."""
+    import itertools
+    import random as _random
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        prefix_containment_pairs,
+    )
+
+    rng = _random.Random(99)
+    vocab = [f"w{i}" for i in range(14)]
+    docs = []
+    for i in range(40):
+        length = rng.choice([1, 2, 3, 5, 8, 30, 60])
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(length))))
+    # excerpts: a contiguous slice of a long doc (containment 1.0 for
+    # the slice's shingles, tiny Jaccard); exact dup; equal-size pair
+    long_toks = docs[5][1].split()
+    if len(long_toks) >= 10:
+        docs.append((100, " ".join(long_toks[2:9])))
+    docs.append((101, docs[3][1]))
+    docs.append((102, docs[7][1] + " zz"))
+
+    def py_shingles(text, n=3):
+        toks = text.split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for t in (0.3, 0.5, 0.6, 0.8, 0.95, 1.0):
+        expected = {}
+        for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+            sa, sb = py_shingles(ta), py_shingles(tb)
+            inter = len(sa & sb)
+            if inter:
+                c = inter / min(len(sa), len(sb))
+                if c >= t:
+                    expected[(min(ia, ib), max(ia, ib))] = round(c, 9)
+        got = {
+            (r["doc_a"], r["doc_b"]): round(r["containment"], 9)
+            for r in prefix_containment_pairs(df, threshold=t).collect()
+        }
+        assert got == expected, f"threshold {t}"
+
+
+def test_prefix_containment_exact_where_capped_path_provably_differs(spark):
+    """The design point (r15 verdict directive #2): an excerpt made
+    ENTIRELY of boilerplate shingles is invisible to the capped path —
+    ngram_containment_pairs' max_doc_freq drops the hot shingles that
+    ARE the excerpt's evidence, losing the pair outright.  The prefix
+    join needs no cap (the hot shingles sort to the df-ranked tail of
+    the BIG docs' sets, so they enter only the tiny excerpt's prefix)
+    and must return the uncapped ground truth."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        ngram_containment_pairs,
+        prefix_containment_pairs,
+    )
+
+    header = "common header line shared everywhere"
+    docs = [(100, header)]  # the excerpt: boilerplate only
+    for i in range(10):
+        body = " ".join(f"t{i}_{j}" for j in range(8))
+        docs.append((i, f"{header} {body}"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in prefix_containment_pairs(df, threshold=0.9).collect()
+    }
+    # the excerpt is fully contained in every big doc
+    for i in range(10):
+        assert got.get((i, 100)) == 1.0, (i, got)
+    want = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in ngram_containment_pairs(
+            df, threshold=0.9, max_doc_freq=None
+        ).collect()
+    }
+    assert got == want
+    # the capped path loses every excerpt pair: all the excerpt's
+    # shingles have df=11 > cap
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in ngram_containment_pairs(
+            df, threshold=0.9, max_doc_freq=4
+        ).collect()
+    }
+    assert not any((i, 100) in capped for i in range(10))
+    assert capped != got
+
+
+def test_prefix_containment_leaves_no_cached_dataframes(spark, sf_dir):
+    """prefix_containment_pairs persists the doc-level shingle frame;
+    it must unpersist before returning (result is localCheckpoint-ed)."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        prefix_containment_pairs,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    docs = load(spark, sf_dir, "documents")
+    assert prefix_containment_pairs(docs, threshold=0.9).count() > 0
+    assert cm.isEmpty(), "prefix_containment_pairs leaked a cached DataFrame"
+
+
 def test_heavy_hitters_matches_exact_groupby(spark, sf_dir):
     """heavy_hitters is exact by construction (MG only prunes, the
     recount is exact): equal to the plain full-vocabulary groupBy
