@@ -676,6 +676,57 @@ def _maintenance_metrics(spark, sf_dir: str) -> "dict[str, object]":
             cluster_maint = {
                 "dup_cluster_error": f"{type(exc).__name__}: {exc}"[:300]
             }
+        # incremental SCD2 apply (r16, r15 verdict #3): the SAME 10%
+        # increment applied to a half-history and a full-history
+        # dimension — the pair of numbers behind "per-batch cost is
+        # flat in history length" — beside the full-log rebuild.
+        # Dim builds are setup (a warehouse persists its dimension);
+        # only the applies and the rebuild are timed, via noop writes.
+        try:
+            from clickstreaming_end_to_end_data_engineering_project_spark.operators.scd import (
+                scd2_apply,
+                scd2_from_changelog,
+            )
+
+            ev = load(spark, sf_dir, "events")
+            pg = ev.select(
+                "user_id", "ts", "event_id",
+                F.get_json_object("props", "$.k").cast("int").alias("page"),
+            ).filter(F.col("page").isNotNull())
+            cuts = pg.selectExpr(
+                "timestamp_micros(cast(percentile(unix_micros(ts), 0.45) as long)) as c45",
+                "timestamp_micros(cast(percentile(unix_micros(ts), 0.9) as long)) as c90",
+            ).first()
+            inc = pg.filter(F.col("ts") > F.lit(cuts["c90"])).localCheckpoint()
+            n_inc = inc.count()
+            args = ("user_id", "ts", ["page"])
+            dim_long = scd2_from_changelog(
+                pg.filter(F.col("ts") <= F.lit(cuts["c90"])), *args,
+                tiebreak_cols=["event_id"],
+            ).localCheckpoint()
+            dim_short = scd2_from_changelog(
+                pg.filter(
+                    (F.col("ts") > F.lit(cuts["c45"]))
+                    & (F.col("ts") <= F.lit(cuts["c90"]))
+                ), *args, tiebreak_cols=["event_id"],
+            ).localCheckpoint()
+            scd = {}
+            for label, dim in (("long", dim_long), ("short", dim_short)):
+                t0 = time.perf_counter()
+                scd2_apply(
+                    dim, inc, *args, tiebreak_cols=["event_id"]
+                ).write.format("noop").mode("overwrite").save()
+                scd[f"scd2_apply_{label}_hist_sec"] = round(
+                    time.perf_counter() - t0, 3
+                )
+            t0 = time.perf_counter()
+            scd2_from_changelog(
+                pg, *args, tiebreak_cols=["event_id"]
+            ).write.format("noop").mode("overwrite").save()
+            scd["scd2_rebuild_sec"] = round(time.perf_counter() - t0, 3)
+            scd["scd2_apply_batch_rows"] = n_inc
+        except Exception as exc:  # pragma: no cover - defensive
+            scd = {"scd2_apply_error": f"{type(exc).__name__}: {exc}"[:300]}
         return {
             "merge_upsert_cdc_sec": sec,
             "merge_upsert_changes": n_changes,
@@ -683,6 +734,7 @@ def _maintenance_metrics(spark, sf_dir: str) -> "dict[str, object]":
             "merge_upsert_partitions_rewritten": 1,
             "merge_upsert_partitions_total": len(months),
             **cluster_maint,
+            **scd,
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -62,6 +62,129 @@ def scd2_from_changelog(
     )
 
 
+def scd2_apply(
+    dim: DataFrame,
+    new_log: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: Sequence[str],
+    tiebreak_cols: Sequence[str] = (),
+    validate: bool = True,
+) -> DataFrame:
+    """Incremental SCD2 maintenance (r15 verdict directive #3): apply a
+    NEW changelog batch to an EXISTING versioned dimension — close open
+    intervals and append new versions touching ONLY keys present in
+    the batch, without reprocessing history.  The family's analogue of
+    the written-index appends-vs-rebuild story: per-batch cost is
+    O(batch + touched open versions) plus one history-free scan of the
+    dimension (the key semi/anti split), with NO window or sort over
+    historical versions — flat in history length (recorded in bench).
+
+    How it stays bit-equal to ``scd2_from_changelog`` over the
+    concatenated log:
+      - untouched keys' rows and touched keys' CLOSED versions pass
+        through verbatim (closed history is immutable under an
+        append-only log);
+      - each touched key's OPEN version becomes the SEED entry of a
+        miniature changelog (at its own ``valid_from``), unioned with
+        the key's batch entries and run through exactly the
+        ``scd2_from_changelog`` window logic — so a batch entry whose
+        attrs equal the current version collapses as a no-op ACROSS
+        the batch boundary, and same-instant batch entries keep their
+        ``tiebreak_cols`` semantics;
+      - at the boundary instant (a batch entry at exactly the open
+        version's ``valid_from``) the seed orders FIRST — equal to the
+        full rebuild whenever tiebreaks are monotone across batches
+        (the CDC sequence-number reality this verb is for).
+
+    Out-of-order protection: an entry OLDER than its key's open
+    ``valid_from`` cannot be applied incrementally (closed history
+    would need rewriting); with ``validate=True`` (default) such a
+    batch raises — route it to the full ``scd2_from_changelog``
+    rebuild instead.  Validation costs one bounded action over the
+    batch⋈open-versions join (``limit(1)``)."""
+    keys = new_log.select(key_col).distinct()
+    untouched = dim.join(keys, key_col, "left_anti")
+    touched = dim.join(keys, key_col, "left_semi")
+    closed = touched.filter(F.col("valid_to").isNotNull())
+    open_v = touched.filter(F.col("valid_to").isNull())
+    if validate:
+        stale = (
+            new_log.select(key_col, F.col(ts_col).alias("_new_ts"))
+            .join(open_v.select(key_col, "valid_from"), key_col)
+            .filter(F.col("_new_ts") < F.col("valid_from"))
+        )
+        if stale.limit(1).count():
+            raise ValueError(
+                "scd2_apply: batch contains entries older than their "
+                "key's open version (closed history would need a "
+                "rewrite) — use scd2_from_changelog over the full log"
+            )
+    log_fields = {f.name: f.dataType for f in new_log.schema.fields}
+    seed = open_v.select(
+        key_col,
+        *attr_cols,
+        F.col("valid_from").alias(ts_col),
+        F.lit(0).alias("_bseq"),
+        *[F.lit(None).cast(log_fields[c]).alias(c) for c in tiebreak_cols],
+    )
+    batch = new_log.select(
+        key_col, *attr_cols, ts_col, F.lit(1).alias("_bseq"), *tiebreak_cols
+    )
+    entries = seed.unionByName(batch)
+    order: list[Column] = [F.col(ts_col), F.col("_bseq")] + [
+        F.col(c) for c in tiebreak_cols
+    ]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    first = F.lag(ts_col).over(w).isNull()
+    runs = (
+        entries.withColumn("_chg", first | changed).filter(F.col("_chg")).drop("_chg")
+    )
+    rebuilt = runs.select(
+        key_col,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+    )
+    return untouched.unionByName(closed).unionByName(rebuilt)
+
+
+def scd2_apply_table(
+    spark,
+    path: str,
+    new_log: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: Sequence[str],
+    tiebreak_cols: Sequence[str] = (),
+) -> None:
+    """Written-dimension twin of ``scd2_apply``: read the dimension
+    parquet at ``path``, apply the batch, and replace the table under
+    the repo's staged-swap crash discipline (fsutil.swap_with_staging —
+    the exact contract the index appends use): the live table stays
+    intact until the replacement is fully written, a crash between the
+    two renames is healed on the next entry, and replaying the same
+    batch is idempotent (every batch entry is already a no-op or an
+    existing version, so the rebuild-from-seed collapses it away)."""
+    from ..fsutil import heal_swap_crash, swap_with_staging
+
+    heal_swap_crash(spark, path)
+    dim = spark.read.parquet(path)
+    out = scd2_apply(
+        dim, new_log, key_col, ts_col, attr_cols, tiebreak_cols=tiebreak_cols
+    )
+    # materialize BEFORE the swap: the plan reads the live table, and
+    # writing it lazily into staging while the final rename retargets
+    # the source would race the scan
+    frozen = out.localCheckpoint(eager=True)
+    swap_with_staging(
+        spark, path, lambda staging: frozen.write.parquet(staging), job="compact"
+    )
+
+
 def asof_join_scd2(
     facts: DataFrame,
     dim: DataFrame,
