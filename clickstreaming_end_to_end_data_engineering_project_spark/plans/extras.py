@@ -809,7 +809,57 @@ def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def part_pareto_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-criteria Pareto frontier of the parts catalog (r17 queue; r15
+    verdict directive #6): parts where no other part is simultaneously
+    cheaper-or-equal, larger-or-equal, AND better-documented-or-equal
+    (name length as the third criterion) with at least one strict —
+    the d ≥ 3 request the 2-D prefix-max plan cannot serve.  The
+    oracle states the quadratic NOT EXISTS form; the impl runs the
+    cell-grid-pruned plan (operators/skyline.skyline_kd: strict-cell
+    broadcast prune, then an equi-keyed residual anti-join over
+    surviving cell pairs — provably equivalent, see the operator
+    docstring).  Pure comparisons, no arithmetic — engine-exact.
+    Grid-choice invariance and a d=3/d=4 brute-force differential are
+    pinned in tests."""
+    part = load(spark, sf_dir, "part")
+    return skyline.skyline_kd(
+        part.select(
+            "p_partkey",
+            "p_retailprice",
+            "p_size",
+            F.length("p_name").alias("name_len"),
+        ),
+        [("p_retailprice", "min"), ("p_size", "max"), ("name_len", "max")],
+    )
+
+
 SPECS = [
+    QuerySpec(
+        "part_pareto_3d",
+        part_pareto_3d,
+        """
+        WITH pts AS (
+            SELECT p_partkey, p_retailprice, p_size,
+                   length(p_name) AS name_len
+            FROM part
+            WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+              AND p_name IS NOT NULL
+        )
+        SELECT p_partkey, p_retailprice, p_size, name_len
+        FROM pts a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pts b
+            WHERE b.p_retailprice <= a.p_retailprice
+              AND b.p_size >= a.p_size
+              AND b.name_len >= a.name_len
+              AND (b.p_retailprice < a.p_retailprice
+                   OR b.p_size > a.p_size
+                   OR b.name_len > a.name_len)
+          )
+        """,
+        "3-D skyline (Pareto frontier) via cell-grid-pruned plan",
+    ),
     QuerySpec(
         "part_price_size_skyline",
         part_price_size_skyline,

@@ -554,6 +554,9 @@ BENCH_EXTENDED = [
     # r16: the r17-queue uncapped containment twin (prefix-filtered) —
     # recorded numbers + pinned digests ahead of rotation
     "prefix_containment_dups",
+    # r16: the r17-queue 3-criteria skyline — recorded numbers + pinned
+    # digests ahead of rotation
+    "part_pareto_3d",
     # r16: demoted from the gate this round and not previously benched —
     # added so EVERY demoted query keeps a recorded number and a pinned
     # digest (the standing demotion invariant)

@@ -5733,6 +5733,128 @@ def test_skyline_grid_choice_never_changes_results(spark, sf_dir):
     assert default == coarse == degenerate
 
 
+def test_skyline_kd_matches_bruteforce_3d_and_4d(spark):
+    """skyline_kd vs a quadratic python reference on random frames at
+    d=3 and d=4 with mixed min/max directions, duplicated points
+    (mutual ties must all survive), per-dim equal values, and NULLs
+    (excluded) — the r15 verdict #6 'Done' fixture."""
+    import random as _random
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.skyline import (
+        skyline_kd,
+    )
+
+    rng = _random.Random(17)
+
+    def brute(pts, dirs):
+        def dom(y, x):
+            be = all(
+                (yv <= xv if d == "min" else yv >= xv)
+                for yv, xv, d in zip(y, x, dirs)
+            )
+            st = any(
+                (yv < xv if d == "min" else yv > xv)
+                for yv, xv, d in zip(y, x, dirs)
+            )
+            return be and st
+
+        return {
+            (i, *v) for i, v in pts if not any(dom(w, v) for _, w in pts)
+        }
+
+    # d=3: min price, max size, max rating
+    rows3 = [
+        (i, float(rng.randrange(16)) / 2.0, rng.randrange(10), rng.randrange(8))
+        for i in range(250)
+    ]
+    rows3 += [(900, 0.5, 9, 7), (901, 0.5, 9, 7)]      # exact tie pair
+    rows3 += [(902, None, 5, 5), (903, 1.0, None, 5)]  # excluded
+    pts3 = [(i, (p, s, q)) for i, p, s, q in rows3 if None not in (p, s, q)]
+    dirs3 = ("min", "max", "max")
+    want3 = brute(pts3, dirs3)
+    df3 = spark.createDataFrame(rows3, "id long, price double, size int, rating int")
+    got3 = {
+        (r["id"], r["price"], r["size"], r["rating"])
+        for r in skyline_kd(
+            df3, [("price", "min"), ("size", "max"), ("rating", "max")]
+        ).collect()
+    }
+    assert got3 == want3
+    if (900, 0.5, 9, 7) in want3:
+        assert (901, 0.5, 9, 7) in got3
+
+    # d=4 with all-min orientation and negatives
+    rows4 = [
+        (
+            i,
+            rng.randrange(-5, 6),
+            float(rng.randrange(12)) / 4.0,
+            rng.randrange(6),
+            rng.randrange(4),
+        )
+        for i in range(200)
+    ]
+    pts4 = [(i, (a, b, c, e)) for i, a, b, c, e in rows4]
+    dirs4 = ("min", "min", "min", "min")
+    want4 = brute(pts4, dirs4)
+    df4 = spark.createDataFrame(rows4, "id long, a int, b double, c int, e int")
+    got4 = {
+        tuple(r)
+        for r in skyline_kd(
+            df4, [("a", "min"), ("b", "min"), ("c", "min"), ("e", "min")]
+        ).collect()
+    }
+    assert got4 == want4
+
+
+def test_skyline_kd_reduces_to_2d_and_grid_invariance(spark, sf_dir):
+    """At d=2 skyline_kd must equal skyline_2d on the part fixture, and
+    its grid is a cost knob only: custom coarse buckets and the
+    degenerate single-cell grid (pruning disabled, residual join does
+    all the work) return identical skylines."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.skyline import (
+        skyline_2d,
+        skyline_kd,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+
+    def key(df):
+        return sorted(
+            (r["p_partkey"], r["p_retailprice"], r["p_size"]) for r in df.collect()
+        )
+
+    crit = [("p_retailprice", "min"), ("p_size", "max")]
+    want = key(skyline_2d(part, "p_retailprice", "p_size"))
+    assert len(want) > 0
+    assert key(skyline_kd(part, crit)) == want
+    coarse = key(
+        skyline_kd(
+            part, crit,
+            buckets=[F.floor(F.col("p_retailprice") / 25), -F.col("p_size")],
+        )
+    )
+    degenerate = key(skyline_kd(part, crit, buckets=[F.lit(0), F.lit(0)]))
+    assert coarse == want and degenerate == want
+
+
+def test_skyline_kd_validates_inputs(spark):
+    import pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.skyline import (
+        skyline_kd,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "a int, b int")
+    with pytest.raises(ValueError, match=">= 2 criteria"):
+        skyline_kd(df, [("a", "min")])
+    with pytest.raises(ValueError, match="direction"):
+        skyline_kd(df, [("a", "min"), ("b", "upp")])
+    with pytest.raises(ValueError, match="buckets"):
+        skyline_kd(df, [("a", "min"), ("b", "max")], buckets=[F.lit(0)])
+
+
 def test_triangle_stats_matches_bruteforce(spark):
     """triangle_stats vs an itertools reference on random graphs with
     self-loops, duplicate and reversed edges (all normalized away)."""
