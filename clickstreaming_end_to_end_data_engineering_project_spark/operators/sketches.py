@@ -235,3 +235,114 @@ def heavy_hitters(
         .filter(F.col("freq") * F.lit(m).cast("long") > F.col("_n_total"))
         .select(item_col, "freq")
     )
+
+
+def windowed_heavy_hitters(
+    items: DataFrame,
+    ts_col: str,
+    item_col: str = "item",
+    k: int = 100,
+    window: str = "1 hour",
+) -> DataFrame:
+    """EXACT heavy hitters PER TUMBLING EVENT-TIME WINDOW (r15 verdict
+    directive #7): for each window, every item occurring in strictly
+    more than N_w/k of that window's N_w non-null rows, with its exact
+    count — "top items per hour", the shape dashboards ask of a
+    frequency summary.  Same two-pass design as ``heavy_hitters`` with
+    the Misra–Gries screen keyed by (window, item): pass-1 state is
+    O(k · windows-per-task) regardless of vocabulary (the per-window
+    guarantee is the per-window instance of the global proof — each
+    decrement event inside window w removes ≥ k+1 units of w's mass,
+    so freq_w(x) > N_w/k survives some task's summary for w); pass 2
+    recounts ONLY the surviving (window, item) candidates exactly and
+    applies freq·k > N_w in pure integer arithmetic.
+
+    Window assignment is Spark's own tumbling ``F.window`` start
+    (epoch-aligned), computed JVM-side before the Arrow pass.  NULL
+    items are excluded from both N_w and candidacy; rows with NULL
+    timestamps carry no window and are excluded with them.  Output:
+    (window_start, <item_col>, freq) — partitioning-independent,
+    pinned in tests, and pinned equal to the streaming ingest twin
+    (streaming/hh_ingest.WindowedHeavyHitterSink) through a real
+    file-stream.  Shares the determinism contract of
+    ``heavy_hitters``: the input lineage is evaluated twice."""
+    import pandas as pd
+
+    m = int(k)
+    if m < 1:
+        raise ValueError("k must be >= 1")
+    assigned = items.filter(
+        F.col(ts_col).isNotNull() & F.col(item_col).isNotNull()
+    ).select(
+        F.window(ts_col, window).start.alias("window_start"),
+        F.col(item_col).cast("string").alias("item"),
+    )
+
+    def mg(batches):
+        counters: dict = {}  # window -> {item: weight}
+        totals: dict = {}  # window -> n rows
+        for pdf in batches:
+            for win, cnts in (
+                pdf.groupby(["window_start", "item"], sort=False)
+                .size()
+                .groupby(level=0, sort=False)
+            ):
+                wc = counters.setdefault(win, {})
+                totals[win] = totals.get(win, 0) + int(cnts.sum())
+                for (_, item), cnt in cnts.items():
+                    wc[item] = wc.get(item, 0) + int(cnt)
+                if len(wc) > m:
+                    vals = sorted(wc.values(), reverse=True)
+                    delta = vals[m]
+                    counters[win] = {
+                        i: c - delta for i, c in wc.items() if c > delta
+                    }
+        wins, its, ns = [], [], []
+        for win, wc in counters.items():
+            for item in wc:
+                wins.append(win)
+                its.append(item)
+                ns.append(0)
+        for win, n in totals.items():
+            wins.append(win)
+            its.append(None)
+            ns.append(n)
+        # explicit dtypes: an empty task would otherwise yield object
+        # columns Arrow can't cast to timestamp/long
+        yield pd.DataFrame(
+            {
+                "window_start": pd.Series(wins, dtype="datetime64[us]"),
+                "item": pd.Series(its, dtype="object"),
+                "n_rows": pd.Series(ns, dtype="int64"),
+            }
+        )
+
+    summ = assigned.mapInPandas(
+        mg, "window_start timestamp, item string, n_rows long"
+    ).localCheckpoint(eager=True)
+    cand = (
+        summ.filter(F.col("item").isNotNull())
+        .select(
+            F.col("window_start").alias("_hh_win"),
+            F.col("item").alias("_hh_item"),
+        )
+        .distinct()
+    )
+    totals = summ.filter(F.col("item").isNull()).groupBy("window_start").agg(
+        F.sum("n_rows").alias("_n_total")
+    )
+    exact = (
+        assigned.join(
+            F.broadcast(cand),
+            (F.col("window_start") == F.col("_hh_win"))
+            & (F.col("item") == F.col("_hh_item")),
+            "left_semi",
+        )
+        .groupBy("window_start", "item")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        exact.join(F.broadcast(totals), "window_start")
+        .filter(F.col("freq") * F.lit(m).cast("long") > F.col("_n_total"))
+        .select("window_start", F.col("item").alias(item_col), "freq")
+    )

@@ -118,6 +118,24 @@ def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hourly_page_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Top pages per hour' as EXACT per-window heavy hitters (r17
+    queue; r15 verdict directive #7): for each tumbling hour, pages
+    with freq·8 > N_hour — via
+    operators/sketches.windowed_heavy_hitters (per-window Misra-Gries
+    screen with O(k·windows) state per task, then an exact recount of
+    surviving (window, page) candidates; the oracle states the plain
+    per-window groupBy + HAVING, integer threshold so engine-exact).
+    The streaming twin (streaming/hh_ingest.WindowedHeavyHitterSink)
+    is pinned bit-equal through a real file-stream in tests."""
+    from ..operators.sketches import windowed_heavy_hitters
+
+    pages = _events(spark, sf_dir).select(
+        "ts", F.get_json_object("props", "$.k").alias("page")
+    ).filter(F.col("page").isNotNull())
+    return windowed_heavy_hitters(pages, "ts", "page", k=8, window="1 hour")
+
+
 def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """from_json ingest path (ref :121-125): parse the props JSON
     document against a declared schema, flatten, aggregate."""
@@ -352,6 +370,25 @@ SPECS = [
         """,
     ),
     QuerySpec("purchase_stats_approx", purchase_stats_approx, None, "HLL++ rows-only twin"),
+    QuerySpec(
+        "hourly_page_heavy_hitters",
+        hourly_page_heavy_hitters,
+        """
+        WITH pages AS (
+            SELECT date_trunc('hour', ts) AS window_start,
+                   json_extract_string(props, '$.k') AS page
+            FROM events
+            WHERE ts IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL
+        ), totals AS (
+            SELECT window_start, count(*) AS n_w FROM pages GROUP BY 1
+        )
+        SELECT p.window_start, p.page, count(*) AS freq
+        FROM pages p JOIN totals t ON t.window_start = p.window_start
+        GROUP BY p.window_start, p.page, t.n_w
+        HAVING count(*) * 8 > t.n_w
+        """,
+        "exact per-hour heavy hitters (windowed Misra-Gries + recount)",
+    ),
     QuerySpec(
         "hourly_event_stats",
         hourly_event_stats,

@@ -557,6 +557,8 @@ BENCH_EXTENDED = [
     # r16: the r17-queue 3-criteria skyline — recorded numbers + pinned
     # digests ahead of rotation
     "part_pareto_3d",
+    # r16: the r17-queue per-hour heavy hitters (windowed MG + recount)
+    "hourly_page_heavy_hitters",
     # r16: demoted from the gate this round and not previously benched —
     # added so EVERY demoted query keeps a recorded number and a pinned
     # digest (the standing demotion invariant)

@@ -27,7 +27,13 @@ import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 _STORE_SCHEMA = StructType(
     [
@@ -81,6 +87,145 @@ class HeavyHitterSink:
             )
         finally:
             counts.unpersist()
+
+
+_WINDOWED_STORE_SCHEMA = StructType(
+    [
+        StructField("window_start", TimestampType()),
+        # item NULL marks the (batch, window) total row
+        StructField("item", StringType()),
+        StructField("w", LongType()),
+    ]
+)
+
+
+class WindowedHeavyHitterSink:
+    """foreachBatch callable for PER-WINDOW heavy hitters (r15 verdict
+    directive #7): each micro-batch is reduced to one MG summary PER
+    TUMBLING EVENT-TIME WINDOW it touches (≤ k+1 rows per window) and
+    lands under ``store_dir/batch=<id>/`` with mode=overwrite (replay-
+    idempotent, the sink-family discipline).  The per-window decrement
+    is computed with a rank window over the per-batch counts — no
+    driver collect at all, unlike the global sink's k+1-row collect.
+    Merge guarantee: the global proof per window — an item with
+    freq_w > N_w/k keeps a positive merged counter for window w, so
+    ``windowed_heavy_hitters_from_store`` recounts a guaranteed
+    superset (pinned bit-equal to the batch operator in tests,
+    replay included)."""
+
+    def __init__(
+        self,
+        store_dir: str,
+        ts_col: str = "ts",
+        item_col: str = "item",
+        k: int = 100,
+        window: str = "1 hour",
+    ) -> None:
+        if int(k) < 1:
+            raise ValueError("k must be >= 1")
+        self.store_dir = store_dir
+        self.ts_col = ts_col
+        self.item_col = item_col
+        self.k = int(k)
+        self.window = window
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        if batch.isEmpty():
+            return
+        items = batch.filter(
+            F.col(self.ts_col).isNotNull() & F.col(self.item_col).isNotNull()
+        ).select(
+            F.window(self.ts_col, self.window).start.alias("window_start"),
+            F.col(self.item_col).cast("string").alias("item"),
+        )
+        counts = (
+            items.groupBy("window_start", "item")
+            .agg(F.count(F.lit(1)).alias("w"))
+            .persist()
+        )
+        try:
+            rk = W.partitionBy("window_start").orderBy(F.desc("w"), "item")
+            # per-window (k+1)-th largest count = the MG decrement
+            deltas = (
+                counts.withColumn("_rk", F.row_number().over(rk))
+                .filter(F.col("_rk") == self.k + 1)
+                .select("window_start", F.col("w").alias("_delta"))
+            )
+            summ = (
+                counts.join(deltas, "window_start", "left")
+                .withColumn("_d", F.coalesce("_delta", F.lit(0)))
+                .filter(F.col("w") > F.col("_d"))
+                .select(
+                    "window_start", "item", (F.col("w") - F.col("_d")).alias("w")
+                )
+            )
+            total = (
+                counts.groupBy("window_start")
+                .agg(F.sum("w").cast("long").alias("w"))
+                .select(
+                    "window_start", F.lit(None).cast("string").alias("item"), "w"
+                )
+            )
+            (
+                summ.unionByName(total)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(self.store_dir, f"batch={batch_id}"))
+            )
+        finally:
+            counts.unpersist()
+
+
+def windowed_heavy_hitters_from_store(
+    spark,
+    store_dir: str,
+    corpus: DataFrame,
+    ts_col: str,
+    item_col: str,
+    k: int,
+    window: str = "1 hour",
+) -> DataFrame:
+    """EXACT per-window heavy hitters of ``corpus`` served from the
+    windowed candidate store: recount only the stored (window, item)
+    candidates and apply freq·k > N_w against each window's own exact
+    total.  Same same-stream requirement as the global verb."""
+    from ..fsutil import read_store_or_empty
+
+    store = read_store_or_empty(spark, store_dir, _WINDOWED_STORE_SCHEMA)
+    cand = (
+        store.filter(F.col("item").isNotNull())
+        .select(
+            F.col("window_start").alias("_hh_win"),
+            F.col("item").alias("_hh_item"),
+        )
+        .distinct()
+    )
+    assigned = corpus.filter(
+        F.col(ts_col).isNotNull() & F.col(item_col).isNotNull()
+    ).select(
+        F.window(ts_col, window).start.alias("window_start"),
+        F.col(item_col).cast("string").alias("item"),
+    )
+    totals = assigned.groupBy("window_start").agg(
+        F.count(F.lit(1)).alias("_n_total")
+    )
+    exact = (
+        assigned.join(
+            F.broadcast(cand),
+            (F.col("window_start") == F.col("_hh_win"))
+            & (F.col("item") == F.col("_hh_item")),
+            "left_semi",
+        )
+        .groupBy("window_start", "item")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        exact.join(F.broadcast(totals), "window_start")
+        .filter(F.col("freq") * F.lit(int(k)).cast("long") > F.col("_n_total"))
+        .select("window_start", F.col("item").alias(item_col), "freq")
+    )
 
 
 def _read_store(spark, store_dir: str) -> DataFrame:

@@ -5589,6 +5589,75 @@ def test_prefix_containment_leaves_no_cached_dataframes(spark, sf_dir):
     assert cm.isEmpty(), "prefix_containment_pairs leaked a cached DataFrame"
 
 
+def test_windowed_heavy_hitters_matches_exact_groupby(spark, sf_dir):
+    """windowed_heavy_hitters (per-tumbling-window MG screen + exact
+    recount) must equal the plain per-window full-vocabulary groupBy
+    threshold — per window, items with freq·k > N_w — on the events
+    fixture (page per hour), independent of partitioning."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.sketches import (
+        windowed_heavy_hitters,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    pages = ev.select(
+        "ts", F.get_json_object("props", "$.k").alias("page")
+    ).filter(F.col("page").isNotNull())
+    k = 8
+    assigned = pages.select(
+        F.window("ts", "1 hour").start.alias("window_start"),
+        F.col("page").cast("string").alias("page"),
+    )
+    counts = assigned.groupBy("window_start", "page").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    totals = assigned.groupBy("window_start").agg(F.count(F.lit(1)).alias("_n"))
+    want = {
+        (r["window_start"], r["page"], r["freq"])
+        for r in counts.join(totals, "window_start")
+        .filter(F.col("freq") * k > F.col("_n"))
+        .select("window_start", "page", "freq")
+        .collect()
+    }
+    assert len(want) > 0
+    for parts in (1, 7):
+        got = {
+            (r["window_start"], r["page"], r["freq"])
+            for r in windowed_heavy_hitters(
+                pages.repartition(parts), "ts", "page", k=k, window="1 hour"
+            ).collect()
+        }
+        assert got == want, parts
+
+
+def test_windowed_heavy_hitters_per_window_majorities(spark):
+    """Crafted per-window contract pin: an item can be a heavy hitter
+    in one window and absent in the next; k=2 is the per-window strict
+    majority; a window with no majority contributes nothing; NULL
+    items/timestamps are excluded."""
+    from datetime import datetime
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.sketches import (
+        windowed_heavy_hitters,
+    )
+
+    h0 = datetime(2024, 1, 1, 0, 30)
+    h1 = datetime(2024, 1, 1, 1, 30)
+    h2 = datetime(2024, 1, 1, 2, 30)
+    rows = (
+        [(h0, "m")] * 6 + [(h0, "x")] * 2 + [(h0, "y")] * 2   # m majority in h0
+        + [(h1, "a")] * 3 + [(h1, "b")] * 3                     # no majority in h1
+        + [(h2, "m")] * 1 + [(h2, "z")] * 4                     # z majority in h2
+        + [(None, "m"), (h0, None)]                              # excluded
+    )
+    df = spark.createDataFrame(rows, "ts timestamp, item string")
+    got = {
+        (r["window_start"].hour, r["item"], r["freq"])
+        for r in windowed_heavy_hitters(df, "ts", "item", k=2).collect()
+    }
+    assert got == {(0, "m", 6), (2, "z", 4)}
+
+
 def test_heavy_hitters_matches_exact_groupby(spark, sf_dir):
     """heavy_hitters is exact by construction (MG only prunes, the
     recount is exact): equal to the plain full-vocabulary groupBy
