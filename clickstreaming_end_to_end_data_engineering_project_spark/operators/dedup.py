@@ -415,6 +415,87 @@ def prefix_jaccard_pairs(
         doc_cached.unpersist()
 
 
+def tf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact WEIGHTED cosine-threshold all-pairs similarity join over
+    term-frequency vectors — the frequency-aware member of the
+    near-dup family (Bayardo, Ma, Srikant, "Scaling Up All Pairs
+    Similarity Search", WWW 2007 is the published all-pairs shape;
+    this is its inverted-index candidate layout on Spark).  Set-based
+    Jaccard treats a term used once and fifty times identically;
+    cosine over tf vectors catches rewrites that keep the WORD
+    DISTRIBUTION (template fills, reorderings, paraphrase with shared
+    vocabulary) and distinguishes docs that merely share vocabulary.
+
+    Oracle-exactness with FLOAT output — why this is bit-exact when
+    naive float similarity joins are not: every accumulation is
+    INTEGER (dot = Σ tf_a·tf_b and the squared norms Σ tf² are exact
+    longs in any summation order on both engines); the only float ops
+    are two correctly-rounded sqrt's, one multiply, one divide — a
+    fixed IEEE expression tree evaluated identically by Spark and
+    DuckDB.  No dround anywhere.
+
+    ``max_doc_freq`` is the same semantic cap as
+    ``ngram_jaccard_pairs``: terms in more than the cap's docs are
+    dropped from the VOCABULARY (norms and dots consistently — the
+    metric becomes "cosine over non-boilerplate terms", which is also
+    what you want: corpus-wide stopwords otherwise dominate tf mass
+    and saturate similarities), and hot-term join skew never reaches
+    the candidate join.  Output (doc_a, doc_b, cosine) with
+    doc_a < doc_b and cosine ≥ threshold."""
+    tf_all = (
+        df.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+        .persist()
+    )
+    try:
+        if max_doc_freq is not None:
+            hot = (
+                tf_all.groupBy("term")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") > max_doc_freq)
+                .select("term")
+            )
+            tf = tf_all.join(F.broadcast(hot), "term", "left_anti")
+        else:
+            tf = tf_all
+        norms = tf.groupBy("_id").agg(
+            F.sum(F.col("_tf") * F.col("_tf")).alias("_nsq")
+        )
+        withn = tf.join(norms, "_id")
+        a, b = withn.alias("a"), withn.alias("b")
+        dots = (
+            a.join(
+                b,
+                (F.col("a.term") == F.col("b.term"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .groupBy(
+                F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b")
+            )
+            .agg(
+                F.sum(F.col("a._tf") * F.col("b._tf")).alias("_dot"),
+                F.min("a._nsq").alias("_nsqa"),
+                F.min("b._nsq").alias("_nsqb"),
+            )
+        )
+        cos = F.col("_dot") / (F.sqrt("_nsqa") * F.sqrt("_nsqb"))
+        out = (
+            dots.withColumn("cosine", cos)
+            .filter(F.col("cosine") >= threshold)
+            .select("doc_a", "doc_b", "cosine")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        tf_all.unpersist()
+
+
 def prefix_containment_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -549,6 +630,111 @@ def prefix_containment_pairs(
         return out.localCheckpoint(eager=True)
     finally:
         doc_cached.unpersist()
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    str_col: str = "text",
+    max_dist: int = 2,
+    q: int = 3,
+) -> DataFrame:
+    """EXACT approximate-string self-join: pairs whose ``str_col``
+    values are within Levenshtein distance ``max_dist`` — the fuzzy
+    twin of exact-prefix dedup (catches the typo'd header / OCR slip /
+    near-identical title that byte equality misses).  NEW family:
+    edit-distance join; no reference-repo counterpart.
+
+    Published design: q-gram count filtering per Gravano, Ipeirotis,
+    Jagadish, Koudas, Muthukrishnan, Srivastava, "Approximate String
+    Joins in a Database (Almost) for Free" (VLDB 2001):
+      - LENGTH filter: ed(a,b) ≤ d ⇒ |len(a) − len(b)| ≤ d (applied
+        inside the candidate join);
+      - COUNT filter: one edit destroys at most q q-grams, so the
+        MULTISET q-gram intersection satisfies
+        Σ_g min(cnt_a(g), cnt_b(g)) ≥ max(len_a, len_b) − q + 1 − q·d
+        (computed exactly in the pair aggregation — the multiset form,
+        never the lossy distinct-count approximation);
+      - SHORT-STRING bucket: when max(len) < q·(d+1) the count bound
+        is vacuous and a qualifying pair can share NO q-gram at all
+        (a string shorter than q has no q-grams) — every such pair has
+        BOTH members short (ed ≤ d bounds the partner's length), so
+        strings below that bound are compared all-pairs among
+        themselves, a domain-bounded bucket.
+    Survivors of either path are verified with the exact built-in
+    ``levenshtein`` — integer output, engine-exact vs the NOT-EXISTS-
+    free quadratic oracle.
+
+    Cost shape: the inverted q-gram index join is postings-bounded
+    (hot q-grams fatten candidates but the count filter prunes before
+    the O(len²) verification); the short bucket is |shorts|², bounded
+    by the domain of sub-q·(d+1)-char strings.  Output
+    (id_a, id_b, edit_distance) with id_a < id_b, distance ≤ d; NULL
+    strings excluded."""
+    d = int(max_dist)
+    if d < 0:
+        raise ValueError("max_dist must be >= 0")
+    qq = int(q)
+    if qq < 1:
+        raise ValueError("q must be >= 1")
+    s = (
+        df.filter(F.col(str_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), F.col(str_col).alias("_s"))
+        .withColumn("_len", F.length("_s"))
+    )
+    short_bound = qq * (d + 1)
+    shorts = s.filter(F.col("_len") < short_bound)
+    grams = s.filter(F.col("_len") >= qq).select(
+        "_id",
+        "_len",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("_len") - qq + 1),
+                lambda i: F.col("_s").substr(i, F.lit(qq)),
+            )
+        ).alias("_g"),
+    )
+    gidx = grams.groupBy("_id", "_len", "_g").agg(F.count(F.lit(1)).alias("_c"))
+    a, b = gidx.alias("a"), gidx.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._g") == F.col("b._g"))
+            & (F.col("a._id") < F.col("b._id"))
+            & (
+                F.abs(F.col("a._len") - F.col("b._len")) <= d
+            ),
+        )
+        .groupBy(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._len").alias("_la"),
+            F.col("b._len").alias("_lb"),
+        )
+        .agg(F.sum(F.least("a._c", "b._c")).alias("_shared"))
+        .filter(
+            F.col("_shared")
+            >= F.greatest("_la", "_lb") - F.lit(qq - 1) - F.lit(qq * d)
+        )
+        .select("id_a", "id_b")
+    )
+    sa = shorts.select(F.col("_id").alias("id_a"), F.col("_len").alias("_la"))
+    sb = shorts.select(F.col("_id").alias("id_b"), F.col("_len").alias("_lb"))
+    short_pairs = sa.join(
+        sb,
+        (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.col("_la") - F.col("_lb")) <= d),
+    ).select("id_a", "id_b")
+    allcand = cand.unionByName(short_pairs).distinct()
+    va = s.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
+    vb = s.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"))
+    return (
+        allcand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("edit_distance", F.levenshtein("_sa", "_sb"))
+        .filter(F.col("edit_distance") <= d)
+        .select("id_a", "id_b", "edit_distance")
+    )
 
 
 def keep_first_per_fingerprint(

@@ -655,6 +655,42 @@ def prefix_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.prefix_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+def doc_prefix_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-prefix dedup (r18 queue, NEW family: edit-distance join):
+    document pairs whose 24-char openings are within Levenshtein
+    distance 2 — the typo/OCR-tolerant twin of ``doc_prefix_dups``,
+    which needs byte-exact prefixes.  The oracle states the quadratic
+    levenshtein join (with the ed ≤ d ⇒ |Δlen| ≤ d lemma stated
+    inline so DuckDB's IEJoin can use it); the impl runs the q-gram
+    count-filtered plan of Gravano et al. VLDB 2001 — length filter +
+    exact multiset-intersection bound + short-string bucket, then
+    exact levenshtein verification on survivors (see
+    operators/dedup.edit_distance_pairs for the soundness argument).
+    Integer distances — engine-exact."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, 24).alias("prefix")
+    )
+    return dedup.edit_distance_pairs(docs, "doc_id", "prefix", max_dist=2)
+
+
+def doc_tf_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-weighted near-dup pairs (r18 queue, NEW family:
+    weighted similarity join): tf-vector cosine ≥ 0.9 over the
+    non-boilerplate vocabulary (terms in ≤ 50 docs, the family's
+    standing cap — corpus-wide stopwords otherwise dominate tf mass
+    and saturate every pairwise similarity toward the vocabulary
+    overlap, see SCALING.md).  Unlike the set-based Jaccard queries
+    this weighs REPETITION: a doc and its doubled/reordered rewrite
+    score exactly 1.0, same-vocabulary-different-frequency pairs score
+    below it.  Oracle-bit-exact with float output because every
+    accumulation is integer and the only float ops are two
+    correctly-rounded sqrts, one multiply, one divide (see
+    operators/dedup.tf_cosine_pairs)."""
+    return dedup.tf_cosine_pairs(
+        _docs(spark, sf_dir), threshold=0.9, max_doc_freq=MAX_SHINGLE_DOC_FREQ
+    )
+
+
 def prefix_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT excerpt/quote pairs at containment ≥ 0.9 with NO
     hot-shingle cap (r17 queue; r15 verdict directive #2).
@@ -1674,6 +1710,57 @@ SPECS = [
         WHERE i * 1.0 / least(sa.n, sb.n) >= 0.9
         """,
         "asymmetric containment near-dup pairs (excerpt/quote detection)",
+    ),
+    QuerySpec(
+        "doc_prefix_edit_pairs",
+        doc_prefix_edit_pairs,
+        """
+        WITH s AS (
+            SELECT doc_id, substring(text, 1, 24) AS p
+            FROM documents WHERE text IS NOT NULL
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               levenshtein(a.p, b.p) AS edit_distance
+        FROM s a JOIN s b
+          ON a.doc_id < b.doc_id
+         AND abs(length(a.p) - length(b.p)) <= 2
+        WHERE levenshtein(a.p, b.p) <= 2
+        """,
+        "fuzzy-prefix dedup via q-gram-filtered edit-distance join",
+    ),
+    QuerySpec(
+        "doc_tf_cosine_dups",
+        doc_tf_cosine_dups,
+        # integer dot/norm sums + IEEE sqrt/mul/div — bit-exact, no
+        # rounding; the df-cap mirrors _JACCARD_CTES' HAVING clause
+        f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+        ), tf_all AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+            GROUP BY doc_id, term
+        ), tf AS (
+            SELECT doc_id, term, tf FROM tf_all
+            WHERE term IN (
+                SELECT term FROM tf_all GROUP BY term HAVING count(*) <= 50
+            )
+        ), norms AS (
+            SELECT doc_id, sum(tf * tf) AS nsq FROM tf GROUP BY doc_id
+        ), dots AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   sum(a.tf * b.tf) AS dot
+            FROM tf a JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               dot / (sqrt(na.nsq) * sqrt(nb.nsq)) AS cosine
+        FROM dots
+        JOIN norms na ON na.doc_id = doc_a
+        JOIN norms nb ON nb.doc_id = doc_b
+        WHERE dot / (sqrt(na.nsq) * sqrt(nb.nsq)) >= 0.9
+        """,
+        "frequency-weighted near-dup pairs (tf-vector cosine join)",
     ),
     QuerySpec(
         "prefix_containment_dups",

@@ -559,6 +559,10 @@ BENCH_EXTENDED = [
     "part_pareto_3d",
     # r16: the r17-queue per-hour heavy hitters (windowed MG + recount)
     "hourly_page_heavy_hitters",
+    # r16: the r18-queue frequency-weighted cosine similarity join
+    "doc_tf_cosine_dups",
+    # r16: the r18-queue q-gram-filtered edit-distance join
+    "doc_prefix_edit_pairs",
     # r16: demoted from the gate this round and not previously benched —
     # added so EVERY demoted query keeps a recorded number and a pinned
     # digest (the standing demotion invariant)

@@ -5452,6 +5452,216 @@ def test_prefix_jaccard_leaves_no_cached_dataframes(spark, sf_dir):
     assert cm.isEmpty(), "prefix_jaccard_pairs leaked a cached DataFrame"
 
 
+def _py_levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_pairs_matches_python_reference(spark):
+    """edit_distance_pairs vs a quadratic python Levenshtein reference
+    on a corpus of random strings with seeded typos (substitution,
+    insertion, deletion, transposition-as-two-edits), exact dups,
+    empty and sub-q strings — at d = 0, 1, 2, 3.  The q-gram count
+    filter, length filter, and short-string bucket must never lose a
+    pair."""
+    import itertools
+    import random as _random
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    rng = _random.Random(31)
+    alpha = "abcdef"
+    base = ["".join(rng.choice(alpha) for _ in range(rng.choice([0, 1, 2, 4, 8, 15, 24])))
+            for _ in range(60)]
+    strs = list(base)
+    for i in (3, 7, 11):
+        t = list(base[i])
+        if t:
+            t[rng.randrange(len(t))] = rng.choice(alpha)     # substitution
+        strs.append("".join(t))
+        strs.append(base[i] + rng.choice(alpha))              # insertion
+        strs.append(base[i][:-1])                             # deletion
+    strs.append(base[5])                                      # exact dup
+    rows = list(enumerate(strs))
+    df = spark.createDataFrame(rows, "id long, s string")
+    for d in (0, 1, 2, 3):
+        want = {
+            (ia, ib, _py_levenshtein(sa, sb))
+            for (ia, sa), (ib, sb) in itertools.combinations(rows, 2)
+            if _py_levenshtein(sa, sb) <= d
+        }
+        got = {
+            tuple(r)
+            for r in edit_distance_pairs(df, "id", "s", max_dist=d).collect()
+        }
+        assert got == want, f"d={d}"
+
+
+def test_edit_distance_pairs_fuzzy_catches_what_exact_prefix_misses(spark):
+    """The family's reason to exist: a one-character typo in a shared
+    header defeats exact prefix fingerprinting but is a d=1 edit
+    pair."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        edit_distance_pairs,
+        prefix_dup_groups,
+    )
+
+    docs = [
+        (1, "introduction to spark streaming pipelines"),
+        (2, "introduttion to spark streaming pipelines"),  # typo
+        (3, "completely different body of text here now"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    exact = prefix_dup_groups(df, k=5).collect()
+    assert exact == []  # the typo breaks byte-exact prefix grouping
+    got = {
+        (r["id_a"], r["id_b"], r["edit_distance"])
+        for r in edit_distance_pairs(df, "doc_id", "text", max_dist=1).collect()
+    }
+    assert got == {(1, 2, 1)}
+
+
+def test_edit_distance_pairs_matches_quadratic_spark_reference(spark, sf_dir):
+    """Fixture-scale pin: doc 24-char prefixes at d=2 must equal the
+    filter-free quadratic levenshtein join."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 24).alias("prefix")
+    )
+    got = {
+        tuple(r)
+        for r in edit_distance_pairs(docs, "doc_id", "prefix", max_dist=2).collect()
+    }
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("prefix").alias("_pa"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("prefix").alias("_pb"))
+    want = {
+        tuple(r)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_distance", F.levenshtein("_pa", "_pb"))
+        .filter(F.col("edit_distance") <= 2)
+        .select("id_a", "id_b", "edit_distance")
+        .collect()
+    }
+    assert len(want) > 0
+    assert got == want
+
+
+def test_tf_cosine_matches_python_reference_threshold_sweep(spark):
+    """tf_cosine_pairs vs a brute-force python reference (exact float
+    equality — integer dot/norms + IEEE sqrt/mul/div are bit-stable
+    across engines and in CPython) on a random corpus with seeded
+    exact dups, proportional rewrites, and frequency shifts; capped
+    and uncapped."""
+    import itertools
+    import math
+    import random as _random
+    from collections import Counter
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        tf_cosine_pairs,
+    )
+
+    rng = _random.Random(23)
+    vocab = [f"w{i}" for i in range(20)]
+    docs = []
+    for i in range(40):
+        length = rng.choice([3, 5, 10, 30])
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(length))))
+    docs.append((100, docs[2][1]))                      # exact dup
+    toks7 = docs[7][1].split()
+    rng.shuffle(toks7)
+    docs.append((101, " ".join(toks7 * 2)))             # proportional rewrite: cosine 1.0
+    docs.append((102, docs[9][1] + " " + docs[9][1].split()[0] * 1))
+
+    def ref_pairs(t, cap):
+        tfs = {i: Counter(txt.split()) for i, txt in docs}
+        if cap is not None:
+            dfreq = Counter(w for c in tfs.values() for w in c)
+            tfs = {
+                i: Counter({w: n for w, n in c.items() if dfreq[w] <= cap})
+                for i, c in tfs.items()
+            }
+        out = {}
+        for (ia, ca), (ib, cb) in itertools.combinations(
+            ((i, c) for i, c in tfs.items() if c), 2
+        ):
+            dot = sum(ca[w] * cb[w] for w in ca.keys() & cb.keys())
+            if dot:
+                cos = dot / (
+                    math.sqrt(sum(v * v for v in ca.values()))
+                    * math.sqrt(sum(v * v for v in cb.values()))
+                )
+                if cos >= t:
+                    out[(min(ia, ib), max(ia, ib))] = cos
+        return out
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for cap in (None, 10):
+        for t in (0.5, 0.8, 0.95):
+            got = {
+                (r["doc_a"], r["doc_b"]): r["cosine"]
+                for r in tf_cosine_pairs(
+                    df, threshold=t, max_doc_freq=cap
+                ).collect()
+            }
+            assert got == ref_pairs(t, cap), (cap, t)
+
+
+def test_tf_cosine_is_frequency_aware_where_jaccard_is_not(spark):
+    """The metric's reason to exist: same vocabulary at different
+    frequencies — token-set Jaccard is 1.0 (identical sets) while tf
+    cosine is < 1; and a reordering that preserves counts has cosine
+    exactly 1.0."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        tf_cosine_pairs,
+    )
+
+    docs = [
+        (1, "alpha beta alpha beta alpha"),     # tf {alpha:3, beta:2}
+        (2, "alpha beta beta beta beta"),       # same set, tf {1, 4}
+        (3, "beta alpha alpha beta alpha"),     # reordering of doc 1
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in tf_cosine_pairs(df, threshold=0.0).collect()
+    }
+    import math
+
+    # identical tf vectors: the IEEE expression 13/(sqrt(13)*sqrt(13))
+    # is within one ulp of 1.0 and BIT-EQUAL to the python evaluation
+    assert got[(1, 3)] == 13 / (math.sqrt(13) * math.sqrt(13))
+    assert abs(got[(1, 3)] - 1.0) < 1e-12
+    assert got[(1, 2)] < 0.99 and got[(2, 3)] < 0.99
+    assert got[(1, 2)] < got[(1, 3)] and got[(2, 3)] < got[(1, 3)]
+
+
+def test_tf_cosine_leaves_no_cached_dataframes(spark, sf_dir):
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        tf_cosine_pairs,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    docs = load(spark, sf_dir, "documents")
+    assert tf_cosine_pairs(docs, threshold=0.9, max_doc_freq=50).count() > 0
+    assert cm.isEmpty(), "tf_cosine_pairs leaked a cached DataFrame"
+
+
 def test_prefix_containment_matches_uncapped_inverted_index(spark, sf_dir):
     """prefix_containment_pairs is an EXACT algorithm: on the fixture
     corpus it must equal ngram_containment_pairs(max_doc_freq=None)
