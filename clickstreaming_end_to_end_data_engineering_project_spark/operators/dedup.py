@@ -348,7 +348,11 @@ def prefix_jaccard_pairs(
         dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
         # rank each doc's shingles rarest-first by (global df, hash) —
         # any consistent global order is correct; ascending df keeps
-        # hot shingles OUT of prefixes (the skew-proofing)
+        # hot shingles OUT of prefixes (the skew-proofing).  Persisted:
+        # pref self-joins as a/b, and without the cache the df-join +
+        # per-doc sort lineage re-derives once per alias (r16 review;
+        # the SCALING.md join-alias lesson) — unpersisted in the
+        # nested finally, result is checkpointed before it runs
         ranked = (
             exploded.join(dfreq, "shingle")
             .groupBy("_id")
@@ -358,6 +362,7 @@ def prefix_jaccard_pairs(
                     F.collect_list(F.struct(F.col("_df"), F.col("shingle")))
                 ).alias("_ord"),
             )
+            .persist()
         )
         t = float(threshold)
         plen = F.greatest(
@@ -410,7 +415,10 @@ def prefix_jaccard_pairs(
             )
             .filter(F.col("jaccard") >= threshold)
         )
-        return out.localCheckpoint(eager=True)
+        try:
+            return out.localCheckpoint(eager=True)
+        finally:
+            ranked.unpersist()
     finally:
         doc_cached.unpersist()
 
@@ -559,6 +567,9 @@ def prefix_containment_pairs(
     try:
         exploded = doc_cached.select("_id", F.explode("_sh").alias("shingle"))
         dfreq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        # ranked (the expensive df-join + per-doc sort) feeds BOTH join
+        # roles (pref and full) — persist so the ranking runs once, not
+        # once per alias (the SCALING.md join-alias lesson)
         ranked = (
             exploded.join(dfreq, "shingle")
             .groupBy("_id")
@@ -568,66 +579,70 @@ def prefix_containment_pairs(
                     F.collect_list(F.struct(F.col("_df"), F.col("shingle")))
                 ).alias("_ord"),
             )
+            .persist()
         )
-        t = float(threshold)
-        # small-role prefix: s - floor(t*s) + 1 (>= the exact
-        # s - ceil(t*s) + 1 — at worst one token too long, never short)
-        plen = F.greatest(
-            F.lit(1), F.col("_s") - F.floor(F.lit(t) * F.col("_s")).cast("int") + 1
-        )
-        shingles_ranked = F.transform("_ord", lambda x: x["shingle"])
-        pref = ranked.select(
-            "_id",
-            "_s",
-            F.posexplode(F.slice(shingles_ranked, 1, plen)).alias("_pos0", "shingle"),
-        ).select("_id", "_s", (F.col("_pos0") + 1).alias("_p"), "shingle")
-        full = ranked.select(
-            "_id",
-            "_s",
-            F.posexplode(shingles_ranked).alias("_pos0", "shingle"),
-        ).select("_id", "_s", (F.col("_pos0") + 1).alias("_p"), "shingle")
-        a, b = pref.alias("a"), full.alias("b")
-        # required overlap comes from the SMALL side (a) alone,
-        # floor-relaxed losslessly
-        required = F.floor(F.lit(t) * F.col("a._s"))
-        cand = (
-            a.join(
-                b,
-                (F.col("a.shingle") == F.col("b.shingle"))
-                & (
-                    (F.col("a._s") < F.col("b._s"))
-                    | (
-                        (F.col("a._s") == F.col("b._s"))
-                        & (F.col("a._id") < F.col("b._id"))
-                    )
-                ),
+        try:
+            t = float(threshold)
+            # small-role prefix: s - floor(t*s) + 1 (>= the exact
+            # s - ceil(t*s) + 1 — at worst one token too long, never short)
+            plen = F.greatest(
+                F.lit(1), F.col("_s") - F.floor(F.lit(t) * F.col("_s")).cast("int") + 1
             )
-            .filter(
-                1
-                + F.least(
-                    F.col("a._s") - F.col("a._p"), F.col("b._s") - F.col("b._p")
+            shingles_ranked = F.transform("_ord", lambda x: x["shingle"])
+            pref = ranked.select(
+                "_id",
+                "_s",
+                F.posexplode(F.slice(shingles_ranked, 1, plen)).alias("_pos0", "shingle"),
+            ).select("_id", "_s", (F.col("_pos0") + 1).alias("_p"), "shingle")
+            full = ranked.select(
+                "_id",
+                "_s",
+                F.posexplode(shingles_ranked).alias("_pos0", "shingle"),
+            ).select("_id", "_s", (F.col("_pos0") + 1).alias("_p"), "shingle")
+            a, b = pref.alias("a"), full.alias("b")
+            # required overlap comes from the SMALL side (a) alone,
+            # floor-relaxed losslessly
+            required = F.floor(F.lit(t) * F.col("a._s"))
+            cand = (
+                a.join(
+                    b,
+                    (F.col("a.shingle") == F.col("b.shingle"))
+                    & (
+                        (F.col("a._s") < F.col("b._s"))
+                        | (
+                            (F.col("a._s") == F.col("b._s"))
+                            & (F.col("a._id") < F.col("b._id"))
+                        )
+                    ),
                 )
-                >= required
+                .filter(
+                    1
+                    + F.least(
+                        F.col("a._s") - F.col("a._p"), F.col("b._s") - F.col("b._p")
+                    )
+                    >= required
+                )
+                .select(F.col("a._id").alias("_id_sm"), F.col("b._id").alias("_id_lg"))
+                .distinct()
             )
-            .select(F.col("a._id").alias("_id_sm"), F.col("b._id").alias("_id_lg"))
-            .distinct()
-        )
-        sa = doc_cached.select(F.col("_id").alias("_id_sm"), F.col("_sh").alias("_sha"))
-        sb = doc_cached.select(F.col("_id").alias("_id_lg"), F.col("_sh").alias("_shb"))
-        inter = F.size(F.array_intersect("_sha", "_shb"))
-        out = (
-            cand.join(sa, "_id_sm")
-            .join(sb, "_id_lg")
-            .select(
-                F.least("_id_sm", "_id_lg").alias("doc_a"),
-                F.greatest("_id_sm", "_id_lg").alias("doc_b"),
-                (inter / F.least(F.size("_sha"), F.size("_shb"))).alias(
-                    "containment"
-                ),
+            sa = doc_cached.select(F.col("_id").alias("_id_sm"), F.col("_sh").alias("_sha"))
+            sb = doc_cached.select(F.col("_id").alias("_id_lg"), F.col("_sh").alias("_shb"))
+            inter = F.size(F.array_intersect("_sha", "_shb"))
+            out = (
+                cand.join(sa, "_id_sm")
+                .join(sb, "_id_lg")
+                .select(
+                    F.least("_id_sm", "_id_lg").alias("doc_a"),
+                    F.greatest("_id_sm", "_id_lg").alias("doc_b"),
+                    (inter / F.least(F.size("_sha"), F.size("_shb"))).alias(
+                        "containment"
+                    ),
+                )
+                .filter(F.col("containment") >= threshold)
             )
-            .filter(F.col("containment") >= threshold)
-        )
-        return out.localCheckpoint(eager=True)
+            return out.localCheckpoint(eager=True)
+        finally:
+            ranked.unpersist()
     finally:
         doc_cached.unpersist()
 
@@ -677,64 +692,78 @@ def edit_distance_pairs(
     qq = int(q)
     if qq < 1:
         raise ValueError("q must be >= 1")
+    # the base frame feeds five subtrees (shorts x2, grams, va, vb) and
+    # the gram index self-joins — persist both so the scan + substring
+    # explode run once each, not once per alias (file convention; the
+    # SCALING.md join-alias re-derivation lesson)
     s = (
         df.filter(F.col(str_col).isNotNull())
         .select(F.col(id_col).alias("_id"), F.col(str_col).alias("_s"))
         .withColumn("_len", F.length("_s"))
+        .persist()
     )
-    short_bound = qq * (d + 1)
-    shorts = s.filter(F.col("_len") < short_bound)
-    grams = s.filter(F.col("_len") >= qq).select(
-        "_id",
-        "_len",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.col("_len") - qq + 1),
-                lambda i: F.col("_s").substr(i, F.lit(qq)),
+    try:
+        short_bound = qq * (d + 1)
+        shorts = s.filter(F.col("_len") < short_bound)
+        grams = s.filter(F.col("_len") >= qq).select(
+            "_id",
+            "_len",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_len") - qq + 1),
+                    lambda i: F.col("_s").substr(i, F.lit(qq)),
+                )
+            ).alias("_g"),
+        )
+        gidx = grams.groupBy("_id", "_len", "_g").agg(
+            F.count(F.lit(1)).alias("_c")
+        ).persist()
+        try:
+            a, b = gidx.alias("a"), gidx.alias("b")
+            cand = (
+                a.join(
+                    b,
+                    (F.col("a._g") == F.col("b._g"))
+                    & (F.col("a._id") < F.col("b._id"))
+                    & (
+                        F.abs(F.col("a._len") - F.col("b._len")) <= d
+                    ),
+                )
+                .groupBy(
+                    F.col("a._id").alias("id_a"),
+                    F.col("b._id").alias("id_b"),
+                    F.col("a._len").alias("_la"),
+                    F.col("b._len").alias("_lb"),
+                )
+                .agg(F.sum(F.least("a._c", "b._c")).alias("_shared"))
+                .filter(
+                    F.col("_shared")
+                    >= F.greatest("_la", "_lb") - F.lit(qq - 1) - F.lit(qq * d)
+                )
+                .select("id_a", "id_b")
             )
-        ).alias("_g"),
-    )
-    gidx = grams.groupBy("_id", "_len", "_g").agg(F.count(F.lit(1)).alias("_c"))
-    a, b = gidx.alias("a"), gidx.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a._g") == F.col("b._g"))
-            & (F.col("a._id") < F.col("b._id"))
-            & (
-                F.abs(F.col("a._len") - F.col("b._len")) <= d
-            ),
-        )
-        .groupBy(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._len").alias("_la"),
-            F.col("b._len").alias("_lb"),
-        )
-        .agg(F.sum(F.least("a._c", "b._c")).alias("_shared"))
-        .filter(
-            F.col("_shared")
-            >= F.greatest("_la", "_lb") - F.lit(qq - 1) - F.lit(qq * d)
-        )
-        .select("id_a", "id_b")
-    )
-    sa = shorts.select(F.col("_id").alias("id_a"), F.col("_len").alias("_la"))
-    sb = shorts.select(F.col("_id").alias("id_b"), F.col("_len").alias("_lb"))
-    short_pairs = sa.join(
-        sb,
-        (F.col("id_a") < F.col("id_b"))
-        & (F.abs(F.col("_la") - F.col("_lb")) <= d),
-    ).select("id_a", "id_b")
-    allcand = cand.unionByName(short_pairs).distinct()
-    va = s.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
-    vb = s.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"))
-    return (
-        allcand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("edit_distance", F.levenshtein("_sa", "_sb"))
-        .filter(F.col("edit_distance") <= d)
-        .select("id_a", "id_b", "edit_distance")
-    )
+            sa = shorts.select(F.col("_id").alias("id_a"), F.col("_len").alias("_la"))
+            sb = shorts.select(F.col("_id").alias("id_b"), F.col("_len").alias("_lb"))
+            short_pairs = sa.join(
+                sb,
+                (F.col("id_a") < F.col("id_b"))
+                & (F.abs(F.col("_la") - F.col("_lb")) <= d),
+            ).select("id_a", "id_b")
+            allcand = cand.unionByName(short_pairs).distinct()
+            va = s.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
+            vb = s.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"))
+            out = (
+                allcand.join(va, "id_a")
+                .join(vb, "id_b")
+                .withColumn("edit_distance", F.levenshtein("_sa", "_sb"))
+                .filter(F.col("edit_distance") <= d)
+                .select("id_a", "id_b", "edit_distance")
+            )
+            return out.localCheckpoint(eager=True)
+        finally:
+            gidx.unpersist()
+    finally:
+        s.unpersist()
 
 
 def keep_first_per_fingerprint(

@@ -173,12 +173,24 @@ def forget_ids(
     "forgotten")."""
     import importlib
 
+    # validate BEFORE the first delete verb runs: a duplicate target
+    # must fail with zero side effects, not after earlier stores were
+    # already irreversibly erased (r16 review)
+    seen_roots = set()
+    for root in index_roots:
+        if root in seen_roots:
+            raise ValueError(f"forget_ids: index root listed twice: {root}")
+        seen_roots.add(root)
+    seen_ds = set()
+    for path, _ in datasets:
+        if path in seen_ds:
+            raise ValueError(f"forget_ids: dataset listed twice: {path}")
+        seen_ds.add(path)
+
     report: "dict[tuple[str, str], dict]" = {}
     overrides = id_col_overrides or {}
     for root in index_roots:
         key = ("index", root)
-        if key in report:
-            raise ValueError(f"forget_ids: index root listed twice: {root}")
         detected = detect_index_kind(spark, root)
         if detected is None:
             raise ValueError(
@@ -193,8 +205,6 @@ def forget_ids(
         report[key] = {"kind": kind, **res}
     for path, id_col in datasets:
         key = ("dataset", path)
-        if key in report:
-            raise ValueError(f"forget_ids: dataset listed twice: {path}")
         from ..etl import delete_user_data
 
         removed = delete_user_data(spark, path, ids, user_col=id_col)

@@ -132,22 +132,16 @@ def scd2_apply(
         key_col, *attr_cols, ts_col, F.lit(1).alias("_bseq"), *tiebreak_cols
     )
     entries = seed.unionByName(batch)
-    order: list[Column] = [F.col(ts_col), F.col("_bseq")] + [
-        F.col(c) for c in tiebreak_cols
-    ]
-    w = Window.partitionBy(key_col).orderBy(*order)
-    changed = F.lit(False)
-    for c in attr_cols:
-        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
-    first = F.lag(ts_col).over(w).isNull()
-    runs = (
-        entries.withColumn("_chg", first | changed).filter(F.col("_chg")).drop("_chg")
-    )
-    rebuilt = runs.select(
+    # literally the full-rebuild window logic over the miniature log,
+    # with _bseq prepended to the tiebreak order (seed first at its
+    # instant) — ONE implementation, so the apply-vs-rebuild
+    # bit-equality the tests pin can never drift between two copies
+    rebuilt = scd2_from_changelog(
+        entries,
         key_col,
-        *attr_cols,
-        F.col(ts_col).alias("valid_from"),
-        F.lead(ts_col).over(w).alias("valid_to"),
+        ts_col,
+        attr_cols,
+        tiebreak_cols=["_bseq", *tiebreak_cols],
     )
     return untouched.unionByName(closed).unionByName(rebuilt)
 

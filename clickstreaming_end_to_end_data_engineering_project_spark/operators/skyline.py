@@ -157,48 +157,62 @@ def skyline_kd(
         else:
             expr = -F.floor(F.col(c))
         rows = rows.withColumn(cc, expr.cast("long"))
-    cells = rows.select(*cellcols).distinct()
+    # cells: a corpus-wide distinct consumed by BOTH sides of the
+    # cell-prune anti-join — materialize the (cell-count-sized) frame
+    # so the corpus pass runs once, not once per join alias (the
+    # recorded triangle_stats 43-exchange lesson, SCALING.md)
+    cells = rows.select(*cellcols).distinct().localCheckpoint(eager=True)
     dom_cells = cells.select(
         *[F.col(cc).alias(f"_d{i}") for i, cc in enumerate(cellcols)]
     )
     strictly_below = F.lit(True)
     for i, cc in enumerate(cellcols):
         strictly_below = strictly_below & (F.col(f"_d{i}") + 1 <= F.col(cc))
-    surviving_cells = cells.join(F.broadcast(dom_cells), strictly_below, "left_anti")
-    survivors = rows.join(F.broadcast(surviving_cells), cellcols, "left_semi")
-    # (victim cell X, dominator cell C) pairs with C <= X on every dim
-    below_eq = F.lit(True)
-    for i, cc in enumerate(cellcols):
-        below_eq = below_eq & (F.col(f"_d{i}") <= F.col(cc))
-    cellpairs = surviving_cells.join(
-        F.broadcast(surviving_cells.select(
-            *[F.col(cc).alias(f"_d{i}") for i, cc in enumerate(cellcols)]
-        )),
-        below_eq,
-    )
-    # dominator rows, keyed by their own cell on the C side of the pair
-    o_vals = [F.col(c).alias(f"_o{i}") for i, (c, _) in enumerate(crits)]
-    o = survivors.select(
-        *[F.col(cc).alias(f"_d{i}") for i, cc in enumerate(cellcols)], *o_vals
-    )
-    cand = cellpairs.join(o, [f"_d{i}" for i in range(d)]).select(
-        *cellcols, *[f"_o{i}" for i in range(d)]
-    )
-    better_eq = F.lit(True)
-    strictly = F.lit(False)
-    for i, (c, direction) in enumerate(crits):
-        ov, xv = F.col(f"_o{i}"), F.col(f"a.{c}")
-        if direction == "min":
-            better_eq = better_eq & (ov <= xv)
-            strictly = strictly | (ov < xv)
-        else:
-            better_eq = better_eq & (ov >= xv)
-            strictly = strictly | (ov > xv)
-    a = survivors.alias("a")
-    cell_eq = F.lit(True)
-    for cc in cellcols:
-        cell_eq = cell_eq & (F.col(f"a.{cc}") == F.col(f"o.{cc}"))
-    out = a.join(
-        cand.alias("o"), cell_eq & better_eq & strictly, "left_anti"
-    )
-    return out.drop(*cellcols)
+    # consumed three times (survivor semi-join + both cellpair sides);
+    # cell-count-sized, so the checkpoint is always cheap
+    surviving_cells = cells.join(
+        F.broadcast(dom_cells), strictly_below, "left_anti"
+    ).localCheckpoint(eager=True)
+    # consumed twice (victim side a + dominator rows o) — persist so
+    # the corpus scan + cell projection + semi-join run once
+    survivors = rows.join(F.broadcast(surviving_cells), cellcols, "left_semi").persist()
+    try:
+        # (victim cell X, dominator cell C) pairs with C <= X on every dim
+        below_eq = F.lit(True)
+        for i, cc in enumerate(cellcols):
+            below_eq = below_eq & (F.col(f"_d{i}") <= F.col(cc))
+        cellpairs = surviving_cells.join(
+            F.broadcast(surviving_cells.select(
+                *[F.col(cc).alias(f"_d{i}") for i, cc in enumerate(cellcols)]
+            )),
+            below_eq,
+        )
+        # dominator rows, keyed by their own cell on the C side of the pair
+        o_vals = [F.col(c).alias(f"_o{i}") for i, (c, _) in enumerate(crits)]
+        o = survivors.select(
+            *[F.col(cc).alias(f"_d{i}") for i, cc in enumerate(cellcols)], *o_vals
+        )
+        cand = cellpairs.join(o, [f"_d{i}" for i in range(d)]).select(
+            *cellcols, *[f"_o{i}" for i in range(d)]
+        )
+        better_eq = F.lit(True)
+        strictly = F.lit(False)
+        for i, (c, direction) in enumerate(crits):
+            ov, xv = F.col(f"_o{i}"), F.col(f"a.{c}")
+            if direction == "min":
+                better_eq = better_eq & (ov <= xv)
+                strictly = strictly | (ov < xv)
+            else:
+                better_eq = better_eq & (ov >= xv)
+                strictly = strictly | (ov > xv)
+        a = survivors.alias("a")
+        cell_eq = F.lit(True)
+        for cc in cellcols:
+            cell_eq = cell_eq & (F.col(f"a.{cc}") == F.col(f"o.{cc}"))
+        out = a.join(
+            cand.alias("o"), cell_eq & better_eq & strictly, "left_anti"
+        )
+        # eager: the result must outlive the unpersist below
+        return out.drop(*cellcols).localCheckpoint(eager=True)
+    finally:
+        survivors.unpersist()

@@ -1056,7 +1056,7 @@ _JACCARD_CTES = f"""toks AS (
         CASE WHEN len(t) >= 3
              THEN list_transform(range(len(t) - 2),
                                  i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
-             ELSE [list_aggregate(t, 'string_agg', ' ')] END)) AS shingle
+             ELSE [coalesce(list_aggregate(t, 'string_agg', ' '), '')] END)) AS shingle
     FROM toks
 ), sh AS (
     -- same hot-shingle doc-frequency cap as the Spark side
@@ -1093,7 +1093,7 @@ WITH toks AS (
         CASE WHEN len(t) >= 3
              THEN list_transform(range(len(t) - 2),
                                  i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
-             ELSE [list_aggregate(t, 'string_agg', ' ')] END)) AS shingle
+             ELSE [coalesce(list_aggregate(t, 'string_agg', ' '), '')] END)) AS shingle
     FROM toks
 ), sizes AS (
     SELECT doc_id, count(*) AS n FROM sh_all GROUP BY doc_id
@@ -1775,7 +1775,7 @@ SPECS = [
                 CASE WHEN len(t) >= 3
                      THEN list_transform(range(len(t) - 2),
                                          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
-                     ELSE [list_aggregate(t, 'string_agg', ' ')] END)) AS shingle
+                     ELSE [coalesce(list_aggregate(t, 'string_agg', ' '), '')] END)) AS shingle
             FROM toks
         ), sizes AS (
             SELECT doc_id, count(*) AS n FROM sh_all GROUP BY doc_id
@@ -1962,7 +1962,7 @@ SPECS = [
                 CASE WHEN len(t) >= 3
                      THEN list_transform(range(len(t) - 2),
                                          i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
-                     ELSE [list_aggregate(t, 'string_agg', ' ')] END)) AS shingle
+                     ELSE [coalesce(list_aggregate(t, 'string_agg', ' '), '')] END)) AS shingle
             FROM sp
         ), trv AS (
             SELECT DISTINCT shingle FROM sh WHERE split = 'train'
@@ -1997,7 +1997,7 @@ SPECS = [
                                            || ' ' || t[i+4] || ' ' || t[i+5]
                                            || ' ' || t[i+6] || ' ' || t[i+7]
                                            || ' ' || t[i+8])
-                     ELSE [list_aggregate(t, 'string_agg', ' ')] END)) AS shingle
+                     ELSE [coalesce(list_aggregate(t, 'string_agg', ' '), '')] END)) AS shingle
             FROM sp
         ), tev AS (
             SELECT DISTINCT shingle FROM sh WHERE split = 'test'

@@ -6620,13 +6620,21 @@ def test_forget_ids_cascade_across_indexes_and_dataset(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="no recognized written-index layout"):
         forget_ids(spark, victims, index_roots=[str(tmp_path / "nope")])
 
-    # duplicate targets raise instead of overwriting report evidence
+    # duplicate targets raise instead of overwriting report evidence —
+    # validated UP FRONT, so nothing is erased before the failure
+    fresh = [int(r["doc_id"]) for r in spark.read.parquet(corpus).limit(3).collect()]
     with pytest.raises(ValueError, match="listed twice"):
-        forget_ids(spark, victims, index_roots=[bm25, bm25])
+        forget_ids(spark, fresh, index_roots=[bm25, bm25])
     with pytest.raises(ValueError, match="listed twice"):
         forget_ids(
-            spark, victims, datasets=[(corpus, "doc_id"), (corpus, "doc_id")]
+            spark, fresh,
+            index_roots=[ivf],
+            datasets=[(corpus, "doc_id"), (corpus, "doc_id")],
         )
+    assert (
+        spark.read.parquet(corpus).filter(F.col("doc_id").isin(fresh)).count()
+        == len(fresh)
+    ), "duplicate-target validation must fire before any erasure"
 
 
 def test_containment_finds_excerpts_jaccard_misses(spark):

@@ -2489,10 +2489,25 @@ def test_streaming_heavy_hitter_ingest_equals_batch_operator(spark, sf_dir):
     for d in os.listdir(store):
         if d.startswith("batch="):
             assert spark.read.parquet(os.path.join(store, d)).count() <= k + 1
-    # replay idempotence: re-deliver increment 1 under its batch id
-    sink(grams_of(parts[1]), 1)
-    assert served() == want
-    assert read_total(spark, store) == corpus.count()
+    # replay idempotence on a manually-driven twin store (the stream's
+    # file→batch-id mapping is listing-order dependent — r16 review)
+    store2 = os.path.join(tempfile.mkdtemp(prefix="hh_store2_"), "store")
+    sink2 = HeavyHitterSink(store2, item_col="bigram", k=k)
+    for i, p in enumerate(parts):
+        sink2(grams_of(p), i)
+    def served2():
+        return {
+            (r["bigram"], r["freq"])
+            for r in heavy_hitters_from_store(
+                spark, store2, corpus, "bigram", k
+            ).collect()
+        }
+    assert served2() == want
+    assert read_total(spark, store2) == corpus.count()
+    sink2(grams_of(parts[1]), 1)  # replay under ITS OWN id
+    assert served2() == want
+    assert read_total(spark, store2) == corpus.count()
+    shutil.rmtree(os.path.dirname(store2), ignore_errors=True)
 
     shutil.rmtree(src_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
@@ -2574,13 +2589,32 @@ def test_streaming_windowed_heavy_hitter_ingest_equals_batch(spark, sf_dir):
                 .first()[0]
             )
             assert per_win <= k + 1
-    # replay idempotence: re-deliver increment 1 under its batch id
-    sink(pages_of(parts[1]), 1)
-    assert served() == want
+    # replay idempotence on a manually-driven twin store (the stream's
+    # file→batch-id mapping is listing-order dependent, so replaying
+    # "parts[1] as batch 1" against the STREAM's store could overwrite
+    # a different part's summary — r16 review): deliver the increments
+    # under known ids, replay one, nothing changes
+    store2 = os.path.join(tempfile.mkdtemp(prefix="whh_store2_"), "store")
+    sink2 = WindowedHeavyHitterSink(
+        store2, ts_col="ts", item_col="page", k=k, window="1 hour"
+    )
+    for i, p in enumerate(parts):
+        sink2(pages_of(p), i)
+    def served2():
+        return {
+            (r["window_start"], r["page"], r["freq"])
+            for r in windowed_heavy_hitters_from_store(
+                spark, store2, corpus, "ts", "page", k, window="1 hour"
+            ).collect()
+        }
+    assert served2() == want
+    sink2(pages_of(parts[1]), 1)  # replay under ITS OWN id
+    assert served2() == want
 
     shutil.rmtree(src_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(os.path.dirname(store), ignore_errors=True)
+    shutil.rmtree(os.path.dirname(store2), ignore_errors=True)
 
 
 def test_hh_ingest_superset_guarantee_under_tiny_capacity(spark):
