@@ -660,30 +660,36 @@ def edit_distance_pairs(
     near-identical title that byte equality misses).  NEW family:
     edit-distance join; no reference-repo counterpart.
 
-    Published design: q-gram count filtering per Gravano, Ipeirotis,
-    Jagadish, Koudas, Muthukrishnan, Srivastava, "Approximate String
-    Joins in a Database (Almost) for Free" (VLDB 2001):
+    Published design: q-gram filtering per Gravano et al., "Approximate
+    String Joins in a Database (Almost) for Free" (VLDB 2001), with
+    candidate generation upgraded to the Ed-Join PREFIX index (Xiao,
+    Wang, Lin, "Ed-Join: an efficient algorithm for similarity joins
+    with edit distance constraints", VLDB 2008):
       - LENGTH filter: ed(a,b) ≤ d ⇒ |len(a) − len(b)| ≤ d (applied
         inside the candidate join);
-      - COUNT filter: one edit destroys at most q q-grams, so the
-        MULTISET q-gram intersection satisfies
-        Σ_g min(cnt_a(g), cnt_b(g)) ≥ max(len_a, len_b) − q + 1 − q·d
-        (computed exactly in the pair aggregation — the multiset form,
-        never the lossy distinct-count approximation);
-      - SHORT-STRING bucket: when max(len) < q·(d+1) the count bound
-        is vacuous and a qualifying pair can share NO q-gram at all
-        (a string shorter than q has no q-grams) — every such pair has
-        BOTH members short (ed ≤ d bounds the partner's length), so
-        strings below that bound are compared all-pairs among
+      - PREFIX index: d edits destroy at most q·d q-gram OCCURRENCES,
+        so |multiset ∩| ≥ max(|Ga|,|Gb|) − q·d — the overlap-threshold
+        prefix lemma then says each string need index only its
+        q·d + 1 RAREST gram occurrences (ranked by global occurrence
+        frequency, ties by gram value): the rarest common occurrence of
+        any qualifying pair lies in BOTH prefixes.  Hot q-grams (the
+        skew that makes a full posting join quadratic — the r16 10×
+        sweep OOM'd on exactly that shape at 500k strings) sort to the
+        df-ranked tail and never reach the candidate join at all.
+      - SHORT-STRING bucket: when max(len) < q·(d+1) the mismatch
+        bound is vacuous and a qualifying pair can share NO q-gram at
+        all (a string shorter than q has no q-grams) — every such pair
+        has BOTH members short (ed ≤ d bounds the partner's length),
+        so strings below that bound are compared all-pairs among
         themselves, a domain-bounded bucket.
     Survivors of either path are verified with the exact built-in
     ``levenshtein`` — integer output, engine-exact vs the NOT-EXISTS-
     free quadratic oracle.
 
-    Cost shape: the inverted q-gram index join is postings-bounded
-    (hot q-grams fatten candidates but the count filter prunes before
-    the O(len²) verification); the short bucket is |shorts|², bounded
-    by the domain of sub-q·(d+1)-char strings.  Output
+    Cost shape: the candidate join touches only (q·d + 1) occurrences
+    per string, all drawn from the globally RAREST grams, so postings
+    lists stay short by construction; the short bucket is |shorts|²,
+    bounded by the domain of sub-q·(d+1)-char strings.  Output
     (id_a, id_b, edit_distance) with id_a < id_b, distance ≤ d; NULL
     strings excluded."""
     d = int(max_dist)
@@ -715,11 +721,31 @@ def edit_distance_pairs(
                 )
             ).alias("_g"),
         )
-        gidx = grams.groupBy("_id", "_len", "_g").agg(
-            F.count(F.lit(1)).alias("_c")
-        ).persist()
+        # Ed-Join prefix: rank every gram OCCURRENCE by (global
+        # occurrence count, gram), keep the q*d + 1 rarest per string —
+        # persisted because the prefix index self-joins as a/b
+        dfreq = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+        pidx = (
+            grams.join(dfreq, "_g")
+            .groupBy("_id", "_len")
+            .agg(
+                F.slice(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("_df"), F.col("_g")))
+                    ),
+                    1,
+                    qq * d + 1,
+                ).alias("_pref")
+            )
+            .select(
+                "_id",
+                "_len",
+                F.explode(F.transform("_pref", lambda x: x["_g"])).alias("_g"),
+            )
+            .persist()
+        )
         try:
-            a, b = gidx.alias("a"), gidx.alias("b")
+            a, b = pidx.alias("a"), pidx.alias("b")
             cand = (
                 a.join(
                     b,
@@ -729,18 +755,10 @@ def edit_distance_pairs(
                         F.abs(F.col("a._len") - F.col("b._len")) <= d
                     ),
                 )
-                .groupBy(
+                .select(
                     F.col("a._id").alias("id_a"),
                     F.col("b._id").alias("id_b"),
-                    F.col("a._len").alias("_la"),
-                    F.col("b._len").alias("_lb"),
                 )
-                .agg(F.sum(F.least("a._c", "b._c")).alias("_shared"))
-                .filter(
-                    F.col("_shared")
-                    >= F.greatest("_la", "_lb") - F.lit(qq - 1) - F.lit(qq * d)
-                )
-                .select("id_a", "id_b")
             )
             sa = shorts.select(F.col("_id").alias("id_a"), F.col("_len").alias("_la"))
             sb = shorts.select(F.col("_id").alias("id_b"), F.col("_len").alias("_lb"))
@@ -761,7 +779,7 @@ def edit_distance_pairs(
             )
             return out.localCheckpoint(eager=True)
         finally:
-            gidx.unpersist()
+            pidx.unpersist()
     finally:
         s.unpersist()
 

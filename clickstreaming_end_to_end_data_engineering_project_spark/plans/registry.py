@@ -374,6 +374,34 @@ class QuerySpec:
 # pair dup_cluster_{full,extend}_sec) — all state-mutating or
 # derived-from-pinned-queries, so their evidence is tests + bench
 # legs, not oracle slots.
+# r17 rotation queue (declared in r16, the standing
+# implement-ahead-of-rotation pattern): FIVE new oracle-backed
+# queries, all bit-exact vs DuckDB at sf0.001/0.01/0.1, benched in
+# BENCH_EXTENDED with pinned digests ahead of rotation —
+#   prefix_containment_dups (operators/dedup.prefix_containment_pairs:
+#     exact UNCAPPED containment via the asymmetric prefix-filtered
+#     join — r15 verdict directive #2; the smaller set's prefix is
+#     indexed, the larger set probes with full df-ranked postings);
+#   part_pareto_3d (operators/skyline.skyline_kd: d>=3 Pareto via
+#     cell-grid pruning — r15 verdict directive #6; d=3/d=4 brute-force
+#     differential + grid invariance pinned);
+#   hourly_page_heavy_hitters (operators/sketches.
+#     windowed_heavy_hitters: exact per-tumbling-window heavy hitters,
+#     per-window MG screen + recount — r15 verdict directive #7;
+#     streaming twin hh_ingest.WindowedHeavyHitterSink pinned
+#     bit-equal through a real file-stream);
+#   doc_tf_cosine_dups (operators/dedup.tf_cosine_pairs: weighted
+#     cosine similarity join over term-frequency vectors, NEW family —
+#     integer dot/norm accumulation makes the float output bit-exact
+#     with no rounding);
+#   doc_prefix_edit_pairs (operators/dedup.edit_distance_pairs:
+#     q-gram count-filtered Levenshtein self-join, NEW family —
+#     Gravano VLDB 2001 filters + short-string bucket + exact
+#     verification).
+# Rotate in at r17+ as slots free up, demoting multiply-verified rows
+# per the standing policy (the 9 r16 first-row queries become
+# demotable once confirmed; the filtered-ANN trio is confirmable
+# after its r16 rows).
 GATE_PRIORITY = [
     # reference-parity clickstream core (pinned)
     "page_view_counts",
