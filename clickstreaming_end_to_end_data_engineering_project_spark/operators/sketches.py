@@ -243,6 +243,7 @@ def windowed_heavy_hitters(
     item_col: str = "item",
     k: int = 100,
     window: str = "1 hour",
+    slide: str | None = None,
 ) -> DataFrame:
     """EXACT heavy hitters PER TUMBLING EVENT-TIME WINDOW (r15 verdict
     directive #7): for each window, every item occurring in strictly
@@ -257,12 +258,22 @@ def windowed_heavy_hitters(
     recounts ONLY the surviving (window, item) candidates exactly and
     applies freq·k > N_w in pure integer arithmetic.
 
-    Window assignment is Spark's own tumbling ``F.window`` start
-    (epoch-aligned), computed JVM-side before the Arrow pass.  NULL
-    items are excluded from both N_w and candidacy; rows with NULL
-    timestamps carry no window and are excluded with them.  Output:
-    (window_start, <item_col>, freq) — partitioning-independent,
-    pinned in tests, and pinned equal to the streaming ingest twin
+    Window assignment is Spark's own ``F.window`` start
+    (epoch-aligned), computed JVM-side before the Arrow pass.
+    ``slide`` turns the tumbling windows into SLIDING ones (e.g.
+    window="1 hour", slide="15 minutes" — "top items of the last hour,
+    refreshed every quarter"): Spark's window generator then emits one
+    row per overlapping window (window/slide of them), and since the
+    MG screen and the recount both key on (window, item), every
+    per-window guarantee carries over verbatim — the only change is
+    the row multiplication, so state is O(k · windows · overlap) per
+    task and N_w counts each event once per window containing it
+    (exactly the per-window groupBy semantics, pinned in tests).
+    NULL items are excluded from both N_w and candidacy; rows with
+    NULL timestamps carry no window and are excluded with them.
+    Output: (window_start, <item_col>, freq) —
+    partitioning-independent, pinned in tests, and pinned equal to
+    the streaming ingest twin
     (streaming/hh_ingest.WindowedHeavyHitterSink) through a real
     file-stream.  Shares the determinism contract of
     ``heavy_hitters``: the input lineage is evaluated twice."""
@@ -271,10 +282,11 @@ def windowed_heavy_hitters(
     m = int(k)
     if m < 1:
         raise ValueError("k must be >= 1")
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
     assigned = items.filter(
         F.col(ts_col).isNotNull() & F.col(item_col).isNotNull()
     ).select(
-        F.window(ts_col, window).start.alias("window_start"),
+        win.start.alias("window_start"),
         F.col(item_col).cast("string").alias("item"),
     )
 

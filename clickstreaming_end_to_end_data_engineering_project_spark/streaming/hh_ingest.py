@@ -120,6 +120,7 @@ class WindowedHeavyHitterSink:
         item_col: str = "item",
         k: int = 100,
         window: str = "1 hour",
+        slide: "str | None" = None,
     ) -> None:
         if int(k) < 1:
             raise ValueError("k must be >= 1")
@@ -128,16 +129,22 @@ class WindowedHeavyHitterSink:
         self.item_col = item_col
         self.k = int(k)
         self.window = window
+        self.slide = slide
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window as W
 
         if batch.isEmpty():
             return
+        win = (
+            F.window(self.ts_col, self.window, self.slide)
+            if self.slide
+            else F.window(self.ts_col, self.window)
+        )
         items = batch.filter(
             F.col(self.ts_col).isNotNull() & F.col(self.item_col).isNotNull()
         ).select(
-            F.window(self.ts_col, self.window).start.alias("window_start"),
+            win.start.alias("window_start"),
             F.col(self.item_col).cast("string").alias("item"),
         )
         counts = (
@@ -186,6 +193,7 @@ def windowed_heavy_hitters_from_store(
     item_col: str,
     k: int,
     window: str = "1 hour",
+    slide: "str | None" = None,
 ) -> DataFrame:
     """EXACT per-window heavy hitters of ``corpus`` served from the
     windowed candidate store: recount only the stored (window, item)
@@ -202,10 +210,11 @@ def windowed_heavy_hitters_from_store(
         )
         .distinct()
     )
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
     assigned = corpus.filter(
         F.col(ts_col).isNotNull() & F.col(item_col).isNotNull()
     ).select(
-        F.window(ts_col, window).start.alias("window_start"),
+        win.start.alias("window_start"),
         F.col(item_col).cast("string").alias("item"),
     )
     totals = assigned.groupBy("window_start").agg(

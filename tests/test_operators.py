@@ -5868,6 +5868,112 @@ def test_windowed_heavy_hitters_per_window_majorities(spark):
     assert got == {(0, "m", 6), (2, "z", 4)}
 
 
+def test_windowed_heavy_hitters_sliding_matches_exact_groupby(spark, sf_dir):
+    """slide= turns the tumbling windows into sliding ones: every
+    event counts once per overlapping window, and the result must
+    equal the direct per-sliding-window groupBy threshold on the
+    events fixture (1-hour windows every 30 minutes)."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.sketches import (
+        windowed_heavy_hitters,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    pages = ev.select(
+        "ts", F.get_json_object("props", "$.k").alias("page")
+    ).filter(F.col("page").isNotNull())
+    k = 8
+    assigned = pages.select(
+        F.window("ts", "1 hour", "30 minutes").start.alias("window_start"),
+        F.col("page").cast("string").alias("page"),
+    )
+    counts = assigned.groupBy("window_start", "page").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    totals = assigned.groupBy("window_start").agg(F.count(F.lit(1)).alias("_n"))
+    want = {
+        (r["window_start"], r["page"], r["freq"])
+        for r in counts.join(totals, "window_start")
+        .filter(F.col("freq") * k > F.col("_n"))
+        .select("window_start", "page", "freq")
+        .collect()
+    }
+    assert len(want) > 0
+    got = {
+        (r["window_start"], r["page"], r["freq"])
+        for r in windowed_heavy_hitters(
+            pages, "ts", "page", k=k, window="1 hour", slide="30 minutes"
+        ).collect()
+    }
+    assert got == want
+    # a sliding window has ~2x the window starts of the tumbling one
+    tumb_windows = {
+        r["window_start"]
+        for r in windowed_heavy_hitters(
+            pages, "ts", "page", k=k, window="1 hour"
+        ).collect()
+    }
+    assert len({w for w, _, _ in got}) > len(tumb_windows)
+
+
+def test_kcore_matches_python_peeler(spark):
+    """kcore vs a brute-force python peeler on random graphs, a
+    clique (survives exactly at k ≤ n−1), a star (no 2-core), and a
+    ring (2-core = the whole ring, 3-core empty), across several k —
+    including direction/self-loop/multiplicity normalization."""
+    import random as _random
+    from collections import defaultdict
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.components import (
+        kcore,
+    )
+
+    def py_kcore(edge_set, k):
+        ed = {tuple(sorted(p)) for p in edge_set if p[0] != p[1]}
+        while True:
+            deg = defaultdict(int)
+            for u, v in ed:
+                deg[u] += 1
+                deg[v] += 1
+            bad = {n for n, d in deg.items() if d < k}
+            if not bad:
+                return {(n, d) for n, d in deg.items()}
+            ed = {(u, v) for u, v in ed if u not in bad and v not in bad}
+
+    rng = _random.Random(41)
+    cases = []
+    for trial in range(3):
+        n = 30
+        edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(rng.choice([40, 90, 200]))}
+        cases.append(list(edges))
+    clique = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    star = [(0, i) for i in range(1, 8)]
+    ring = [(i, (i + 1) % 10) for i in range(10)]
+    cases += [clique, star, ring]
+
+    for edges in cases:
+        # adversarial input: duplicates, reversed direction, self-loops
+        noisy = edges + [(v, u) for u, v in edges[:5]] + [(3, 3)]
+        df = spark.createDataFrame(noisy, "src long, dst long")
+        for k in (1, 2, 3, 5):
+            got = {tuple(r) for r in kcore(df, k).collect()}
+            want = py_kcore(edges, k)
+            assert got == want, (edges[:5], k)
+    # contract edges
+    import pytest
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="k must be"):
+        kcore(df, 0)
+    # clique pins: 6-clique survives whole at k=5, empty at k=6
+    cdf = spark.createDataFrame(clique, "src long, dst long")
+    assert kcore(cdf, 5).count() == 6
+    assert kcore(cdf, 6).count() == 0
+    # star: no 2-core
+    sdf = spark.createDataFrame(star, "src long, dst long")
+    assert kcore(sdf, 2).count() == 0
+
+
 def test_heavy_hitters_matches_exact_groupby(spark, sf_dir):
     """heavy_hitters is exact by construction (MG only prunes, the
     recount is exact): equal to the plain full-vocabulary groupBy
