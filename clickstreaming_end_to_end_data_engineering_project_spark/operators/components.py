@@ -467,7 +467,7 @@ def kcore(
     k: int,
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = 100,
+    max_iter: int | None = None,
 ) -> DataFrame:
     """The k-CORE of the undirected simple graph underlying ``edges``
     (direction/self-loops/multiplicity normalized away): the maximal
@@ -494,11 +494,15 @@ def kcore(
 
     Output: (node, core_degree) — each surviving node with its degree
     INSIDE the k-core (≥ k by construction); empty when the graph has
-    no k-core.  Raises after ``max_iter`` rounds without convergence
-    (cannot happen below max_iter = |V| rounds; the bound exists so a
-    driver loop can never silently spin).  Pinned against a
-    brute-force python peeler on random graphs, cliques, stars, and
-    ring lattices in tests."""
+    no k-core.  ``max_iter`` defaults to |V| + 1 (one cheap distinct
+    count over the normalized edges), the documented worst case —
+    peeling removes only the current boundary each round, so e.g. k=2
+    on a path graph legitimately needs ~|V|/2 rounds and a small fixed
+    default would raise on a valid input (r16 ADVICE).  An explicit
+    ``max_iter`` still bounds the loop for callers that want a tighter
+    leash; exceeding it raises with the resume guidance.  Pinned
+    against a brute-force python peeler on random graphs, cliques,
+    stars, ring lattices, and a long path in tests."""
     if int(k) < 1:
         raise ValueError("k must be >= 1")
     e = (
@@ -520,6 +524,17 @@ def kcore(
             .agg(F.count(F.lit(1)).alias("core_degree"))
         )
 
+    if max_iter is None:
+        # |V| rounds is the guaranteed convergence bound (each
+        # non-final round removes >= 1 node); +1 covers the final
+        # no-removal round that detects the fixpoint
+        max_iter = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .distinct()
+            .count()
+            + 1
+        )
     for _ in range(int(max_iter)):
         deg = degrees(e)
         bad = deg.filter(F.col("core_degree") < k).select("node")
@@ -530,4 +545,8 @@ def kcore(
             .join(bad.withColumnRenamed("node", "v"), "v", "left_anti")
             .localCheckpoint(eager=True)
         )
-    raise RuntimeError(f"kcore: no convergence within {max_iter} rounds")
+    raise RuntimeError(
+        f"kcore: no convergence within max_iter={max_iter} rounds — "
+        "peeling needs at most |V| rounds, so pass a larger max_iter "
+        "(or leave it None to derive |V| + 1 automatically)"
+    )

@@ -455,7 +455,20 @@ def tf_cosine_pairs(
     what you want: corpus-wide stopwords otherwise dominate tf mass
     and saturate similarities), and hot-term join skew never reaches
     the candidate join.  Output (doc_a, doc_b, cosine) with
-    doc_a < doc_b and cosine ≥ threshold."""
+    doc_a < doc_b and cosine ≥ threshold.
+
+    ``threshold`` must be > 0: candidates are generated only from
+    pairs SHARING a surviving term, so zero-cosine pairs (no common
+    vocabulary, or docs emptied by the ``max_doc_freq`` cap) are
+    structurally unreachable — a threshold ≤ 0 would silently drop
+    qualifying pairs instead of returning them (r16 ADVICE), so it
+    raises, mirroring the k ≥ 1 / max_dist ≥ 0 guards elsewhere in
+    this module."""
+    if not float(threshold) > 0.0:
+        raise ValueError(
+            "tf_cosine_pairs: threshold must be > 0 — zero-cosine pairs "
+            "share no term and can never be generated by the term join"
+        )
     tf_all = (
         df.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("term"))
         .groupBy("_id", "term")

@@ -101,8 +101,13 @@ def scd2_apply(
     ``valid_from`` cannot be applied incrementally (closed history
     would need rewriting); with ``validate=True`` (default) such a
     batch raises — route it to the full ``scd2_from_changelog``
-    rebuild instead.  Validation costs one bounded action over the
-    batch⋈open-versions join (``limit(1)``)."""
+    rebuild instead.  A batch key that exists in ``dim`` with NO open
+    version also raises (r16 ADVICE): ``scd2_from_changelog`` always
+    leaves one open row per key, so an all-closed key means a
+    hand-maintained dimension whose closed history this verb would
+    silently overlap — only the full rebuild knows how to interleave
+    there.  Validation costs two bounded actions (``limit(1)`` each)
+    over batch⋈dim-key joins."""
     keys = new_log.select(key_col).distinct()
     untouched = dim.join(keys, key_col, "left_anti")
     touched = dim.join(keys, key_col, "left_semi")
@@ -119,6 +124,21 @@ def scd2_apply(
                 "scd2_apply: batch contains entries older than their "
                 "key's open version (closed history would need a "
                 "rewrite) — use scd2_from_changelog over the full log"
+            )
+        # a touched key whose versions are ALL closed never reaches the
+        # stale check above (it joins against open versions only), yet
+        # rebuilding it from the batch alone could append versions
+        # overlapping its closed history — possible only in
+        # hand-maintained dims, and only the full rebuild is sound there
+        all_closed = keys.join(dim, key_col, "left_semi").join(
+            open_v, key_col, "left_anti"
+        )
+        if all_closed.limit(1).count():
+            raise ValueError(
+                "scd2_apply: batch touches dimension keys that have no "
+                "open version (all intervals closed) — appended versions "
+                "could overlap that closed history; use "
+                "scd2_from_changelog over the full log"
             )
     log_fields = {f.name: f.dataType for f in new_log.schema.fields}
     seed = open_v.select(

@@ -402,6 +402,17 @@ class QuerySpec:
 # per the standing policy (the 9 r16 first-row queries become
 # demotable once confirmed; the filtered-ANN trio is confirmable
 # after its r16 rows).
+# Round-17 (executed — r16 verdict directive #1): the five r17-queue
+# families above rotate IN for their first driver rows.  Demoted to
+# make room, per the multiply-verified policy: the r15 filtered-ANN
+# trio (embedding_topk_filtered / embedding_topk_doc_filtered /
+# embedding_topk_per_label — first rows r15, confirming rows r16,
+# doubly verified) and two r13-rotation veterans with FOUR green
+# rounds each (daily_revenue_ewma, source_len_token_corr —
+# r13+r14+r15+r16).  All five demotions keep their BENCH_EXTENDED
+# legs and pinned digests (the standing demotion invariant); the nine
+# r16 first-row queries stay one more round for confirming rows (the
+# standing precedent), as do the six retained r13-rotation queries.
 GATE_PRIORITY = [
     # reference-parity clickstream core (pinned)
     "page_view_counts",
@@ -440,16 +451,11 @@ GATE_PRIORITY = [
     # SQL-replayable; allowlisted in tests/test_correctness.py)
     "embedding_ivf_topk_learned",
     "ivfpq_topk_probe",
-    # round-15 rotation: the filtered-ANN family (confirming rows)
-    "embedding_topk_filtered",
-    "embedding_topk_doc_filtered",
-    "embedding_topk_per_label",
-    # round-13 rotation, retained for a fourth round (slots were not
-    # contested beyond the r16 nine)
+    # round-13 rotation, retained for a fifth round (six of eight;
+    # daily_revenue_ewma + source_len_token_corr demoted r17 after
+    # four green rounds — both stay benched + digest-pinned)
     "purchase_hot_window_join",
     "orders_in_flight_daily",
-    "daily_revenue_ewma",
-    "source_len_token_corr",
     "bm25_topk_docs",
     "hybrid_search_rrf",
     "lang_weighted_reservoir",
@@ -464,6 +470,14 @@ GATE_PRIORITY = [
     "page_triangle_stats",
     "user_page_scd2",
     "doc_containment_pairs",
+    # round-17 rotation: the implement-ahead r17 queue (first driver
+    # rows; oracle-bit-exact in the battery at three scales since r16,
+    # benched + digest-pinned ahead of rotation)
+    "prefix_containment_dups",
+    "part_pareto_3d",
+    "hourly_page_heavy_hitters",
+    "doc_tf_cosine_dups",
+    "doc_prefix_edit_pairs",
 ]
 
 # Gate size the driver records; GATE_PRIORITY must fill it exactly so

@@ -5635,9 +5635,12 @@ def test_tf_cosine_is_frequency_aware_where_jaccard_is_not(spark):
         (3, "beta alpha alpha beta alpha"),     # reordering of doc 1
     ]
     df = spark.createDataFrame(docs, ["doc_id", "text"])
+    # threshold must be strictly positive (zero-cosine pairs are
+    # structurally unreachable — r16 ADVICE guard); 1e-9 keeps every
+    # shared-vocabulary pair this test inspects
     got = {
         (r["doc_a"], r["doc_b"]): r["cosine"]
-        for r in tf_cosine_pairs(df, threshold=0.0).collect()
+        for r in tf_cosine_pairs(df, threshold=1e-9).collect()
     }
     import math
 
@@ -5647,6 +5650,21 @@ def test_tf_cosine_is_frequency_aware_where_jaccard_is_not(spark):
     assert abs(got[(1, 3)] - 1.0) < 1e-12
     assert got[(1, 2)] < 0.99 and got[(2, 3)] < 0.99
     assert got[(1, 2)] < got[(1, 3)] and got[(2, 3)] < got[(1, 3)]
+
+
+def test_tf_cosine_rejects_nonpositive_threshold(spark):
+    """threshold <= 0 raises instead of silently dropping the
+    zero-cosine pairs the term join can never generate (r16 ADVICE)."""
+    import pytest as _pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        tf_cosine_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "text"])
+    for bad in (0.0, -0.5):
+        with _pytest.raises(ValueError, match="threshold must be > 0"):
+            tf_cosine_pairs(df, threshold=bad)
 
 
 def test_tf_cosine_leaves_no_cached_dataframes(spark, sf_dir):
@@ -5972,6 +5990,28 @@ def test_kcore_matches_python_peeler(spark):
     # star: no 2-core
     sdf = spark.createDataFrame(star, "src long, dst long")
     assert kcore(sdf, 2).count() == 0
+
+
+def test_kcore_path_graph_and_max_iter_contract(spark):
+    """The r16 ADVICE scenario: peeling a path at k=2 removes only the
+    two endpoints per round, needing ~|V|/2 rounds — the default
+    max_iter now derives |V| + 1 so a legitimate deep peel converges
+    (here: empty 2-core), and an explicit too-small max_iter raises
+    with the pass-a-larger-max_iter guidance."""
+    import pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.components import (
+        kcore,
+    )
+
+    path = [(i, i + 1) for i in range(24)]
+    df = spark.createDataFrame(path, "src long, dst long")
+    # 25 nodes, ~12 peel rounds — converges under the derived default
+    assert kcore(df, 2).count() == 0
+    # 1-core of a path is the path itself (every node keeps degree >= 1)
+    assert kcore(df, 1).count() == 25
+    with pytest.raises(RuntimeError, match="larger max_iter"):
+        kcore(df, 2, max_iter=3)
 
 
 def test_heavy_hitters_matches_exact_groupby(spark, sf_dir):
@@ -6522,6 +6562,42 @@ def test_scd2_apply_rejects_out_of_order_batch(spark):
     late = spark.createDataFrame([(1, 15, 3, "c")], schema)
     with pytest.raises(ValueError, match="scd2_apply"):
         scd2_apply(dim, late, "k", "ts", ["status"], tiebreak_cols=["seq"])
+
+
+def test_scd2_apply_rejects_all_closed_key(spark):
+    """r16 ADVICE: a batch key present in the dim with NO open version
+    (possible only in hand-maintained dims — scd2_from_changelog always
+    leaves one open row per key) skipped validation entirely and could
+    append versions overlapping the key's closed history; it must raise
+    toward the full rebuild.  An untouched all-closed key elsewhere in
+    the dim stays fine."""
+    import pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.scd import (
+        scd2_apply,
+    )
+
+    # hand-maintained dimension: key 1 is all-closed, key 2 has an open row
+    dim = spark.createDataFrame(
+        [(1, "a", 10, 20), (2, "x", 10, None)],
+        "k long, status string, valid_from long, valid_to long",
+    )
+    schema = "k long, ts long, seq long, status string"
+    batch_bad = spark.createDataFrame([(1, 5, 1, "c")], schema)
+    with pytest.raises(ValueError, match="no open version"):
+        scd2_apply(dim, batch_bad, "k", "ts", ["status"], tiebreak_cols=["seq"])
+    # the same dim accepts a batch touching only the open-versioned key
+    batch_ok = spark.createDataFrame([(2, 30, 2, "y")], schema)
+    out = {
+        tuple(r)
+        for r in scd2_apply(
+            dim, batch_ok, "k", "ts", ["status"], tiebreak_cols=["seq"]
+        )
+        .select("k", "status", "valid_from", "valid_to")
+        .collect()
+    }
+    assert (1, "a", 10, 20) in out          # closed history untouched
+    assert (2, "x", 10, 30) in out and (2, "y", 30, None) in out
 
 
 def test_scd2_apply_table_staged_swap_and_replay(spark, tmp_path):
