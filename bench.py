@@ -77,11 +77,26 @@ def main() -> None:
     retry_fields: dict[str, object] = {}
     load_threshold = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_THRESHOLD", "2.0"))
     retry_sleep = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_SLEEP", "150"))
-    if box_start["load_1m"] > load_threshold and retry_sleep > 0:
+    # Spin-floor trigger (r16 verdict #7): load catches a BUSY box, but
+    # the r16 session-close box was SLOW while idle (load_1m <= 0.08,
+    # spin_mops 7.39 -> 5.66, uniform leg inflation on untouched
+    # digests) and the load trigger correctly did not fire.  spin_mops
+    # is the only signal for that state — healthy boots read >= 7.4 in
+    # the r15/r16 history, so the retry also fires below a ~7.0 floor.
+    # Both samples are recorded either way; the trigger list says which
+    # signal(s) fired so the artifact adjudicates itself.
+    spin_floor = float(os.environ.get("SPARK_GRAFT_BENCH_SPIN_FLOOR", "7.0"))
+    triggers = []
+    if box_start["load_1m"] > load_threshold:
+        triggers.append("load_1m")
+    if spin_floor > 0 and box_start["spin_mops"] < spin_floor:
+        triggers.append("spin_mops")
+    if triggers and retry_sleep > 0:
         time.sleep(retry_sleep)
         retry_fields = {
             "box_state_depressed": box_start,
             "box_retry_slept_sec": round(retry_sleep, 1),
+            "box_retry_trigger": triggers,
         }
         box_start = _box_state()
     spark = get_spark("bench")
@@ -725,6 +740,49 @@ def _maintenance_metrics(spark, sf_dir: str) -> "dict[str, object]":
             ).write.format("noop").mode("overwrite").save()
             scd["scd2_rebuild_sec"] = round(time.perf_counter() - t0, 3)
             scd["scd2_apply_batch_rows"] = n_inc
+            # Deep-history separation legs (r16 verdict #6): at fixture
+            # scale the OUTPUT WRITE dominates all three legs above, so
+            # apply-vs-rebuild flatness was structural but not wall-
+            # clock-visible.  Two changes make it visible: history
+            # inflated ~10x at the SAME batch (9 time-shifted pre-cut
+            # copies unioned under the real log), and the apply timed in
+            # its touched_only partition-overwrite shape, which writes
+            # O(batch + touched versions) instead of rewriting the
+            # untouched passthrough.  The rebuild leg re-derives the
+            # full 10x log through the window logic.
+            span = pg.selectExpr(
+                "cast(max(unix_micros(ts)) - min(unix_micros(ts)) as long) as s"
+            ).first()["s"]
+            base = pg.filter(F.col("ts") <= F.lit(cuts["c90"]))
+            shifted = [
+                base.withColumn(
+                    "ts",
+                    F.timestamp_micros(
+                        F.unix_micros("ts") - F.lit((i + 1) * (span + 3_600_000_000))
+                    ),
+                )
+                for i in range(9)
+            ]
+            deep_log = base
+            for s in shifted:
+                deep_log = deep_log.unionByName(s)
+            dim_deep = scd2_from_changelog(
+                deep_log, *args, tiebreak_cols=["event_id"]
+            ).localCheckpoint()
+            scd["scd2_deep_dim_rows"] = dim_deep.count()
+            t0 = time.perf_counter()
+            scd2_apply(
+                dim_deep, inc, *args, tiebreak_cols=["event_id"],
+                touched_only=True,
+            ).write.format("noop").mode("overwrite").save()
+            scd["scd2_apply_deep_hist_touched_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            t0 = time.perf_counter()
+            scd2_from_changelog(
+                deep_log.unionByName(inc), *args, tiebreak_cols=["event_id"]
+            ).write.format("noop").mode("overwrite").save()
+            scd["scd2_rebuild_deep_sec"] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # pragma: no cover - defensive
             scd = {"scd2_apply_error": f"{type(exc).__name__}: {exc}"[:300]}
         return {

@@ -660,6 +660,184 @@ def prefix_containment_pairs(
         doc_cached.unpersist()
 
 
+def cosine_prefix_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT weighted-cosine all-pairs similarity join with NO
+    vocabulary cap (r16 verdict directive #2) — same output contract
+    as ``tf_cosine_pairs(max_doc_freq=None)`` at a cost that stays
+    candidate-bounded, because candidates come only from each vector's
+    PREFIX under the Bayardo bound instead of every shared term.
+    ``tf_cosine_pairs`` uncapped self-joins every corpus-wide
+    stopword's full posting list (the quadratic the Jaccard and
+    containment family members already solved with prefix filters);
+    this is the published answer for the weighted metric: Bayardo, Ma,
+    Srikant, "Scaling Up All Pairs Similarity Search", WWW 2007 —
+    index each vector's minimal prefix such that the SUFFIX's maximum
+    possible contribution to any cosine stays below the threshold.
+
+    Soundness (symmetric prefix form): terms are ranked by one global
+    order (ascending document frequency, ties by term — rarest first,
+    the family convention).  For the normalized vector x̂ = tf/‖tf‖
+    and a suffix S (everything after the prefix), TWO sound upper
+    bounds on S's possible contribution to any cos(x, y):
+
+      - Cauchy–Schwarz:  Σ_{i∈S} x̂_i·ŷ_i ≤ ‖x̂_S‖·‖ŷ‖ = ‖x̂_S‖
+        = sqrt(tail_sq / nsq)  with integer tail_sq = Σ_{i∈S} tf_i²;
+      - Bayardo's b(x):  Σ_{i∈S} x̂_i·ŷ_i ≤ Σ_{i∈S} x̂_i·maxw(i)
+        where maxw(i) = max over the corpus of ŷ_i (one
+        vocabulary-sized aggregate).
+
+    If EITHER bound is < t, no qualifying pair can meet only in S.
+    Both bounds decrease along the order, so the kept positions are a
+    contiguous head (a true prefix).  Let i* be the globally-first
+    SHARED term of a qualifying pair (x, y): if i* were outside x's
+    prefix, every shared term would sit in x's suffix and cos(x, y)
+    would be under a failing bound — contradiction; symmetrically for
+    y.  So every qualifying pair collides inside prefix ⋈ prefix.
+
+    Positional filter (pair-wise sound, OR-ed by the candidate
+    ``distinct``): at the first shared term's 1-based positions
+    (pa, pb), all shared terms lie in both tails, so
+    cos ≤ sqrt(tail_a/nsq_a)·sqrt(tail_b/nsq_b), i.e. candidates need
+    tail_a·tail_b ≥ t²·nsq_a·nsq_b.
+
+    Float-bound convention (the lossless-ward rounding rule, adapted):
+    the integer-vs-float comparisons here multiply two longs whose
+    product can pass 2⁵³, where the repo's floor() trick loses integer
+    precision — so instead every exclusion threshold is relaxed
+    multiplicatively: a position/candidate is dropped only when its
+    bound < t·(1 − 1e-9) (respectively t²·(1 − 1e-9)).  Double
+    arithmetic is correct to ~2⁻⁵³ ≈ 1e-16 relative, so a true
+    ≥-threshold value can never appear below the relaxed cutoff; at
+    worst a few extra candidates survive to exact verification.
+
+    Verification is the family's integer path: Σ tf_a·tf_b and the
+    squared norms are exact longs, the only float ops are two
+    correctly-rounded sqrts, one multiply, one divide — bit-exact vs
+    the oracle, no rounding.  Output (doc_a, doc_b, cosine) with
+    doc_a < doc_b and cosine ≥ threshold.  Pinned equal to
+    ``tf_cosine_pairs(max_doc_freq=None)`` and brute force across a
+    threshold sweep, and shown to differ from the capped path on a
+    stopword-heavy corpus, in tests."""
+    if not 0.0 < float(threshold) <= 1.0:
+        raise ValueError(
+            "cosine_prefix_pairs: threshold must be in (0, 1] — the "
+            "prefix bound is vacuous at t <= 0 and cosine never exceeds 1"
+        )
+    from pyspark.sql import Window
+
+    t = float(threshold)
+    t_relaxed = t * (1.0 - 1e-9)
+    tsq_relaxed = t * t * (1.0 - 1e-9)
+    tf = (
+        df.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+        .persist()
+    )
+    try:
+        norms = tf.groupBy("_id").agg(F.sum(F.col("_tf") * F.col("_tf")).alias("_nsq"))
+        withn = tf.join(norms, "_id")
+        # vocabulary-sized aggregates: document frequency (the global
+        # rank) and Bayardo's maxweight maxw(i) = max_y ŷ_i
+        stats = withn.groupBy("term").agg(
+            F.count(F.lit(1)).alias("_df"),
+            F.max(F.col("_tf") / F.sqrt("_nsq")).alias("_maxw"),
+        )
+        ranked = (
+            withn.join(stats, "term")
+            .groupBy("_id")
+            .agg(
+                F.min("_nsq").alias("_nsq"),
+                F.sort_array(
+                    F.collect_list(F.struct("_df", "term", "_tf", "_maxw"))
+                ).alias("_ord"),
+            )
+        )
+        pos = ranked.select(
+            "_id",
+            "_nsq",
+            F.posexplode("_ord").alias("_pos0", "_e"),
+        )
+        # suffix-inclusive running sums along the global order: the
+        # window partitions on _id, which the groupBy above already
+        # hash-distributed — no extra exchange
+        w = (
+            Window.partitionBy("_id")
+            .orderBy("_pos0")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        scanned = pos.select(
+            "_id",
+            "_nsq",
+            F.col("_e.term").alias("term"),
+            F.sum(F.col("_e._tf") * F.col("_e._tf")).over(w).alias("_tail"),
+            F.sum(
+                (F.col("_e._tf") / F.sqrt("_nsq")) * F.col("_e._maxw")
+            ).over(w).alias("_bsum"),
+        )
+        # prefix = positions where NEITHER bound certifies the suffix
+        # skippable (both decrease along the order → contiguous head).
+        # Persisted: it self-joins as a/b, and without the cache the
+        # stats-join + window lineage re-derives once per alias (the
+        # SCALING.md join-alias lesson)
+        pref = (
+            scanned.filter(
+                (F.col("_tail") >= F.lit(tsq_relaxed) * F.col("_nsq"))
+                & (F.col("_bsum") >= F.lit(t_relaxed))
+            )
+            .select("_id", "_nsq", "term", "_tail")
+            .persist()
+        )
+        try:
+            a, b = pref.alias("a"), pref.alias("b")
+            cand = (
+                a.join(
+                    b,
+                    (F.col("a.term") == F.col("b.term"))
+                    & (F.col("a._id") < F.col("b._id")),
+                )
+                .filter(
+                    F.col("a._tail") * F.col("b._tail")
+                    >= F.lit(tsq_relaxed) * F.col("a._nsq") * F.col("b._nsq")
+                )
+                .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+                .distinct()
+            )
+            ta = tf.select(
+                F.col("_id").alias("doc_a"), "term", F.col("_tf").alias("_tfa")
+            )
+            tb = tf.select(
+                F.col("_id").alias("doc_b"), "term", F.col("_tf").alias("_tfb")
+            )
+            dots = (
+                cand.join(ta, "doc_a")
+                .join(tb, ["doc_b", "term"])
+                .groupBy("doc_a", "doc_b")
+                .agg(F.sum(F.col("_tfa") * F.col("_tfb")).alias("_dot"))
+            )
+            na = norms.select(F.col("_id").alias("doc_a"), F.col("_nsq").alias("_nsqa"))
+            nb = norms.select(F.col("_id").alias("doc_b"), F.col("_nsq").alias("_nsqb"))
+            out = (
+                dots.join(na, "doc_a")
+                .join(nb, "doc_b")
+                .withColumn(
+                    "cosine", F.col("_dot") / (F.sqrt("_nsqa") * F.sqrt("_nsqb"))
+                )
+                .filter(F.col("cosine") >= threshold)
+                .select("doc_a", "doc_b", "cosine")
+            )
+            return out.localCheckpoint(eager=True)
+        finally:
+            pref.unpersist()
+    finally:
+        tf.unpersist()
+
+
 def edit_distance_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -709,6 +709,25 @@ def prefix_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.prefix_containment_pairs(_docs(spark, sf_dir), threshold=0.9)
 
 
+def prefix_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT frequency-weighted near-dup pairs at cosine ≥ 0.9 with NO
+    vocabulary cap (r18 queue; r16 verdict directive #2).
+    ``doc_tf_cosine_dups`` pays the cap's semantic compromise — its
+    metric is "cosine over non-boilerplate terms", which diverges from
+    true tf-cosine wherever stopword mass matters.  This query is the
+    uncapped ground truth: the full all-pairs tf-cosine join, made
+    skew-safe by the Bayardo WWW 2007 prefix filter (candidates come
+    only from each vector's minimal prefix under the suffix-norm and
+    maxweight bounds) instead of by dropping vocabulary.
+    Differential-pinned equal to ``tf_cosine_pairs(max_doc_freq=None)``
+    and a brute-force reference across a threshold sweep, and shown to
+    DIFFER from the capped path on a stopword-heavy corpus, in tests;
+    see operators/dedup.cosine_prefix_pairs for the bound derivations.
+    Oracle-bit-exact with float output for the family's standing
+    reason: integer dot/norm accumulation, fixed IEEE epilogue."""
+    return dedup.cosine_prefix_pairs(_docs(spark, sf_dir), threshold=0.9)
+
+
 def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(_docs(spark, sf_dir))
 
@@ -1792,6 +1811,36 @@ SPECS = [
         WHERE i * 1.0 / least(sa.n, sb.n) >= 0.9
         """,
         "exact uncapped containment pairs via prefix-filtered similarity join",
+    ),
+    QuerySpec(
+        "prefix_cosine_dups",
+        prefix_cosine_dups,
+        # the UNCAPPED all-pairs tf-cosine join — the doc_tf_cosine_dups
+        # oracle without its HAVING df-cap; integer dot/norm sums +
+        # IEEE sqrt/mul/div, bit-exact with no rounding
+        f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+            GROUP BY doc_id, term
+        ), norms AS (
+            SELECT doc_id, sum(tf * tf) AS nsq FROM tf GROUP BY doc_id
+        ), dots AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   sum(a.tf * b.tf) AS dot
+            FROM tf a JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               dot / (sqrt(na.nsq) * sqrt(nb.nsq)) AS cosine
+        FROM dots
+        JOIN norms na ON na.doc_id = doc_a
+        JOIN norms nb ON nb.doc_id = doc_b
+        WHERE dot / (sqrt(na.nsq) * sqrt(nb.nsq)) >= 0.9
+        """,
+        "exact uncapped tf-cosine pairs via Bayardo prefix-filtered join",
     ),
     QuerySpec("minhash_lsh_dups", minhash_lsh_dups, None, "MinHash+LSH candidates (rows-only)"),
     QuerySpec(

@@ -605,6 +605,10 @@ BENCH_EXTENDED = [
     "doc_tf_cosine_dups",
     # r16: the r18-queue q-gram-filtered edit-distance join
     "doc_prefix_edit_pairs",
+    # r17: the r18-queue uncapped tf-cosine twin (Bayardo prefix
+    # filter, r16 verdict #2) — recorded numbers + pinned digests
+    # ahead of rotation
+    "prefix_cosine_dups",
     # r16: demoted from the gate this round and not previously benched —
     # added so EVERY demoted query keeps a recorded number and a pinned
     # digest (the standing demotion invariant)

@@ -131,6 +131,27 @@ def test_depressed_box_retry_sleeps_and_records_both_states(
         assert doc["box_retry_slept_sec"] == 150.0
         assert doc["box_state_depressed"]["load_1m"] == 4.4
         assert doc["box_state_start"]["load_1m"] == 0.1  # the re-sample governs
+        # load 4.4 AND spin 5.0: both signals fired (r16 verdict #7)
+        assert doc["box_retry_trigger"] == ["load_1m", "spin_mops"]
+
+    # SLOW-but-idle box (the r16 session-close state: load fine, spin
+    # below the healthy-boot floor): the spin trigger alone must fire
+    slept.clear()
+    states = iter(
+        [
+            {"load_1m": 0.1, "load_5m": 0.2, "spin_mops": 5.6},  # slow, idle
+            {"load_1m": 0.1, "load_5m": 0.2, "spin_mops": 7.8},  # recovered
+            {"load_1m": 0.1, "load_5m": 0.2, "spin_mops": 7.8},  # end
+        ]
+    )
+    monkeypatch.setattr(bench, "_box_state", lambda: next(states))
+    bench.main()
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    full = json.loads(lines[0])
+    assert slept.count(150.0) == 1
+    assert full["box_retry_trigger"] == ["spin_mops"]
+    assert full["box_state_depressed"]["spin_mops"] == 5.6
+    assert full["box_state_start"]["spin_mops"] == 7.8
 
     # idle box: no sleep, no retry fields
     slept.clear()
@@ -146,6 +167,7 @@ def test_depressed_box_retry_sleeps_and_records_both_states(
     full = json.loads(lines[0])
     assert 150.0 not in slept
     assert "box_retry_slept_sec" not in full and "box_state_depressed" not in full
+    assert "box_retry_trigger" not in full
 
 
 def test_headline_legs_lose_nothing_under_count_action(spark):

@@ -5680,6 +5680,141 @@ def test_tf_cosine_leaves_no_cached_dataframes(spark, sf_dir):
     assert cm.isEmpty(), "tf_cosine_pairs leaked a cached DataFrame"
 
 
+def test_cosine_prefix_matches_uncapped_term_join(spark, sf_dir):
+    """cosine_prefix_pairs is an EXACT algorithm: on the fixture corpus
+    it must equal tf_cosine_pairs(max_doc_freq=None) bit-for-bit (pair
+    set AND cosine doubles) at the registry threshold."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        cosine_prefix_pairs,
+        tf_cosine_pairs,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in cosine_prefix_pairs(docs, threshold=0.9).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in tf_cosine_pairs(docs, threshold=0.9, max_doc_freq=None).collect()
+    }
+    assert len(got) > 0
+    assert got == want
+
+
+def test_cosine_prefix_matches_python_reference_threshold_sweep(spark):
+    """Bound-soundness sweep (r16 verdict directive #2): random corpus
+    with stopword mass, exact dups, proportional rewrites (cosine
+    exactly 1.0 — the t=1.0 boundary), and frequency shifts, against a
+    brute-force all-pairs reference at thresholds including
+    non-binary-representable ones (0.3/0.6) and t=1.0.  Exact float
+    equality — integer dot/norms + IEEE sqrt/mul/div are bit-stable
+    across engines and in CPython."""
+    import itertools
+    import math
+    import random as _random
+    from collections import Counter
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        cosine_prefix_pairs,
+    )
+
+    rng = _random.Random(17)
+    vocab = [f"w{i}" for i in range(20)]
+    stop = ["the", "of", "and"]
+    docs = []
+    for i in range(45):
+        length = rng.choice([2, 4, 8, 25])
+        toks = [rng.choice(vocab) for _ in range(length)] + [
+            rng.choice(stop) for _ in range(rng.choice([0, length, 3 * length]))
+        ]
+        rng.shuffle(toks)
+        docs.append((i, " ".join(toks)))
+    docs.append((100, docs[2][1]))                      # exact dup
+    toks7 = docs[7][1].split()
+    rng.shuffle(toks7)
+    docs.append((101, " ".join(toks7 * 2)))             # proportional rewrite
+    docs.append((102, "the the the the"))               # pure-stopword doc
+
+    def ref_pairs(t):
+        tfs = {i: Counter(txt.split()) for i, txt in docs}
+        out = {}
+        for (ia, ca), (ib, cb) in itertools.combinations(tfs.items(), 2):
+            dot = sum(ca[w] * cb[w] for w in ca.keys() & cb.keys())
+            if dot:
+                cos = dot / (
+                    math.sqrt(sum(v * v for v in ca.values()))
+                    * math.sqrt(sum(v * v for v in cb.values()))
+                )
+                if cos >= t:
+                    out[(min(ia, ib), max(ia, ib))] = cos
+        return out
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for t in (0.3, 0.5, 0.6, 0.8, 0.95, 1.0):
+        got = {
+            (r["doc_a"], r["doc_b"]): r["cosine"]
+            for r in cosine_prefix_pairs(df, threshold=t).collect()
+        }
+        assert got == ref_pairs(t), f"threshold {t}"
+
+
+def test_cosine_prefix_exact_where_capped_path_provably_differs(spark):
+    """The design point (r16 verdict directive #2): on a stopword-heavy
+    corpus the capped path's metric is 'cosine over non-boilerplate
+    terms' — docs whose similarity lives in the stopword mass lose
+    their pairs (or change values) once the cap drops those terms.
+    cosine_prefix_pairs needs no cap and must return the uncapped
+    ground truth."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        cosine_prefix_pairs,
+        tf_cosine_pairs,
+    )
+
+    # "the of and" dominates every doc; rare tails differ.  With a cap
+    # that drops the three stopwords (df = 12 > 2), the capped join
+    # sees only the disjoint rare tails — zero pairs.  Uncapped, every
+    # pair's cosine is driven by the shared stopword mass.
+    docs = []
+    for i in range(12):
+        docs.append((i, "the of and " * 10 + f"rare{i}a rare{i}b"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    capped = tf_cosine_pairs(df, threshold=0.9, max_doc_freq=2).collect()
+    assert capped == []  # the cap erases the evidence
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in cosine_prefix_pairs(df, threshold=0.9).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in tf_cosine_pairs(df, threshold=0.9, max_doc_freq=None).collect()
+    }
+    assert len(got) == 66  # all C(12,2) pairs: stopword mass dominates
+    assert got == want
+
+
+def test_cosine_prefix_guards_and_no_cached_dataframes(spark, sf_dir):
+    """Entry guards mirror the family (threshold in (0, 1]); the
+    operator unpersists everything it caches."""
+    import pytest as _pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        cosine_prefix_pairs,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "text"])
+    for bad in (0.0, -0.5, 1.1):
+        with _pytest.raises(ValueError, match="threshold must be in"):
+            cosine_prefix_pairs(df, threshold=bad)
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    docs = load(spark, sf_dir, "documents")
+    assert cosine_prefix_pairs(docs, threshold=0.9).count() > 0
+    assert cm.isEmpty(), "cosine_prefix_pairs leaked a cached DataFrame"
+
+
 def test_prefix_containment_matches_uncapped_inverted_index(spark, sf_dir):
     """prefix_containment_pairs is an EXACT algorithm: on the fixture
     corpus it must equal ngram_containment_pairs(max_doc_freq=None)
@@ -6500,6 +6635,45 @@ def test_scd2_apply_sequential_batches_equal_full_rebuild(spark):
     assert (3, "m", 5, 12) in got and not any(
         r[0] == 3 and r[2] == 9 for r in got
     )
+
+
+def test_scd2_apply_touched_only_is_full_result_on_batch_keys(spark):
+    """touched_only=True (the partition-overwrite shape, r16 verdict
+    #6) returns exactly the full apply's rows for keys in the batch —
+    closed history verbatim plus the re-derived tail — and nothing
+    else."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.scd import (
+        scd2_apply,
+        scd2_from_changelog,
+    )
+
+    schema = "k long, ts long, seq long, status string"
+    seed = [
+        (1, 10, 1, "a"), (1, 20, 2, "b"),   # key 1: closed + open history
+        (2, 10, 3, "x"),                     # key 2: untouched by the batch
+    ]
+    dim = scd2_from_changelog(
+        spark.createDataFrame(seed, schema), "k", "ts", ["status"],
+        tiebreak_cols=["seq"],
+    )
+    batch = spark.createDataFrame([(1, 30, 4, "c"), (3, 5, 5, "m")], schema)
+    args = ("k", "ts", ["status"])
+    full = {
+        tuple(r)
+        for r in scd2_apply(dim, batch, *args, tiebreak_cols=["seq"]).collect()
+    }
+    touched = {
+        tuple(r)
+        for r in scd2_apply(
+            dim, batch, *args, tiebreak_cols=["seq"], touched_only=True
+        ).collect()
+    }
+    batch_keys = {1, 3}
+    assert touched == {r for r in full if r[0] in batch_keys}
+    assert (1, "a", 10, 20) in touched      # closed history passes through
+    assert (1, "b", 20, 30) in touched and (1, "c", 30, None) in touched
+    assert (3, "m", 5, None) in touched     # brand-new key
+    assert not any(r[0] == 2 for r in touched)  # untouched key omitted
 
 
 def test_scd2_apply_fixture_scale_equals_full_rebuild(spark, sf_dir):
