@@ -660,6 +660,268 @@ def prefix_containment_pairs(
         doc_cached.unpersist()
 
 
+def _ranked_by_df(docs: DataFrame, dfreq: DataFrame) -> DataFrame:
+    """Per-doc shingle list ranked by a GIVEN global document-frequency
+    order (ascending df, ties by shingle; shingles absent from
+    ``dfreq`` rank rarest at df 0) — the shared scaffolding of the
+    incremental prefix-filtered joins, where the order must come from
+    the CORPUS so the persisted corpus-side index stays valid for any
+    future batch.  Output: (_id, _s, _ord) with _ord the df-sorted
+    shingle structs.  Soundness does not depend on WHICH consistent
+    global order is used (the prefix lemma only needs one shared
+    order), so corpus-df ranking is exactly as correct as
+    union-df ranking — pinned by the differential tests."""
+    exploded = docs.select("_id", F.explode("_sh").alias("shingle"))
+    return (
+        exploded.join(dfreq, "shingle", "left")
+        .select(
+            "_id", "shingle", F.coalesce(F.col("_df"), F.lit(0)).alias("_df")
+        )
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("_s"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_df"), F.col("shingle")))
+            ).alias("_ord"),
+        )
+    )
+
+
+def _positions(ranked: DataFrame, prefix_expr=None) -> DataFrame:
+    """Posexplode a ranked doc's shingles (full list, or its prefix
+    when ``prefix_expr`` gives the per-doc prefix length) into
+    (_id, _s, _p, shingle) with 1-based df-rank positions."""
+    shingles = F.transform("_ord", lambda x: x["shingle"])
+    arr = F.slice(shingles, 1, prefix_expr) if prefix_expr is not None else shingles
+    return ranked.select(
+        "_id", "_s", F.posexplode(arr).alias("_pos0", "shingle")
+    ).select("_id", "_s", (F.col("_pos0") + 1).alias("_p"), "shingle")
+
+
+def prefix_jaccard_new_pairs(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental EXACT Jaccard join (r16 verdict directive #8): all
+    pairs at Jaccard ≥ ``threshold`` that INVOLVE a new-batch doc —
+    (new × corpus) ∪ (new × new) — without recomputing the corpus
+    self-join.  The shape a growing corpus actually needs: the
+    corpus-side prefix index is derived once (at 100 TB, persist it
+    per corpus version like ``dedup_new_against_corpus``'s artifacts)
+    and each batch probes it with the batch's own prefixes.
+
+    Same filters and verification as ``prefix_jaccard_pairs`` (prefix
+    lemma + PPJoin length/positional filters, lossless-ward float
+    bounds, exact ``array_intersect`` verification); the ONE
+    difference is the global shingle order, which ranks by CORPUS
+    document frequency (absent shingles rank rarest at df 0) so the
+    corpus index never needs re-ranking when a batch arrives.  The
+    prefix lemma is sound under ANY one consistent order, so the
+    output is bit-equal to running the full self-join over
+    corpus ∪ batch and keeping pairs with a batch id — pinned in
+    tests.  Corpus-corpus pairs are structurally absent (no
+    corpus × corpus join exists in the plan).  Ids must be disjoint
+    across the two frames (raises otherwise — an id on both sides
+    would make pair identity ambiguous)."""
+    overlap = corpus.select(F.col(id_col)).join(
+        new_docs.select(F.col(id_col)), id_col, "left_semi"
+    )
+    if overlap.limit(1).count():
+        raise ValueError(
+            "prefix_jaccard_new_pairs: corpus and new_docs share ids — "
+            "pair identity would be ambiguous; re-id the batch"
+        )
+    t = float(threshold)
+    doc_c = corpus.select(
+        F.col(id_col).alias("_id"), _shingle_array(text_col, n).alias("_sh")
+    ).persist()
+    doc_n = new_docs.select(
+        F.col(id_col).alias("_id"), _shingle_array(text_col, n).alias("_sh")
+    ).persist()
+    try:
+        dfreq = (
+            doc_c.select(F.explode("_sh").alias("shingle"))
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+        )
+        ranked_c = _ranked_by_df(doc_c, dfreq).persist()
+        ranked_n = _ranked_by_df(doc_n, dfreq).persist()
+        try:
+            plen = F.greatest(
+                F.lit(1),
+                F.col("_s") - F.floor(F.lit(t) * F.col("_s")).cast("int") + 1,
+            )
+            pref_c = _positions(ranked_c, plen)
+            pref_n = _positions(ranked_n, plen)
+            alpha = F.lit(t / (1.0 + t)) * (F.col("a._s") + F.col("b._s"))
+            filters = (
+                (
+                    F.floor(F.lit(t) * F.greatest("a._s", "b._s"))
+                    <= F.least("a._s", "b._s")
+                )
+                & (
+                    1
+                    + F.least(
+                        F.col("a._s") - F.col("a._p"), F.col("b._s") - F.col("b._p")
+                    )
+                    >= F.floor(alpha)
+                )
+            )
+            nc = (
+                pref_n.alias("a")
+                .join(pref_c.alias("b"), F.col("a.shingle") == F.col("b.shingle"))
+                .filter(filters)
+                .select(F.col("a._id").alias("_ida"), F.col("b._id").alias("_idb"))
+            )
+            nn = (
+                pref_n.alias("a")
+                .join(
+                    pref_n.alias("b"),
+                    (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a._id") < F.col("b._id")),
+                )
+                .filter(filters)
+                .select(F.col("a._id").alias("_ida"), F.col("b._id").alias("_idb"))
+            )
+            cand = nc.unionByName(nn).distinct()
+            both = doc_c.unionByName(doc_n)
+            sa = both.select(F.col("_id").alias("_ida"), F.col("_sh").alias("_sha"))
+            sb = both.select(F.col("_id").alias("_idb"), F.col("_sh").alias("_shb"))
+            inter = F.size(F.array_intersect("_sha", "_shb"))
+            out = (
+                cand.join(sa, "_ida")
+                .join(sb, "_idb")
+                .select(
+                    F.least("_ida", "_idb").alias("doc_a"),
+                    F.greatest("_ida", "_idb").alias("doc_b"),
+                    (
+                        inter / (F.size("_sha") + F.size("_shb") - inter)
+                    ).alias("jaccard"),
+                )
+                .filter(F.col("jaccard") >= threshold)
+            )
+            return out.localCheckpoint(eager=True)
+        finally:
+            ranked_c.unpersist()
+            ranked_n.unpersist()
+    finally:
+        doc_c.unpersist()
+        doc_n.unpersist()
+
+
+def prefix_containment_new_pairs(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Incremental EXACT containment join (r16 verdict directive #8):
+    all pairs at containment ≥ ``threshold`` that involve a new-batch
+    doc, without the corpus self-join.  The asymmetric roles of
+    ``prefix_containment_pairs`` (the pair's SMALLER set is the
+    indexed-prefix side, the larger probes with full postings) cross
+    the batch boundary freely — a new excerpt can sit inside an old
+    page and vice versa — so candidates come from THREE joins:
+    new-prefix × corpus-full, corpus-prefix × new-full, and
+    new-prefix × new-full, each under the lexicographic (size, id)
+    role condition that generates every unordered pair exactly once.
+    Corpus-corpus pairs are structurally absent.  Shingles rank by
+    CORPUS document frequency (the persistable index order — see
+    ``prefix_jaccard_new_pairs``); exactness is order-invariant,
+    pinned equal to the full ``prefix_containment_pairs`` over
+    corpus ∪ batch restricted to batch-involving pairs."""
+    overlap = corpus.select(F.col(id_col)).join(
+        new_docs.select(F.col(id_col)), id_col, "left_semi"
+    )
+    if overlap.limit(1).count():
+        raise ValueError(
+            "prefix_containment_new_pairs: corpus and new_docs share ids — "
+            "pair identity would be ambiguous; re-id the batch"
+        )
+    t = float(threshold)
+    doc_c = corpus.select(
+        F.col(id_col).alias("_id"), _shingle_array(text_col, n).alias("_sh")
+    ).persist()
+    doc_n = new_docs.select(
+        F.col(id_col).alias("_id"), _shingle_array(text_col, n).alias("_sh")
+    ).persist()
+    try:
+        dfreq = (
+            doc_c.select(F.explode("_sh").alias("shingle"))
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+        )
+        ranked_c = _ranked_by_df(doc_c, dfreq).persist()
+        ranked_n = _ranked_by_df(doc_n, dfreq).persist()
+        try:
+            plen = F.greatest(
+                F.lit(1),
+                F.col("_s") - F.floor(F.lit(t) * F.col("_s")).cast("int") + 1,
+            )
+            pref_c, pref_n = _positions(ranked_c, plen), _positions(ranked_n, plen)
+            full_c, full_n = _positions(ranked_c), _positions(ranked_n)
+            role = (F.col("a._s") < F.col("b._s")) | (
+                (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id"))
+            )
+            required = F.floor(F.lit(t) * F.col("a._s"))
+            posf = (
+                1
+                + F.least(
+                    F.col("a._s") - F.col("a._p"), F.col("b._s") - F.col("b._p")
+                )
+                >= required
+            )
+
+            def cands(pref, full):
+                return (
+                    pref.alias("a")
+                    .join(
+                        full.alias("b"),
+                        (F.col("a.shingle") == F.col("b.shingle")) & role,
+                    )
+                    .filter(posf)
+                    .select(
+                        F.col("a._id").alias("_id_sm"), F.col("b._id").alias("_id_lg")
+                    )
+                )
+
+            cand = (
+                cands(pref_n, full_c)
+                .unionByName(cands(pref_c, full_n))
+                .unionByName(cands(pref_n, full_n))
+                .distinct()
+            )
+            both = doc_c.unionByName(doc_n)
+            sa = both.select(F.col("_id").alias("_id_sm"), F.col("_sh").alias("_sha"))
+            sb = both.select(F.col("_id").alias("_id_lg"), F.col("_sh").alias("_shb"))
+            inter = F.size(F.array_intersect("_sha", "_shb"))
+            out = (
+                cand.join(sa, "_id_sm")
+                .join(sb, "_id_lg")
+                .select(
+                    F.least("_id_sm", "_id_lg").alias("doc_a"),
+                    F.greatest("_id_sm", "_id_lg").alias("doc_b"),
+                    (inter / F.least(F.size("_sha"), F.size("_shb"))).alias(
+                        "containment"
+                    ),
+                )
+                .filter(F.col("containment") >= threshold)
+            )
+            return out.localCheckpoint(eager=True)
+        finally:
+            ranked_c.unpersist()
+            ranked_n.unpersist()
+    finally:
+        doc_c.unpersist()
+        doc_n.unpersist()
+
+
 def cosine_prefix_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -136,6 +136,28 @@ def hourly_page_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_heavy_hitters(pages, "ts", "page", k=8, window="1 hour")
 
 
+def sliding_page_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Top pages of the last hour, refreshed every quarter' (r18
+    queue; r16 verdict directive #5): EXACT heavy hitters per SLIDING
+    window — 1-hour windows every 15 minutes, pages with
+    freq·8 > N_window.  The ``slide=`` form of
+    operators/sketches.windowed_heavy_hitters (each event lands in
+    window/slide = 4 overlapping windows; MG screen and recount both
+    key on (window, page), so every per-window guarantee carries over
+    verbatim).  The oracle expands each event to its 4 epoch-aligned
+    window starts via generate_series — integer threshold, engine-
+    exact.  The streaming twin (hh_ingest.WindowedHeavyHitterSink with
+    slide) is pinned bit-equal through a real file-stream in tests."""
+    from ..operators.sketches import windowed_heavy_hitters
+
+    pages = _events(spark, sf_dir).select(
+        "ts", F.get_json_object("props", "$.k").alias("page")
+    ).filter(F.col("page").isNotNull())
+    return windowed_heavy_hitters(
+        pages, "ts", "page", k=8, window="1 hour", slide="15 minutes"
+    )
+
+
 def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """from_json ingest path (ref :121-125): parse the props JSON
     document against a declared schema, flatten, aggregate."""
@@ -388,6 +410,34 @@ SPECS = [
         HAVING count(*) * 8 > t.n_w
         """,
         "exact per-hour heavy hitters (windowed Misra-Gries + recount)",
+    ),
+    QuerySpec(
+        "sliding_page_heavy_hitters",
+        sliding_page_heavy_hitters,
+        # each event expands to its 4 epoch-aligned sliding-window
+        # starts (1h window, 15min slide); naive-timestamp arithmetic
+        # (no to_timestamp — it would route through the session tz),
+        # pure integer threshold — engine-exact
+        """
+        WITH pages AS (
+            SELECT ts, json_extract_string(props, '$.k') AS page
+            FROM events
+            WHERE ts IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL
+        ), expanded AS (
+            SELECT TIMESTAMP '1970-01-01' + to_seconds(g.s) AS window_start, page
+            FROM pages, UNNEST(generate_series(
+                CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - 2700,
+                CAST(floor(epoch(ts) / 900) AS BIGINT) * 900,
+                900)) AS g(s)
+        ), totals AS (
+            SELECT window_start, count(*) AS n_w FROM expanded GROUP BY 1
+        )
+        SELECT e.window_start, e.page, count(*) AS freq
+        FROM expanded e JOIN totals t USING (window_start)
+        GROUP BY e.window_start, e.page, t.n_w
+        HAVING count(*) * 8 > t.n_w
+        """,
+        "exact sliding-window heavy hitters (1h window, 15min slide)",
     ),
     QuerySpec(
         "hourly_event_stats",

@@ -709,6 +709,27 @@ def prefix_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.prefix_containment_pairs(_docs(spark, sf_dir), threshold=0.9)
 
 
+def doc_new_vs_corpus_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion EXACT near-dup pairs (r18 queue; r16
+    verdict directive #8): treating every fifth document
+    (doc_id % 5 = 0) as the arriving batch and the rest as the
+    standing corpus, all Jaccard ≥ 0.5 pairs that INVOLVE a batch doc
+    — computed by probing the corpus-side prefix index with the batch
+    (operators/dedup.prefix_jaccard_new_pairs), never by a corpus
+    self-join.  The oracle recomputes the full uncapped all-pairs join
+    and keeps batch-involving pairs; the impl's corpus-df shingle
+    order is a different global order than the oracle's implicit one,
+    and bit-equality holds anyway because the prefix lemma is
+    order-invariant (the differential tests pin the same claim against
+    prefix_jaccard_pairs over the union)."""
+    docs = _docs(spark, sf_dir)
+    return dedup.prefix_jaccard_new_pairs(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        threshold=0.5,
+    )
+
+
 def prefix_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT frequency-weighted near-dup pairs at cosine ≥ 0.9 with NO
     vocabulary cap (r18 queue; r16 verdict directive #2).
@@ -1811,6 +1832,39 @@ SPECS = [
         WHERE i * 1.0 / least(sa.n, sb.n) >= 0.9
         """,
         "exact uncapped containment pairs via prefix-filtered similarity join",
+    ),
+    QuerySpec(
+        "doc_new_vs_corpus_jaccard",
+        doc_new_vs_corpus_jaccard,
+        # the uncapped all-pairs Jaccard join restricted to pairs
+        # involving a batch (doc_id % 5 = 0) doc — int/int double
+        # division, bit-exact
+        f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+        ), sh_all AS (
+            SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(t) >= 3
+                     THEN list_transform(range(len(t) - 2),
+                                         i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+                     ELSE [coalesce(list_aggregate(t, 'string_agg', ' '), '')] END)) AS shingle
+            FROM toks
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM sh_all GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM sh_all a JOIN sh_all b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               i * 1.0 / (sa.n + sb.n - i) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+          AND (doc_a % 5 = 0 OR doc_b % 5 = 0)
+        """,
+        "incremental exact Jaccard pairs (batch probes the corpus prefix index)",
     ),
     QuerySpec(
         "prefix_cosine_dups",

@@ -609,6 +609,10 @@ BENCH_EXTENDED = [
     # filter, r16 verdict #2) — recorded numbers + pinned digests
     # ahead of rotation
     "prefix_cosine_dups",
+    # r17: the r18-queue sliding-window heavy hitters (r16 verdict #5)
+    "sliding_page_heavy_hitters",
+    # r17: the r18-queue incremental prefix-join probe (r16 verdict #8)
+    "doc_new_vs_corpus_jaccard",
     # r16: demoted from the gate this round and not previously benched —
     # added so EVERY demoted query keeps a recorded number and a pinned
     # digest (the standing demotion invariant)

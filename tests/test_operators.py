@@ -5680,6 +5680,121 @@ def test_tf_cosine_leaves_no_cached_dataframes(spark, sf_dir):
     assert cm.isEmpty(), "tf_cosine_pairs leaked a cached DataFrame"
 
 
+def test_prefix_jaccard_new_pairs_equals_full_join_on_union(spark, sf_dir):
+    """r16 verdict directive #8: the incremental prefix-filtered
+    Jaccard join (corpus-prefix index probed by the batch) must be
+    BIT-EQUAL to recomputing the full self-join over corpus ∪ batch
+    and keeping the pairs that involve a batch doc — even though the
+    two rank shingles by DIFFERENT global orders (corpus-df vs
+    union-df; the prefix lemma is order-invariant)."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        prefix_jaccard_new_pairs,
+        prefix_jaccard_pairs,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in prefix_jaccard_new_pairs(corpus, batch, threshold=0.5).collect()
+    }
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    want = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in prefix_jaccard_pairs(docs, threshold=0.5).collect()
+        if r["doc_a"] in batch_ids or r["doc_b"] in batch_ids
+    }
+    assert len(got) > 0
+    assert got == want
+    # corpus-corpus pairs are structurally absent: every returned pair
+    # involves a batch doc
+    assert all(a in batch_ids or b in batch_ids for a, b in got)
+
+
+def test_prefix_containment_new_pairs_roles_cross_batch_boundary(spark, sf_dir):
+    """The incremental containment twin: asymmetric small/large roles
+    must cross the batch boundary both ways — a NEW excerpt inside an
+    OLD page and an OLD excerpt inside a NEW page are both found — and
+    the fixture-scale output equals the full prefix_containment_pairs
+    over corpus ∪ batch restricted to batch-involving pairs."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        prefix_containment_new_pairs,
+        prefix_containment_pairs,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    # synthetic boundary-crossing excerpts first (deterministic)
+    body = " ".join(f"w{i}" for i in range(40))
+    corpus_rows = [(1, body), (2, " ".join(f"c{i}" for i in range(30)))]
+    old_excerpt = " ".join(body.split()[5:12])
+    corpus_rows.append((3, old_excerpt))  # old excerpt of... nothing yet
+    new_body = " ".join(f"n{i}" for i in range(40))
+    batch_rows = [
+        (100, " ".join(body.split()[10:20])),  # NEW excerpt of OLD page 1
+        (101, new_body + " " + old_excerpt.replace(" ", "x ")),  # noise
+        (102, new_body),                       # NEW page...
+        (103, " ".join(new_body.split()[3:10])),  # ...with a NEW excerpt
+    ]
+    corpus_rows.append((4, " ".join(new_body.split()[20:28])))  # OLD excerpt of NEW page
+    cdf = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    ndf = spark.createDataFrame(batch_rows, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in prefix_containment_new_pairs(cdf, ndf, threshold=1.0).collect()
+    }
+    assert (1, 100) in got and got[(1, 100)] == 1.0   # new-in-old
+    assert (4, 102) in got and got[(4, 102)] == 1.0   # old-in-new
+    assert (102, 103) in got and got[(102, 103)] == 1.0  # new-in-new
+    assert not any(a in (1, 2, 3, 4) and b in (1, 2, 3, 4) for a, b in got)
+
+    # fixture-scale differential
+    docs = load(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in prefix_containment_new_pairs(
+            corpus, batch, threshold=0.9
+        ).collect()
+    }
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    want = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in prefix_containment_pairs(docs, threshold=0.9).collect()
+        if r["doc_a"] in batch_ids or r["doc_b"] in batch_ids
+    }
+    assert len(got) > 0
+    assert got == want
+
+
+def test_prefix_new_pairs_guards_and_no_cached_dataframes(spark, sf_dir):
+    """Both incremental twins reject overlapping ids (pair identity
+    would be ambiguous) and unpersist everything they cache."""
+    import pytest as _pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        prefix_containment_new_pairs,
+        prefix_jaccard_new_pairs,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    a = spark.createDataFrame([(1, "x y z")], ["doc_id", "text"])
+    b = spark.createDataFrame([(1, "x y z w")], ["doc_id", "text"])
+    for fn in (prefix_jaccard_new_pairs, prefix_containment_new_pairs):
+        with _pytest.raises(ValueError, match="share ids"):
+            fn(a, b)
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    docs = load(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    assert prefix_jaccard_new_pairs(corpus, batch, threshold=0.5).count() > 0
+    assert prefix_containment_new_pairs(corpus, batch, threshold=0.9).count() > 0
+    assert cm.isEmpty(), "incremental prefix joins leaked a cached DataFrame"
+
+
 def test_cosine_prefix_matches_uncapped_term_join(spark, sf_dir):
     """cosine_prefix_pairs is an EXACT algorithm: on the fixture corpus
     it must equal tf_cosine_pairs(max_doc_freq=None) bit-for-bit (pair

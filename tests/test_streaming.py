@@ -2617,6 +2617,73 @@ def test_streaming_windowed_heavy_hitter_ingest_equals_batch(spark, sf_dir):
     shutil.rmtree(os.path.dirname(store2), ignore_errors=True)
 
 
+def test_streaming_sliding_heavy_hitter_ingest_equals_batch(spark, sf_dir):
+    """Sliding-window twin of the file-stream pin above (r16 verdict
+    #5): 1-hour windows every 15 minutes — each event folds into FOUR
+    overlapping windows' MG summaries per batch — and the recount
+    served from the streamed store must be BIT-EQUAL to the batch
+    windowed_heavy_hitters(slide=...) over the same corpus (the
+    sliding_page_heavy_hitters battery query's shape)."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.sketches import (
+        windowed_heavy_hitters,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.hh_ingest import (
+        WindowedHeavyHitterSink,
+        windowed_heavy_hitters_from_store,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    pages_of = lambda df: df.select(  # noqa: E731
+        "ts", F.get_json_object("props", "$.k").alias("page")
+    ).filter(F.col("page").isNotNull())
+
+    src_dir = tempfile.mkdtemp(prefix="shh_src_")
+    store = os.path.join(tempfile.mkdtemp(prefix="shh_store_"), "store")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_shh_")
+    parts = [ev.filter(F.col("event_id") % 3 == i).coalesce(1) for i in range(3)]
+    for p in parts:
+        p.write.mode("append").parquet(src_dir)
+
+    k = 8
+    sink = WindowedHeavyHitterSink(
+        store, ts_col="ts", item_col="page", k=k,
+        window="1 hour", slide="15 minutes",
+    )
+    q = (
+        pages_of(
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    corpus = pages_of(ev)
+    want = {
+        (r["window_start"], r["page"], r["freq"])
+        for r in windowed_heavy_hitters(
+            corpus, "ts", "page", k=k, window="1 hour", slide="15 minutes"
+        ).collect()
+    }
+    assert len(want) > 0
+    got = {
+        (r["window_start"], r["page"], r["freq"])
+        for r in windowed_heavy_hitters_from_store(
+            spark, store, corpus, "ts", "page", k,
+            window="1 hour", slide="15 minutes",
+        ).collect()
+    }
+    assert got == want
+
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(os.path.dirname(store), ignore_errors=True)
+
+
 def test_hh_ingest_superset_guarantee_under_tiny_capacity(spark):
     """Adversarial decrement coverage the fixture can't produce: a
     skewed synthetic stream ingested at capacity k with vocabulary far
