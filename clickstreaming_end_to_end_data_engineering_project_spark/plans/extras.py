@@ -834,6 +834,40 @@ def part_pareto_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def supplier_shipping_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier shipping coverage (r18 queue, NEW family: interval
+    algebra / gaps-and-islands): each line item occupies the supplier
+    for a transit interval [ship_date, ship_date + quantity days]
+    (the fixture carries no receipt date, so transit scales with
+    quantity — deterministic and variable-length, which is what
+    exercises real merging); merging each supplier's intervals into
+    maximal disjoint busy periods yields how many periods the
+    supplier's history decomposes into and how many distinct calendar
+    days are covered — 'union of validity ranges', the measure a raw
+    per-row sum double-counts wherever shipments overlap.  Runs
+    through operators/intervals.interval_coverage (two per-key windows
+    + one groupBy, no self-join — see the module docstring for why the
+    naive overlap join is quadratic per key); the oracle states the
+    identical SQL islands pattern.  Inclusive date arithmetic
+    (datediff + 1), all-integer — engine-exact."""
+    from ..operators.intervals import interval_coverage
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.to_date("l_shipdate").alias("ship_day"),
+        F.date_add(
+            F.to_date("l_shipdate"), F.col("l_quantity").cast("int")
+        ).alias("transit_end"),
+    )
+    return interval_coverage(
+        li,
+        "l_suppkey",
+        "ship_day",
+        "transit_end",
+        length=(F.datediff("island_end", "island_start") + 1).cast("long"),
+    ).withColumnRenamed("covered", "covered_days")
+
+
 SPECS = [
     QuerySpec(
         "part_pareto_3d",
@@ -1380,5 +1414,45 @@ SPECS = [
         None,
         "mergeable KLL quantile rollup (rows-only; rank-error bound "
         "pinned)",
+    ),
+    QuerySpec(
+        "supplier_shipping_coverage",
+        supplier_shipping_coverage,
+        # the identical SQL islands pattern: running max of interval
+        # ends flags island starts, a cumulative sum numbers islands;
+        # inclusive-date day counts, all-integer — engine-exact
+        """
+        WITH iv AS (
+            SELECT l_suppkey,
+                   CAST(l_shipdate AS DATE) AS s,
+                   CAST(l_shipdate AS DATE) + CAST(l_quantity AS INT) AS e
+            FROM lineitem
+            WHERE l_shipdate IS NOT NULL
+        ), flagged AS (
+            SELECT l_suppkey, s, e,
+                   CAST(coalesce(
+                       s > max(e) OVER (
+                           PARTITION BY l_suppkey ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       TRUE) AS INT) AS new_island
+            FROM iv
+        ), isl AS (
+            SELECT l_suppkey, s, e,
+                   sum(new_island) OVER (
+                       PARTITION BY l_suppkey ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING) AS island
+            FROM flagged
+        ), merged AS (
+            SELECT l_suppkey, island,
+                   min(s) AS island_start, max(e) AS island_end
+            FROM isl GROUP BY 1, 2
+        )
+        SELECT l_suppkey,
+               count(*) AS n_islands,
+               CAST(sum(island_end - island_start + 1) AS BIGINT)
+                   AS covered_days
+        FROM merged GROUP BY 1
+        """,
+        "per-supplier merged shipping intervals (gaps-and-islands coverage)",
     ),
 ]

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import dround, sql_snippets, sum_money
-from ..operators.components import pagerank, triangle_stats
+from ..operators.components import kcore, pagerank, triangle_stats
 from ..operators.rangejoin import interval_point_join
 from ..operators.scd import scd2_from_changelog
 from ..sources.tables import load
@@ -395,6 +395,101 @@ def page_hops_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_BFS_SQL_BODY.format(edge_ctes="", edges="_bfs_edges"))
 
 
+def purchase_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution (r18 queue, NEW family):
+    per-page purchase credit — each purchase attributes to the most
+    recent page VIEW by the same user strictly before it and within a
+    30-minute lookback, then pages aggregate attributed purchase
+    counts and revenue; purchases with no qualifying view land in the
+    NULL "unattributed" bucket (dropping them would under-count).
+    The step past ``purchase_last_view_asof`` (which finds the
+    timestamp): this credits the touched PAGE and aggregates the
+    money.  Runs through operators/attribution.last_touch_attribution
+    (one per-user window over the merged stream, no conversions×
+    touches self-join); the oracle states the twin last_value IGNORE
+    NULLS windows.  Decimal-exact revenue (the purchase_stats money
+    convention), cast to double only at output."""
+    from ..operators.attribution import last_touch_attribution
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("int").alias("page"),
+    )
+    conv = last_touch_attribution(
+        ev,
+        "user_id",
+        "ts",
+        touch_filter=(F.col("event_type") == "view") & F.col("page").isNotNull(),
+        touch_col="page",
+        conversion_filter=F.col("event_type") == "purchase",
+        lookback="30 minutes",
+        tiebreak_cols=["event_id"],
+    )
+    return conv.groupBy("attributed_page").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("attributed_revenue"),
+    )
+
+
+def page_backbone_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the MUTUAL-TOP-3 transition backbone (r18 queue; r16
+    verdict directive #4 — the k-core operator's first battery query).
+    The raw page-transition graph saturates to a near-complete K100 at
+    every SF (COVERAGE.md records the probed degree distributions), so
+    no k discriminates on it; the backbone graph fixes that
+    structurally: keep edge (u, v) only when v is among u's top-3
+    strongest transition partners AND u is among v's — degrees are
+    then ≤ 3 by construction, and the 2-core (pages inside cyclic
+    navigation structure, the 'loops' of the journey graph) is
+    non-degenerate at all three fixture scales (42/56/49 of ~80-90
+    backbone nodes; 4-6 peel rounds).  Tie-break on (weight desc,
+    partner asc) keeps the backbone deterministic.  k-core itself is
+    an iterative fixpoint no single SQL statement states, so this is
+    a rows-only battery row; the pytest differential rebuilds the
+    backbone independently in DuckDB and peels it in pure python,
+    pinning the full query end-to-end at two scales."""
+    ev = load(spark, sf_dir, "events")
+    pg = _page_events(ev)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    und = (
+        pg.withColumn("prev_page", F.lag("page").over(w))
+        .filter(F.col("prev_page").isNotNull() & (F.col("prev_page") != F.col("page")))
+        .groupBy(
+            F.least("prev_page", "page").alias("u"),
+            F.greatest("prev_page", "page").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    sym = und.select(F.col("u").alias("a"), F.col("v").alias("b"), "weight").unionByName(
+        und.select(F.col("v").alias("a"), F.col("u").alias("b"), "weight")
+    )
+    rw = Window.partitionBy("a").orderBy(F.col("weight").desc(), F.col("b"))
+    # materialized: the mutuality check self-joins top as t1/t2, and
+    # without it the corpus window pass re-derives once per alias
+    top = (
+        sym.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") <= 3)
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+    t1, t2 = top.alias("t1"), top.alias("t2")
+    mutual = (
+        t1.join(
+            t2,
+            (F.col("t1.a") == F.col("t2.b")) & (F.col("t1.b") == F.col("t2.a")),
+        )
+        .filter(F.col("t1.a") < F.col("t1.b"))
+        .select(F.col("t1.a").alias("src"), F.col("t1.b").alias("dst"))
+    )
+    return kcore(mutual, 2).withColumnRenamed("node", "page")
+
+
 def purchase_hot_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purchases inside hot traffic windows (r15 queue) — the
     point-in-interval join: windows are [minute, minute+5min) for
@@ -663,5 +758,49 @@ SPECS = [
         SELECT event_id AS purchase_event_id, user_id, ts AS purchase_ts, last_view_ts
         FROM vp WHERE event_type = 'purchase'
         """,
+    ),
+    QuerySpec(
+        "purchase_attribution_last_touch",
+        purchase_attribution_last_touch,
+        # twin last_value IGNORE NULLS windows (ts and page null out on
+        # exactly the same rows, so both come from the same last view);
+        # strictly-before via the 1-PRECEDING frame, (ts, event_id)
+        # order; 30-minute lookback nulls stale credit
+        """
+        WITH pg AS (
+            SELECT user_id, ts, event_id, event_type, value,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS page
+            FROM events
+        ), ann AS (
+            SELECT *,
+                last_value(CASE WHEN event_type = 'view' AND page IS NOT NULL
+                                THEN ts END IGNORE NULLS) OVER w AS t_ts,
+                last_value(CASE WHEN event_type = 'view' AND page IS NOT NULL
+                                THEN page END IGNORE NULLS) OVER w AS t_page
+            FROM pg
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ), conv AS (
+            SELECT CASE WHEN t_ts >= ts - INTERVAL 30 MINUTE
+                        THEN t_page END AS attributed_page,
+                   value
+            FROM ann WHERE event_type = 'purchase'
+        )
+        SELECT attributed_page,
+               count(*) AS n_purchases,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                   AS attributed_revenue
+        FROM conv GROUP BY 1
+        """,
+        "last-touch page attribution of purchase revenue (30-min lookback)",
+    ),
+    QuerySpec(
+        "page_backbone_kcore",
+        page_backbone_kcore,
+        # k-core is an iterative fixpoint no single SQL statement
+        # states — rows-only here; the pytest differential rebuilds the
+        # backbone in DuckDB and peels it in pure python at two scales
+        None,
+        "2-core of the mutual-top-3 transition backbone (k-core battery row)",
     ),
 ]

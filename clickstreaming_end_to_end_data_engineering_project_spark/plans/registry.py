@@ -613,6 +613,15 @@ BENCH_EXTENDED = [
     "sliding_page_heavy_hitters",
     # r17: the r18-queue incremental prefix-join probe (r16 verdict #8)
     "doc_new_vs_corpus_jaccard",
+    # r17: the k-core battery query (r16 verdict #4) — rows-only by
+    # nature (iterative fixpoint), exactness pinned by the
+    # DuckDB+python-peeler differential in tests/test_plans.py
+    "page_backbone_kcore",
+    # r17: the r18-queue NEW families — interval algebra
+    # (gaps-and-islands coverage) and last-touch attribution —
+    # recorded numbers + pinned digests ahead of rotation
+    "supplier_shipping_coverage",
+    "purchase_attribution_last_touch",
     # r16: demoted from the gate this round and not previously benched —
     # added so EVERY demoted query keeps a recorded number and a pinned
     # digest (the standing demotion invariant)

@@ -7181,3 +7181,161 @@ def test_containment_matches_python_reference(spark, sf_dir):
     }
     assert len(got) > 0
     assert got == want
+
+
+def test_merge_intervals_matches_python_reference(spark):
+    """Gaps-and-islands vs a brute-force python merger on random
+    interval sets — overlapping, touching (inclusive bounds: [1,5] and
+    [5,9] merge), nested, disjoint, duplicate, and NULL rows — plus
+    the per-island n_intervals counts."""
+    import random as _random
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.intervals import (
+        merge_intervals,
+    )
+
+    def py_merge(rows):
+        by_key = {}
+        for k, s, e in rows:
+            if s is None or e is None:
+                continue
+            by_key.setdefault(k, []).append((s, e))
+        out = set()
+        for k, ivs in by_key.items():
+            ivs.sort()
+            cur_s, cur_e, n = ivs[0][0], ivs[0][1], 1
+            for s, e in ivs[1:]:
+                if s <= cur_e:          # overlap or touch merges
+                    cur_e = max(cur_e, e)
+                    n += 1
+                else:
+                    out.add((k, cur_s, cur_e, n))
+                    cur_s, cur_e, n = s, e, 1
+            out.add((k, cur_s, cur_e, n))
+        return out
+
+    rng = _random.Random(31)
+    rows = []
+    for k in range(6):
+        for _ in range(rng.choice([1, 5, 30])):
+            s = rng.randrange(100)
+            rows.append((k, s, s + rng.choice([0, 1, 3, 20])))
+    rows += [(0, 1, 5), (0, 5, 9), (1, 1, 5), (1, 6, 9)]  # touch vs gap
+    rows += [(2, 10, 40), (2, 15, 20)]                      # nested
+    rows += [(3, None, 5), (3, 7, None)]                    # NULL rows drop
+    df = spark.createDataFrame(rows, "k long, s long, e long")
+    got = {tuple(r) for r in merge_intervals(df, "k", "s", "e").collect()}
+    assert got == py_merge(rows)
+
+
+def test_merge_intervals_inverted_raises_and_coverage(spark):
+    """An inverted interval (end < start) raises — it is always a data
+    bug; interval_coverage sums the DEFAULT numeric length and a
+    caller-supplied inclusive-date length correctly (the overlap that
+    a raw per-row sum double-counts is gone)."""
+    import datetime as _dt
+
+    import pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.intervals import (
+        interval_coverage,
+        merge_intervals,
+    )
+
+    bad = spark.createDataFrame([(1, 5, 3)], "k long, s long, e long")
+    with pytest.raises(Exception, match="inverted interval"):
+        merge_intervals(bad, "k", "s", "e").collect()
+
+    df = spark.createDataFrame(
+        [(1, 0, 10), (1, 5, 20), (1, 30, 31), (2, 0, 0)],
+        "k long, s long, e long",
+    )
+    got = {
+        (r["k"], r["n_islands"], r["covered"])
+        for r in interval_coverage(df, "k", "s", "e").collect()
+    }
+    # key 1: [0,20] + [30,31] -> lengths 20 + 1; key 2: [0,0] -> 0
+    assert got == {(1, 2, 21), (2, 1, 0)}
+
+    d = _dt.date
+    ddf = spark.createDataFrame(
+        [(1, d(2024, 1, 1), d(2024, 1, 5)), (1, d(2024, 1, 5), d(2024, 1, 8))],
+        "k long, s date, e date",
+    )
+    cov = interval_coverage(
+        ddf, "k", "s", "e",
+        length=(F.datediff("island_end", "island_start") + 1).cast("long"),
+    ).collect()
+    assert [(r["k"], r["n_islands"], r["covered"]) for r in cov] == [(1, 1, 8)]
+
+
+def test_last_touch_attribution_semantics(spark):
+    """The attribution contract: strictly-before resolution of
+    same-instant rows via the tiebreak order, lookback expiry lands in
+    the NULL unattributed bucket, self-touching conversions credit the
+    PREVIOUS touch, entities never cross."""
+    import datetime as _dt
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.attribution import (
+        last_touch_attribution,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(minutes):
+        return t0 + _dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: view p10, purchase 5 min later -> attributed 10
+        (1, at(0), 1, "view", 10),
+        (1, at(5), 2, "purchase", None),
+        # user 1: stale view p11 at +10, purchase at +50 -> outside
+        # 30-min lookback -> NULL
+        (1, at(10), 3, "view", 11),
+        (1, at(50), 4, "purchase", None),
+        # user 2: view p20 and purchase at the SAME instant — the
+        # tiebreak (event_id) orders the view first, so it wins
+        (2, at(0), 5, "view", 20),
+        (2, at(0), 6, "purchase", None),
+        # user 2: purchase BEFORE any view at the same instant by
+        # tiebreak -> NULL (strictly-before semantics)
+        (2, at(60), 7, "purchase", None),
+        (2, at(60), 8, "view", 21),
+        # user 3: no views at all -> NULL
+        (3, at(0), 9, "purchase", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string, page long"
+    )
+    out = {
+        r["event_id"]: (r["attributed_page"], r["attributed_ts"])
+        for r in last_touch_attribution(
+            df,
+            "user_id",
+            "ts",
+            touch_filter=F.col("event_type") == "view",
+            touch_col="page",
+            conversion_filter=F.col("event_type") == "purchase",
+            lookback="30 minutes",
+            tiebreak_cols=["event_id"],
+        ).collect()
+    }
+    assert out[2] == (10, at(0))
+    assert out[4] == (None, None)       # lookback expired
+    assert out[6] == (20, at(0))        # same instant, tiebreak view first
+    assert out[7] == (None, None)       # view is after by tiebreak
+    assert out[9] == (None, None)       # never touched
+    # boundary: touch exactly AT conv_ts - lookback still counts (>=)
+    rows2 = [(9, at(0), 1, "view", 1), (9, at(30), 2, "purchase", None)]
+    df2 = spark.createDataFrame(
+        rows2, "user_id long, ts timestamp, event_id long, event_type string, page long"
+    )
+    out2 = last_touch_attribution(
+        df2, "user_id", "ts",
+        touch_filter=F.col("event_type") == "view",
+        touch_col="page",
+        conversion_filter=F.col("event_type") == "purchase",
+        lookback="30 minutes",
+        tiebreak_cols=["event_id"],
+    ).collect()
+    assert out2[0]["attributed_page"] == 1
