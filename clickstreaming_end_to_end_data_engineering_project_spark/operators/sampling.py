@@ -179,6 +179,19 @@ def sample_to_token_budget(
     exact and engine-identical."""
     if budget <= 0:
         return df.withColumn("cum_weight", F.lit(0).cast("bigint")).limit(0)
+    return _digest_order_cumsum(df, key_col, weight_col).filter(
+        F.col("cum_weight") - F.col(weight_col) < F.lit(budget)
+    )
+
+
+def _digest_order_cumsum(df: DataFrame, key_col: str, weight_col: str) -> DataFrame:
+    """The shared bucketed-cumsum scaffolding of the budget sampler and
+    the shard packer: exact running weight totals in global
+    content-digest order, parallel by the digest's first byte (≤256
+    buckets whose (bucket, digest) order equals global digest order;
+    per-bucket windows + a broadcast ≤256-row offset join — never a
+    global sort).  Adds ``cum_weight``; ONE implementation, so the two
+    consumers' orders can never drift apart."""
     d = df.withColumn("_dig", _key_digest(key_col)).withColumn(
         "_bkt", F.substring("_dig", 1, 2)
     )
@@ -195,8 +208,39 @@ def sample_to_token_budget(
     return (
         d.join(F.broadcast(offsets), "_bkt")
         .withColumn("cum_weight", F.col("_off") + F.sum(weight_col).over(w_in))
-        .filter(F.col("cum_weight") - F.col(weight_col) < F.lit(budget))
         .drop("_dig", "_bkt", "_off")
+    )
+
+
+def pack_to_shards(
+    df: DataFrame, key_col: str, weight_col: str, shard_weight: int
+) -> DataFrame:
+    """Greedy sequential sharding for training-data packing: rows in
+    content-hash order are assigned to fixed ``shard_weight``-wide
+    spans of the running total — shard s owns the rows whose cumsum
+    STARTS in [s·W, (s+1)·W), so the crossing row stays in the shard
+    it started (the same keep-the-crossing-row convention as
+    ``sample_to_token_budget``).  Every shard except the last totals
+    within one row's weight of W on either side (it inherits the
+    previous shard's overhang and donates its own): total ∈
+    (W − w_max, W + w_max), pinned numerically in tests.  Adds
+    ``shard_id`` and ``cum_weight``.
+    Deterministic on any engine/partitioning (content-digest order),
+    exact integer arithmetic: shard_id = (cum_weight − weight) DIV
+    shard_weight.
+
+    This is the sharding discipline, not per-sequence packing: it cuts
+    a corpus into ≥shard_weight-token training shards in one pass.
+    Scale shape is the shared bucketed cumsum (see
+    ``_digest_order_cumsum``) plus one integer division — no global
+    sort, no sequential state."""
+    if shard_weight <= 0:
+        raise ValueError(f"shard_weight must be > 0, got {shard_weight}")
+    # integer `div`, not float `/`+cast: cum_weight is an exact long
+    # and must stay exact past 2^53 (corpus-scale token totals)
+    return _digest_order_cumsum(df, key_col, weight_col).withColumn(
+        "shard_id",
+        F.expr(f"(cum_weight - {weight_col}) div {int(shard_weight)}"),
     )
 
 

@@ -395,6 +395,33 @@ def page_hops_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_BFS_SQL_BODY.format(edge_ctes="", edges="_bfs_edges"))
 
 
+def user_journey_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered journey timestamps (r18 queue, NEW family:
+    sequence-pattern matching): the earliest view → click → purchase
+    completion inside a 2-hour horizon from the first view — the
+    per-entity generalization of ``conversion_funnel``'s one-row
+    summary (that query keeps the reference-parity shape; this one
+    returns WHO matched and WHEN, the MATCH_RECOGNIZE-subset verb).
+    NULL from the first unmatched step onward; greedy-earliest
+    semantics (see operators/sequence.match_sequence).  The oracle
+    states the identical nested-min CTE cascade.  Pure timestamp
+    min/comparisons — engine-exact."""
+    from ..operators.sequence import match_sequence
+
+    ev = load(spark, sf_dir, "events")
+    return match_sequence(
+        ev,
+        "user_id",
+        "ts",
+        [
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+        within="2 hours",
+    )
+
+
 def purchase_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch revenue attribution (r18 queue, NEW family):
     per-page purchase credit — each purchase attributes to the most
@@ -758,6 +785,41 @@ SPECS = [
         SELECT event_id AS purchase_event_id, user_id, ts AS purchase_ts, last_view_ts
         FROM vp WHERE event_type = 'purchase'
         """,
+    ),
+    QuerySpec(
+        "user_journey_match",
+        user_journey_match,
+        # the identical nested-min cascade: each step is the earliest
+        # qualifying event strictly after the previous step and inside
+        # the 2-hour horizon from t_view; LEFT joins preserve partial
+        # matches with NULL tails
+        """
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t_view
+            FROM events WHERE event_type = 'view' GROUP BY 1
+        ), s2 AS (
+            SELECT e.user_id, min(e.ts) AS t_click
+            FROM events e JOIN s1 USING (user_id)
+            WHERE e.event_type = 'click'
+              AND e.ts > s1.t_view
+              AND e.ts <= s1.t_view + INTERVAL 2 HOUR
+            GROUP BY 1
+        ), s3 AS (
+            SELECT e.user_id, min(e.ts) AS t_purchase
+            FROM events e
+            JOIN s2 USING (user_id)
+            JOIN s1 USING (user_id)
+            WHERE e.event_type = 'purchase'
+              AND e.ts > s2.t_click
+              AND e.ts <= s1.t_view + INTERVAL 2 HOUR
+            GROUP BY 1
+        )
+        SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase
+        FROM s1
+        LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)
+        """,
+        "per-user ordered view->click->purchase match (2h horizon)",
     ),
     QuerySpec(
         "purchase_attribution_last_touch",

@@ -1207,6 +1207,26 @@ def doc_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", F.col("cum_weight").alias("cum_tokens"))
 
 
+def doc_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard packing report (r18 queue, NEW family: greedy
+    sequential sharding): cut the corpus — in deterministic
+    content-hash order — into ~5k-token shards (the crossing doc stays
+    in the shard it started, so every shard except the last totals
+    within one max doc weight of the budget on either side), then
+    report each shard's doc count and exact token total.  The packing verb behind 'split this corpus into
+    training chunks'; runs through operators/sampling.pack_to_shards
+    (the shared bucketed digest-order cumsum + one integer division —
+    no global sort).  All-integer — engine-exact."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(text.tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    packed = sampling.pack_to_shards(docs, "doc_id", "n_tokens", 5_000)
+    return packed.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+    )
+
+
 def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source sampling mixture for training: exact token totals,
     natural share, and T=2 (count^0.5) smoothed relative weight — the
@@ -2259,6 +2279,27 @@ SPECS = [
         FROM c WHERE cum_tokens - n_tokens < 10000
         """,
         "greedy deterministic token-budget sample (10k tokens)",
+    ),
+    QuerySpec(
+        "doc_training_shards",
+        doc_training_shards,
+        # same digest-order cumsum as the budget sampler, then integer
+        # shard assignment: shard = (cum - w) // 5000 — all-integer
+        f"""
+        WITH t AS (SELECT doc_id,
+                          CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+                   FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+                     CAST(sum(n_tokens) OVER (
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+              FROM t)
+        SELECT (cum_tokens - n_tokens) // 5000 AS shard_id,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+        FROM c GROUP BY 1
+        """,
+        "greedy sequential training-shard packing (5k-token shards)",
     ),
     QuerySpec(
         "source_mixture_weights",

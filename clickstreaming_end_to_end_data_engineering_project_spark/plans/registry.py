@@ -622,6 +622,10 @@ BENCH_EXTENDED = [
     # recorded numbers + pinned digests ahead of rotation
     "supplier_shipping_coverage",
     "purchase_attribution_last_touch",
+    # r17: the r18-queue NEW families — sequence-pattern matching and
+    # greedy training-shard packing
+    "user_journey_match",
+    "doc_training_shards",
     # r16: demoted from the gate this round and not previously benched —
     # added so EVERY demoted query keeps a recorded number and a pinned
     # digest (the standing demotion invariant)

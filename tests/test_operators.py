@@ -7339,3 +7339,142 @@ def test_last_touch_attribution_semantics(spark):
         tiebreak_cols=["event_id"],
     ).collect()
     assert out2[0]["attributed_page"] == 1
+
+
+def test_match_sequence_semantics_and_guards(spark):
+    """The sequence-pattern contract: greedy earliest completion,
+    strictly-after chaining (same-instant events don't chain), horizon
+    from step 1 bounds every later step, NULL from the first unmatched
+    step onward, entities isolated; duplicate step names and empty
+    step lists raise."""
+    import datetime as _dt
+
+    import pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.sequence import (
+        match_sequence,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1)
+
+    def at(m):
+        return t0 + _dt.timedelta(minutes=m)
+
+    rows = [
+        # user 1: full match; the LATER view at +5 must not shift t_view
+        (1, at(0), "a"), (1, at(5), "a"), (1, at(10), "b"), (1, at(20), "c"),
+        # user 2: b at the SAME instant as a -> does not chain; later b ok
+        (2, at(0), "a"), (2, at(0), "b"), (2, at(30), "b"),
+        # user 3: c arrives OUTSIDE the 60-min horizon from a
+        (3, at(0), "a"), (3, at(10), "b"), (3, at(70), "c"),
+        # user 4: never does a -> no row at all
+        (4, at(0), "b"), (4, at(1), "c"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, et string")
+    steps = [(n, F.col("et") == n) for n in ("a", "b", "c")]
+    got = {
+        r["user_id"]: (r["t_a"], r["t_b"], r["t_c"])
+        for r in match_sequence(df, "user_id", "ts", steps, within="60 minutes").collect()
+    }
+    assert got[1] == (at(0), at(10), at(20))
+    assert got[2] == (at(0), at(30), None)
+    assert got[3] == (at(0), at(10), None)   # horizon expired for c
+    assert 4 not in got
+    # without a horizon user 3 completes
+    got_free = {
+        r["user_id"]: r["t_c"]
+        for r in match_sequence(df, "user_id", "ts", steps).collect()
+    }
+    assert got_free[3] == at(70)
+    with pytest.raises(ValueError, match="duplicate step names"):
+        match_sequence(df, "user_id", "ts", [("a", F.lit(True)), ("a", F.lit(True))])
+    with pytest.raises(ValueError, match="at least one step"):
+        match_sequence(df, "user_id", "ts", [])
+
+
+def test_match_sequence_consistent_with_conversion_funnel(spark, sf_dir):
+    """Cross-pin against the reference-parity funnel: without a
+    horizon, the per-step non-NULL counts of match_sequence equal
+    conversion_funnel's summary numbers on the fixture (same
+    greedy-earliest nested-min semantics, two implementations)."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.sequence import (
+        match_sequence,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.plans.funnel import (
+        conversion_funnel,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    m = match_sequence(
+        ev,
+        "user_id",
+        "ts",
+        [
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+    )
+    counts = m.agg(
+        F.count("t_view").alias("v"),
+        F.count("t_click").alias("c"),
+        F.count("t_purchase").alias("p"),
+    ).first()
+    want = conversion_funnel(spark, sf_dir).first()
+    assert (counts["v"], counts["c"], counts["p"]) == (
+        want["viewed_users"], want["clicked_users"], want["purchased_users"]
+    )
+
+
+def test_pack_to_shards_matches_python_reference(spark, sf_dir):
+    """Shard packing vs a pure-python reference walking the md5-order
+    cumsum: identical shard ids for every doc; every shard except the
+    last totals within one max row weight of the budget ON EITHER SIDE
+    (it inherits the previous shard's overhang and donates its own —
+    the numeric contract, NOT ">= budget"); the crossing doc stays in
+    the shard it started; shard 0 equals the budget sampler's keep-set
+    at the same number (one shared cumsum implementation)."""
+    import hashlib
+
+    import pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.sampling import (
+        pack_to_shards,
+        sample_to_token_budget,
+    )
+
+    rows = [(i, (i * 37) % 400 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    budget = 1500
+    got = {
+        r["doc_id"]: (r["shard_id"], r["cum_weight"])
+        for r in pack_to_shards(df, "doc_id", "w", budget).collect()
+    }
+    order = sorted(rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))
+    cum, want = 0, {}
+    for doc_id, w in order:
+        want[doc_id] = ((cum // budget), cum + w)
+        cum += w
+    assert got == {k: (s, c) for k, (s, c) in want.items()}
+    # every shard except the last totals within one max row weight of
+    # the budget, both sides (overhang inherited/donated)
+    per_shard = {}
+    for doc_id, w in rows:
+        s = got[doc_id][0]
+        per_shard[s] = per_shard.get(s, 0) + w
+    last = max(per_shard)
+    w_max = max(w for _, w in rows)
+    assert all(
+        budget - w_max < v < budget + w_max
+        for s, v in per_shard.items()
+        if s != last
+    )
+    assert set(per_shard) == set(range(last + 1))  # contiguous ids
+    # shard 0 == the budget sampler's keep-set at the same number
+    keep = {
+        r["doc_id"] for r in sample_to_token_budget(df, "doc_id", "w", budget).collect()
+    }
+    assert keep == {k for k, (s, _) in got.items() if s == 0}
+    with pytest.raises(ValueError, match="shard_weight"):
+        pack_to_shards(df, "doc_id", "w", 0)
