@@ -984,7 +984,23 @@ def cosine_prefix_pairs(
     doc_a < doc_b and cosine ≥ threshold.  Pinned equal to
     ``tf_cosine_pairs(max_doc_freq=None)`` and brute force across a
     threshold sweep, and shown to differ from the capped path on a
-    stopword-heavy corpus, in tests."""
+    stopword-heavy corpus, in tests.
+
+    Identity collapse (the r17 10× sweep's catch — clone-heavy corpora
+    OOM'd the candidate join the same way the edit join's hot-gram
+    postings did in r16): docs with IDENTICAL tf vectors (exact dups
+    and count-preserving reorderings — exactly what near-dup corpora
+    are full of) are collapsed to one representative per vector
+    fingerprint before the join, and pairs are expanded afterward.
+    Exact by construction: equal vectors share every dot/norm, so
+    every expanded pair's cosine is the SAME IEEE expression the
+    direct join would produce — intra-group pairs get
+    nsq/(sqrt(nsq)·sqrt(nsq)) (NOT a literal 1.0: at t = 1.0 that
+    expression can round a hair below one, and the oracle computes the
+    identical expression, so both engines keep or drop the pair
+    together), cross pairs reuse the representative pair's value
+    verbatim.  A g-clone group costs g² expansion rows instead of
+    inflating every posting list and verification join by g."""
     if not 0.0 < float(threshold) <= 1.0:
         raise ValueError(
             "cosine_prefix_pairs: threshold must be in (0, 1] — the "
@@ -995,12 +1011,36 @@ def cosine_prefix_pairs(
     t = float(threshold)
     t_relaxed = t * (1.0 - 1e-9)
     tsq_relaxed = t * t * (1.0 - 1e-9)
-    tf = (
+    tf_all = (
         df.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("term"))
         .groupBy("_id", "term")
         .agg(F.count(F.lit(1)).alias("_tf"))
         .persist()
     )
+    # identity collapse: one representative per exact tf-vector
+    # fingerprint (md5 over the sorted (term, tf) structs — 128-bit,
+    # JSON-encoded so no delimiter can collide)
+    vecfp = tf_all.groupBy("_id").agg(
+        F.md5(
+            F.to_json(F.sort_array(F.collect_list(F.struct("term", "_tf"))))
+        ).alias("_fp"),
+        F.sum(F.col("_tf") * F.col("_tf")).alias("_vnsq"),
+    )
+    groups = vecfp.groupBy("_fp").agg(
+        F.min("_id").alias("_rep"),
+        F.count(F.lit(1)).alias("_g"),
+        F.min("_vnsq").alias("_gnsq"),
+    )
+    members = (
+        vecfp.join(groups.select("_fp", "_rep"), "_fp")
+        .select("_id", "_rep")
+        .persist()
+    )
+    tf = tf_all.join(
+        members.filter(F.col("_id") == F.col("_rep")).select("_id"),
+        "_id",
+        "left_semi",
+    ).persist()
     try:
         norms = tf.groupBy("_id").agg(F.sum(F.col("_tf") * F.col("_tf")).alias("_nsq"))
         withn = tf.join(norms, "_id")
@@ -1084,7 +1124,7 @@ def cosine_prefix_pairs(
             )
             na = norms.select(F.col("_id").alias("doc_a"), F.col("_nsq").alias("_nsqa"))
             nb = norms.select(F.col("_id").alias("doc_b"), F.col("_nsq").alias("_nsqb"))
-            out = (
+            rep_pairs = (
                 dots.join(na, "doc_a")
                 .join(nb, "doc_b")
                 .withColumn(
@@ -1093,11 +1133,52 @@ def cosine_prefix_pairs(
                 .filter(F.col("cosine") >= threshold)
                 .select("doc_a", "doc_b", "cosine")
             )
-            return out.localCheckpoint(eager=True)
+            # expansion: every member pair across two matched rep
+            # groups carries the representatives' cosine verbatim...
+            ma = members.select(
+                F.col("_rep").alias("doc_a"), F.col("_id").alias("_ida")
+            )
+            mb = members.select(
+                F.col("_rep").alias("doc_b"), F.col("_id").alias("_idb")
+            )
+            cross = (
+                rep_pairs.join(ma, "doc_a")
+                .join(mb, "doc_b")
+                .select(
+                    F.least("_ida", "_idb").alias("doc_a"),
+                    F.greatest("_ida", "_idb").alias("doc_b"),
+                    "cosine",
+                )
+            )
+            # ...and intra-group pairs get the identical-vector
+            # expression nsq/(sqrt(nsq)·sqrt(nsq)) under the same
+            # threshold filter the oracle applies
+            g2 = groups.filter(F.col("_g") >= 2).select("_rep", "_gnsq")
+            i1 = members.join(g2, "_rep").select(
+                "_rep", F.col("_id").alias("_ida"), "_gnsq"
+            )
+            i2 = members.select("_rep", F.col("_id").alias("_idb"))
+            intra = (
+                i1.join(i2, "_rep")
+                .filter(F.col("_ida") < F.col("_idb"))
+                .withColumn(
+                    "cosine",
+                    F.col("_gnsq") / (F.sqrt("_gnsq") * F.sqrt("_gnsq")),
+                )
+                .filter(F.col("cosine") >= threshold)
+                .select(
+                    F.col("_ida").alias("doc_a"),
+                    F.col("_idb").alias("doc_b"),
+                    "cosine",
+                )
+            )
+            return cross.unionByName(intra).localCheckpoint(eager=True)
         finally:
             pref.unpersist()
     finally:
         tf.unpersist()
+        members.unpersist()
+        tf_all.unpersist()
 
 
 def edit_distance_pairs(
