@@ -740,6 +740,12 @@ def _maintenance_metrics(spark, sf_dir: str) -> "dict[str, object]":
             ).write.format("noop").mode("overwrite").save()
             scd["scd2_rebuild_sec"] = round(time.perf_counter() - t0, 3)
             scd["scd2_apply_batch_rows"] = n_inc
+        except Exception as exc:  # pragma: no cover - defensive
+            scd = {"scd2_apply_error": f"{type(exc).__name__}: {exc}"[:300]}
+        # The deep legs get their OWN try (r17 review): a failure in
+        # the 10x-inflated rebuild must not discard the stable
+        # apply/rebuild timings already measured above.
+        try:
             # Deep-history separation legs (r16 verdict #6): at fixture
             # scale the OUTPUT WRITE dominates all three legs above, so
             # apply-vs-rebuild flatness was structural but not wall-
@@ -784,7 +790,8 @@ def _maintenance_metrics(spark, sf_dir: str) -> "dict[str, object]":
             ).write.format("noop").mode("overwrite").save()
             scd["scd2_rebuild_deep_sec"] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # pragma: no cover - defensive
-            scd = {"scd2_apply_error": f"{type(exc).__name__}: {exc}"[:300]}
+            # keyed separately — never clobbers the stable legs
+            scd["scd2_deep_error"] = f"{type(exc).__name__}: {exc}"[:300]
         return {
             "merge_upsert_cdc_sec": sec,
             "merge_upsert_changes": n_changes,

@@ -726,7 +726,17 @@ def prefix_jaccard_new_pairs(
     tests.  Corpus-corpus pairs are structurally absent (no
     corpus × corpus join exists in the plan).  Ids must be disjoint
     across the two frames (raises otherwise — an id on both sides
-    would make pair identity ambiguous)."""
+    would make pair identity ambiguous).  ``threshold`` must be > 0:
+    candidates come only from pairs sharing a shingle, so
+    zero-overlap pairs are structurally unreachable and a threshold
+    ≤ 0 would silently drop them (the tf_cosine_pairs guard's
+    reason, applied family-wide — r17 review)."""
+    if not float(threshold) > 0.0:
+        raise ValueError(
+            "prefix_jaccard_new_pairs: threshold must be > 0 — "
+            "zero-overlap pairs share no shingle and can never be "
+            "generated by the prefix join"
+        )
     overlap = corpus.select(F.col(id_col)).join(
         new_docs.select(F.col(id_col)), id_col, "left_semi"
     )
@@ -835,7 +845,15 @@ def prefix_containment_new_pairs(
     CORPUS document frequency (the persistable index order — see
     ``prefix_jaccard_new_pairs``); exactness is order-invariant,
     pinned equal to the full ``prefix_containment_pairs`` over
-    corpus ∪ batch restricted to batch-involving pairs."""
+    corpus ∪ batch restricted to batch-involving pairs.
+    ``threshold`` must be > 0 (zero-overlap pairs are structurally
+    unreachable — the family guard)."""
+    if not float(threshold) > 0.0:
+        raise ValueError(
+            "prefix_containment_new_pairs: threshold must be > 0 — "
+            "zero-overlap pairs share no shingle and can never be "
+            "generated by the prefix join"
+        )
     overlap = corpus.select(F.col(id_col)).join(
         new_docs.select(F.col(id_col)), id_col, "left_semi"
     )
@@ -1104,7 +1122,12 @@ def cosine_prefix_pairs(
                     & (F.col("a._id") < F.col("b._id")),
                 )
                 .filter(
-                    F.col("a._tail") * F.col("b._tail")
+                    # double on BOTH sides: long*long would evaluate in
+                    # int64 and wrap negative once tail_a*tail_b passes
+                    # 2^63 (nsq ~3e9 each — a stopword-saturated doc),
+                    # silently dropping a qualifying pair (r17 review);
+                    # double rounding is covered by the (1-1e-9) slack
+                    F.col("a._tail").cast("double") * F.col("b._tail")
                     >= F.lit(tsq_relaxed) * F.col("a._nsq") * F.col("b._nsq")
                 )
                 .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))

@@ -237,10 +237,11 @@ def pack_to_shards(
     if shard_weight <= 0:
         raise ValueError(f"shard_weight must be > 0, got {shard_weight}")
     # integer `div`, not float `/`+cast: cum_weight is an exact long
-    # and must stay exact past 2^53 (corpus-scale token totals)
+    # and must stay exact past 2^53 (corpus-scale token totals);
+    # backticks keep non-bare column names working (r17 review)
     return _digest_order_cumsum(df, key_col, weight_col).withColumn(
         "shard_id",
-        F.expr(f"(cum_weight - {weight_col}) div {int(shard_weight)}"),
+        F.expr(f"(cum_weight - `{weight_col}`) div {int(shard_weight)}"),
     )
 
 

@@ -5771,7 +5771,9 @@ def test_prefix_containment_new_pairs_roles_cross_batch_boundary(spark, sf_dir):
 
 def test_prefix_new_pairs_guards_and_no_cached_dataframes(spark, sf_dir):
     """Both incremental twins reject overlapping ids (pair identity
-    would be ambiguous) and unpersist everything they cache."""
+    would be ambiguous) and a threshold <= 0 (zero-overlap pairs are
+    structurally unreachable — the family guard, r17 review), and
+    unpersist everything they cache."""
     import pytest as _pytest
 
     from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
@@ -5782,9 +5784,13 @@ def test_prefix_new_pairs_guards_and_no_cached_dataframes(spark, sf_dir):
 
     a = spark.createDataFrame([(1, "x y z")], ["doc_id", "text"])
     b = spark.createDataFrame([(1, "x y z w")], ["doc_id", "text"])
+    c = spark.createDataFrame([(2, "x y z w")], ["doc_id", "text"])
     for fn in (prefix_jaccard_new_pairs, prefix_containment_new_pairs):
         with _pytest.raises(ValueError, match="share ids"):
             fn(a, b)
+        for bad in (0.0, -0.5):
+            with _pytest.raises(ValueError, match="threshold must be > 0"):
+                fn(a, c, threshold=bad)
     spark.catalog.clearCache()
     cm = spark._jsparkSession.sharedState().cacheManager()
     docs = load(spark, sf_dir, "documents")
@@ -7478,3 +7484,50 @@ def test_pack_to_shards_matches_python_reference(spark, sf_dir):
     assert keep == {k for k, (s, _) in got.items() if s == 0}
     with pytest.raises(ValueError, match="shard_weight"):
         pack_to_shards(df, "doc_id", "w", 0)
+
+
+def test_cosine_prefix_positional_filter_survives_int64_overflow(spark):
+    """r17 review: the candidate positional filter multiplies two
+    suffix tail sums — for stopword-saturated docs (nsq ~3e9 each, a
+    single token repeated ~56k times) the long*long product passes
+    2^63 and non-ANSI Spark would wrap it negative, silently dropping
+    a truly-qualifying pair.  The double-cast filter must keep it."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        cosine_prefix_pairs,
+        tf_cosine_pairs,
+    )
+
+    # identical huge docs would be identity-collapsed around the join,
+    # so make the two vectors DIFFERENT but near-parallel: the pair
+    # must flow through the candidate join and its positional filter
+    docs = [
+        (1, "x " * 56000),
+        (2, "x " * 55000 + "y " * 1000),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in cosine_prefix_pairs(df, threshold=0.9).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in tf_cosine_pairs(df, threshold=0.9, max_doc_freq=None).collect()
+    }
+    assert (1, 2) in got            # tail_a*tail_b > 2^63 here
+    assert got == want
+
+
+def test_pack_to_shards_non_bare_column_name(spark):
+    """r17 review: the integer-div expression must backtick-quote the
+    weight column — a name with a space (or reserved word) is a legal
+    DataFrame column and every other operator in the module accepts
+    it via F.col."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.sampling import (
+        pack_to_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], ["doc_id", "token count"]
+    )
+    out = pack_to_shards(df, "doc_id", "token count", 25).collect()
+    assert len(out) == 3 and all(r["shard_id"] >= 0 for r in out)
