@@ -2736,3 +2736,86 @@ def test_hh_ingest_superset_guarantee_under_tiny_capacity(spark):
         assert exact[item] - w_lower <= n // (k + 1) + 1
 
     shutil.rmtree(os.path.dirname(store), ignore_errors=True)
+
+
+def test_streaming_last_touch_attribution_equals_batch(spark, sf_dir):
+    """LastTouchAttributionSink: deliver the events fixture in three
+    CHRONOLOGICAL micro-batches (the sink's documented per-entity
+    event-time ordering contract), then the attributed conversions
+    served from the store must be BIT-EQUAL to the batch operator over
+    the whole corpus — per-row AND after the battery query's per-page
+    revenue aggregation.  Replaying the last batch changes nothing
+    (the advanced state differs only by touch rows the replayed batch
+    also carries, and duplicate touches cannot change a last-value
+    window)."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.attribution import (
+        last_touch_attribution,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.attribution import (
+        LastTouchAttributionSink,
+        attributed_conversions_from_store,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value",
+        F.get_json_object("props", "$.k").cast("int").alias("page"),
+    )
+    cuts = ev.selectExpr(
+        "timestamp_micros(cast(percentile(unix_micros(ts), 0.33) as long)) as c1",
+        "timestamp_micros(cast(percentile(unix_micros(ts), 0.66) as long)) as c2",
+    ).first()
+    parts = [
+        ev.filter(F.col("ts") <= F.lit(cuts["c1"])),
+        ev.filter((F.col("ts") > F.lit(cuts["c1"])) & (F.col("ts") <= F.lit(cuts["c2"]))),
+        ev.filter(F.col("ts") > F.lit(cuts["c2"])),
+    ]
+    store = os.path.join(tempfile.mkdtemp(prefix="attr_store_"), "store")
+    kwargs = dict(
+        entity_col="user_id",
+        ts_col="ts",
+        touch_filter=(F.col("event_type") == "view") & F.col("page").isNotNull(),
+        touch_col="page",
+        conversion_filter=F.col("event_type") == "purchase",
+        lookback="30 minutes",
+        tiebreak_cols=["event_id"],
+    )
+    sink = LastTouchAttributionSink(store, **kwargs)
+    for i, p in enumerate(parts):
+        sink(p, i)
+
+    want = {
+        (r["event_id"], r["attributed_page"], r["attributed_ts"])
+        for r in last_touch_attribution(ev, "user_id", "ts", **{
+            k: v for k, v in kwargs.items() if k not in ("entity_col", "ts_col")
+        }).collect()
+    }
+    assert len(want) > 0
+
+    def served():
+        return {
+            (r["event_id"], r["attributed_page"], r["attributed_ts"])
+            for r in attributed_conversions_from_store(spark, store).collect()
+        }
+
+    got = served()
+    assert got == want
+    assert any(p is not None for _, p, _ in got)   # some credit assigned
+    assert any(p is None for _, p, _ in got)       # and an unattributed bucket
+    # replay the LAST batch against the already-advanced state
+    sink(parts[2], 2)
+    assert served() == want
+    # the battery query's aggregation matches too (decimal-exact money)
+    agg = lambda df: {  # noqa: E731
+        (r["attributed_page"], r["n_purchases"], r["attributed_revenue"])
+        for r in df.groupBy("attributed_page").agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+            .alias("attributed_revenue"),
+        ).collect()
+    }
+    assert agg(attributed_conversions_from_store(spark, store)) == agg(
+        last_touch_attribution(ev, "user_id", "ts", **{
+            k: v for k, v in kwargs.items() if k not in ("entity_col", "ts_col")
+        })
+    )
+    shutil.rmtree(os.path.dirname(store), ignore_errors=True)
