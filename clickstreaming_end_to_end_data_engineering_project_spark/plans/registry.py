@@ -413,6 +413,30 @@ class QuerySpec:
 # legs and pinned digests (the standing demotion invariant); the nine
 # r16 first-row queries stay one more round for confirming rows (the
 # standing precedent), as do the six retained r13-rotation queries.
+# r18 rotation queue (declared in r17, the standing implement-ahead
+# pattern): SEVEN oracle-backed queries, all bit-exact vs DuckDB at
+# sf0.001/0.01/0.1, benched in BENCH_EXTENDED with pinned digests —
+#   prefix_cosine_dups (dedup.cosine_prefix_pairs: exact UNCAPPED
+#     tf-cosine via the Bayardo prefix filter + identity collapse —
+#     r16 verdict directive #2);
+#   sliding_page_heavy_hitters (sketches.windowed_heavy_hitters
+#     slide= form — r16 verdict directive #5; streaming twin pinned);
+#   doc_new_vs_corpus_jaccard (dedup.prefix_jaccard_new_pairs:
+#     incremental corpus-prefix-index probe — r16 verdict directive
+#     #8);
+#   supplier_shipping_coverage (intervals.interval_coverage: NEW
+#     gaps-and-islands family);
+#   purchase_attribution_last_touch (attribution.
+#     last_touch_attribution: NEW family; streaming sink twin pinned);
+#   user_journey_match (sequence.match_sequence: NEW
+#     sequence-pattern family);
+#   doc_training_shards (sampling.pack_to_shards: NEW greedy-sharding
+#     family).
+# Plus page_backbone_kcore (rows-only by nature — iterative fixpoint;
+# DuckDB+python-peeler differential pins it) if a rows-only slot is
+# warranted.  Rotate in at r18+ as slots free up: the five r17
+# first-row queries become demotable once confirmed, and the nine r16
+# queries are confirmable after their r17 rows.
 GATE_PRIORITY = [
     # reference-parity clickstream core (pinned)
     "page_view_counts",
