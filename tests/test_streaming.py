@@ -2883,3 +2883,63 @@ def test_streaming_sequence_match_equals_batch(spark, sf_dir):
     sink(parts[2], 2)  # replay the last batch against advanced state
     assert served() == want
     shutil.rmtree(os.path.dirname(store), ignore_errors=True)
+
+
+def test_streaming_interval_merge_equals_batch(spark, sf_dir):
+    """IntervalMergeSink: deliver the supplier transit intervals (the
+    supplier_shipping_coverage battery query's source) in three
+    chunks, CHRONOLOGICAL BY START per the ordering contract; the
+    islands served from the store (closed ∪ open) must be BIT-EQUAL to
+    the batch merge_intervals over the whole frame — island spans AND
+    the non-idempotent n_intervals counts, which is why this sink
+    carries a batch high-water mark.  Replaying the last batch against
+    the advanced state is skipped by the hwm and changes nothing."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.intervals import (
+        merge_intervals,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.intervals import (
+        IntervalMergeSink,
+        islands_from_store,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.to_date("l_shipdate").alias("s"),
+        F.date_add(F.to_date("l_shipdate"), F.col("l_quantity").cast("int")).alias("e"),
+    )
+    cuts = li.selectExpr(
+        "cast(percentile(unix_date(s), 0.33) as int) as c1",
+        "cast(percentile(unix_date(s), 0.66) as int) as c2",
+    ).first()
+    d1, d2 = F.date_from_unix_date(F.lit(cuts["c1"])), F.date_from_unix_date(F.lit(cuts["c2"]))
+    parts = [
+        li.filter(F.col("s") <= d1),
+        li.filter((F.col("s") > d1) & (F.col("s") <= d2)),
+        li.filter(F.col("s") > d2),
+    ]
+    store = os.path.join(tempfile.mkdtemp(prefix="ivl_store_"), "store")
+    sink = IntervalMergeSink(store, "l_suppkey", "s", "e")
+    for i, p in enumerate(parts):
+        sink(p, i)
+
+    want = {
+        tuple(r)
+        for r in merge_intervals(li, "l_suppkey", "s", "e").collect()
+    }
+    assert len(want) > 0
+
+    def served():
+        return {tuple(r) for r in islands_from_store(spark, store).collect()}
+
+    got = served()
+    assert got == want
+    # closed islands really crossed into the out store
+    import os as _os
+    assert _os.path.isdir(_os.path.join(store, "out"))
+    # replay: skipped by the hwm, nothing changes (a re-merge would
+    # double-count n_intervals — the reason the hwm exists)
+    sink(parts[2], 2)
+    assert served() == want
+    sink(parts[1], 1)   # older replay: also skipped
+    assert served() == want
+    shutil.rmtree(_os.path.dirname(store), ignore_errors=True)
