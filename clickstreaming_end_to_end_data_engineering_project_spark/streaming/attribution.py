@@ -18,12 +18,15 @@ unreachable by any future conversion.  Each micro-batch therefore:
 3. advances the state to the per-entity latest touch of seed ∪ batch
    under the staged-swap crash contract (``fsutil.swap_with_staging``).
 
-Crash/replay safety without a high-water mark: replaying the most
-recent batch against an ALREADY-ADVANCED state is exact — the advanced
-state differs from the old one only by touch rows that are ALSO in the
-replayed batch, and duplicate (ts, tiebreak)-identical touch rows
-cannot change a last-value window's answer — so every crash point
-between steps 2 and 3 heals by rerunning the batch.
+Crash/replay safety via the state-borne high-water mark
+(streaming/_state.py; r17 review — a CONFIRMED bug in the first cut):
+replaying against an already-advanced state is NOT exact here, because
+the advanced state REPLACES the pre-batch seed touch rather than
+adding rows — a replayed conversion whose credit was the old seed
+would re-attribute to NULL.  The out write precedes the state swap, so
+``batch_id <= hwm`` means "output landed AND state advanced": the
+replay is skipped whole; a crash BEFORE the swap leaves the pre-batch
+state and the rerun recomputes exactly, rewriting its own out dir.
 
 Ordering contract (the standard streaming-attribution caveat, shared
 with ``scd2_apply``): batches must arrive in nondecreasing event-time
@@ -71,18 +74,14 @@ class LastTouchAttributionSink:
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        from ..fsutil import heal_swap_crash, swap_with_staging
+        from ._state import read_state, write_state
 
         spark = batch.sparkSession
         state_dir = os.path.join(self.store_dir, "state")
         out_dir = os.path.join(self.store_dir, "out", f"batch={batch_id}")
-        heal_swap_crash(spark, state_dir)
-        try:
-            state = spark.read.parquet(state_dir)
-            have_state = True
-        except Exception:
-            state = batch.limit(0)
-            have_state = False
+        state, have_state, hwm = read_state(spark, state_dir, batch.limit(0))
+        if batch_id <= hwm:
+            return  # fully-applied replay (see docstring)
         merged = state.withColumn("_is_seed", F.lit(True)).unionByName(
             batch.withColumn("_is_seed", F.lit(False))
         )
@@ -111,19 +110,7 @@ class LastTouchAttributionSink:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        # materialize BEFORE the swap: the plan reads the live state
-        # dir, and writing it lazily into staging while the rename
-        # retargets the source would race the scan (the
-        # scd2_apply_table discipline)
-        frozen = new_state.localCheckpoint(eager=True)
-        if have_state:
-            swap_with_staging(
-                spark, state_dir, lambda st: frozen.write.parquet(st), job="compact"
-            )
-        else:
-            # first batch: nothing live to protect — write directly
-            # (the swap contract requires an existing live dir)
-            frozen.write.mode("overwrite").parquet(state_dir)
+        write_state(spark, state_dir, new_state, have_state, batch_id=batch_id)
 
 
 def attributed_conversions_from_store(spark, store_dir: str) -> DataFrame:

@@ -56,28 +56,20 @@ class IntervalMergeSink:
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        from ..fsutil import heal_swap_crash, swap_with_staging
+        from ._state import read_state, write_state
 
         spark = batch.sparkSession
         state_dir = os.path.join(self.store_dir, "state")
         out_dir = os.path.join(self.store_dir, "out", f"batch={batch_id}")
-        heal_swap_crash(spark, state_dir)
         k, s, e = self.key_col, self.start_col, self.end_col
-        try:
-            raw_state = spark.read.parquet(state_dir)
-            have_state = True
-            hwm_row = raw_state.agg(F.max("_hwm").alias("m")).first()
-            hwm = -1 if hwm_row["m"] is None else int(hwm_row["m"])
-            if batch_id <= hwm:
-                return  # replay of a fully-applied batch (see docstring)
-            state = raw_state.drop("_hwm")
-        except Exception:
-            state = (
-                batch.select(k, s, e)
-                .limit(0)
-                .withColumn("n_intervals", F.lit(0).cast("long"))
-            )
-            have_state = False
+        init = (
+            batch.select(k, s, e)
+            .limit(0)
+            .withColumn("n_intervals", F.lit(0).cast("long"))
+        )
+        state, have_state, hwm = read_state(spark, state_dir, init)
+        if batch_id <= hwm:
+            return  # replay of a fully-applied batch (see docstring)
         # seed: the open island re-enters as one weighted interval row;
         # merge_intervals counts rows, so the seed's absorbed count is
         # re-added after the merge to keep n_intervals exact
@@ -114,15 +106,7 @@ class IntervalMergeSink:
         closed = ranked.filter(F.col("_rn") > 1).drop("_rn")
         open_isl = ranked.filter(F.col("_rn") == 1).drop("_rn")
         closed.write.mode("overwrite").parquet(out_dir)
-        frozen = open_isl.withColumn(
-            "_hwm", F.lit(int(batch_id)).cast("long")
-        ).localCheckpoint(eager=True)
-        if have_state:
-            swap_with_staging(
-                spark, state_dir, lambda st: frozen.write.parquet(st), job="compact"
-            )
-        else:
-            frozen.write.mode("overwrite").parquet(state_dir)
+        write_state(spark, state_dir, open_isl, have_state, batch_id=batch_id)
 
 
 def islands_from_store(spark, store_dir: str) -> DataFrame:

@@ -63,38 +63,31 @@ class SequenceMatchSink:
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        from ..fsutil import heal_swap_crash, swap_with_staging
+        from ._state import read_state, write_state
 
         spark = batch.sparkSession
         state_dir = os.path.join(self.store_dir, "state")
-        heal_swap_crash(spark, state_dir)
         first = f"t_{self.steps[0][0]}"
         cols = [f"t_{n}" for n, _ in self.steps]
-        try:
-            state = spark.read.parquet(state_dir)
-            have_state = True
-        except Exception:
-            ts_type = batch.schema[self.ts_col].dataType
-            state = (
-                batch.select(F.col(self.entity_col))
-                .limit(0)
-                .select(
-                    self.entity_col,
-                    *[F.lit(None).cast(ts_type).alias(c) for c in cols],
-                )
+        ts_type = batch.schema[self.ts_col].dataType
+        init = (
+            batch.select(F.col(self.entity_col))
+            .limit(0)
+            .select(
+                self.entity_col,
+                *[F.lit(None).cast(ts_type).alias(c) for c in cols],
             )
-            have_state = False
+        )
+        # no hwm: the state is a pure min-fixpoint (coalesce keeps
+        # filled slots), so replaying any batch against any later state
+        # re-derives the identical state — idempotent by construction
+        state, have_state, _ = read_state(spark, state_dir, init)
         # entities this batch touches, left-joined to their state rows
         # (new entities appear with an all-NULL state tail; untouched
         # entities stay OUT of cur and pass through via the anti-join
         # below — a full outer here would duplicate them)
         touched = batch.select(self.entity_col).distinct()
         cur = touched.join(state, self.entity_col, "left")
-        horizon = (
-            F.col(first) + F.expr(f"INTERVAL {self.within}")
-            if self.within is not None
-            else None
-        )
         prev: "str | None" = None
         for name, pred in self.steps:
             col = f"t_{name}"
@@ -111,11 +104,15 @@ class SequenceMatchSink:
                 # gate on the (possibly just-filled) previous step and
                 # the fixed horizon from step 1; the min over
                 # qualifying batch rows needs the per-entity gate, so
-                # join the gate columns onto the batch rows first
-                gate_cols = cur.select(self.entity_col, F.col(prev), F.col(first))
+                # join the gate columns onto the batch rows first.
+                # dict.fromkeys dedups prev == first at step 2 (the
+                # batch operator's identical guard)
+                gate_cols = cur.select(
+                    *dict.fromkeys([self.entity_col, prev, first])
+                )
                 gated = batch.filter(pred).join(gate_cols, self.entity_col)
                 cond = F.col(self.ts_col) > F.col(prev)
-                if horizon is not None:
+                if self.within is not None:
                     cond = cond & (
                         F.col(self.ts_col)
                         <= F.col(first) + F.expr(f"INTERVAL {self.within}")
@@ -136,13 +133,7 @@ class SequenceMatchSink:
         merged = state.join(touched, self.entity_col, "left_anti").unionByName(
             new_state
         )
-        frozen = merged.localCheckpoint(eager=True)
-        if have_state:
-            swap_with_staging(
-                spark, state_dir, lambda st: frozen.write.parquet(st), job="compact"
-            )
-        else:
-            frozen.write.mode("overwrite").parquet(state_dir)
+        write_state(spark, state_dir, merged, have_state)
 
 
 def matches_from_store(spark, store_dir: str) -> DataFrame:

@@ -2943,3 +2943,57 @@ def test_streaming_interval_merge_equals_batch(spark, sf_dir):
     sink(parts[1], 1)   # older replay: also skipped
     assert served() == want
     shutil.rmtree(_os.path.dirname(store), ignore_errors=True)
+
+
+def test_streaming_attribution_replay_after_state_swap_is_skipped(spark):
+    """r17 review (CONFIRMED bug in the first cut): replaying a batch
+    after its state swap is NOT recompute-exact here — the advanced
+    state REPLACES the pre-batch seed touch, so a replayed conversion
+    would re-attribute to NULL.  The state-borne hwm must skip the
+    replay whole: batch 0 = touch A, batch 1 = purchase (credits A) +
+    touch B; after replaying batch 1 against the advanced state (which
+    only knows B, which is AFTER the purchase) the out store must
+    still say A."""
+    import datetime as _dt
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.attribution import (
+        LastTouchAttributionSink,
+        attributed_conversions_from_store,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + _dt.timedelta(seconds=s)
+
+    schema = "user_id long, ts timestamp, event_id long, event_type string, page long"
+    b0 = spark.createDataFrame([(1, at(10), 1, "view", 7)], schema)
+    b1 = spark.createDataFrame(
+        [(1, at(20), 2, "purchase", None), (1, at(30), 3, "view", 9)], schema
+    )
+    store = os.path.join(tempfile.mkdtemp(prefix="attr_hwm_"), "store")
+    sink = LastTouchAttributionSink(
+        store,
+        entity_col="user_id",
+        ts_col="ts",
+        touch_filter=F.col("event_type") == "view",
+        touch_col="page",
+        conversion_filter=F.col("event_type") == "purchase",
+        lookback="30 minutes",
+        tiebreak_cols=["event_id"],
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def served():
+        return {
+            (r["event_id"], r["attributed_page"])
+            for r in attributed_conversions_from_store(spark, store).collect()
+        }
+
+    assert served() == {(2, 7)}
+    sink(b1, 1)   # the exact crash window: state already advanced to B
+    assert served() == {(2, 7)}   # hwm skipped the replay; credit intact
+    sink(b0, 0)   # stale replay: also skipped
+    assert served() == {(2, 7)}
+    shutil.rmtree(os.path.dirname(store), ignore_errors=True)
