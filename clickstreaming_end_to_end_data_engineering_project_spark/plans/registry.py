@@ -437,6 +437,34 @@ class QuerySpec:
 # warranted.  Rotate in at r18+ as slots free up: the five r17
 # first-row queries become demotable once confirmed, and the nine r16
 # queries are confirmable after their r17 rows.
+# Round-18 (executed — r17 verdict directive #1): the seven r18-queue
+# queries rotate IN for their first driver rows, plus
+# page_backbone_kcore as the third sanctioned rows-only slot (the r17
+# verdict's suggestion; iterative fixpoint, pinned by the
+# DuckDB+python-peeler differential).  Demoted to make room, per the
+# multiply-verified policy: EIGHT of the nine r16 first-row queries,
+# now doubly verified (r16+r17) — hybrid_search_rrf_filtered,
+# doc_decontaminated_corpus, events_incremental_rollup,
+# bigram_heavy_hitters, part_price_size_skyline, page_triangle_stats,
+# user_page_scd2, doc_containment_pairs.  prefix_jaccard_dups stays a
+# third round deliberately: this round's work lands in the SAME
+# prefix-filtered join code (dedup.py — cosine_prefix_new_pairs +
+# L2AP verification bounds), so a gated neighbor keeps driver
+# visibility over the touched file.  All eight demotions keep their
+# BENCH_EXTENDED legs and pinned digests (the standing demotion
+# invariant); the five r17 first-row queries stay for confirming rows.
+# r19 rotation queue (declared in r18, the standing implement-ahead
+# pattern): oracle-backed queries bit-exact vs DuckDB at three scales,
+# benched + digest-pinned ahead of rotation —
+#   purchase_attribution_position (attribution.multi_touch_attribution:
+#     position-based / linear / time-decay credit — r17 verdict #4);
+#   coverage_order_overlap_join (rangejoin.interval_overlap_join:
+#     binned interval×interval overlap with the canonical meeting-bin
+#     dedup rule — r17 verdict #5);
+#   user_journey_match_gapped (sequence.match_sequence gap+negation
+#     form — r17 verdict #7);
+#   doc_new_vs_corpus_cosine (dedup.cosine_prefix_new_pairs:
+#     corpus-frozen maxweight incremental twin — r17 verdict #3).
 GATE_PRIORITY = [
     # reference-parity clickstream core (pinned)
     "page_view_counts",
@@ -484,24 +512,32 @@ GATE_PRIORITY = [
     "hybrid_search_rrf",
     "lang_weighted_reservoir",
     "page_hops_bfs",
-    # round-16 rotation: the implement-ahead backlog (first driver rows)
-    "hybrid_search_rrf_filtered",
-    "doc_decontaminated_corpus",
-    "events_incremental_rollup",
+    # round-16 rotation: retained a third round (the gated neighbor of
+    # this round's dedup.py prefix-join work; the other eight r16
+    # first-row queries demoted r18 after confirming r17 rows)
     "prefix_jaccard_dups",
-    "bigram_heavy_hitters",
-    "part_price_size_skyline",
-    "page_triangle_stats",
-    "user_page_scd2",
-    "doc_containment_pairs",
-    # round-17 rotation: the implement-ahead r17 queue (first driver
-    # rows; oracle-bit-exact in the battery at three scales since r16,
-    # benched + digest-pinned ahead of rotation)
+    # round-17 rotation: the implement-ahead r17 queue (confirming
+    # rows; first driver rows r17)
     "prefix_containment_dups",
     "part_pareto_3d",
     "hourly_page_heavy_hitters",
     "doc_tf_cosine_dups",
     "doc_prefix_edit_pairs",
+    # round-18 rotation: the implement-ahead r18 queue (first driver
+    # rows; oracle-bit-exact in the battery at three scales since r17,
+    # benched + digest-pinned ahead of rotation)
+    "prefix_cosine_dups",
+    "sliding_page_heavy_hitters",
+    "doc_new_vs_corpus_jaccard",
+    "supplier_shipping_coverage",
+    "purchase_attribution_last_touch",
+    "user_journey_match",
+    "doc_training_shards",
+    # third sanctioned rows-only slot (r17 verdict suggestion):
+    # iterative k-core fixpoint no single SQL statement states; pinned
+    # by the DuckDB-rebuild + pure-python-peeler differential at two
+    # scales in tests/test_plans.py
+    "page_backbone_kcore",
 ]
 
 # Gate size the driver records; GATE_PRIORITY must fill it exactly so

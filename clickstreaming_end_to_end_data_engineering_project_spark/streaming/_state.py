@@ -78,4 +78,21 @@ def write_state(
             spark, state_dir, lambda st: frozen.write.parquet(st), job="compact"
         )
     else:
-        frozen.write.mode("overwrite").parquet(state_dir)
+        # First-ever state gets the SAME crash atomicity as the swap
+        # path (r17 ADVICE #2): a direct write that crashes mid-flight
+        # would leave a partial live dir that every later read_state
+        # fails on with a non-AnalysisException (heal_swap_crash cannot
+        # help — no backup exists), permanently wedging the sink.  So
+        # stage and rename: a crash mid-write strands only staging
+        # debris, which the next attempt deletes here and which
+        # swap_with_staging's cleanup also covers.
+        from ..fsutil import fs_for
+
+        staging = state_dir.rstrip("/") + ".compact_staging"
+        jvm, fs, live = fs_for(spark, state_dir)
+        spath = jvm.org.apache.hadoop.fs.Path(staging)
+        if fs.exists(spath):
+            fs.delete(spath, True)
+        frozen.write.parquet(staging)
+        if not fs.rename(spath, live):
+            raise IOError(f"first state write: rename {staging} -> {state_dir} failed")

@@ -113,10 +113,16 @@ def islands_from_store(spark, store_dir: str) -> DataFrame:
     """Closed islands ∪ the open last island per key — the batch
     ``merge_intervals`` output contract (island_start / island_end /
     n_intervals under the caller's key column)."""
+    from pyspark.errors import AnalysisException
+
     state = spark.read.parquet(os.path.join(store_dir, "state")).drop("_hwm")
     try:
         closed = spark.read.parquet(os.path.join(store_dir, "out")).drop("batch")
-    except Exception:
+    except AnalysisException:
+        # no island has closed yet — the ONLY state that may read as
+        # empty; any other failure (transient FS/listing, corruption)
+        # must propagate, not silently drop ALL closed islands (r17
+        # ADVICE #1, mirroring _state.read_state)
         closed = state.limit(0)
     key, start, end = [c for c in state.columns if c != "n_intervals"]
     renamed = lambda df: df.select(  # noqa: E731

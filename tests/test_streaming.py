@@ -2997,3 +2997,76 @@ def test_streaming_attribution_replay_after_state_swap_is_skipped(spark):
     sink(b0, 0)   # stale replay: also skipped
     assert served() == {(2, 7)}
     shutil.rmtree(os.path.dirname(store), ignore_errors=True)
+
+
+def test_first_state_write_is_staged_and_heals_staging_debris(spark):
+    """r17 ADVICE #2: the FIRST-ever state write must carry the same
+    crash atomicity as later swaps.  Simulate a crash mid-first-write
+    (junk stranded in ``state.compact_staging``, no live dir): the
+    retry must delete the debris, land the state atomically via
+    rename, and read back clean — a direct ``mode('overwrite')`` write
+    would instead have left a partial LIVE dir every later read fails
+    on."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming._state import (
+        read_state,
+        write_state,
+    )
+
+    root = tempfile.mkdtemp(prefix="state_first_")
+    state_dir = os.path.join(root, "state")
+    debris = state_dir + ".compact_staging"
+    os.makedirs(debris)
+    with open(os.path.join(debris, "part-00000.parquet"), "wb") as f:
+        f.write(b"not a parquet file")   # the crashed write's torso
+
+    init = spark.createDataFrame([], "k long, v long")
+    st, have, hwm = read_state(spark, state_dir, init)
+    assert (have, hwm) == (False, -1)
+    write_state(
+        spark, state_dir, spark.createDataFrame([(1, 10)], "k long, v long"),
+        have_state=False, batch_id=0,
+    )
+    assert not os.path.exists(debris)   # debris cleaned, staging renamed away
+    st, have, hwm = read_state(spark, state_dir, init)
+    assert (have, hwm) == (True, 0)
+    assert [tuple(r) for r in st.collect()] == [(1, 10)]
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_islands_from_store_propagates_corrupt_out_read(spark):
+    """r17 ADVICE #1: a failing read of the closed-islands out dir
+    (anything but the dataset simply not existing yet) must PROPAGATE,
+    never silently serve a result missing all closed islands.  A junk
+    parquet file inside ``out/`` must raise; a genuinely absent out
+    dir still reads as 'no closed islands yet'."""
+    import pyspark.errors as _err
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming._state import (
+        write_state,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.intervals import (
+        islands_from_store,
+    )
+
+    root = tempfile.mkdtemp(prefix="ivl_corrupt_")
+    store = os.path.join(root, "store")
+    write_state(
+        spark,
+        os.path.join(store, "state"),
+        spark.createDataFrame(
+            [(1, 5, 9, 2)], "k long, s long, e long, n_intervals long"
+        ),
+        have_state=False,
+        batch_id=0,
+    )
+    # no out dir yet: the ONLY silently-empty case
+    assert islands_from_store(spark, store).count() == 1
+    bad = os.path.join(store, "out", "batch=0")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "part-00000.parquet"), "wb") as f:
+        f.write(b"corrupt footer")
+    with pytest.raises(Exception) as ei:
+        islands_from_store(spark, store).collect()
+    # the broad-Exception swallow would have returned 1 row instead
+    assert not isinstance(ei.value, _err.AnalysisException) or "PATH_NOT_FOUND" not in str(ei.value)
+    shutil.rmtree(root, ignore_errors=True)
