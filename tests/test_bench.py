@@ -77,6 +77,13 @@ def test_bench_prints_parseable_trailer_last(spark, monkeypatch, capsys):
             bs = doc[key]
             assert set(bs) == {"load_1m", "load_5m", "spin_mops"}, (key, bs)
             assert bs["spin_mops"] > 0 and bs["load_1m"] >= 0
+        # r17 verdict #6: each timed block carries its own probe, so
+        # late-run box decay discounts exactly the legs behind it
+        blocks = doc["box_state_per_block"]
+        assert set(blocks) == {"headline", "streams", "extended", "maintenance"}
+        for name, bs in blocks.items():
+            assert set(bs) == {"load_1m", "load_5m", "spin_mops"}, (name, bs)
+            assert bs["spin_mops"] > 0
 
 
 def test_depressed_box_retry_sleeps_and_records_both_states(
@@ -114,12 +121,16 @@ def test_depressed_box_retry_sleeps_and_records_both_states(
         real_sleep(min(s, 0.01))
 
     monkeypatch.setattr(bench.time, "sleep", _rec_sleep)
-    states = iter(
+    import itertools
+
+    # the tail repeat covers the per-block probes (r17 verdict #6) and
+    # the end sample without the test counting main()'s probe sites
+    states = itertools.chain(
         [
             {"load_1m": 4.4, "load_5m": 3.0, "spin_mops": 5.0},  # depressed
             {"load_1m": 0.1, "load_5m": 1.0, "spin_mops": 11.0},  # re-sample
-            {"load_1m": 0.1, "load_5m": 0.5, "spin_mops": 11.0},  # end
-        ]
+        ],
+        itertools.repeat({"load_1m": 0.1, "load_5m": 0.5, "spin_mops": 11.0}),
     )
     monkeypatch.setattr(bench, "_box_state", lambda: next(states))
     monkeypatch.setenv("SPARK_GRAFT_BENCH_RETRY_SLEEP", "150")
@@ -137,12 +148,11 @@ def test_depressed_box_retry_sleeps_and_records_both_states(
     # SLOW-but-idle box (the r16 session-close state: load fine, spin
     # below the healthy-boot floor): the spin trigger alone must fire
     slept.clear()
-    states = iter(
+    states = itertools.chain(
         [
             {"load_1m": 0.1, "load_5m": 0.2, "spin_mops": 5.6},  # slow, idle
-            {"load_1m": 0.1, "load_5m": 0.2, "spin_mops": 7.8},  # recovered
-            {"load_1m": 0.1, "load_5m": 0.2, "spin_mops": 7.8},  # end
-        ]
+        ],
+        itertools.repeat({"load_1m": 0.1, "load_5m": 0.2, "spin_mops": 7.8}),
     )
     monkeypatch.setattr(bench, "_box_state", lambda: next(states))
     bench.main()
@@ -155,11 +165,9 @@ def test_depressed_box_retry_sleeps_and_records_both_states(
 
     # idle box: no sleep, no retry fields
     slept.clear()
-    states = iter(
-        [
-            {"load_1m": 0.2, "load_5m": 0.3, "spin_mops": 11.0},
-            {"load_1m": 0.2, "load_5m": 0.3, "spin_mops": 11.0},
-        ]
+    states = itertools.chain(
+        [],
+        itertools.repeat({"load_1m": 0.2, "load_5m": 0.3, "spin_mops": 11.0}),
     )
     monkeypatch.setattr(bench, "_box_state", lambda: next(states))
     bench.main()
