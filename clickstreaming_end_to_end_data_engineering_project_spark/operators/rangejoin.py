@@ -84,3 +84,113 @@ def interval_point_join(
         .drop("_pbin")
         .drop("_ibin")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_seconds: int = 86400,
+    keys: "list[tuple[str, str]] | None" = None,
+) -> DataFrame:
+    """Interval × interval OVERLAP join (r17 verdict #5): all pairs
+    with ``l_start <= r_end AND r_start <= l_end`` (CLOSED intervals —
+    the ``merge_intervals`` inclusive convention, so two date ranges
+    that share one calendar day DO overlap), via the same bin rewrite
+    as ``interval_point_join`` — both sides explode to their candidate
+    bins and the join becomes an equi-join on the bin id + keys + the
+    residual range predicate.
+
+    The subtlety point-in-interval doesn't have: an overlapping PAIR
+    can meet in MANY shared bins (a point meets an interval only in the
+    point's one bin), so the naive rewrite needs a ``distinct`` over
+    the full output — an extra shuffle sized by the join result.  The
+    canonical MEETING-BIN rule removes it: credit the pair only in
+    ``max(bin(l_start), bin(r_start))``, the bin where the LATER-
+    starting interval begins.  Exactly-once by construction: floor is
+    monotone, so ``bin(max(s_l, s_r)) = max(bin(s_l), bin(s_r))``, and
+    for a truly overlapping pair ``max(s_l, s_r) <= min(e_l, e_r)``
+    places that bin inside BOTH intervals' bin ranges — each side is
+    present there, and the equality pins the pair to that single bin.
+    The rule is part of the JOIN CONDITION (not a post-filter), so
+    non-meeting bin collisions die inside the join.
+
+    ``keys`` (optional) adds equality pairs ``(left_col, right_col)``
+    to the join — the per-entity interval join every real use has
+    (per-supplier busy islands × that supplier's order spans); the key
+    also splits hot bins, bounding skew.  ``bin_seconds`` trades
+    explode fan-out (long intervals → many bins) against bin
+    population; pick it near the typical interval length.
+
+    Rows with a NULL start or end carry no interval and are dropped
+    (the theta predicate can never match them — semantics-neutral).
+    Inverted rows (end < start) raise, the ``merge_intervals``
+    convention: under the CLOSED-interval theta predicate an inverted
+    row is still satisfiable (``[5,3]`` vs ``[2,9]``: 5<=9 and 2<=3),
+    so silently dropping OR keeping it would each pick a surprising
+    semantics for what is always a data bug — failing loudly is the
+    only honest option (and the descending ``sequence()`` explode
+    would otherwise manufacture garbage candidate bins).
+
+    Output: left ⋈ right with all columns from both sides (internal
+    bin columns dropped); column names must not collide across sides
+    (select/alias first).  Cost O((|L| + |R|)·k + matches) with
+    k = avg interval width / bin width — no cartesian, no distinct."""
+    sides = []
+    for df, s_col, e_col, tag in (
+        (left, left_start, left_end, "l"),
+        (right, right_start, right_end, "r"),
+    ):
+        guarded_end = F.when(
+            F.col(e_col) < F.col(s_col),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "interval_overlap_join: inverted interval "
+                        "(end < start): start="
+                    ),
+                    F.col(s_col).cast("string"),
+                    F.lit(" end="),
+                    F.col(e_col).cast("string"),
+                )
+            ).cast(df.schema[e_col].dataType),
+        ).otherwise(F.col(e_col))
+        start_bin = F.floor(
+            F.unix_timestamp(F.col(s_col).cast("timestamp")) / F.lit(bin_seconds)
+        )
+        binned = (
+            df.filter(F.col(s_col).isNotNull() & F.col(e_col).isNotNull())
+            .withColumn(f"_{tag}sb", start_bin)
+            .withColumn(
+                f"_{tag}bin",
+                F.explode(
+                    F.sequence(
+                        F.col(f"_{tag}sb"),
+                        F.floor(
+                            F.unix_timestamp(guarded_end.cast("timestamp"))
+                            / F.lit(bin_seconds)
+                        ),
+                    )
+                ),
+            )
+        )
+        sides.append(binned)
+    lb, rb = sides
+    cond = (
+        (lb["_lbin"] == rb["_rbin"])
+        & (lb["_lbin"] == F.greatest(lb["_lsb"], rb["_rsb"]))
+        & (lb[left_start] <= rb[right_end])
+        & (rb[right_start] <= lb[left_end])
+    )
+    for lcol, rcol in keys or []:
+        cond = cond & (lb[lcol] == rb[rcol])
+    return (
+        lb.join(rb, cond, "inner")
+        .drop("_lbin")
+        .drop("_rbin")
+        .drop("_lsb")
+        .drop("_rsb")
+    )

@@ -868,6 +868,91 @@ def supplier_shipping_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("covered", "covered_days")
 
 
+def coverage_order_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Busy-period × order-span overlap join (r19 queue; r17 verdict
+    #5 — the interval×interval member the range-join family lacked):
+    each supplier's merged shipping islands (the
+    ``supplier_shipping_coverage`` intervals) joined to that supplier's
+    order in-flight spans ([o_orderdate, last delivery] per
+    order × supplier, delivery = ship_day + quantity transit days),
+    keeping overlapping pairs and aggregating per island how many
+    in-flight orders coincided with it and for how many calendar days
+    in total — "which busy periods were load-bearing".  Runs through
+    operators/rangejoin.interval_overlap_join (bin-replicated equi-join
+    on (suppkey, 30-day bin) + residual, the canonical meeting-bin rule
+    deduping multi-bin pairs with NO distinct — see the operator for
+    the exactly-once proof); the oracle states the plain theta join.
+    Inclusive date arithmetic, all-integer — engine-exact."""
+    from ..operators.intervals import merge_intervals
+    from ..operators.rangejoin import interval_overlap_join
+
+    li = load(spark, sf_dir, "lineitem")
+    islands = merge_intervals(
+        li.select(
+            "l_suppkey",
+            F.to_date("l_shipdate").alias("ship_day"),
+            F.date_add(
+                F.to_date("l_shipdate"), F.col("l_quantity").cast("int")
+            ).alias("transit_end"),
+        ),
+        "l_suppkey",
+        "ship_day",
+        "transit_end",
+    ).drop("n_intervals")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("placed")
+    )
+    # span start guards with least(placed, first ship): the synthetic
+    # fixture ships some lines BEFORE the order date (min Δ = -2383
+    # days at sf0.01), and an inverted span would (correctly) raise in
+    # the operator — the guard states the honest semantics instead
+    # ("in flight from whichever came first")
+    spans = (
+        li.select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            "l_orderkey",
+            F.to_date("l_shipdate").alias("shipped"),
+            F.date_add(
+                F.to_date("l_shipdate"), F.col("l_quantity").cast("int")
+            ).alias("delivered"),
+        )
+        .groupBy("s_suppkey", "l_orderkey")
+        .agg(
+            F.min("shipped").alias("first_ship"),
+            F.max("delivered").alias("span_end"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "s_suppkey",
+            "l_orderkey",
+            F.least("placed", "first_ship").alias("span_start"),
+            "span_end",
+        )
+    )
+    joined = interval_overlap_join(
+        islands,
+        spans,
+        "island_start",
+        "island_end",
+        "span_start",
+        "span_end",
+        bin_seconds=86400 * 30,
+        keys=[("l_suppkey", "s_suppkey")],
+    )
+    return joined.groupBy("l_suppkey", "island_start", "island_end").agg(
+        F.count(F.lit(1)).alias("n_orders_in_flight"),
+        F.sum(
+            (
+                F.datediff(
+                    F.least("island_end", "span_end"),
+                    F.greatest("island_start", "span_start"),
+                )
+                + 1
+            ).cast("long")
+        ).alias("overlap_days"),
+    )
+
+
 SPECS = [
     QuerySpec(
         "part_pareto_3d",
@@ -1454,5 +1539,62 @@ SPECS = [
         FROM merged GROUP BY 1
         """,
         "per-supplier merged shipping intervals (gaps-and-islands coverage)",
+    ),
+    QuerySpec(
+        "coverage_order_overlap_join",
+        coverage_order_overlap_join,
+        # the oracle states the PLAIN theta join (closed-interval
+        # overlap) over the same islands CTE as
+        # supplier_shipping_coverage plus per-(supplier, order) spans;
+        # the impl runs the binned meeting-bin equi-join — the rewrite
+        # is semantics-neutral by the exactly-once proof in
+        # operators/rangejoin.interval_overlap_join.  Inclusive date
+        # day counts, all-integer — engine-exact.
+        """
+        WITH iv AS (
+            SELECT l_suppkey,
+                   CAST(l_shipdate AS DATE) AS s,
+                   CAST(l_shipdate AS DATE) + CAST(l_quantity AS INT) AS e
+            FROM lineitem
+            WHERE l_shipdate IS NOT NULL
+        ), flagged AS (
+            SELECT l_suppkey, s, e,
+                   CAST(coalesce(
+                       s > max(e) OVER (
+                           PARTITION BY l_suppkey ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       TRUE) AS INT) AS new_island
+            FROM iv
+        ), isl AS (
+            SELECT l_suppkey, s, e,
+                   sum(new_island) OVER (
+                       PARTITION BY l_suppkey ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING) AS island
+            FROM flagged
+        ), islands AS (
+            SELECT l_suppkey, island,
+                   min(s) AS island_start, max(e) AS island_end
+            FROM isl GROUP BY 1, 2
+        ), spans AS (
+            SELECT l.l_suppkey AS s_suppkey, l.l_orderkey,
+                   least(CAST(o.o_orderdate AS DATE),
+                         min(CAST(l.l_shipdate AS DATE))) AS span_start,
+                   max(CAST(l.l_shipdate AS DATE)
+                       + CAST(l.l_quantity AS INT)) AS span_end
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2, CAST(o.o_orderdate AS DATE)
+        )
+        SELECT i.l_suppkey, i.island_start, i.island_end,
+               count(*) AS n_orders_in_flight,
+               CAST(sum(least(i.island_end, s.span_end)
+                        - greatest(i.island_start, s.span_start) + 1)
+                    AS BIGINT) AS overlap_days
+        FROM islands i JOIN spans s
+          ON i.l_suppkey = s.s_suppkey
+         AND i.island_start <= s.span_end
+         AND s.span_start <= i.island_end
+        GROUP BY 1, 2, 3
+        """,
+        "supplier busy islands x order in-flight spans (interval overlap join)",
     ),
 ]

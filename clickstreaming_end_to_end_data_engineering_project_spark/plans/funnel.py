@@ -422,6 +422,43 @@ def user_journey_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_journey_match_gapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-bounded, error-free journey match (r19 queue; r17 verdict
+    #7 — the max-gap + absence members of the sequence-pattern
+    family): the earliest view → click → purchase completion where the
+    click lands within 2 DAYS of the view (per-step max-gap, the
+    engagement bound the whole-pattern horizon can't express), every
+    step stays inside the 6-day horizon, and NO ``error`` event
+    intervenes strictly between consecutive matched steps (the
+    absence constraint — an error between view and click, or between
+    click and purchase, kills the tail: the clean-session funnel).
+    The bounds sit where the fixture discriminates: at sf0.01 the 150
+    users split 54 gap-blocked / 16 error-blocked at click / 32
+    error-blocked at purchase / 38 completed, so every mechanism is
+    exercised (the 30-minute web-scale gap NULLs everything on this
+    month-long synthetic trace).  Strict-absence semantics per
+    operators/sequence.match_sequence; the oracle states the identical
+    nested-min cascade with per-step blocker mins.  Pure timestamp
+    min/comparisons — engine-exact."""
+    from ..operators.sequence import match_sequence
+
+    ev = load(spark, sf_dir, "events")
+    err = F.col("event_type") == "error"
+    return match_sequence(
+        ev,
+        "user_id",
+        "ts",
+        [
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+        within="6 days",
+        max_gaps=["2 days", None],
+        absences=[err, err],
+    )
+
+
 def purchase_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch revenue attribution (r18 queue, NEW family):
     per-page purchase credit — each purchase attributes to the most
@@ -461,6 +498,60 @@ def purchase_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum(F.col("value").cast("decimal(12,2)"))
         .cast("double")
         .alias("attributed_revenue"),
+    )
+
+
+def purchase_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch revenue attribution (r19
+    queue; r17 verdict #4): every page VIEW in the 3 days before a
+    purchase shares the credit — 40% to the first touch, 40% to the
+    last, the middle 20% split evenly across interior touches (1.0 /
+    0.5–0.5 for one- and two-touch paths); purchases with no
+    in-lookback view credit the NULL unattributed bucket at weight
+    1.0, so credited revenue totals reconcile with purchase_stats.
+    The 3-day lookback sits where the fixture discriminates: at
+    sf0.01 the 1981 purchases split 593 unattributed / 699 single /
+    440 double / 249 three-plus, exercising every weight branch.
+
+    Exactness discipline (the family's float contract): the weight is
+    a deterministic double both engines state identically (the middle
+    share stays the EXPRESSION (1.0 − 2·0.4)/(n−2) — pre-folding it
+    changes the bits); each credit is snapped to integer MICRO-units
+    via floor(value · w · 1e6 + 0.5) and summed as exact integers, so
+    the per-page totals are order-independent and engine-exact — the
+    ``dround``-family lesson applied to a weighted sum.  Runs through
+    operators/attribution.multi_touch_attribution (one per-user
+    window collecting prior touches, no conversions × touches
+    self-join); the oracle states the equivalent join + row_number
+    formulation."""
+    from ..operators.attribution import multi_touch_attribution
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("int").alias("page"),
+    )
+    credits = multi_touch_attribution(
+        ev,
+        "user_id",
+        "ts",
+        touch_filter=(F.col("event_type") == "view") & F.col("page").isNotNull(),
+        touch_col="page",
+        conversion_filter=F.col("event_type") == "purchase",
+        model="position",
+        lookback="3 days",
+        tiebreak_cols=["event_id"],
+    )
+    vdouble = F.col("value").cast("decimal(12,2)").cast("double")
+    micro = F.floor(vdouble * F.col("weight") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    return credits.groupBy("attributed_page").agg(
+        F.count(F.lit(1)).alias("n_credits"),
+        (F.sum(micro).cast("double") / F.lit(1000000.0)).alias("credited_revenue"),
     )
 
 
@@ -822,6 +913,63 @@ SPECS = [
         "per-user ordered view->click->purchase match (2h horizon)",
     ),
     QuerySpec(
+        "user_journey_match_gapped",
+        user_journey_match_gapped,
+        # the identical nested-min cascade with per-step max-gap bounds
+        # and strict-absence blocker mins: step k survives only when it
+        # lands at-or-before the earliest error strictly after step k-1
+        # (an error at exactly t_k is not strictly between); a blocked
+        # or missing step NULLs the tail
+        """
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t_view
+            FROM events WHERE event_type = 'view' GROUP BY 1
+        ), b2 AS (
+            SELECT e.user_id, min(e.ts) AS blk
+            FROM events e JOIN s1 USING (user_id)
+            WHERE e.event_type = 'error' AND e.ts > s1.t_view
+            GROUP BY 1
+        ), s2 AS (
+            SELECT e.user_id, min(e.ts) AS t_click
+            FROM events e JOIN s1 USING (user_id)
+            WHERE e.event_type = 'click'
+              AND e.ts > s1.t_view
+              AND e.ts <= s1.t_view + INTERVAL 6 DAY
+              AND e.ts <= s1.t_view + INTERVAL 2 DAY
+            GROUP BY 1
+        ), s2v AS (
+            SELECT s2.user_id,
+                   CASE WHEN b2.blk IS NULL OR s2.t_click <= b2.blk
+                        THEN s2.t_click END AS t_click
+            FROM s2 LEFT JOIN b2 USING (user_id)
+        ), b3 AS (
+            SELECT e.user_id, min(e.ts) AS blk
+            FROM events e JOIN s2v USING (user_id)
+            WHERE e.event_type = 'error' AND e.ts > s2v.t_click
+            GROUP BY 1
+        ), s3 AS (
+            SELECT e.user_id, min(e.ts) AS t_purchase
+            FROM events e
+            JOIN s2v USING (user_id)
+            JOIN s1 USING (user_id)
+            WHERE e.event_type = 'purchase'
+              AND e.ts > s2v.t_click
+              AND e.ts <= s1.t_view + INTERVAL 6 DAY
+            GROUP BY 1
+        ), s3v AS (
+            SELECT s3.user_id,
+                   CASE WHEN b3.blk IS NULL OR s3.t_purchase <= b3.blk
+                        THEN s3.t_purchase END AS t_purchase
+            FROM s3 LEFT JOIN b3 USING (user_id)
+        )
+        SELECT s1.user_id, s1.t_view, s2v.t_click, s3v.t_purchase
+        FROM s1
+        LEFT JOIN s2v USING (user_id)
+        LEFT JOIN s3v USING (user_id)
+        """,
+        "gap-bounded error-free view->click->purchase match",
+    ),
+    QuerySpec(
         "purchase_attribution_last_touch",
         purchase_attribution_last_touch,
         # twin last_value IGNORE NULLS windows (ts and page null out on
@@ -855,6 +1003,67 @@ SPECS = [
         FROM conv GROUP BY 1
         """,
         "last-touch page attribution of purchase revenue (30-min lookback)",
+    ),
+    QuerySpec(
+        "purchase_attribution_position",
+        purchase_attribution_position,
+        # the join + row_number twin of the window-collect plan:
+        # in-lookback strictly-before touches ranked per conversion;
+        # the U-shape weight CASE states the identical double
+        # expressions (middle share stays (1.0 - 2*0.4)/(n-2), every
+        # literal CAST AS DOUBLE — DuckDB parses bare 0.4 as DECIMAL);
+        # credits snap to integer micro-units before the sum, so the
+        # per-page totals are order-independent and engine-exact
+        """
+        WITH pg AS (
+            SELECT user_id, ts, event_id, event_type, value,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS page
+            FROM events
+        ), conv AS (
+            SELECT user_id, ts AS cts, event_id AS ceid, value
+            FROM pg WHERE event_type = 'purchase'
+        ), touch AS (
+            SELECT user_id, ts AS tts, event_id AS teid, page
+            FROM pg WHERE event_type = 'view' AND page IS NOT NULL
+        ), pairs AS (
+            SELECT c.user_id, c.cts, c.ceid, c.value, t.page,
+                   row_number() OVER (
+                       PARTITION BY c.user_id, c.cts, c.ceid
+                       ORDER BY t.tts, t.teid) AS pos,
+                   count(*) OVER (
+                       PARTITION BY c.user_id, c.cts, c.ceid) AS n
+            FROM conv c JOIN touch t ON t.user_id = c.user_id
+             AND (t.tts < c.cts OR (t.tts = c.cts AND t.teid < c.ceid))
+             AND t.tts >= c.cts - INTERVAL 3 DAY
+        ), credits AS (
+            SELECT page,
+                   CAST(floor(
+                       CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE)
+                       * CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+                              WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+                              WHEN pos = 1 OR pos = n THEN CAST(0.4 AS DOUBLE)
+                              ELSE (CAST(1.0 AS DOUBLE)
+                                    - 2 * CAST(0.4 AS DOUBLE)) / (n - 2)
+                         END * 1000000.0 + 0.5) AS BIGINT) AS cm
+            FROM pairs
+            UNION ALL
+            SELECT NULL AS page,
+                   CAST(floor(
+                       CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE)
+                       * CAST(1.0 AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS cm
+            FROM conv c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM touch t WHERE t.user_id = c.user_id
+                 AND (t.tts < c.cts OR (t.tts = c.cts AND t.teid < c.ceid))
+                 AND t.tts >= c.cts - INTERVAL 3 DAY
+            )
+        )
+        SELECT page AS attributed_page,
+               count(*) AS n_credits,
+               CAST(sum(cm) AS DOUBLE) / 1000000.0 AS credited_revenue
+        FROM credits GROUP BY 1
+        """,
+        "position-based multi-touch page attribution (3-day lookback)",
     ),
     QuerySpec(
         "page_backbone_kcore",

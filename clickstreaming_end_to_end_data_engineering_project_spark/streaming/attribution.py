@@ -1,7 +1,8 @@
-"""Streaming last-touch attribution — the live half of
-``operators/attribution.last_touch_attribution``, extending the
-batch+streaming parity the summary families (heavy hitters, sketches,
-near-dedup, ANN segments) already have to the attribution family.
+"""Streaming attribution — the live halves of
+``operators/attribution`` (last-touch, and the multi-touch fractional
+models), extending the batch+streaming parity the summary families
+(heavy hitters, sketches, near-dedup, ANN segments) already have to
+the attribution family.
 
 State design: per entity, the single LATEST qualifying touch row is
 sufficient statistics for last-touch credit — every earlier touch is
@@ -117,3 +118,110 @@ def attributed_conversions_from_store(spark, store_dir: str) -> DataFrame:
     """All attributed conversion rows streamed into the store (the
     ``batch`` partition column is an ingest artifact and is dropped)."""
     return spark.read.parquet(os.path.join(store_dir, "out")).drop("batch")
+
+
+class MultiTouchAttributionSink:
+    """foreachBatch callable: the live half of
+    ``operators/attribution.multi_touch_attribution`` (r17 verdict #4)
+    — micro-batch → fractional-credit rows under
+    ``store_dir/out/batch=<id>/`` + per-entity touch-set state under
+    ``store_dir/state/`` (staged swap via streaming/_state.py, the
+    shared scaffold).
+
+    State design: unlike last-touch (one row per entity), EVERY touch
+    inside the lookback of the entity's latest seen event time is
+    sufficient statistics — any of them can still earn a share from a
+    future conversion, and none older can (per-entity nondecreasing
+    delivery makes the next conversion's window start at or after
+    ``max_seen − lookback``).  ``lookback`` is therefore REQUIRED
+    here: without one the touch set never expires and the state is the
+    unbounded event log — the sink raises instead of pretending
+    (the honest boundary; run the batch operator over the full log
+    when unbounded windows are truly wanted).
+
+    Same batch-seeding, hwm-replay-skip and ordering contract as
+    ``LastTouchAttributionSink`` (see its docstring): seeds are prior
+    touches marked ``_is_seed`` so they can never re-emit as
+    conversions; ``batch_id <= hwm`` replays are skipped whole
+    (re-running against the advanced state would double the replayed
+    batch's own touches in every window); out precedes the swap so
+    the skip is safe."""
+
+    def __init__(
+        self,
+        store_dir: str,
+        entity_col: str,
+        ts_col: str,
+        touch_filter: Column,
+        touch_col: str,
+        conversion_filter: Column,
+        lookback: str,
+        model: str = "linear",
+        tiebreak_cols: "list[str] | None" = None,
+        half_life_seconds: "float | None" = None,
+        endpoint_weight: float = 0.4,
+    ) -> None:
+        if lookback is None:
+            raise ValueError(
+                "MultiTouchAttributionSink: lookback is required — without "
+                "one the per-entity touch state never expires (see docstring)"
+            )
+        self.store_dir = store_dir
+        self.entity_col = entity_col
+        self.ts_col = ts_col
+        self.touch_filter = touch_filter
+        self.touch_col = touch_col
+        self.conversion_filter = conversion_filter
+        self.lookback = lookback
+        self.model = model
+        self.tiebreak_cols = list(tiebreak_cols or [])
+        self.half_life_seconds = half_life_seconds
+        self.endpoint_weight = endpoint_weight
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        from ..operators.attribution import multi_touch_attribution
+        from ._state import read_state, write_state
+
+        spark = batch.sparkSession
+        state_dir = os.path.join(self.store_dir, "state")
+        out_dir = os.path.join(self.store_dir, "out", f"batch={batch_id}")
+        state, have_state, hwm = read_state(spark, state_dir, batch.limit(0))
+        if batch_id <= hwm:
+            return  # fully-applied replay (see docstring)
+        merged = state.withColumn("_is_seed", F.lit(True)).unionByName(
+            batch.withColumn("_is_seed", F.lit(False))
+        )
+        conv = multi_touch_attribution(
+            merged,
+            self.entity_col,
+            self.ts_col,
+            touch_filter=self.touch_filter,
+            touch_col=self.touch_col,
+            conversion_filter=self.conversion_filter & ~F.col("_is_seed"),
+            model=self.model,
+            lookback=self.lookback,
+            tiebreak_cols=self.tiebreak_cols,
+            half_life_seconds=self.half_life_seconds,
+            endpoint_weight=self.endpoint_weight,
+        ).drop("_is_seed")
+        conv.write.mode("overwrite").parquet(out_dir)
+        # prune: touches older than (entity's latest seen ts − lookback)
+        # can never enter a future conversion's window under the
+        # per-entity ordering contract; the boundary keeps >= (a touch
+        # at exactly conv_ts − lookback qualifies, and future
+        # conversions only move the threshold up)
+        w = Window.partitionBy(self.entity_col)
+        new_state = (
+            merged.withColumn("_maxts", F.max(self.ts_col).over(w))
+            .filter(
+                self.touch_filter
+                & (
+                    F.col(self.ts_col)
+                    >= F.col("_maxts") - F.expr(f"INTERVAL {self.lookback}")
+                )
+            )
+            .drop("_maxts", "_is_seed")
+        )
+        write_state(spark, state_dir, new_state, have_state, batch_id=batch_id)

@@ -7531,3 +7531,334 @@ def test_pack_to_shards_non_bare_column_name(spark):
     )
     out = pack_to_shards(df, "doc_id", "token count", 25).collect()
     assert len(out) == 3 and all(r["shard_id"] >= 0 for r in out)
+
+
+def test_interval_overlap_join_matches_theta_join_random(spark):
+    """Differential: binned interval_overlap_join == the naive theta
+    join on random interval sets, EXACTLY ONCE per pair (the multi-bin
+    dedup the meeting-bin rule must deliver without a distinct) —
+    including landmines: intervals starting/ending exactly on bin
+    edges, long intervals sharing MANY bins, touching intervals
+    (closed bounds: sharing one instant overlaps), and per-key
+    separation.  Bin-width invariance: two widths, same result."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    rng = random.Random(1234)
+    base = dt.datetime(2024, 3, 1)
+    bins = 600
+
+    def mk(n, id0):
+        rows = []
+        for i in range(n):
+            start_s = rng.randint(0, 40000)
+            if i % 5 == 0:
+                start_s = (start_s // bins) * bins  # start on a bin edge
+            length = rng.choice([0, 1, 599, 600, 601, 5000, 9000])
+            if i % 7 == 0:
+                length = ((start_s + length) // bins) * bins - start_s
+                length = max(length, 0)  # end on a bin edge
+            key = rng.choice(["a", "b"])
+            rows.append(
+                (
+                    id0 + i,
+                    key,
+                    base + dt.timedelta(seconds=start_s),
+                    base + dt.timedelta(seconds=start_s + length),
+                )
+            )
+        return rows
+
+    lrows, rrows = mk(60, 0), mk(80, 1000)
+    ldf = spark.createDataFrame(lrows, ["lid", "lkey", "ls", "le"])
+    rdf = spark.createDataFrame(rrows, ["rid", "rkey", "rs", "re"])
+
+    got_rows = [
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            ldf, rdf, "ls", "le", "rs", "re", bin_seconds=bins,
+            keys=[("lkey", "rkey")],
+        ).collect()
+    ]
+    want = {
+        (r["lid"], r["rid"])
+        for r in ldf.join(
+            rdf,
+            (ldf.lkey == rdf.rkey) & (ldf.ls <= rdf.re) & (rdf.rs <= ldf.le),
+        ).collect()
+    }
+    # exactly-once: no pair may appear twice (the distinct-free claim)
+    assert len(got_rows) == len(set(got_rows))
+    assert set(got_rows) == want and len(want) > 100
+
+    # the fixture must actually exercise multi-bin meetings, or the
+    # dedup claim is untested: some overlapping pair shares >= 3 bins
+    multi = [
+        (l, r)
+        for (lid, lk, ls, le) in lrows
+        for (rid, rk, rs, re) in rrows
+        if lk == rk and ls <= re and rs <= le
+        and min(le, re).timestamp() // bins - max(ls, rs).timestamp() // bins >= 3
+        for l, r in [(lid, rid)]
+    ]
+    assert len(multi) > 5
+
+    # bin-width invariance (a different k per interval, same output)
+    got2 = {
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            ldf, rdf, "ls", "le", "rs", "re", bin_seconds=97,
+            keys=[("lkey", "rkey")],
+        ).collect()
+    }
+    assert got2 == want
+
+
+def test_interval_overlap_join_guards(spark):
+    """Inverted intervals raise (under closed-interval theta semantics
+    an inverted row is still satisfiable, so neither dropping nor
+    keeping is safe — the merge_intervals loud-failure convention);
+    NULL endpoints drop; touching date ranges (sharing one calendar
+    day) DO join."""
+    import pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    d = dt.date
+    left = spark.createDataFrame(
+        [(1, d(2024, 1, 1), d(2024, 1, 10)), (2, d(2024, 2, 1), None)],
+        ["lid", "ls", "le"],
+    )
+    right = spark.createDataFrame(
+        [(10, d(2024, 1, 10), d(2024, 1, 20)), (11, d(2024, 1, 11), d(2024, 1, 20))],
+        ["rid", "rs", "re"],
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bin_seconds=86400 * 7
+        ).collect()
+    }
+    # [1/1..1/10] touches [1/10..1/20] (closed) but not [1/11..1/20];
+    # the NULL-end row joins nothing
+    assert got == {(1, 10)}
+
+    bad = spark.createDataFrame([(3, d(2024, 5, 9), d(2024, 5, 1))], ["lid", "ls", "le"])
+    with pytest.raises(Exception, match="inverted interval"):
+        interval_overlap_join(
+            bad, right, "ls", "le", "rs", "re", bin_seconds=86400
+        ).collect()
+
+
+def test_match_sequence_gap_and_absence_semantics(spark):
+    """r17 verdict #7: per-step max-gap and strict-absence semantics,
+    boundary-exact — a blocker at EXACTLY t_prev or t_k does not block
+    (strictly between); a blocker before the earliest qualifying next
+    step kills the tail even when a later clean candidate exists (the
+    non-backtracking core); a gap-excluded step NULLs; validation
+    rejects wrong-length option lists."""
+    import pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.sequence import (
+        match_sequence,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(uid, offset_min, etype):
+        return (uid, t0 + dt.timedelta(minutes=offset_min), etype)
+
+    rows = [
+        # u1: clean A(0) -> B(10) -> C(20)
+        ev(1, 0, "A"), ev(1, 10, "B"), ev(1, 20, "C"),
+        # u2: blocker strictly between A(0) and earliest B(10): t_b
+        # NULL even though a later B(30) has no blocker before IT
+        ev(2, 0, "A"), ev(2, 5, "X"), ev(2, 10, "B"), ev(2, 30, "B"),
+        ev(2, 40, "C"),
+        # u3: blocker at EXACTLY t_a — not strictly between, B matches
+        ev(3, 0, "A"), ev(3, 0, "X"), ev(3, 10, "B"),
+        # u4: blocker at EXACTLY t_b — not strictly between, B matches
+        ev(4, 0, "A"), ev(4, 10, "B"), ev(4, 10, "X"),
+        # u5: gap bound — earliest B at 45 > A + 30min gap: NULL tail
+        # (and the 2h horizon alone would have admitted it)
+        ev(5, 0, "A"), ev(5, 45, "B"), ev(5, 50, "C"),
+        # u6: blocker between B(10) and C(20) NULLs only the C step
+        ev(6, 0, "A"), ev(6, 10, "B"), ev(6, 15, "X"), ev(6, 20, "C"),
+    ]
+    df = spark.createDataFrame(rows, ["uid", "ts", "et"])
+    out = {
+        r["uid"]: (r["t_a"], r["t_b"], r["t_c"])
+        for r in match_sequence(
+            df,
+            "uid",
+            "ts",
+            [
+                ("a", F.col("et") == "A"),
+                ("b", F.col("et") == "B"),
+                ("c", F.col("et") == "C"),
+            ],
+            within="2 hours",
+            max_gaps=["30 minutes", None],
+            absences=[F.col("et") == "X", F.col("et") == "X"],
+        ).collect()
+    }
+    m = lambda mins: t0 + dt.timedelta(minutes=mins)  # noqa: E731
+    assert out[1] == (m(0), m(10), m(20))
+    assert out[2] == (m(0), None, None)
+    assert out[3] == (m(0), m(10), None) or out[3][:2] == (m(0), m(10))
+    assert out[4][:2] == (m(0), m(10))
+    assert out[5] == (m(0), None, None)
+    assert out[6] == (m(0), m(10), None)
+
+    with pytest.raises(ValueError, match="max_gaps needs 2"):
+        match_sequence(
+            df, "uid", "ts",
+            [("a", F.col("et") == "A"), ("b", F.col("et") == "B"),
+             ("c", F.col("et") == "C")],
+            max_gaps=["1 hour"],
+        )
+    with pytest.raises(ValueError, match="absences needs 2"):
+        match_sequence(
+            df, "uid", "ts",
+            [("a", F.col("et") == "A"), ("b", F.col("et") == "B"),
+             ("c", F.col("et") == "C")],
+            absences=[F.col("et") == "X"],
+        )
+
+    # gap/absence both None == the plain form (regression guard)
+    plain = match_sequence(
+        df, "uid", "ts",
+        [("a", F.col("et") == "A"), ("b", F.col("et") == "B")],
+        within="2 hours",
+        max_gaps=[None],
+        absences=[None],
+    )
+    base = match_sequence(
+        df, "uid", "ts",
+        [("a", F.col("et") == "A"), ("b", F.col("et") == "B")],
+        within="2 hours",
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, base.collect()))
+
+
+def test_multi_touch_attribution_matches_python_reference(spark):
+    """Differential: multi_touch_attribution's three models vs a pure
+    python reference — per-conversion touch sets (strictly-before
+    (ts, tiebreak) order, inclusive lookback boundary), U-shape /
+    linear weights EXACT, time-decay weights to 1e-12 (pow is libm-
+    dependent); Σ weight == 1 per conversion; the unattributed bucket
+    carries weight 1.0; the pos == n touch equals last_touch's
+    answer."""
+    import math
+
+    import pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.attribution import (
+        last_touch_attribution,
+        multi_touch_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    # u1: 4 touches then conversion (middles exercise (1-2e)/(n-2));
+    # one touch outside the 60-min lookback and one AT the boundary
+    for mins, et, page in [
+        (-120, "view", 1),   # outside lookback
+        (-60, "view", 2),    # exactly at conv_ts - lookback: qualifies
+        (-30, "view", 3),
+        (-20, "view", 4),
+        (-10, "view", 5),
+        (0, "purchase", None),
+    ]:
+        rows.append((1, t0 + dt.timedelta(minutes=mins), eid, et, 10.0, page))
+        eid += 1
+    # u2: no touch at all -> unattributed bucket
+    rows.append((2, t0, eid, "purchase", 7.0, None)); eid += 1
+    # u3: same-instant touch with SMALLER tiebreak qualifies, larger not
+    rows.append((3, t0, 100, "view", 10.0, 8))
+    rows.append((3, t0, 101, "purchase", 9.0, None))
+    rows.append((3, t0, 102, "view", 10.0, 9))
+    # u4: two touches -> 0.5 / 0.5 under position
+    rows.append((4, t0 - dt.timedelta(minutes=5), 200, "view", 0.0, 11))
+    rows.append((4, t0 - dt.timedelta(minutes=2), 201, "view", 0.0, 12))
+    rows.append((4, t0, 202, "purchase", 5.0, None))
+    df = spark.createDataFrame(
+        rows, ["uid", "ts", "event_id", "event_type", "value", "page"]
+    )
+    kw = dict(
+        touch_filter=(F.col("event_type") == "view") & F.col("page").isNotNull(),
+        touch_col="page",
+        conversion_filter=F.col("event_type") == "purchase",
+        lookback="60 minutes",
+        tiebreak_cols=["event_id"],
+    )
+    pos_rows = multi_touch_attribution(
+        df, "uid", "ts", model="position", **kw
+    ).collect()
+    by_conv: dict[int, list] = {}
+    for r in pos_rows:
+        by_conv.setdefault(r["uid"], []).append(r)
+    # u1: touches at -60, -30, -20, -10 (the -120 one is out of window)
+    u1 = sorted(by_conv[1], key=lambda r: r["touch_pos"])
+    assert [r["attributed_page"] for r in u1] == [2, 3, 4, 5]
+    assert [r["n_touches"] for r in u1] == [4, 4, 4, 4]
+    mid = (1.0 - 2.0 * 0.4) / 2
+    assert [r["weight"] for r in u1] == [0.4, mid, mid, 0.4]
+    # u2: unattributed
+    (u2,) = by_conv[2]
+    assert u2["attributed_page"] is None and u2["weight"] == 1.0
+    assert u2["n_touches"] == 0 and u2["touch_pos"] is None
+    # u3: only the smaller-tiebreak same-instant touch qualifies
+    (u3,) = by_conv[3]
+    assert u3["attributed_page"] == 8 and u3["weight"] == 1.0
+    # u4: 0.5 / 0.5
+    assert sorted(r["weight"] for r in by_conv[4]) == [0.5, 0.5]
+    # Σ weight == 1 per conversion (position weights here are exact)
+    for uid, rs in by_conv.items():
+        assert math.isclose(sum(r["weight"] for r in rs), 1.0, rel_tol=1e-12)
+
+    lin = multi_touch_attribution(df, "uid", "ts", model="linear", **kw).collect()
+    for r in lin:
+        n = r["n_touches"]
+        assert r["weight"] == (1.0 if n == 0 else 1.0 / n)
+
+    dec = multi_touch_attribution(
+        df, "uid", "ts", model="time_decay", half_life_seconds=1800.0, **kw
+    ).collect()
+    decay_by_conv: dict[int, list] = {}
+    for r in dec:
+        decay_by_conv.setdefault(r["uid"], []).append(r)
+    u1d = sorted(decay_by_conv[1], key=lambda r: r["touch_pos"])
+    deltas = [3600.0, 1800.0, 1200.0, 600.0]
+    raws = [math.pow(0.5, d / 1800.0) for d in deltas]
+    for r, want in zip(u1d, [x / sum(raws) for x in raws]):
+        assert abs(r["weight"] - want) < 1e-12
+    assert decay_by_conv[2][0]["weight"] == 1.0
+
+    # the pos == n touch is exactly last_touch's answer
+    lt = {
+        r["uid"]: r["attributed_page"]
+        for r in last_touch_attribution(
+            df, "uid", "ts",
+            touch_filter=kw["touch_filter"], touch_col="page",
+            conversion_filter=kw["conversion_filter"],
+            lookback="60 minutes", tiebreak_cols=["event_id"],
+        ).collect()
+    }
+    for uid, rs in by_conv.items():
+        last = [r for r in rs if r["touch_pos"] == r["n_touches"]]
+        got_last = last[0]["attributed_page"] if last else None
+        assert got_last == lt[uid], uid
+
+    with pytest.raises(ValueError, match="unknown model"):
+        multi_touch_attribution(df, "uid", "ts", model="shapley", **kw)
+    with pytest.raises(ValueError, match="half_life_seconds"):
+        multi_touch_attribution(df, "uid", "ts", model="time_decay", **kw)
+    with pytest.raises(ValueError, match="endpoint_weight"):
+        multi_touch_attribution(
+            df, "uid", "ts", model="position", endpoint_weight=0.6, **kw
+        )

@@ -3070,3 +3070,105 @@ def test_islands_from_store_propagates_corrupt_out_read(spark):
     # the broad-Exception swallow would have returned 1 row instead
     assert not isinstance(ei.value, _err.AnalysisException) or "PATH_NOT_FOUND" not in str(ei.value)
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_streaming_multi_touch_attribution_equals_batch(spark, sf_dir):
+    """MultiTouchAttributionSink (r17 verdict #4): deliver the events
+    fixture in three CHRONOLOGICAL micro-batches, then the fractional
+    credit rows served from the store must be BIT-EQUAL to the batch
+    multi_touch_attribution over the whole corpus — per credit row
+    (event_id, page, pos, n, weight) AND after the battery query's
+    micro-unit revenue aggregation.  Replaying the last batch changes
+    nothing (hwm skip).  A state-size probe pins the prune: the stored
+    touch set never exceeds the in-lookback touches of the corpus
+    tail."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.attribution import (
+        multi_touch_attribution,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.attribution import (
+        MultiTouchAttributionSink,
+        attributed_conversions_from_store,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value",
+        F.get_json_object("props", "$.k").cast("int").alias("page"),
+    )
+    cuts = ev.selectExpr(
+        "timestamp_micros(cast(percentile(unix_micros(ts), 0.33) as long)) as c1",
+        "timestamp_micros(cast(percentile(unix_micros(ts), 0.66) as long)) as c2",
+    ).first()
+    parts = [
+        ev.filter(F.col("ts") <= F.lit(cuts["c1"])),
+        ev.filter((F.col("ts") > F.lit(cuts["c1"])) & (F.col("ts") <= F.lit(cuts["c2"]))),
+        ev.filter(F.col("ts") > F.lit(cuts["c2"])),
+    ]
+    store = os.path.join(tempfile.mkdtemp(prefix="mta_store_"), "store")
+    kwargs = dict(
+        touch_filter=(F.col("event_type") == "view") & F.col("page").isNotNull(),
+        touch_col="page",
+        conversion_filter=F.col("event_type") == "purchase",
+        lookback="3 days",
+        model="position",
+        tiebreak_cols=["event_id"],
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="lookback is required"):
+        MultiTouchAttributionSink(
+            store, "user_id", "ts", lookback=None,
+            **{k: v for k, v in kwargs.items() if k != "lookback"},
+        )
+    sink = MultiTouchAttributionSink(store, "user_id", "ts", **kwargs)
+    for i, p in enumerate(parts):
+        sink(p, i)
+
+    key = lambda r: (  # noqa: E731
+        r["event_id"], r["attributed_page"], r["touch_pos"],
+        r["n_touches"], r["weight"],
+    )
+    want = sorted(
+        key(r)
+        for r in multi_touch_attribution(ev, "user_id", "ts", **kwargs).collect()
+    )
+    assert len(want) > 0
+
+    def served():
+        return sorted(
+            key(r)
+            for r in attributed_conversions_from_store(spark, store).collect()
+        )
+
+    got = served()
+    assert got == want
+    assert any(p is not None for _, p, *_ in got)
+    assert any(p is None for _, p, *_ in got)       # unattributed bucket
+    assert any(n >= 3 for *_, n, _ in got)          # middles exercised
+    # replay the LAST batch against the already-advanced state
+    sink(parts[2], 2)
+    assert served() == want
+    # battery-shape aggregation (micro-unit exact revenue) matches too
+    vd = F.col("value").cast("decimal(12,2)").cast("double")
+    micro = F.floor(vd * F.col("weight") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    agg = lambda df: {  # noqa: E731
+        (r["attributed_page"], r["n_credits"], r["credited_revenue"])
+        for r in df.groupBy("attributed_page").agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            (F.sum(micro).cast("double") / F.lit(1000000.0)).alias("credited_revenue"),
+        ).collect()
+    }
+    assert agg(attributed_conversions_from_store(spark, store)) == agg(
+        multi_touch_attribution(ev, "user_id", "ts", **kwargs)
+    )
+    # prune pin: stored touches all sit within lookback of their
+    # entity's max seen ts (state is the bounded sufficient statistic,
+    # not the touch log)
+    state = spark.read.parquet(os.path.join(store, "state")).drop("_hwm")
+    mx = state.groupBy("user_id").agg(F.max("ts").alias("m"))
+    stale = state.join(mx, "user_id").filter(
+        F.col("ts") < F.col("m") - F.expr("INTERVAL 3 days")
+    )
+    # per-entity max over TOUCHES only is <= max over all events, so
+    # this is the weaker-but-sufficient bound the store must satisfy
+    assert stale.count() == 0
+    shutil.rmtree(os.path.dirname(store), ignore_errors=True)
