@@ -1004,6 +1004,52 @@ def cosine_prefix_pairs(
     threshold sweep, and shown to differ from the capped path on a
     stopword-heavy corpus, in tests.
 
+    Verification (r17 verdict #2 — the stage that dominated at 28.3 s
+    per the r17 bench decomposition, ~199 M shared-term join rows on
+    the sf0.1 fixture's 31-term vocabulary): three L2AP-derived pieces
+    (Anastasiu & Karypis, "L2AP: fast cosine similarity search with
+    prefix L-2 norm bounds", ICDE 2014 — the candidate-time
+    partial-dot + suffix-norm machinery, restated for a declarative
+    engine where per-pair early termination can't exist but per-pair
+    BOUNDS can):
+
+    1. Candidate generation GROUP-BYs the prefix⋈prefix matches
+       (replacing a distinct), accumulating per pair the exact-long
+       partial dot ``pdot`` over shared prefix terms plus the tails
+       strictly after the LAST shared prefix term.  Every shared term
+       not in ``pdot`` has global rank > min(prefix boundaries) ≥ the
+       last match's rank, so it lives in both tails-after and
+       Cauchy–Schwarz caps its total contribution by
+       sqrt(ta_after·tb_after); a pair with pdot +
+       sqrt(ta_after·tb_after) < t·(1−1e-9)·‖a‖·‖b‖ can never qualify.
+       All statistics are SEPARABLE scalar aggregates (tails decrease
+       along the order on both sides, so first-match products are
+       max() and last-match tails are per-side min()s that co-occur).
+    2. Exact-complete split: both tails-after ZERO (integer compare)
+       means no uncounted term exists — pdot IS the dot and the pair
+       skips verification (fires for short docs whose prefix is the
+       whole vector).
+    3. Survivors verify against per-doc term MAPS zipped in-row
+       (L2AP's forward file restated: ``map_zip_with`` unions keys
+       hash-based, O(|a|+|b|) per pair) — same exact-long dot, no
+       199 M-row explode.  The map table is semi-joined to candidate
+       docs first, which keeps the join self-balancing: flat
+       vocabulary → many candidates but vocabulary-bounded maps and a
+       tiny doc table (2.5 MB at sf0.1 — AQE broadcasts it, no
+       shuffle ever carries a map); Zipf vocabulary → few candidates
+       shrink the map table to the docs they touch.
+
+    Measured on the sf0.1 fixture (SCALING.md r18 entry): the corpus
+    is adversarial for EVERY published candidate bound — 31 distinct
+    terms make candidates ≈ all pairs (11.89 M of 12.46 M possible;
+    the positional filter passes 11.77 M, +L2AP passes 10.57 M — a
+    10.2% prune where the L2AP paper's Zipfian corpora see orders of
+    magnitude) — so the win here came from the verification rewrite:
+    33.1 s → 21.8 s warm same-box (0.66×; identical 1777 output rows
+    — the full stash-A/B is recorded in the SCALING.md r18 entry).
+    On Zipfian vocabularies the same bounds prune sharply (the
+    threshold-sweep tests include a Zipf corpus).
+
     Identity collapse (the r17 10× sweep's catch — clone-heavy corpora
     OOM'd the candidate join the same way the edit join's hot-gram
     postings did in r16): docs with IDENTICAL tf vectors (exact dups
@@ -1095,6 +1141,8 @@ def cosine_prefix_pairs(
             "_id",
             "_nsq",
             F.col("_e.term").alias("term"),
+            F.col("_e._df").alias("_df"),
+            F.col("_e._tf").alias("_tf"),
             F.sum(F.col("_e._tf") * F.col("_e._tf")).over(w).alias("_tail"),
             F.sum(
                 (F.col("_e._tf") / F.sqrt("_nsq")) * F.col("_e._maxw")
@@ -1110,52 +1158,158 @@ def cosine_prefix_pairs(
                 (F.col("_tail") >= F.lit(tsq_relaxed) * F.col("_nsq"))
                 & (F.col("_bsum") >= F.lit(t_relaxed))
             )
-            .select("_id", "_nsq", "term", "_tail")
+            .select("_id", "_nsq", "term", "_df", "_tf", "_tail")
             .persist()
         )
+        cand_cache = None
         try:
             a, b = pref.alias("a"), pref.alias("b")
-            cand = (
-                a.join(
-                    b,
-                    (F.col("a.term") == F.col("b.term"))
-                    & (F.col("a._id") < F.col("b._id")),
+            # Candidate generation is a GROUP-BY over the prefix⋈prefix
+            # matches (replacing the former distinct), accumulating the
+            # L2AP-style sufficient statistics per pair (r17 verdict
+            # #2; Anastasiu & Karypis, "L2AP: fast cosine similarity
+            # search with prefix L-2 norm bounds", ICDE 2014 — the
+            # candidate-time partial-dot + suffix-norm machinery,
+            # restated for a declarative engine where per-pair early
+            # termination can't exist but per-pair BOUNDS can):
+            #   - _pdot  = Σ tf_a·tf_b over the shared PREFIX terms
+            #     (exact long — the accumulated dot L2AP carries);
+            #   - first (min-rank) match → the positional-filter tails
+            #     (tails decrease along the order, so filtering the
+            #     first match ≡ the former OR-over-matches semantics);
+            #   - last (max-rank) match → the suffix tails STRICTLY
+            #     AFTER it (tail − tf² on each side).
+            # Every shared term NOT counted in _pdot has global rank
+            # > min(prefix boundaries) ≥ the last match's rank, hence
+            # lives in BOTH tails-after, and Cauchy–Schwarz caps its
+            # total contribution by sqrt(ta_after·tb_after).  A
+            # candidate with _pdot + sqrt(ta_after·tb_after)
+            # < t·(1−1e-9)·‖a‖·‖b‖ can never qualify — the bound that
+            # prunes DURING verification instead of only at prefix
+            # build.  (min/max structs order by (_df, term) = the
+            # global rank; the payload fields ride along and are never
+            # consulted because the rank is unique within a pair.)
+            # Every per-pair statistic reduces to SEPARABLE scalar
+            # min/max/sum aggregates — no struct ordering needed:
+            # tails decrease along the global order on BOTH sides, so
+            # the first match carries max(tail_a·tail_b) and the last
+            # match carries min(tail_after) on each side SIMULTANEOUSLY
+            # (the per-side minima co-occur at the last match).  Scalar
+            # rows keep the 38.7 M-row (sf0.1) pre-agg shuffle thin.
+            matched = a.join(
+                b,
+                (F.col("a.term") == F.col("b.term"))
+                & (F.col("a._id") < F.col("b._id")),
+            ).select(
+                F.col("a._id").alias("doc_a"),
+                F.col("b._id").alias("doc_b"),
+                F.col("a._nsq").alias("_nsqa"),
+                F.col("b._nsq").alias("_nsqb"),
+                (F.col("a._tf") * F.col("b._tf")).alias("_pp"),
+                # double on BOTH sides: long*long would evaluate in
+                # int64 and wrap negative once tail_a*tail_b passes
+                # 2^63 (nsq ~3e9 each — a stopword-saturated doc),
+                # silently dropping a qualifying pair (r17 review);
+                # double rounding is covered by the (1-1e-9) slack
+                (F.col("a._tail").cast("double") * F.col("b._tail")).alias(
+                    "_fprod"
+                ),
+                (F.col("a._tail") - F.col("a._tf") * F.col("a._tf")).alias(
+                    "_taa"
+                ),
+                (F.col("b._tail") - F.col("b._tf") * F.col("b._tf")).alias(
+                    "_tab"
+                ),
+            )
+            g = matched.groupBy("doc_a", "doc_b").agg(
+                F.min("_nsqa").alias("_nsqa"),
+                F.min("_nsqb").alias("_nsqb"),
+                F.sum("_pp").alias("_pdot"),
+                F.max("_fprod").alias("_fprod"),
+                F.min("_taa").alias("_lta"),
+                F.min("_tab").alias("_ltb"),
+            )
+            cand = g.filter(
+                # positional filter at the first shared term
+                (
+                    F.col("_fprod")
+                    >= F.lit(tsq_relaxed) * F.col("_nsqa") * F.col("_nsqb")
                 )
-                .filter(
-                    # double on BOTH sides: long*long would evaluate in
-                    # int64 and wrap negative once tail_a*tail_b passes
-                    # 2^63 (nsq ~3e9 each — a stopword-saturated doc),
-                    # silently dropping a qualifying pair (r17 review);
-                    # double rounding is covered by the (1-1e-9) slack
-                    F.col("a._tail").cast("double") * F.col("b._tail")
-                    >= F.lit(tsq_relaxed) * F.col("a._nsq") * F.col("b._nsq")
+                # L2AP partial-dot bound at the last shared prefix term
+                & (
+                    F.col("_pdot").cast("double")
+                    + F.sqrt(F.col("_lta").cast("double") * F.col("_ltb"))
+                    >= F.lit(t_relaxed)
+                    * F.sqrt(F.col("_nsqa").cast("double") * F.col("_nsqb"))
                 )
-                .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
-                .distinct()
             )
-            ta = tf.select(
-                F.col("_id").alias("doc_a"), "term", F.col("_tf").alias("_tfa")
+            # Exact-complete split: when BOTH tails-after are zero
+            # (integer compare — exact) the uncounted-term set is
+            # empty, _pdot IS the full dot, and the pair needs no
+            # verification at all.
+            done = (F.col("_lta") == 0) & (F.col("_ltb") == 0)
+            epilogue = lambda dot: (  # noqa: E731 — ONE IEEE epilogue
+                dot / (F.sqrt("_nsqa") * F.sqrt("_nsqb"))
             )
-            tb = tf.select(
-                F.col("_id").alias("doc_b"), "term", F.col("_tf").alias("_tfb")
-            )
-            dots = (
-                cand.join(ta, "doc_a")
-                .join(tb, ["doc_b", "term"])
-                .groupBy("doc_a", "doc_b")
-                .agg(F.sum(F.col("_tfa") * F.col("_tfb")).alias("_dot"))
-            )
-            na = norms.select(F.col("_id").alias("doc_a"), F.col("_nsq").alias("_nsqa"))
-            nb = norms.select(F.col("_id").alias("doc_b"), F.col("_nsq").alias("_nsqb"))
-            rep_pairs = (
-                dots.join(na, "doc_a")
-                .join(nb, "doc_b")
-                .withColumn(
-                    "cosine", F.col("_dot") / (F.sqrt("_nsqa") * F.sqrt("_nsqb"))
-                )
+            exact_done = (
+                cand.filter(done)
+                .withColumn("cosine", epilogue(F.col("_pdot")))
                 .filter(F.col("cosine") >= threshold)
                 .select("doc_a", "doc_b", "cosine")
             )
+            # Survivors verify via per-doc term MAPS zipped in-row —
+            # L2AP's forward-index verification restated declaratively
+            # (map_zip_with unions keys hash-based, O(|a|+|b|) per
+            # pair): the former cand⋈postings⋈postings re-aggregation
+            # exploded every candidate by its shared terms — ~199 M
+            # rows and two shuffles at sf0.1 — where this is
+            # |survivors| rows and the same exact-long dot (integer
+            # adds are order-independent).  The map table is
+            # semi-joined to the candidate docs first, which is what
+            # keeps the join SELF-BALANCING across regimes: under a
+            # flat vocabulary candidates are many but each map is
+            # vocabulary-bounded and the doc table small (2.5 MB at
+            # sf0.1 — AQE broadcasts it, so no shuffle ever carries a
+            # map); under a Zipf vocabulary the prefix filter leaves
+            # few candidates, so the semi-join shrinks the map table
+            # to the few docs they touch.
+            cand = cand_cache = cand.persist()
+            tmap = tf.groupBy("_id").agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("term", "_tf"))
+                ).alias("_m")
+            )
+            need = cand.filter(~done)
+            ma_ = (
+                tmap.select(F.col("_id").alias("doc_a"), F.col("_m").alias("_ma"))
+                .join(need.select("doc_a"), "doc_a", "left_semi")
+            )
+            mb_ = (
+                tmap.select(F.col("_id").alias("doc_b"), F.col("_m").alias("_mb"))
+                .join(need.select("doc_b"), "doc_b", "left_semi")
+            )
+            dot = F.aggregate(
+                F.map_values(
+                    F.map_zip_with(
+                        "_ma",
+                        "_mb",
+                        lambda k, x, y: F.when(
+                            x.isNotNull() & y.isNotNull(), x * y
+                        ),
+                    )
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + F.coalesce(v, F.lit(0)),
+            )
+            verified = (
+                need.select("doc_a", "doc_b", "_nsqa", "_nsqb")
+                .join(ma_, "doc_a")
+                .join(mb_, "doc_b")
+                .withColumn("cosine", epilogue(dot))
+                .filter(F.col("cosine") >= threshold)
+                .select("doc_a", "doc_b", "cosine")
+            )
+            rep_pairs = exact_done.unionByName(verified)
             # expansion: every member pair across two matched rep
             # groups carries the representatives' cosine verbatim...
             ma = members.select(
@@ -1195,13 +1349,290 @@ def cosine_prefix_pairs(
                     "cosine",
                 )
             )
+            # localCheckpoint is EAGER, so the caches are safe to drop
+            # in the finally below
             return cross.unionByName(intra).localCheckpoint(eager=True)
         finally:
             pref.unpersist()
+            if cand_cache is not None:
+                cand_cache.unpersist()
     finally:
         tf.unpersist()
         members.unpersist()
         tf_all.unpersist()
+
+
+def cosine_prefix_new_pairs(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental EXACT tf-cosine join (r17 verdict #3): all pairs at
+    cosine ≥ ``threshold`` that INVOLVE a new-batch doc — (new ×
+    corpus) ∪ (new × new) — without the corpus self-join, completing
+    the incremental family Jaccard/containment opened (dedup.py
+    prefix_*_new_pairs).  Output (doc_a, doc_b, cosine), bit-exact vs
+    the full ``cosine_prefix_pairs`` over corpus ∪ batch restricted to
+    batch-involving pairs (pinned in tests).
+
+    The design decision the weighted metric forces (and the set-based
+    twins never faced): Bayardo's maxweight bound b(x) quantifies over
+    the PARTNER's weights (Σ_suffix x̂ᵢ·maxw(i), maxw(i) = max_y ŷᵢ),
+    so a corpus-side prefix built with corpus-only maxw is UNSOUND the
+    moment a new batch carries a heavier ŷᵢ — the bound could certify
+    a suffix skippable that a batch doc then reaches into.  The split
+    that keeps the index persistable:
+
+    - CORPUS-side prefixes use the Cauchy–Schwarz ℓ²-tail bound ONLY
+      (sqrt(tail/nsq) < t ⇒ suffix unreachable) — partner-FREE, hence
+      valid against every future batch forever: (term order = corpus
+      df, per-term df + maxw, per-doc CS prefixes) is the frozen,
+      persistable index artifact, slightly longer prefixes being the
+      price of immortality;
+    - BATCH-side prefixes, recomputed per probe anyway, tighten with
+      the maxweight bound over maxw_union(i) = max(frozen corpus
+      maxw(i), batch maxw(i)) — sound against corpus AND batch
+      partners, and the batch-side statistics cost one pass over the
+      (small) batch.
+
+    Soundness of prefix ⋈ prefix under per-side rules: each side's
+    prefix is individually sound against every possible partner, so a
+    qualifying pair's globally-first shared term lies in BOTH prefixes
+    (the usual contradiction argument per side).  Global term order =
+    (corpus df asc, term), corpus-absent terms df 0 — any ONE
+    consistent order works (the ``_ranked_by_df`` lemma), and tails
+    decrease along it on both sides, so the positional filter and the
+    L2AP partial-dot bound (see ``cosine_prefix_pairs``) apply
+    unchanged — both are tail-based, partner-free.  Candidates come
+    from new-pref × corpus-pref and new-pref × new-pref; corpus ×
+    corpus is structurally absent.  Verification is the same
+    forward-index map path, maps semi-joined to candidate docs.
+
+    No identity collapse here BY DESIGN: the collapse exists to stop
+    corpus-clone groups from squaring the self-join, but this plan has
+    no corpus self-join — candidate volume is batch-bounded (corpus
+    clones inflate postings by ×g against the batch, not ×g²), and
+    skipping it keeps the persisted index plain per-doc rows.  Ids
+    must be disjoint across the frames (raises otherwise);
+    ``threshold`` must be in (0, 1] (the family guard)."""
+    if not 0.0 < float(threshold) <= 1.0:
+        raise ValueError(
+            "cosine_prefix_new_pairs: threshold must be in (0, 1] — the "
+            "prefix bound is vacuous at t <= 0 and cosine never exceeds 1"
+        )
+    overlap = corpus.select(F.col(id_col)).join(
+        new_docs.select(F.col(id_col)), id_col, "left_semi"
+    )
+    if overlap.limit(1).count():
+        raise ValueError(
+            "cosine_prefix_new_pairs: corpus and new_docs share ids — "
+            "pair identity would be ambiguous; re-id the batch"
+        )
+    from pyspark.sql import Window
+
+    t = float(threshold)
+    t_relaxed = t * (1.0 - 1e-9)
+    tsq_relaxed = t * t * (1.0 - 1e-9)
+
+    def _tf(frame: DataFrame) -> DataFrame:
+        return (
+            frame.select(
+                F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("term")
+            )
+            .groupBy("_id", "term")
+            .agg(F.count(F.lit(1)).alias("_tf"))
+        )
+
+    tf_c, tf_n = _tf(corpus).persist(), _tf(new_docs).persist()
+    try:
+        # ---- the persistable corpus index statistics: term order
+        # (corpus df), corpus maxw, per-doc norms ----
+        norms_c = tf_c.groupBy("_id").agg(
+            F.sum(F.col("_tf") * F.col("_tf")).alias("_nsq")
+        )
+        norms_n = tf_n.groupBy("_id").agg(
+            F.sum(F.col("_tf") * F.col("_tf")).alias("_nsq")
+        )
+        stats_c = (
+            tf_c.join(norms_c, "_id")
+            .groupBy("term")
+            .agg(
+                F.count(F.lit(1)).alias("_df"),
+                F.max(F.col("_tf") / F.sqrt("_nsq")).alias("_maxw_c"),
+            )
+        )
+        stats_n = (
+            tf_n.join(norms_n, "_id")
+            .groupBy("term")
+            .agg(F.max(F.col("_tf") / F.sqrt("_nsq")).alias("_maxw_n"))
+        )
+        # maxw_union: frozen corpus maxw joined (full outer) with the
+        # batch's — sound for every partner in corpus ∪ batch
+        stats = (
+            stats_c.join(stats_n, "term", "full_outer")
+            .select(
+                "term",
+                F.coalesce(F.col("_df"), F.lit(0)).alias("_df"),
+                F.greatest(
+                    F.coalesce(F.col("_maxw_c"), F.lit(0.0)),
+                    F.coalesce(F.col("_maxw_n"), F.lit(0.0)),
+                ).alias("_maxw"),
+            )
+        )
+
+        def _scan(tf: DataFrame, norms: DataFrame) -> DataFrame:
+            ranked = (
+                tf.join(norms, "_id")
+                .join(stats, "term")
+                .groupBy("_id")
+                .agg(
+                    F.min("_nsq").alias("_nsq"),
+                    F.sort_array(
+                        F.collect_list(F.struct("_df", "term", "_tf", "_maxw"))
+                    ).alias("_ord"),
+                )
+            )
+            pos = ranked.select(
+                "_id", "_nsq", F.posexplode("_ord").alias("_pos0", "_e")
+            )
+            w = (
+                Window.partitionBy("_id")
+                .orderBy("_pos0")
+                .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            )
+            return pos.select(
+                "_id",
+                "_nsq",
+                F.col("_e.term").alias("term"),
+                F.col("_e._tf").alias("_tf"),
+                F.sum(F.col("_e._tf") * F.col("_e._tf")).over(w).alias("_tail"),
+                F.sum(
+                    (F.col("_e._tf") / F.sqrt("_nsq")) * F.col("_e._maxw")
+                ).over(w).alias("_bsum"),
+            )
+
+        cs_ok = F.col("_tail") >= F.lit(tsq_relaxed) * F.col("_nsq")
+        # corpus prefix: CS bound ONLY (partner-free → persistable)
+        pref_c = (
+            _scan(tf_c, norms_c)
+            .filter(cs_ok)
+            .select("_id", "_nsq", "term", "_tf", "_tail")
+            .persist()
+        )
+        # batch prefix: CS AND the maxw_union Bayardo bound
+        pref_n = (
+            _scan(tf_n, norms_n)
+            .filter(cs_ok & (F.col("_bsum") >= F.lit(t_relaxed)))
+            .select("_id", "_nsq", "term", "_tf", "_tail")
+            .persist()
+        )
+        cand_cache = None
+        try:
+
+            def _matches(pa: DataFrame, pb: DataFrame, cond) -> DataFrame:
+                a, b = pa.alias("a"), pb.alias("b")
+                return a.join(
+                    b, (F.col("a.term") == F.col("b.term")) & cond
+                ).select(
+                    F.col("a._id").alias("_ida"),
+                    F.col("b._id").alias("_idb"),
+                    F.col("a._nsq").alias("_nsqa"),
+                    F.col("b._nsq").alias("_nsqb"),
+                    (F.col("a._tf") * F.col("b._tf")).alias("_pp"),
+                    (
+                        F.col("a._tail").cast("double") * F.col("b._tail")
+                    ).alias("_fprod"),
+                    (F.col("a._tail") - F.col("a._tf") * F.col("a._tf")).alias(
+                        "_taa"
+                    ),
+                    (F.col("b._tail") - F.col("b._tf") * F.col("b._tf")).alias(
+                        "_tab"
+                    ),
+                )
+
+            matched = _matches(pref_n, pref_c, F.lit(True)).unionByName(
+                _matches(pref_n, pref_n, F.col("a._id") < F.col("b._id"))
+            )
+            g = matched.groupBy("_ida", "_idb").agg(
+                F.min("_nsqa").alias("_nsqa"),
+                F.min("_nsqb").alias("_nsqb"),
+                F.sum("_pp").alias("_pdot"),
+                F.max("_fprod").alias("_fprod"),
+                F.min("_taa").alias("_lta"),
+                F.min("_tab").alias("_ltb"),
+            )
+            cand = cand_cache = g.filter(
+                (
+                    F.col("_fprod")
+                    >= F.lit(tsq_relaxed) * F.col("_nsqa") * F.col("_nsqb")
+                )
+                & (
+                    F.col("_pdot").cast("double")
+                    + F.sqrt(F.col("_lta").cast("double") * F.col("_ltb"))
+                    >= F.lit(t_relaxed)
+                    * F.sqrt(F.col("_nsqa").cast("double") * F.col("_nsqb"))
+                )
+            ).persist()
+            done = (F.col("_lta") == 0) & (F.col("_ltb") == 0)
+            epilogue = lambda dot: (  # noqa: E731 — ONE IEEE epilogue
+                dot / (F.sqrt("_nsqa") * F.sqrt("_nsqb"))
+            )
+            exact_done = (
+                cand.filter(done)
+                .withColumn("cosine", epilogue(F.col("_pdot")))
+                .filter(F.col("cosine") >= threshold)
+                .select("_ida", "_idb", "cosine")
+            )
+            both_tf = tf_c.unionByName(tf_n)
+            tmap = both_tf.groupBy("_id").agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("term", "_tf"))
+                ).alias("_m")
+            )
+            need = cand.filter(~done)
+            ma_ = tmap.select(
+                F.col("_id").alias("_ida"), F.col("_m").alias("_ma")
+            ).join(need.select("_ida"), "_ida", "left_semi")
+            mb_ = tmap.select(
+                F.col("_id").alias("_idb"), F.col("_m").alias("_mb")
+            ).join(need.select("_idb"), "_idb", "left_semi")
+            dot = F.aggregate(
+                F.map_values(
+                    F.map_zip_with(
+                        "_ma",
+                        "_mb",
+                        lambda k, x, y: F.when(
+                            x.isNotNull() & y.isNotNull(), x * y
+                        ),
+                    )
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + F.coalesce(v, F.lit(0)),
+            )
+            verified = (
+                need.select("_ida", "_idb", "_nsqa", "_nsqb")
+                .join(ma_, "_ida")
+                .join(mb_, "_idb")
+                .withColumn("cosine", epilogue(dot))
+                .filter(F.col("cosine") >= threshold)
+                .select("_ida", "_idb", "cosine")
+            )
+            out = exact_done.unionByName(verified).select(
+                F.least("_ida", "_idb").alias("doc_a"),
+                F.greatest("_ida", "_idb").alias("doc_b"),
+                "cosine",
+            )
+            return out.localCheckpoint(eager=True)
+        finally:
+            pref_c.unpersist()
+            pref_n.unpersist()
+            if cand_cache is not None:
+                cand_cache.unpersist()
+    finally:
+        tf_c.unpersist()
+        tf_n.unpersist()
 
 
 def edit_distance_pairs(

@@ -749,6 +749,28 @@ def prefix_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cosine_prefix_pairs(_docs(spark, sf_dir), threshold=0.9)
 
 
+def doc_new_vs_corpus_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion EXACT tf-cosine pairs (r19 queue; r17
+    verdict #3): every fifth document (doc_id % 5 = 0) as the arriving
+    batch, the rest the standing corpus; all cosine ≥ 0.9 pairs that
+    involve a batch doc, computed by probing the corpus-side prefix
+    index with the batch (operators/dedup.cosine_prefix_new_pairs) —
+    never by a corpus self-join.  The corpus index persists under the
+    partner-free Cauchy–Schwarz prefix bound; the batch side tightens
+    with the maxweight bound over max(frozen corpus, batch) weights —
+    see the operator for why the weighted metric forces that split.
+    The oracle recomputes the full uncapped all-pairs cosine join and
+    keeps batch-involving pairs; bit-equality holds because both
+    engines accumulate integer dots/norms and share the one IEEE
+    epilogue (the family's standing float contract)."""
+    docs = _docs(spark, sf_dir)
+    return dedup.cosine_prefix_new_pairs(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        threshold=0.9,
+    )
+
+
 def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(_docs(spark, sf_dir))
 
@@ -1915,6 +1937,37 @@ SPECS = [
         WHERE dot / (sqrt(na.nsq) * sqrt(nb.nsq)) >= 0.9
         """,
         "exact uncapped tf-cosine pairs via Bayardo prefix-filtered join",
+    ),
+    QuerySpec(
+        "doc_new_vs_corpus_cosine",
+        doc_new_vs_corpus_cosine,
+        # the uncapped all-pairs tf-cosine join restricted to pairs
+        # involving a batch (doc_id % 5 = 0) doc — integer dot/norm
+        # sums + the one IEEE sqrt/mul/div epilogue, bit-exact
+        f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+            GROUP BY doc_id, term
+        ), norms AS (
+            SELECT doc_id, sum(tf * tf) AS nsq FROM tf GROUP BY doc_id
+        ), dots AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   sum(a.tf * b.tf) AS dot
+            FROM tf a JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               dot / (sqrt(na.nsq) * sqrt(nb.nsq)) AS cosine
+        FROM dots
+        JOIN norms na ON na.doc_id = doc_a
+        JOIN norms nb ON nb.doc_id = doc_b
+        WHERE dot / (sqrt(na.nsq) * sqrt(nb.nsq)) >= 0.9
+          AND (doc_a % 5 = 0 OR doc_b % 5 = 0)
+        """,
+        "incremental exact tf-cosine pairs (batch probes the corpus prefix index)",
     ),
     QuerySpec("minhash_lsh_dups", minhash_lsh_dups, None, "MinHash+LSH candidates (rows-only)"),
     QuerySpec(

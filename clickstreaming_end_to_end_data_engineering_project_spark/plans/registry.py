@@ -454,17 +454,27 @@ class QuerySpec:
 # BENCH_EXTENDED legs and pinned digests (the standing demotion
 # invariant); the five r17 first-row queries stay for confirming rows.
 # r19 rotation queue (declared in r18, the standing implement-ahead
-# pattern): oracle-backed queries bit-exact vs DuckDB at three scales,
-# benched + digest-pinned ahead of rotation —
+# pattern; ALL FOUR implemented this round, oracle-bit-exact vs DuckDB
+# at sf0.001/0.01/0.1, benched in BENCH_EXTENDED with pinned digests —
+# rotate in at r19 as slots free up, demoting doubly-verified rows per
+# the standing policy):
 #   purchase_attribution_position (attribution.multi_touch_attribution:
-#     position-based / linear / time-decay credit — r17 verdict #4);
+#     position-based / linear / time-decay credit — r17 verdict #4;
+#     micro-unit integer credit snapping makes the weighted revenue
+#     sum order-independent and engine-exact; streaming twin
+#     streaming/attribution.MultiTouchAttributionSink pinned bit-equal
+#     over chronological micro-batches);
 #   coverage_order_overlap_join (rangejoin.interval_overlap_join:
 #     binned interval×interval overlap with the canonical meeting-bin
-#     dedup rule — r17 verdict #5);
+#     dedup rule (credit the pair to max(start_bins) — exactly-once,
+#     no distinct) — r17 verdict #5);
 #   user_journey_match_gapped (sequence.match_sequence gap+negation
-#     form — r17 verdict #7);
+#     form — r17 verdict #7; per-step max-gap + strict-absence
+#     blockers, both nested-min/oracle-expressible);
 #   doc_new_vs_corpus_cosine (dedup.cosine_prefix_new_pairs:
-#     corpus-frozen maxweight incremental twin — r17 verdict #3).
+#     incremental twin — r17 verdict #3; the corpus index persists
+#     under the partner-free Cauchy-Schwarz prefix bound, the batch
+#     side tightens with maxweight over max(frozen corpus, batch)).
 GATE_PRIORITY = [
     # reference-parity clickstream core (pinned)
     "page_view_counts",
@@ -692,6 +702,12 @@ BENCH_EXTENDED = [
     "doc_numeric_profile",
     "doc_length_quantiles",
     "ngram_jaccard_histogram",
+    # r18: the r19-queue quartet — recorded numbers + pinned digests
+    # ahead of rotation (the standing implement-ahead pattern)
+    "purchase_attribution_position",
+    "coverage_order_overlap_join",
+    "user_journey_match_gapped",
+    "doc_new_vs_corpus_cosine",
 ]
 
 

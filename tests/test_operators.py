@@ -7862,3 +7862,174 @@ def test_multi_touch_attribution_matches_python_reference(spark):
         multi_touch_attribution(
             df, "uid", "ts", model="position", endpoint_weight=0.6, **kw
         )
+
+
+def test_cosine_prefix_zipf_corpus_and_exact_done_path(spark):
+    """r17 verdict #2 regression net for the L2AP verification rewrite:
+    (a) a ZIPF-vocabulary corpus (rank-1/k frequencies, 400 terms) —
+    the regime where the prefix/L2AP bounds actually prune — must stay
+    bit-equal to the brute-force reference across thresholds; (b) the
+    exact-complete split (both tails-after zero → pdot IS the dot,
+    verification skipped) must fire correctly for short docs whose
+    prefix covers the whole vector, including same-term different-tf
+    pairs (cosine exactly 1.0 via different-norm vectors) that the
+    identity collapse does NOT merge."""
+    import itertools
+    import math
+    import random as _random
+    from collections import Counter
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        cosine_prefix_pairs,
+    )
+
+    rng = _random.Random(23)
+    vocab = [f"z{i}" for i in range(400)]
+    weights = [1.0 / (k + 1) for k in range(400)]
+    docs = []
+    for i in range(60):
+        toks = rng.choices(vocab, weights=weights, k=rng.choice([3, 10, 30]))
+        docs.append((i, " ".join(toks)))
+    # near-dups: rewrite with one substitution
+    for j, src in enumerate((1, 5, 9)):
+        toks = docs[src][1].split()
+        toks[0] = "z0"
+        docs.append((200 + j, " ".join(toks)))
+    # exact-done bait: single-term and doubled single-term docs — the
+    # prefix is the whole vector, tails-after are zero at the match,
+    # and {t:1} vs {t:2} are DIFFERENT fingerprints (no collapse)
+    docs += [(300, "z7"), (301, "z7 z7"), (302, "z7 z7 z7"), (303, "z8 z8")]
+    # plus clone groups so collapse and exact-done coexist
+    docs += [(310, docs[3][1]), (311, docs[3][1])]
+
+    def ref_pairs(t):
+        tfs = {i: Counter(txt.split()) for i, txt in docs}
+        out = {}
+        for (ia, ca), (ib, cb) in itertools.combinations(tfs.items(), 2):
+            dot = sum(ca[w] * cb[w] for w in ca.keys() & cb.keys())
+            if dot:
+                cos = dot / (
+                    math.sqrt(sum(v * v for v in ca.values()))
+                    * math.sqrt(sum(v * v for v in cb.values()))
+                )
+                if cos >= t:
+                    out[(min(ia, ib), max(ia, ib))] = cos
+        return out
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for t in (0.5, 0.8, 0.9, 1.0):
+        got = {
+            (r["doc_a"], r["doc_b"]): r["cosine"]
+            for r in cosine_prefix_pairs(df, threshold=t).collect()
+        }
+        want = ref_pairs(t)
+        assert got == want, f"threshold {t}"
+        if t <= 0.9:
+            # the single-term family must appear via the exact-done path
+            assert (300, 301) in got and got[(300, 301)] == 1.0
+
+
+def test_cosine_prefix_new_pairs_equals_full_join_on_union(spark, sf_dir):
+    """r17 verdict #3: the incremental probe must be BIT-EQUAL to the
+    full cosine_prefix_pairs over corpus ∪ batch restricted to
+    batch-involving pairs — on the fixture corpus and on a synthetic
+    corpus built to attack the frozen-maxweight design: batch docs
+    whose per-term normalized weight EXCEEDS every corpus doc's
+    (a corpus-only maxw bound would certify suffixes skippable that
+    these partners reach into), batch-only vocabulary, clones, and
+    single-term exact-done docs."""
+    import itertools
+    import math
+    import random as _random
+    from collections import Counter
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        cosine_prefix_new_pairs,
+        cosine_prefix_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in cosine_prefix_new_pairs(corpus, batch, threshold=0.9).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in cosine_prefix_pairs(docs, threshold=0.9).collect()
+        if r["doc_a"] % 5 == 0 or r["doc_b"] % 5 == 0
+    }
+    assert got == full and len(got) > 0
+
+    # maxweight-attack synthetic corpus
+    rng = _random.Random(41)
+    vocab = [f"v{i}" for i in range(50)]
+    rows = []
+    for i in range(30):
+        rows.append((i, " ".join(rng.choices(vocab, k=rng.choice([4, 12, 30])))))
+    # corpus docs keep every term's weight moderate; BATCH docs are
+    # near-pure repetitions (normalized weight ≈ 1 ≫ corpus maxw)
+    brows = [
+        (100, "v3 " * 20 + "v4"),          # heavy v3, one stray term
+        (101, "v3 " * 15),                  # pure v3 (exact-done shape)
+        (102, "v3"),                        # single term
+        (103, "bnew bnew bnew"),            # batch-only vocabulary
+        (104, "bnew bnew bnew bnew"),
+        (105, rows[7][1]),                  # clone of a corpus doc
+    ]
+    cdf = spark.createDataFrame(rows, ["doc_id", "text"])
+    bdf = spark.createDataFrame(brows, ["doc_id", "text"])
+
+    def ref_pairs(t):
+        tfs = {i: Counter(txt.split()) for i, txt in rows + brows}
+        out = {}
+        bids = {i for i, _ in brows}
+        for (ia, ca), (ib, cb) in itertools.combinations(tfs.items(), 2):
+            if ia not in bids and ib not in bids:
+                continue
+            dot = sum(ca[w] * cb[w] for w in ca.keys() & cb.keys())
+            if dot:
+                cos = dot / (
+                    math.sqrt(sum(v * v for v in ca.values()))
+                    * math.sqrt(sum(v * v for v in cb.values()))
+                )
+                if cos >= t:
+                    out[(min(ia, ib), max(ia, ib))] = cos
+        return out
+
+    for t in (0.5, 0.9, 1.0):
+        got = {
+            (r["doc_a"], r["doc_b"]): r["cosine"]
+            for r in cosine_prefix_new_pairs(cdf, bdf, threshold=t).collect()
+        }
+        assert got == ref_pairs(t), f"threshold {t}"
+    # the heavy-repetition family must have been found (101 vs 102 is
+    # cosine exactly 1.0; batch-only vocab pairs too)
+    got09 = ref_pairs(0.9)
+    assert (101, 102) in got09 and (103, 104) in got09
+
+
+def test_cosine_prefix_new_pairs_guards_and_no_cached_frames(spark):
+    """Family guards: id overlap raises, threshold outside (0,1]
+    raises; and the operator unpersists everything it cached (the
+    localCheckpoint makes the output independent of the caches)."""
+    import pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        cosine_prefix_new_pairs,
+    )
+
+    c = spark.createDataFrame([(1, "a b c"), (2, "b c d")], ["doc_id", "text"])
+    n = spark.createDataFrame([(2, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="share ids"):
+        cosine_prefix_new_pairs(c, n)
+    n2 = spark.createDataFrame([(9, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="threshold"):
+        cosine_prefix_new_pairs(c, n2, threshold=0.0)
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    out = cosine_prefix_new_pairs(c, n2, threshold=0.5).collect()
+    assert len(out) >= 1
+    assert cm.isEmpty(), "cosine_prefix_new_pairs leaked a cached DataFrame"
+
