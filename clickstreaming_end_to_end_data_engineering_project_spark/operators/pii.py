@@ -103,3 +103,58 @@ def pii_audit(
             )
         )
     return df.agg(*aggs)
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list,
+    k_thresholds: tuple = (2, 5, 10),
+) -> DataFrame:
+    """One-row k-anonymity risk report over a set of quasi-identifier
+    columns (Sweeney, IJUFKS 2002 — the standard re-identification
+    risk measure; capability extension per SURVEY.md §2.11 alongside
+    the PII scrub: scrubbing direct identifiers does nothing about
+    quasi-identifier joins, and every release review asks for exactly
+    this table).
+
+    A dataset is k-anonymous iff every quasi-identifier combination is
+    shared by >= k rows.  Output: ``total_rows``, ``n_groups``,
+    ``min_k`` (the dataset's achieved k), ``singleton_rows`` (rows
+    unique on the quasi tuple — the immediately re-identifiable ones),
+    and per requested threshold ``rows_below_{k}`` (rows in groups
+    smaller than k — the population that must be generalized or
+    suppressed to reach k).
+
+    Scale shape: two chained aggregates — groupBy(quasi).count() then
+    a single-row reduction over the (far smaller) group table; both
+    map-side combinable, one shuffle on the quasi key.  NULL
+    discipline: NULL quasi values form their own group (SQL GROUP BY
+    semantics, identical in the oracle) — NULL is a value an attacker
+    can match on, so it must count like one.
+    """
+    if not quasi_cols:
+        raise ValueError("k_anonymity_report: need at least one quasi column")
+    cols = [F.col(c) if isinstance(c, str) else c for c in quasi_cols]
+    named = [c.alias(f"_q{i}") for i, c in enumerate(cols)]
+    groups = (
+        df.select(*named)
+        .groupBy(*[f"_q{i}" for i in range(len(named))])
+        .agg(F.count(F.lit(1)).alias("_gsz"))
+    )
+    zero = F.lit(0).cast("long")
+    aggs = [
+        F.coalesce(F.sum("_gsz").cast("long"), zero).alias("total_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("_gsz").alias("min_k"),
+        F.coalesce(
+            F.sum(F.when(F.col("_gsz") == 1, F.col("_gsz"))).cast("long"), zero
+        ).alias("singleton_rows"),
+    ]
+    for k in k_thresholds:
+        k = int(k)
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col("_gsz") < k, F.col("_gsz"))).cast("long"), zero
+            ).alias(f"rows_below_{k}")
+        )
+    return groups.agg(*aggs)

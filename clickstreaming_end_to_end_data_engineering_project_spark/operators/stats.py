@@ -122,3 +122,94 @@ def group_corr(
         F.col("_n").alias("n_points"),
         dround(corr, round_dp).alias("corr"),
     )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    treatment_col: str | Column,
+    converted_col: str | Column,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Pooled two-proportion z-test over per-unit assignment rows —
+    the readout of every clickstream A/B experiment (capability
+    extension per SURVEY.md §2.11: the reference charts per-page
+    counts but has no experimentation surface at all).
+
+    Input grain is one row per UNIT (user) with a boolean
+    ``treatment_col`` (variant) and boolean ``converted_col``;
+    deduplicating events to units is the caller's job (an exposure
+    double-counted across events would shrink the variance estimate
+    and manufacture significance).  Everything reduces to FOUR exact
+    integer counts in one map-side-combinable aggregate — the
+    ``group_ols`` cost model: one reduction, no shuffle of unit rows
+    beyond the partial-agg combine, driver receives one row.
+
+        z = (pt - pc) / sqrt(pp*(1-pp) * (1/nt + 1/nc)),
+        pp = (xt + xc) / (nt + nc)   (pooled rate)
+
+    plus per-arm Wilson 95% intervals (z* = 1.96 literal):
+
+        (p + z*^2/2n +- z* * sqrt(p*(1-p)/n + z*^2/(4n^2))) / (1 + z*^2/n)
+
+    Cross-engine exactness: counts are exact longs; every derived
+    expression is stated with the identical operation tree in the
+    DuckDB oracle (double casts on the literals there — the EWMA
+    discipline); sqrt is IEEE-correctly-rounded on both engines; one
+    dround per output.  NULL discipline: a NULL treatment flag drops
+    the unit (it was never assigned); a NULL converted flag counts as
+    not-converted.  Degenerate inputs (an empty arm, or a pooled rate
+    of exactly 0 or 1) return NULL z — not 0.0, which would read as
+    "measured, no effect"."""
+    from ..functions import dround
+
+    tc = F.col(treatment_col) if isinstance(treatment_col, str) else treatment_col
+    cc = F.col(converted_col) if isinstance(converted_col, str) else converted_col
+    conv = cc.isNotNull() & cc
+    g = df.filter(tc.isNotNull()).agg(
+        F.count(F.when(tc, F.lit(1))).alias("_nt"),
+        F.count(F.when(~tc, F.lit(1))).alias("_nc"),
+        F.count(F.when(tc & conv, F.lit(1))).alias("_xt"),
+        F.count(F.when(~tc & conv, F.lit(1))).alias("_xc"),
+    )
+    nt = F.col("_nt").cast("double")
+    nc = F.col("_nc").cast("double")
+    xt = F.col("_xt").cast("double")
+    xc = F.col("_xc").cast("double")
+    pt = xt / nt
+    pc = xc / nc
+    pp = (xt + xc) / (nt + nc)
+    se = F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / nt + F.lit(1.0) / nc))
+    z = F.when(
+        (F.col("_nt") > 0) & (F.col("_nc") > 0) & (pp > F.lit(0.0)) & (pp < F.lit(1.0)),
+        (pt - pc) / se,
+    )
+    zs = 1.96
+    zs2 = zs * zs
+
+    def _wilson(p: Column, n: Column, sign: float) -> Column:
+        centre = p + F.lit(zs2) / (F.lit(2.0) * n)
+        margin = F.lit(zs) * F.sqrt(
+            p * (F.lit(1.0) - p) / n + F.lit(zs2) / (F.lit(4.0) * n * n)
+        )
+        return (centre + F.lit(sign) * margin) / (F.lit(1.0) + F.lit(zs2) / n)
+
+    def _arm(p: Column, n: Column, ok: Column, name: str) -> "list[Column]":
+        return [
+            dround(F.when(ok, p), round_dp).alias(f"rate_{name}"),
+            dround(F.when(ok, _wilson(p, n, -1.0)), round_dp).alias(f"wilson_lo_{name}"),
+            dround(F.when(ok, _wilson(p, n, 1.0)), round_dp).alias(f"wilson_hi_{name}"),
+        ]
+
+    return g.select(
+        F.col("_nt").alias("n_treatment"),
+        F.col("_nc").alias("n_control"),
+        F.col("_xt").alias("conv_treatment"),
+        F.col("_xc").alias("conv_control"),
+        *_arm(pt, nt, F.col("_nt") > 0, "treatment"),
+        *_arm(pc, nc, F.col("_nc") > 0, "control"),
+        dround(
+            F.when((F.col("_nt") > 0) & (F.col("_nc") > 0), pt - pc), round_dp
+        ).alias("abs_lift"),
+        dround(z, round_dp).alias("z_stat"),
+        F.when(z.isNotNull(), F.abs(z) > F.lit(zs)).alias("significant_95"),
+    )

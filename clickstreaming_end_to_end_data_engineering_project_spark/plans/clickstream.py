@@ -328,6 +328,111 @@ WITH flagged AS (
 )
 """
 
+
+def ab_purchase_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout (r20 queue): the unit is an ACTIVE
+    USER-DAY (user_id x calendar day with >=1 event — the standard
+    daily-activation grain; plain per-user "ever purchased" saturates
+    to 100% on this fixture and the pooled rate degenerates to 1),
+    converted = purchased that day, arms split by a deterministic
+    multiplicative hash of user_id (Knuth's 2654435761 mod 2^32 —
+    stated identically in the oracle; exact in int64, so both engines
+    bucket every user the same way; the RANDOMIZATION unit stays the
+    user, as it must — all of a user's days land in one arm).  Pooled
+    two-proportion z-test + per-arm Wilson intervals via
+    operators/stats.two_proportion_ztest; aggregating to units FIRST
+    is the double-counted-exposure trap the operator docstring
+    names."""
+    from ..operators.stats import two_proportion_ztest
+
+    units = (
+        _events(spark, sf_dir)
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.expr("bool_or(event_type = 'purchase')").alias("converted"))
+        .withColumn(
+            "in_treatment",
+            (F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296)
+            < F.lit(2147483648),
+        )
+    )
+    return two_proportion_ztest(units, "in_treatment", "converted")
+
+
+def _ab_ztest_oracle() -> str:
+    """DuckDB twin of ab_purchase_ztest with the operator's exact
+    expression trees (rates, pooled SE, Wilson intervals) — every
+    literal CAST AS DOUBLE, sqrt correctly rounded on both engines,
+    one dround per output (the EWMA-oracle discipline)."""
+    from ..functions import sql_snippets
+
+    pt = "(CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE))"
+    pc = "(CAST(xc AS DOUBLE) / CAST(nc AS DOUBLE))"
+    pp = "((CAST(xt AS DOUBLE) + CAST(xc AS DOUBLE)) / (CAST(nt AS DOUBLE) + CAST(nc AS DOUBLE)))"
+    se = (
+        f"sqrt({pp} * (CAST(1.0 AS DOUBLE) - {pp})"
+        f" * (CAST(1.0 AS DOUBLE) / CAST(nt AS DOUBLE)"
+        f" + CAST(1.0 AS DOUBLE) / CAST(nc AS DOUBLE)))"
+    )
+    z = f"(({pt} - {pc}) / {se})"
+    z_guard = (
+        f"CASE WHEN nt > 0 AND nc > 0 AND {pp} > CAST(0.0 AS DOUBLE)"
+        f" AND {pp} < CAST(1.0 AS DOUBLE) THEN {z} END"
+    )
+
+    def wilson(p: str, n: str, sign: str) -> str:
+        centre = f"({p} + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (CAST(2.0 AS DOUBLE) * {n}))"
+        margin = (
+            f"(CAST(1.96 AS DOUBLE) * sqrt({p} * (CAST(1.0 AS DOUBLE) - {p}) / {n}"
+            f" + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / (CAST(4.0 AS DOUBLE) * {n} * {n})))"
+        )
+        return (
+            f"(({centre} {sign} {margin})"
+            f" / (CAST(1.0 AS DOUBLE) + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / {n}))"
+        )
+
+    def arm(p: str, n_raw: str, n_dbl: str, name: str) -> str:
+        return ", ".join(
+            [
+                sql_snippets.dround(f"CASE WHEN {n_raw} > 0 THEN {p} END", 6)
+                + f" AS rate_{name}",
+                sql_snippets.dround(
+                    f"CASE WHEN {n_raw} > 0 THEN {wilson(p, n_dbl, '-')} END", 6
+                )
+                + f" AS wilson_lo_{name}",
+                sql_snippets.dround(
+                    f"CASE WHEN {n_raw} > 0 THEN {wilson(p, n_dbl, '+')} END", 6
+                )
+                + f" AS wilson_hi_{name}",
+            ]
+        )
+
+    return f"""
+        WITH units AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   bool_or(event_type = 'purchase') AS conv,
+                   (user_id * 2654435761) % 4294967296 < 2147483648 AS t
+            FROM events GROUP BY 1, 2
+        ), c AS (
+            SELECT CAST(count(*) FILTER (t) AS BIGINT) AS nt,
+                   CAST(count(*) FILTER (NOT t) AS BIGINT) AS nc,
+                   CAST(count(*) FILTER (t AND coalesce(conv, FALSE)) AS BIGINT) AS xt,
+                   CAST(count(*) FILTER ((NOT t) AND coalesce(conv, FALSE)) AS BIGINT) AS xc
+            FROM units
+        )
+        SELECT nt AS n_treatment, nc AS n_control,
+               xt AS conv_treatment, xc AS conv_control,
+               {arm(pt, 'nt', 'CAST(nt AS DOUBLE)', 'treatment')},
+               {arm(pc, 'nc', 'CAST(nc AS DOUBLE)', 'control')},
+               {sql_snippets.dround(f'CASE WHEN nt > 0 AND nc > 0 THEN {pt} - {pc} END', 6)}
+                   AS abs_lift,
+               {sql_snippets.dround(z_guard, 6)} AS z_stat,
+               CASE WHEN {z_guard} IS NOT NULL
+                    THEN abs({z_guard}) > CAST(1.96 AS DOUBLE) END
+                   AS significant_95
+        FROM c
+        """
+
+
 SPECS = [
     QuerySpec(
         "page_view_counts",
@@ -609,5 +714,12 @@ SPECS = [
         "events_dedup_distinct",
         events_dedup_distinct,
         "SELECT DISTINCT user_id, event_type FROM events",
+    ),
+    QuerySpec(
+        "ab_purchase_ztest",
+        ab_purchase_ztest,
+        _ab_ztest_oracle(),
+        "pooled two-proportion z-test + Wilson CIs over hash-bucketed "
+        "user arms (r20 queue)",
     ),
 ]

@@ -953,6 +953,175 @@ def coverage_order_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders x customer x nation — the shared input of the r20-queue
+    timeseries pair (both dimension joins broadcast)."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    return orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+
+
+def nation_daily_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation daily mean order value on a gap-free day grid, with
+    linear interpolation over orderless days (r20 queue) — the
+    chart-ready repair of a sparse per-key daily series; see
+    operators/timeseries.resample_linear for the one-shuffle plan
+    shape and the exact-decimal/IEEE determinism contract."""
+    from ..operators.timeseries import resample_linear
+
+    return resample_linear(
+        _nation_orders(spark, sf_dir),
+        "o_orderdate",
+        ["n_name"],
+        money("o_totalprice"),
+        step_seconds=86400,
+    )
+
+
+def nation_monthly_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing of monthly revenue per nation (r20
+    queue) — the level+trend upgrade of daily_revenue_ewma, and the
+    forecasting primitive a revenue dashboard extrapolates from.
+    alpha=0.5, beta=0.3 (Python double literals, mirrored as CAST AS
+    DOUBLE in the oracle's recursive CTE); see
+    operators/timeseries.holt_smooth for the per-key fold contract."""
+    from ..operators.timeseries import holt_smooth
+
+    monthly = (
+        _nation_orders(spark, sf_dir)
+        .groupBy(
+            "n_name", F.trunc("o_orderdate", "month").alias("month")
+        )
+        .agg(F.sum(money("o_totalprice")).cast("double").alias("revenue"))
+        .select("n_name", F.col("month").cast("timestamp").alias("month"), "revenue")
+    )
+    return holt_smooth(
+        monthly, ["n_name"], "month", "revenue", alpha=0.5, beta=0.3
+    )
+
+
+def customer_kanonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk report over the customer table's quasi-
+    identifiers (nation, market segment, account-balance band) — the
+    privacy-release readout beside the PII scrub (r20 queue); see
+    operators/pii.k_anonymity_report."""
+    from ..operators.pii import k_anonymity_report
+
+    c = load(spark, sf_dir, "customer")
+    return k_anonymity_report(
+        c,
+        [
+            F.col("c_nationkey"),
+            F.col("c_mktsegment"),
+            F.floor(F.col("c_acctbal") / F.lit(100.0)),
+        ],
+        k_thresholds=(2, 5, 10),
+    )
+
+
+def _interp_oracle() -> str:
+    """DuckDB twin of nation_daily_interpolated: day-index * 86400
+    bucket seconds (the operator's epoch arithmetic restated in exact
+    integer DATE space), identical window/interpolation trees, one
+    dround.  The scaled ratio (d*86400)/(D*86400) is bit-equal to the
+    operator's epoch-second ratio: both num and den are exact in
+    double and IEEE division correctly rounds the same real
+    quotient."""
+    interp = (
+        "pv + (nv - pv) * (CAST(bsec - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))"
+    )
+    return f"""
+        WITH obs AS (
+            SELECT n_name,
+                   (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                       * CAST(86400 AS BIGINT) AS bsec,
+                   {sql_snippets.avg_money('o_totalprice')} AS v
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+            GROUP BY 1, 2
+        ), spans AS (
+            SELECT n_name, min(bsec) AS lo, max(bsec) AS hi
+            FROM obs GROUP BY 1
+        ), grid AS (
+            SELECT n_name, CAST(x AS BIGINT) AS bsec
+            FROM spans, unnest(generate_series(lo, hi, 86400)) t(x)
+        ), j AS (
+            SELECT g.n_name, g.bsec, o.v
+            FROM grid g LEFT JOIN obs o USING (n_name, bsec)
+        ), w AS (
+            SELECT n_name, bsec, v,
+                last_value(CASE WHEN v IS NOT NULL THEN bsec END IGNORE NULLS)
+                    OVER wp AS pb,
+                last_value(v IGNORE NULLS) OVER wp AS pv,
+                first_value(CASE WHEN v IS NOT NULL THEN bsec END IGNORE NULLS)
+                    OVER wn AS nb,
+                first_value(v IGNORE NULLS) OVER wn AS nv
+            FROM j
+            WINDOW wp AS (PARTITION BY n_name ORDER BY bsec
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wn AS (PARTITION BY n_name ORDER BY bsec
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT n_name,
+               epoch_ms(bsec * 1000) AS bucket,
+               {sql_snippets.dround(f'CASE WHEN v IS NOT NULL THEN v ELSE {interp} END', 6)}
+                   AS value,
+               v IS NOT NULL AS is_observed
+        FROM w
+        """
+
+
+def _holt_oracle() -> str:
+    """DuckDB twin of nation_monthly_holt: the identical recurrence as
+    a recursive CTE over per-nation month indexes.  The level
+    expression is restated verbatim inside the trend update (a
+    recursive SELECT cannot reference its own computed column) —
+    recomputing the same double expression yields the same double.
+    All coefficients CAST AS DOUBLE (the EWMA-oracle lesson)."""
+    lvl = (
+        "CAST(0.5 AS DOUBLE) * x.y"
+        " + CAST(0.5 AS DOUBLE) * (r.level + r.trend)"
+    )
+    return f"""
+        WITH RECURSIVE monthly AS (
+            SELECT n_name,
+                   CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+                   {sql_snippets.sum_money('o_totalprice')} AS y
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1, 2
+        ), idx AS (
+            SELECT n_name, month, y,
+                   row_number() OVER (PARTITION BY n_name ORDER BY month) AS i
+            FROM monthly
+        ), rec AS (
+            SELECT n_name, month, y, i,
+                   CAST(NULL AS DOUBLE) AS forecast,
+                   y AS level,
+                   CAST(0.0 AS DOUBLE) AS trend
+            FROM idx WHERE i = 1
+            UNION ALL
+            SELECT x.n_name, x.month, x.y, x.i,
+                   r.level + r.trend AS forecast,
+                   {lvl} AS level,
+                   CAST(0.3 AS DOUBLE) * (({lvl}) - r.level)
+                       + CAST(0.7 AS DOUBLE) * r.trend AS trend
+            FROM idx x JOIN rec r ON x.n_name = r.n_name AND x.i = r.i + 1
+        )
+        SELECT n_name, month, y,
+               {sql_snippets.dround('forecast', 6)} AS forecast,
+               {sql_snippets.dround('level', 6)} AS level,
+               {sql_snippets.dround('trend', 6)} AS trend
+        FROM rec
+        """
+
+
 SPECS = [
     QuerySpec(
         "part_pareto_3d",
@@ -1596,5 +1765,45 @@ SPECS = [
         GROUP BY 1, 2, 3
         """,
         "supplier busy islands x order in-flight spans (interval overlap join)",
+    ),
+    QuerySpec(
+        "nation_daily_interpolated",
+        nation_daily_interpolated,
+        _interp_oracle(),
+        "per-nation daily mean order value, gap-free grid + linear "
+        "interpolation (r20 queue)",
+    ),
+    QuerySpec(
+        "nation_monthly_holt",
+        nation_monthly_holt,
+        _holt_oracle(),
+        "Holt level+trend smoothing of monthly nation revenue "
+        "(r20 queue)",
+    ),
+    QuerySpec(
+        "customer_kanonymity_report",
+        customer_kanonymity_report,
+        """
+        WITH g AS (
+            SELECT c_nationkey, c_mktsegment,
+                   floor(c_acctbal / 100.0) AS band,
+                   CAST(count(*) AS BIGINT) AS gsz
+            FROM customer GROUP BY 1, 2, 3
+        )
+        SELECT CAST(coalesce(sum(gsz), 0) AS BIGINT) AS total_rows,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               min(gsz) AS min_k,
+               CAST(coalesce(sum(CASE WHEN gsz = 1 THEN gsz END), 0)
+                    AS BIGINT) AS singleton_rows,
+               CAST(coalesce(sum(CASE WHEN gsz < 2 THEN gsz END), 0)
+                    AS BIGINT) AS rows_below_2,
+               CAST(coalesce(sum(CASE WHEN gsz < 5 THEN gsz END), 0)
+                    AS BIGINT) AS rows_below_5,
+               CAST(coalesce(sum(CASE WHEN gsz < 10 THEN gsz END), 0)
+                    AS BIGINT) AS rows_below_10
+        FROM g
+        """,
+        "k-anonymity risk report over customer quasi-identifiers "
+        "(r20 queue)",
     ),
 ]

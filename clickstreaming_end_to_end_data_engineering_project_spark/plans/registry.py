@@ -475,6 +475,23 @@ class QuerySpec:
 #     incremental twin — r17 verdict #3; the corpus index persists
 #     under the partner-free Cauchy-Schwarz prefix bound, the batch
 #     side tightens with maxweight over max(frozen corpus, batch)).
+# r20 rotation queue (declared in r18 — implemented a round AHEAD of
+# the r19 quartet, same standing pattern; four NEW operator families
+# rounding out the analytics surface, each oracle-backed):
+#   ab_purchase_ztest (stats.two_proportion_ztest: pooled z + Wilson
+#     CIs over hash-bucketed user arms — the experimentation readout
+#     the reference's clickstream domain conspicuously lacks);
+#   nation_daily_interpolated (timeseries.resample_linear: gap-free
+#     per-key grid + linear interpolation; every exchange after the
+#     first aggregate carries only bucket-grain grid rows, and the
+#     two mirror windows compile to ONE Window operator);
+#   nation_monthly_holt (timeseries.holt_smooth: level+trend
+#     smoothing via a per-key JVM F.aggregate fold — the sequential
+#     recurrence has no map-combinable form, so parallelism is the
+#     key dimension; oracle is a recursive CTE with the identical
+#     IEEE tree);
+#   customer_kanonymity_report (pii.k_anonymity_report: group-size
+#     risk readout over quasi-identifiers, two chained aggregates).
 GATE_PRIORITY = [
     # reference-parity clickstream core (pinned)
     "page_view_counts",
@@ -708,6 +725,11 @@ BENCH_EXTENDED = [
     "coverage_order_overlap_join",
     "user_journey_match_gapped",
     "doc_new_vs_corpus_cosine",
+    # r18: the r20-queue quartet (implemented two rounds ahead)
+    "ab_purchase_ztest",
+    "nation_daily_interpolated",
+    "nation_monthly_holt",
+    "customer_kanonymity_report",
 ]
 
 

@@ -8033,3 +8033,191 @@ def test_cosine_prefix_new_pairs_guards_and_no_cached_frames(spark):
     assert len(out) >= 1
     assert cm.isEmpty(), "cosine_prefix_new_pairs leaked a cached DataFrame"
 
+
+def test_resample_linear_matches_python_reference(spark):
+    """Differential for operators/timeseries.resample_linear: random
+    sparse per-key series (gaps of many sizes, single-point keys,
+    duplicate observations in one bucket, NULL rows) vs a pure-python
+    grid + interpolation reference computing the identical expression
+    tree."""
+    import datetime as _dt
+    import random as _random
+    from decimal import Decimal
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.timeseries import (
+        resample_linear,
+    )
+
+    rng = _random.Random(7)
+    base = _dt.datetime(2024, 3, 1)
+    rows = []
+    for key in ["a", "b", "c", "one_point"]:
+        n = 1 if key == "one_point" else rng.randint(3, 25)
+        hour = 0
+        for _ in range(n):
+            v = round(rng.uniform(-50, 500), 2)
+            rows.append((key, base + _dt.timedelta(hours=hour, minutes=7), v))
+            if rng.random() < 0.3:  # duplicate obs inside a bucket
+                rows.append((key, base + _dt.timedelta(hours=hour, minutes=40), v + 1.5))
+            hour += rng.choice([1, 1, 2, 3, 7, 24])
+    rows.append(("a", None, 99.0))
+    rows.append(("a", base, None))
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    got = {
+        (r["k"], r["bucket"]): (r["value"], r["is_observed"])
+        for r in resample_linear(
+            df, "ts", ["k"], F.col("v").cast("decimal(12,2)"), 3600
+        ).collect()
+    }
+
+    # python reference
+    obs = {}
+    for k, ts, v in rows:
+        if ts is None or v is None:
+            continue
+        b = int(ts.replace(tzinfo=_dt.timezone.utc).timestamp()) // 3600 * 3600
+        s, c = obs.get((k, b), (Decimal(0), 0))
+        obs[(k, b)] = (s + Decimal(str(v)).quantize(Decimal("0.01")), c + 1)
+    want = {}
+    keys = {k for k, _ in obs}
+    for k in keys:
+        bs = sorted(b for kk, b in obs if kk == k)
+        vals = {b: float(obs[(k, b)][0]) / obs[(k, b)][1] for b in bs}
+        for b in range(bs[0], bs[-1] + 1, 3600):
+            if b in vals:
+                val = vals[b]
+                seen = True
+            else:
+                pb = max(x for x in bs if x < b)
+                nb = min(x for x in bs if x > b)
+                val = vals[pb] + (vals[nb] - vals[pb]) * (float(b - pb) / float(nb - pb))
+                seen = False
+            ts = _dt.datetime.utcfromtimestamp(b)
+            import math
+            want[(k, ts)] = (math.floor(val * 1e6 + 0.5) / 1e6, seen)
+    assert got == want and len(got) > len(obs)
+
+
+def test_holt_smooth_matches_python_reference(spark):
+    """Differential for operators/timeseries.holt_smooth: the exact
+    per-key fold (init l0=y0, b0=0; one-step forecast) vs a python
+    loop with the identical operation order, over random multi-key
+    series incl. a single-point key.  Also pins the guard."""
+    import math
+    import random as _random
+
+    import pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.timeseries import (
+        holt_smooth,
+    )
+
+    rng = _random.Random(11)
+    rows = []
+    for k in ["x", "y", "solo"]:
+        n = 1 if k == "solo" else rng.randint(4, 40)
+        for i in range(n):
+            rows.append((k, i, round(rng.uniform(0, 1000), 3)))
+    df = spark.createDataFrame(rows, ["k", "i", "v"])
+    a, b = 0.5, 0.3
+    got = {
+        (r["k"], r["i"]): (r["forecast"], r["level"], r["trend"])
+        for r in holt_smooth(df, ["k"], "i", "v", alpha=a, beta=b).collect()
+    }
+
+    def dr(x):
+        return None if x is None else math.floor(x * 1e6 + 0.5) / 1e6
+
+    want = {}
+    for k in ["x", "y", "solo"]:
+        series = sorted((i, v) for kk, i, v in rows if kk == k)
+        l = t = None
+        for i, y in series:
+            if l is None:
+                fc, l, t = None, y, 0.0
+            else:
+                fc = l + t
+                newl = a * y + (1.0 - a) * (l + t)
+                t = b * (newl - l) + (1.0 - b) * t
+                l = newl
+            want[(k, i)] = (dr(fc), dr(l), dr(t))
+    assert got == want
+    with pytest.raises(ValueError, match="alpha"):
+        holt_smooth(df, ["k"], "i", "v", alpha=0.0)
+
+
+def test_two_proportion_ztest_matches_textbook_and_guards(spark):
+    """operators/stats.two_proportion_ztest vs hand-computed pooled z
+    and Wilson bounds on a fixed table; NULL-treatment rows dropped,
+    NULL conversion = not converted; degenerate pools give NULL z."""
+    import math
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.stats import (
+        two_proportion_ztest,
+    )
+
+    # 40 treatment (12 conv), 60 control (9 conv), plus junk rows
+    rows = (
+        [(True, True)] * 12 + [(True, False)] * 27 + [(True, None)] * 1
+        + [(False, True)] * 9 + [(False, False)] * 51
+        + [(None, True)] * 5
+    )
+    df = spark.createDataFrame(rows, ["t", "c"])
+    r = two_proportion_ztest(df, "t", "c").collect()[0]
+    assert (r["n_treatment"], r["n_control"]) == (40, 60)
+    assert (r["conv_treatment"], r["conv_control"]) == (12, 9)
+    pt, pc = 12 / 40.0, 9 / 60.0
+    pp = 21 / 100.0
+    z = (pt - pc) / math.sqrt(pp * (1 - pp) * (1 / 40.0 + 1 / 60.0))
+
+    def dr(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    assert r["z_stat"] == dr(z)
+    assert r["abs_lift"] == dr(pt - pc)
+    assert r["significant_95"] == (abs(z) > 1.96)
+    zs, zs2 = 1.96, 1.96 * 1.96
+    for p, n, lo, hi in [
+        (pt, 40.0, r["wilson_lo_treatment"], r["wilson_hi_treatment"]),
+        (pc, 60.0, r["wilson_lo_control"], r["wilson_hi_control"]),
+    ]:
+        centre = p + zs2 / (2.0 * n)
+        margin = zs * math.sqrt(p * (1 - p) / n + zs2 / (4.0 * n * n))
+        den = 1.0 + zs2 / n
+        assert (lo, hi) == (dr((centre - margin) / den), dr((centre + margin) / den))
+        assert 0.0 <= lo < p < hi <= 1.0
+    # degenerate: all converted -> pooled rate 1 -> NULL z, not 0.0
+    allc = spark.createDataFrame([(True, True), (False, True)], ["t", "c"])
+    r2 = two_proportion_ztest(allc, "t", "c").collect()[0]
+    assert r2["z_stat"] is None and r2["significant_95"] is None
+    # one empty arm
+    onearm = spark.createDataFrame([(True, True), (True, False)], ["t", "c"])
+    r3 = two_proportion_ztest(onearm, "t", "c").collect()[0]
+    assert r3["z_stat"] is None and r3["rate_control"] is None
+
+
+def test_k_anonymity_report_reference_and_null_groups(spark):
+    """operators/pii.k_anonymity_report: hand-checkable groups incl.
+    NULL quasi values forming their own matchable group; empty-input
+    zeros; the no-columns guard."""
+    import pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.pii import (
+        k_anonymity_report,
+    )
+
+    rows = (
+        [("US", "A")] * 7 + [("US", "B")] * 2 + [("DE", "A")] * 1
+        + [(None, "A")] * 3 + [(None, None)] * 1
+    )
+    df = spark.createDataFrame(rows, ["country", "seg"])
+    r = k_anonymity_report(df, ["country", "seg"], k_thresholds=(2, 5)).collect()[0]
+    assert r["total_rows"] == 14 and r["n_groups"] == 5
+    assert r["min_k"] == 1 and r["singleton_rows"] == 2
+    assert r["rows_below_2"] == 2      # the two singletons
+    assert r["rows_below_5"] == 2 + 2 + 3  # singletons + US/B + NULL/A
+    empty = spark.createDataFrame([], "country string, seg string")
+    r0 = k_anonymity_report(empty, ["country"], k_thresholds=(2,)).collect()[0]
+    assert r0["total_rows"] == 0 and r0["n_groups"] == 0 and r0["min_k"] is None
+    with pytest.raises(ValueError, match="quasi"):
+        k_anonymity_report(df, [])
