@@ -1410,13 +1410,29 @@ def cosine_prefix_new_pairs(
     corpus is structurally absent.  Verification is the same
     forward-index map path, maps semi-joined to candidate docs.
 
-    No identity collapse here BY DESIGN: the collapse exists to stop
-    corpus-clone groups from squaring the self-join, but this plan has
-    no corpus self-join — candidate volume is batch-bounded (corpus
-    clones inflate postings by ×g against the batch, not ×g²), and
-    skipping it keeps the persisted index plain per-doc rows.  Ids
-    must be disjoint across the frames (raises otherwise);
-    ``threshold`` must be in (0, 1] (the family guard)."""
+    Identity collapse, SIDE-AWARE (the r18 10× sweep's catch): the
+    first cut skipped the collapse "by design", arguing candidate
+    volume is batch-bounded — the sweep falsified that argument with
+    exponent 1.55 (18.5 → 663 s at 10× clones), because clone
+    inflation multiplies BOTH sides: ×g batch probes each hitting ×g
+    corpus postings is ×g² candidate rows, the exact square the full
+    join's collapse exists to prevent.  So both frames collapse to
+    one representative per tf-vector fingerprint PER SIDE (reps stay
+    side-pure — the corpus index artifact remains corpus-only rows,
+    preserving persistability), the candidate/verify machinery runs
+    at rep level with same-fingerprint rep pairs EXCLUDED from the
+    join (fp-inequality on the n×c arm, strict fp-order on the n×n
+    arm), and pairs expand afterward: cross-fingerprint pairs carry
+    the rep pair's cosine verbatim (equal vectors share every
+    dot/norm — the same IEEE value the direct join would produce);
+    same-fingerprint pairs (batch×batch within a fp, and batch×corpus
+    across the frames — the clone-of-a-corpus-doc arrival) get the
+    identical-vector expression nsq/(sqrt(nsq)·sqrt(nsq)) under the
+    same threshold filter, exactly as the full join's intra path
+    states it (NOT a literal 1.0 — at t = 1.0 it can round a hair
+    below one, on both engines together).  Ids must be disjoint
+    across the frames (raises otherwise); ``threshold`` must be in
+    (0, 1] (the family guard)."""
     if not 0.0 < float(threshold) <= 1.0:
         raise ValueError(
             "cosine_prefix_new_pairs: threshold must be in (0, 1] — the "
@@ -1445,10 +1461,41 @@ def cosine_prefix_new_pairs(
             .agg(F.count(F.lit(1)).alias("_tf"))
         )
 
-    tf_c, tf_n = _tf(corpus).persist(), _tf(new_docs).persist()
+    def _collapse(tf_all: DataFrame):
+        """-> (groups(_fp,_rep,_g,_gnsq), members(_fp,_id), rep-tf) —
+        the full join's fingerprint collapse, applied per side."""
+        vecfp = tf_all.groupBy("_id").agg(
+            F.md5(
+                F.to_json(F.sort_array(F.collect_list(F.struct("term", "_tf"))))
+            ).alias("_fp"),
+            F.sum(F.col("_tf") * F.col("_tf")).alias("_vnsq"),
+        )
+        groups = vecfp.groupBy("_fp").agg(
+            F.min("_id").alias("_rep"),
+            F.count(F.lit(1)).alias("_g"),
+            F.min("_vnsq").alias("_gnsq"),
+        )
+        members = (
+            vecfp.join(groups.select("_fp", "_rep"), "_fp")
+            .select("_fp", "_id", "_rep")
+        )
+        tf_rep = tf_all.join(
+            members.filter(F.col("_id") == F.col("_rep")).select("_id"),
+            "_id",
+            "left_semi",
+        )
+        return groups, members, tf_rep
+
+    tf_c_all, tf_n_all = _tf(corpus).persist(), _tf(new_docs).persist()
+    groups_c, mem_c, tf_c = _collapse(tf_c_all)
+    groups_n, mem_n, tf_n = _collapse(tf_n_all)
+    mem_c, mem_n = mem_c.persist(), mem_n.persist()
+    tf_c, tf_n = tf_c.persist(), tf_n.persist()
     try:
-        # ---- the persistable corpus index statistics: term order
-        # (corpus df), corpus maxw, per-doc norms ----
+        # ---- the persistable corpus index statistics over corpus
+        # REPS (clone weights are identical to their rep's, so maxw
+        # and the df-derived order are collapse-invariant in meaning):
+        # term order (corpus df), corpus maxw, per-rep norms ----
         norms_c = tf_c.groupBy("_id").agg(
             F.sum(F.col("_tf") * F.col("_tf")).alias("_nsq")
         )
@@ -1514,18 +1561,25 @@ def cosine_prefix_new_pairs(
             )
 
         cs_ok = F.col("_tail") >= F.lit(tsq_relaxed) * F.col("_nsq")
-        # corpus prefix: CS bound ONLY (partner-free → persistable)
+        # rep -> fingerprint, to keep same-vector rep pairs OUT of the
+        # candidate join (they belong to the intra path, as in the
+        # full join where one global rep per fp makes this automatic)
+        repfp_c = groups_c.select(F.col("_rep").alias("_id"), "_fp")
+        repfp_n = groups_n.select(F.col("_rep").alias("_id"), "_fp")
+        # corpus prefix: CS bound ONLY (partner-free -> persistable)
         pref_c = (
             _scan(tf_c, norms_c)
             .filter(cs_ok)
-            .select("_id", "_nsq", "term", "_tf", "_tail")
+            .join(repfp_c, "_id")
+            .select("_id", "_fp", "_nsq", "term", "_tf", "_tail")
             .persist()
         )
         # batch prefix: CS AND the maxw_union Bayardo bound
         pref_n = (
             _scan(tf_n, norms_n)
             .filter(cs_ok & (F.col("_bsum") >= F.lit(t_relaxed)))
-            .select("_id", "_nsq", "term", "_tf", "_tail")
+            .join(repfp_n, "_id")
+            .select("_id", "_fp", "_nsq", "term", "_tf", "_tail")
             .persist()
         )
         cand_cache = None
@@ -1552,8 +1606,10 @@ def cosine_prefix_new_pairs(
                     ),
                 )
 
-            matched = _matches(pref_n, pref_c, F.lit(True)).unionByName(
-                _matches(pref_n, pref_n, F.col("a._id") < F.col("b._id"))
+            matched = _matches(
+                pref_n, pref_c, F.col("a._fp") != F.col("b._fp")
+            ).unionByName(
+                _matches(pref_n, pref_n, F.col("a._fp") < F.col("b._fp"))
             )
             g = matched.groupBy("_ida", "_idb").agg(
                 F.min("_nsqa").alias("_nsqa"),
@@ -1619,11 +1675,57 @@ def cosine_prefix_new_pairs(
                 .filter(F.col("cosine") >= threshold)
                 .select("_ida", "_idb", "cosine")
             )
-            out = exact_done.unionByName(verified).select(
-                F.least("_ida", "_idb").alias("doc_a"),
-                F.greatest("_ida", "_idb").alias("doc_b"),
-                "cosine",
+            rep_pairs = exact_done.unionByName(verified)
+            # expansion: _ida is always a batch rep; _idb is a corpus
+            # rep (n×c arm) or a batch rep (n×n arm) — ids are
+            # globally unique across the frames (the guard above), so
+            # keying the union by rep id is unambiguous
+            expand_a = mem_n.select(
+                F.col("_rep").alias("_ida"), F.col("_id").alias("_xa")
             )
+            expand_b = mem_n.select(
+                F.col("_rep").alias("_idb"), F.col("_id").alias("_xb")
+            ).unionByName(
+                mem_c.select(
+                    F.col("_rep").alias("_idb"), F.col("_id").alias("_xb")
+                )
+            )
+            cross = (
+                rep_pairs.join(expand_a, "_ida")
+                .join(expand_b, "_idb")
+                .select(
+                    F.least("_xa", "_xb").alias("doc_a"),
+                    F.greatest("_xa", "_xb").alias("doc_b"),
+                    "cosine",
+                )
+            )
+            # intra: same-fingerprint pairs involving a batch member —
+            # batch×batch within a fp (strict id order) plus
+            # batch×corpus across the frames; the identical-vector
+            # cosine expression under the same threshold filter
+            bm = mem_n.select("_fp", F.col("_id").alias("_xa")).join(
+                groups_n.select("_fp", "_gnsq"), "_fp"
+            )
+            intra_pairs = bm.join(
+                mem_n.select("_fp", F.col("_id").alias("_xb")), "_fp"
+            ).filter(F.col("_xa") < F.col("_xb")).unionByName(
+                bm.join(
+                    mem_c.select("_fp", F.col("_id").alias("_xb")), "_fp"
+                )
+            )
+            intra = (
+                intra_pairs.withColumn(
+                    "cosine",
+                    F.col("_gnsq") / (F.sqrt("_gnsq") * F.sqrt("_gnsq")),
+                )
+                .filter(F.col("cosine") >= threshold)
+                .select(
+                    F.least("_xa", "_xb").alias("doc_a"),
+                    F.greatest("_xa", "_xb").alias("doc_b"),
+                    "cosine",
+                )
+            )
+            out = cross.unionByName(intra)
             return out.localCheckpoint(eager=True)
         finally:
             pref_c.unpersist()
@@ -1631,6 +1733,10 @@ def cosine_prefix_new_pairs(
             if cand_cache is not None:
                 cand_cache.unpersist()
     finally:
+        tf_c_all.unpersist()
+        tf_n_all.unpersist()
+        mem_c.unpersist()
+        mem_n.unpersist()
         tf_c.unpersist()
         tf_n.unpersist()
 

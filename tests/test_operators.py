@@ -8221,3 +8221,75 @@ def test_k_anonymity_report_reference_and_null_groups(spark):
     assert r0["total_rows"] == 0 and r0["n_groups"] == 0 and r0["min_k"] is None
     with pytest.raises(ValueError, match="quasi"):
         k_anonymity_report(df, [])
+
+
+def test_cosine_prefix_new_pairs_clone_stress(spark):
+    """Regression net for the r18 sweep's catch (exponent 1.55 before
+    the side-aware collapse): clone-inflate BOTH frames — corpus
+    clone groups, batch clone groups, batch clones of corpus docs,
+    batch-only fingerprints — and the incremental join must equal the
+    brute-force batch-involving reference across thresholds incl.
+    t=1.0 (the identical-vector epilogue expression, not literal
+    1.0)."""
+    import itertools
+    import math
+    import random as _random
+    from collections import Counter
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        cosine_prefix_new_pairs,
+    )
+
+    rng = _random.Random(99)
+    vocab = [f"w{i}" for i in range(40)]
+    base_c = [" ".join(rng.choices(vocab, k=rng.choice([3, 8, 20]))) for _ in range(12)]
+    base_n = [" ".join(rng.choices(vocab, k=rng.choice([3, 8]))) for _ in range(4)]
+    crows, nrows = [], []
+    cid, nid = 0, 1000
+    for txt in base_c:
+        for _ in range(4):            # corpus clone groups of 4
+            crows.append((cid, txt)); cid += 1
+    for txt in base_n:
+        for _ in range(3):            # batch clone groups of 3
+            nrows.append((nid, txt)); nid += 1
+    for txt in base_c[:3]:            # batch clones of corpus docs
+        nrows.append((nid, txt)); nid += 1
+    nrows.append((nid, "q q q"))      # batch-only fingerprint
+    nrows.append((nid + 1, "q q q"))
+
+    cdf = spark.createDataFrame(crows, ["doc_id", "text"])
+    ndf = spark.createDataFrame(nrows, ["doc_id", "text"])
+
+    def ref_pairs(t):
+        tfs = {i: Counter(txt.split()) for i, txt in crows + nrows}
+        bids = {i for i, _ in nrows}
+        out = {}
+        for (ia, ca), (ib, cb) in itertools.combinations(tfs.items(), 2):
+            if ia not in bids and ib not in bids:
+                continue
+            dot = sum(ca[w] * cb[w] for w in ca.keys() & cb.keys())
+            if dot:
+                na = math.sqrt(sum(v * v for v in ca.values()))
+                nb = math.sqrt(sum(v * v for v in cb.values()))
+                cos = dot / (na * nb)
+                if cos >= t:
+                    out[(min(ia, ib), max(ia, ib))] = cos
+        return out
+
+    for t in (0.6, 0.9, 1.0):
+        got = {
+            (r["doc_a"], r["doc_b"]): r["cosine"]
+            for r in cosine_prefix_new_pairs(cdf, ndf, threshold=t).collect()
+        }
+        want = ref_pairs(t)
+        # identical-vector pairs: python computes nsq/(sqrt(nsq)*
+        # sqrt(nsq)) through the same double ops, so exact == holds
+        assert got == want, (
+            f"threshold {t}: {len(got)} vs {len(want)}; "
+            f"missing={set(want) - set(got)} extra={set(got) - set(want)}"
+        )
+    # the cross-frame clone family really fired: batch clone of a
+    # corpus doc pairs with all 4 corpus members at cosine 1.0
+    w09 = ref_pairs(0.9)
+    assert sum(1 for (a, b) in w09 if a < 1000 <= b) > 0
+    assert sum(1 for (a, b) in w09 if a >= 1000 and b >= 1000) > 0

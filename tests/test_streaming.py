@@ -3172,3 +3172,69 @@ def test_streaming_multi_touch_attribution_equals_batch(spark, sf_dir):
     # this is the weaker-but-sufficient bound the store must satisfy
     assert stale.count() == 0
     shutil.rmtree(os.path.dirname(store), ignore_errors=True)
+
+
+def test_streaming_ab_ztest_equals_batch_any_order(spark, sf_dir):
+    """ABTestSink: deliver the events fixture in three time-slice
+    micro-batches in a SHUFFLED order (2, 0, 1) — this family's
+    per-unit bool_or merge is commutative/idempotent, so unlike the
+    order-contracted sinks (attribution/sequence/intervals) the pin
+    holds under ANY delivery order; the slices also split user-days
+    across batches, exercising the once-per-unit merge.  The final
+    readout served from the store must be BIT-EQUAL to the
+    ab_purchase_ztest batch query over the whole fixture, and
+    replaying an old batch must not rewrite history with the
+    later state's readout (hwm skip)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.plans.clickstream import (
+        ab_purchase_ztest,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.streaming.ab_ingest import (
+        ABTestSink,
+        latest_readout_from_store,
+    )
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    cuts = ev.selectExpr(
+        "timestamp_micros(cast(percentile(unix_micros(ts), 0.33) as long)) as c1",
+        "timestamp_micros(cast(percentile(unix_micros(ts), 0.66) as long)) as c2",
+    ).first()
+    parts = [
+        ev.filter(F.col("ts") <= F.lit(cuts["c1"])),
+        ev.filter(
+            (F.col("ts") > F.lit(cuts["c1"])) & (F.col("ts") <= F.lit(cuts["c2"]))
+        ),
+        ev.filter(F.col("ts") > F.lit(cuts["c2"])),
+    ]
+    store = _os.path.join(_tempfile.mkdtemp(prefix="ab_store_"), "store")
+    sink = ABTestSink(
+        store,
+        unit_cols=["user_id", "day"],
+        treatment_expr=(
+            (F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296)
+            < F.lit(2147483648)
+        ),
+        converted_expr=F.col("event_type") == "purchase",
+    )
+    # shuffled delivery; sink units the batch on (user_id, day)
+    for bid, p in [(0, parts[2]), (1, parts[0]), (2, parts[1])]:
+        sink(p.withColumn("day", F.to_date("ts")), bid)
+
+    want = ab_purchase_ztest(spark, sf_dir).collect()[0].asDict()
+    got = latest_readout_from_store(spark, store).collect()[0].asDict()
+    assert got == want
+    assert want["n_treatment"] > 0 and want["n_control"] > 0
+    # a unit really was split across micro-batches (boundary user-day)
+    bdays = [
+        {tuple(r) for r in p.select("user_id", F.to_date("ts")).distinct().collect()}
+        for p in parts
+    ]
+    assert (bdays[0] & bdays[1]) or (bdays[1] & bdays[2])
+    # replaying an old batch against the advanced state: hwm skips it,
+    # the latest readout is untouched
+    sink(parts[0].withColumn("day", F.to_date("ts")), 1)
+    assert latest_readout_from_store(spark, store).collect()[0].asDict() == want
+    _shutil.rmtree(_os.path.dirname(store), ignore_errors=True)
