@@ -13,14 +13,16 @@ Scale shape (100 TB discipline):
 
 - ``resample_linear`` is one keyed aggregate (map-side combinable
   exact-decimal sums) + one per-key ``sequence()`` explode + one
-  equi-join on (key, bucket) + two mirror-image windows over the same
-  (key) partitioning — Catalyst compiles both window specs into ONE
-  Window operator (pinned in the digest: Window: 1), so the executed
-  plan is 4 exchanges total (bucket agg, span agg, grid⋈obs join,
-  window), ALL over bucket-grain data.  Grid size is keys x buckets,
-  independent of input row count: 100 TB of raw events collapses to
-  the bucket grain at the first aggregate and every later stage
-  shuffles only the grid.  No UDF, no collect, no iteration.
+  equi-join on (key, bucket) + two RUNNING-frame windows (ascending
+  for the previous neighbour, descending for the next — see the
+  shrinking-frame note at the window specs; Spark keeps them as two
+  Window operators over one exchange, the second differing only by
+  sort order).  The executed plan is 4 exchanges total (bucket agg,
+  span agg, grid⋈obs join, window), ALL over bucket-grain data.
+  Grid size is keys x buckets, independent of input row count:
+  100 TB of raw events collapses to the bucket grain at the first
+  aggregate and every later stage shuffles only the grid.  No UDF,
+  no collect, no iteration.
 - ``holt_smooth`` folds each key's (short, bucket-grain) series with
   ``F.aggregate`` — a JVM higher-order function over an array built
   by one keyed collect_list.  The fold is inherently sequential PER
@@ -101,6 +103,14 @@ def resample_linear(
         F.explode(F.sequence("_lo", "_hi", F.lit(step))).alias("_bsec"),
     )
     g = grid.join(obs, [*key_cols, "_bsec"], "left")
+    # both neighbour scans are RUNNING frames (unbounded-preceding →
+    # current row), the shape Spark evaluates incrementally in O(rows)
+    # per partition; the naive "next" spec — first_value over
+    # (currentRow, unboundedFollowing) — is a SHRINKING frame that
+    # Spark re-aggregates from scratch per row, O(rows²) per key
+    # (measured 3.7 s vs 0.4 s on the 60k-row sf0.1 grid), so the
+    # next-neighbour scan runs the same running frame over the
+    # DESCENDING bucket order instead — one extra sort, linear work
     wprev = (
         Window.partitionBy(*key_cols)
         .orderBy("_bsec")
@@ -108,12 +118,12 @@ def resample_linear(
     )
     wnext = (
         Window.partitionBy(*key_cols)
-        .orderBy("_bsec")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("_bsec").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ob = F.when(F.col("_v").isNotNull(), F.struct("_bsec", "_v"))
     prev = F.last(ob, ignorenulls=True).over(wprev)
-    nxt = F.first(ob, ignorenulls=True).over(wnext)
+    nxt = F.last(ob, ignorenulls=True).over(wnext)
     # the interpolation ratio: long-exact numerator/denominator, ONE
     # double division, then the affine combination — stated with the
     # identical tree in the oracle

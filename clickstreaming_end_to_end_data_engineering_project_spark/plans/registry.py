@@ -483,8 +483,9 @@ class QuerySpec:
 #     the reference's clickstream domain conspicuously lacks);
 #   nation_daily_interpolated (timeseries.resample_linear: gap-free
 #     per-key grid + linear interpolation; every exchange after the
-#     first aggregate carries only bucket-grain grid rows, and the
-#     two mirror windows compile to ONE Window operator);
+#     first aggregate carries only bucket-grain grid rows, and both
+#     neighbour scans are RUNNING window frames — the naive
+#     shrinking-frame "next" spec was measured O(rows^2) per key);
 #   nation_monthly_holt (timeseries.holt_smooth: level+trend
 #     smoothing via a per-key JVM F.aggregate fold — the sequential
 #     recurrence has no map-combinable form, so parallelism is the
