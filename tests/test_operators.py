@@ -8293,3 +8293,33 @@ def test_cosine_prefix_new_pairs_clone_stress(spark):
     w09 = ref_pairs(0.9)
     assert sum(1 for (a, b) in w09 if a < 1000 <= b) > 0
     assert sum(1 for (a, b) in w09 if a >= 1000 and b >= 1000) > 0
+
+
+def test_holt_pandas_impl_bit_equal_to_fold(spark):
+    """holt_smooth(impl='pandas') — the linear long-series path — must
+    be BIT-EQUAL to the JVM fold: Python floats are IEEE doubles and
+    the loop states the identical operation sequence.  Random
+    multi-key series incl. single-point keys and negative values."""
+    import random as _random
+
+    import pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.timeseries import (
+        holt_smooth,
+    )
+
+    rng = _random.Random(5)
+    rows = []
+    for k in ["p", "q", "solo"]:
+        n = 1 if k == "solo" else rng.randint(5, 300)
+        for i in range(n):
+            rows.append((k, i, round(rng.uniform(-100, 1000), 4)))
+    df = spark.createDataFrame(rows, ["k", "i", "v"])
+    key = lambda r: (r["k"], r["i"])  # noqa: E731
+    fold = {key(r): (r["y"], r["forecast"], r["level"], r["trend"])
+            for r in holt_smooth(df, ["k"], "i", "v", 0.4, 0.2).collect()}
+    pand = {key(r): (r["y"], r["forecast"], r["level"], r["trend"])
+            for r in holt_smooth(df, ["k"], "i", "v", 0.4, 0.2, impl="pandas").collect()}
+    assert fold == pand and len(fold) == len(rows)
+    with pytest.raises(ValueError, match="impl"):
+        holt_smooth(df, ["k"], "i", "v", impl="nope")
