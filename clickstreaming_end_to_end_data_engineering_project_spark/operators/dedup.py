@@ -20,6 +20,9 @@ MinHash/SimHash use Spark's xxhash64/hash and are checked rows-only
 
 from __future__ import annotations
 
+from typing import Iterator, Tuple
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -30,6 +33,146 @@ from .text import tokens
 # node per entry).  Above this the cap falls back to a distributed
 # broadcast anti-join instead.
 _HOT_LIST_EXPR_CAP = 1_000
+
+# Dense-verification gate for the cosine prefix joins (r18 optimization
+# round): when the collapsed representatives' tf matrix fits a
+# broadcastable dense block (n_reps · n_terms cells, 8 bytes each —
+# 2^23 cells = 64 MB), candidate verification computes the exact-long
+# dot as a vectorized numpy gather+einsum inside an Arrow-batched
+# pandas UDF instead of the per-pair interpreted map_zip_with HOF.
+# The cap also bounds the driver collect that builds the matrix
+# (posting rows <= cells).  Above the cap — the Zipf/large-vocabulary
+# regime, where the prefix filter leaves FEW candidates — verification
+# falls back to the self-balancing forward-index map join unchanged.
+_DENSE_VERIFY_CELLS_CAP = 1 << 23
+
+
+def _verify_cosine_candidates(
+    need: DataFrame,
+    tf: DataFrame,
+    threshold: float,
+    a_col: str,
+    b_col: str,
+    cells_cap: "int | None" = None,
+) -> DataFrame:
+    """Exact verification for cosine prefix-join candidates — the ONE
+    copy shared by ``cosine_prefix_pairs`` and
+    ``cosine_prefix_new_pairs`` (their verify stages were identical
+    modulo column names).
+
+    ``need``: (a_col, b_col, _nsqa, _nsqb) candidate pairs still
+    requiring the full dot.  ``tf``: (_id, term, _tf) exact term
+    frequencies covering every id that can appear in ``need``.
+    Output: (a_col, b_col, cosine) with cosine >= threshold.
+
+    Two regimes, bit-identical results (pinned by test):
+
+    - DENSE (guide §4.2 — vectorized native code per Arrow batch; §8 —
+      ship ids, not payloads): when n_reps · n_terms <= ``cells_cap``
+      the rep postings are collected once, laid out as a dense int64
+      (rep × term) matrix, broadcast, and each Arrow batch of candidate
+      id pairs is verified as two numpy row gathers + an int64
+      einsum dot.  Integer adds are order-independent, so the dot is
+      the SAME exact long the map path accumulates; the epilogue
+      dot/(sqrt(nsqa)·sqrt(nsqb)) runs in numpy float64 — the same
+      correctly-rounded IEEE ops the JVM expression performs, so the
+      cosine is bit-identical.  No join, no shuffle: the UDF projects
+      the persisted candidate partitions in place.  Profiled at sf0.1
+      / t=0.9 (the flat-vocabulary worst case, 10.57 M candidates):
+      19.8 s map path → ~2 s dense.
+    - MAP (the r18 forward-index form, unchanged): per-doc term maps
+      semi-joined to candidate docs, ``map_zip_with`` union dot —
+      self-balancing for the Zipf/large-vocabulary regime where
+      candidates are few and reps are many.
+
+    The gate costs one tiny aggregate over the persisted ``tf``
+    (countDistinct id/term); the collect that builds the matrix is
+    bounded by the same cap (posting rows <= cells).
+    """
+    t = float(threshold)
+    epilogue = lambda dot: dot / (F.sqrt("_nsqa") * F.sqrt("_nsqb"))  # noqa: E731
+    cap = _DENSE_VERIFY_CELLS_CAP if cells_cap is None else int(cells_cap)
+    if cap > 0:
+        dims = tf.agg(
+            F.countDistinct("_id").alias("_nd"),
+            F.countDistinct("term").alias("_nt"),
+        ).first()
+        n_docs, n_terms = int(dims["_nd"] or 0), int(dims["_nt"] or 0)
+        if n_docs * n_terms <= cap:
+            return _verify_cosine_dense(need, tf, t, a_col, b_col)
+    tmap = tf.groupBy("_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "_tf"))).alias("_m")
+    )
+    ma_ = tmap.select(F.col("_id").alias(a_col), F.col("_m").alias("_ma")).join(
+        need.select(a_col), a_col, "left_semi"
+    )
+    mb_ = tmap.select(F.col("_id").alias(b_col), F.col("_m").alias("_mb")).join(
+        need.select(b_col), b_col, "left_semi"
+    )
+    dot = F.aggregate(
+        F.map_values(
+            F.map_zip_with(
+                "_ma",
+                "_mb",
+                lambda k, x, y: F.when(x.isNotNull() & y.isNotNull(), x * y),
+            )
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + F.coalesce(v, F.lit(0)),
+    )
+    return (
+        need.select(a_col, b_col, "_nsqa", "_nsqb")
+        .join(ma_, a_col)
+        .join(mb_, b_col)
+        .withColumn("cosine", epilogue(dot))
+        .filter(F.col("cosine") >= t)
+        .select(a_col, b_col, "cosine")
+    )
+
+
+def _verify_cosine_dense(
+    need: DataFrame, tf: DataFrame, t: float, a_col: str, b_col: str
+) -> DataFrame:
+    """Dense-matrix verification arm of ``_verify_cosine_candidates``
+    (see there for the exactness argument)."""
+    import numpy as np
+
+    spark = tf.sparkSession
+    pdf = tf.toPandas()
+    ids = pd.Index(pdf["_id"].unique())
+    term_codes, term_uniques = pd.factorize(pdf["term"])
+    mat = np.zeros((len(ids), len(term_uniques)), dtype=np.int64)
+    mat[ids.get_indexer(pdf["_id"]), term_codes] = pdf["_tf"].to_numpy(np.int64)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    @F.pandas_udf("double")
+    def _dense_cos(
+        it: Iterator[Tuple[pd.Series, pd.Series, pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        b_ids, b_mat = bc.value  # once per task; batches share the lookup
+        for a, b, nsqa, nsqb in it:
+            ia = b_ids.get_indexer(a)
+            ib = b_ids.get_indexer(b)
+            if (ia < 0).any() or (ib < 0).any():
+                raise RuntimeError(
+                    "dense cosine verify: candidate id missing from the "
+                    "tf matrix — the tf frame must cover every need id"
+                )
+            # exact int64 dot (order-independent), then the SAME IEEE
+            # epilogue as the JVM expression: dot / (sqrt(na)·sqrt(nb))
+            dots = np.einsum("ij,ij->i", b_mat[ia], b_mat[ib])
+            cos = dots.astype(np.float64) / (
+                np.sqrt(nsqa.to_numpy(np.float64))
+                * np.sqrt(nsqb.to_numpy(np.float64))
+            )
+            yield pd.Series(cos)
+
+    return (
+        need.select(a_col, b_col, "_nsqa", "_nsqb")
+        .withColumn("cosine", _dense_cos(a_col, b_col, "_nsqa", "_nsqb"))
+        .filter(F.col("cosine") >= t)
+        .select(a_col, b_col, "cosine")
+    )
 
 
 def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -945,6 +1088,7 @@ def cosine_prefix_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    dense_verify_cells_cap: "int | None" = None,
 ) -> DataFrame:
     """EXACT weighted-cosine all-pairs similarity join with NO
     vocabulary cap (r16 verdict directive #2) — same output contract
@@ -1257,57 +1401,21 @@ def cosine_prefix_pairs(
                 .filter(F.col("cosine") >= threshold)
                 .select("doc_a", "doc_b", "cosine")
             )
-            # Survivors verify via per-doc term MAPS zipped in-row —
-            # L2AP's forward-index verification restated declaratively
-            # (map_zip_with unions keys hash-based, O(|a|+|b|) per
-            # pair): the former cand⋈postings⋈postings re-aggregation
-            # exploded every candidate by its shared terms — ~199 M
-            # rows and two shuffles at sf0.1 — where this is
-            # |survivors| rows and the same exact-long dot (integer
-            # adds are order-independent).  The map table is
-            # semi-joined to the candidate docs first, which is what
-            # keeps the join SELF-BALANCING across regimes: under a
-            # flat vocabulary candidates are many but each map is
-            # vocabulary-bounded and the doc table small (2.5 MB at
-            # sf0.1 — AQE broadcasts it, so no shuffle ever carries a
-            # map); under a Zipf vocabulary the prefix filter leaves
-            # few candidates, so the semi-join shrinks the map table
-            # to the few docs they touch.
+            # Survivors verify through _verify_cosine_candidates (the
+            # shared helper, r18 optimization round): a dense numpy
+            # gather+einsum per Arrow batch when the collapsed reps'
+            # tf matrix fits the broadcast cap — profiled 19.8 s → ~2 s
+            # on the sf0.1 flat-vocabulary fixture's 10.57 M candidates
+            # — with L2AP's forward-index map_zip_with join as the
+            # self-balancing fallback for the Zipf/large-vocabulary
+            # regime (few candidates, many reps).  Both arms produce
+            # the identical exact-long dot and the identical IEEE
+            # epilogue (pinned by test).
             cand = cand_cache = cand.persist()
-            tmap = tf.groupBy("_id").agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("term", "_tf"))
-                ).alias("_m")
-            )
             need = cand.filter(~done)
-            ma_ = (
-                tmap.select(F.col("_id").alias("doc_a"), F.col("_m").alias("_ma"))
-                .join(need.select("doc_a"), "doc_a", "left_semi")
-            )
-            mb_ = (
-                tmap.select(F.col("_id").alias("doc_b"), F.col("_m").alias("_mb"))
-                .join(need.select("doc_b"), "doc_b", "left_semi")
-            )
-            dot = F.aggregate(
-                F.map_values(
-                    F.map_zip_with(
-                        "_ma",
-                        "_mb",
-                        lambda k, x, y: F.when(
-                            x.isNotNull() & y.isNotNull(), x * y
-                        ),
-                    )
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + F.coalesce(v, F.lit(0)),
-            )
-            verified = (
-                need.select("doc_a", "doc_b", "_nsqa", "_nsqb")
-                .join(ma_, "doc_a")
-                .join(mb_, "doc_b")
-                .withColumn("cosine", epilogue(dot))
-                .filter(F.col("cosine") >= threshold)
-                .select("doc_a", "doc_b", "cosine")
+            verified = _verify_cosine_candidates(
+                need, tf, threshold, "doc_a", "doc_b",
+                cells_cap=dense_verify_cells_cap,
             )
             rep_pairs = exact_done.unionByName(verified)
             # expansion: every member pair across two matched rep
@@ -1368,6 +1476,7 @@ def cosine_prefix_new_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    dense_verify_cells_cap: "int | None" = None,
 ) -> DataFrame:
     """Incremental EXACT tf-cosine join (r17 verdict #3): all pairs at
     cosine ≥ ``threshold`` that INVOLVE a new-batch doc — (new ×
@@ -1641,39 +1750,14 @@ def cosine_prefix_new_pairs(
                 .filter(F.col("cosine") >= threshold)
                 .select("_ida", "_idb", "cosine")
             )
+            # shared verification helper (r18 optimization round):
+            # dense numpy path under the cells cap, map_zip_with
+            # forward-index join above it — see cosine_prefix_pairs
             both_tf = tf_c.unionByName(tf_n)
-            tmap = both_tf.groupBy("_id").agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("term", "_tf"))
-                ).alias("_m")
-            )
             need = cand.filter(~done)
-            ma_ = tmap.select(
-                F.col("_id").alias("_ida"), F.col("_m").alias("_ma")
-            ).join(need.select("_ida"), "_ida", "left_semi")
-            mb_ = tmap.select(
-                F.col("_id").alias("_idb"), F.col("_m").alias("_mb")
-            ).join(need.select("_idb"), "_idb", "left_semi")
-            dot = F.aggregate(
-                F.map_values(
-                    F.map_zip_with(
-                        "_ma",
-                        "_mb",
-                        lambda k, x, y: F.when(
-                            x.isNotNull() & y.isNotNull(), x * y
-                        ),
-                    )
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + F.coalesce(v, F.lit(0)),
-            )
-            verified = (
-                need.select("_ida", "_idb", "_nsqa", "_nsqb")
-                .join(ma_, "_ida")
-                .join(mb_, "_idb")
-                .withColumn("cosine", epilogue(dot))
-                .filter(F.col("cosine") >= threshold)
-                .select("_ida", "_idb", "cosine")
+            verified = _verify_cosine_candidates(
+                need, both_tf, threshold, "_ida", "_idb",
+                cells_cap=dense_verify_cells_cap,
             )
             rep_pairs = exact_done.unionByName(verified)
             # expansion: _ida is always a batch rep; _idb is a corpus

@@ -5824,6 +5824,51 @@ def test_cosine_prefix_matches_uncapped_term_join(spark, sf_dir):
     assert got == want
 
 
+def test_cosine_verify_dense_equals_map_fallback(spark, sf_dir):
+    """r18 optimization: candidate verification has two arms — the
+    dense numpy gather+einsum path (taken when the reps' tf matrix is
+    under the broadcast cells cap) and the map_zip_with forward-index
+    join (the fallback above the cap).  Both must produce bit-identical
+    output: the dot is the same exact long either way (integer adds are
+    order-independent) and the epilogue is the same IEEE expression.
+    ``cells_cap=0`` forces the fallback; the default takes the dense
+    path on the fixture (vocab 31 x ~5k reps)."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.dedup import (
+        cosine_prefix_new_pairs,
+        cosine_prefix_pairs,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    dense = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in cosine_prefix_pairs(docs, threshold=0.9).collect()
+    }
+    mapped = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in cosine_prefix_pairs(
+            docs, threshold=0.9, dense_verify_cells_cap=0
+        ).collect()
+    }
+    assert len(dense) > 0
+    assert dense == mapped
+
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    dense_n = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in cosine_prefix_new_pairs(corpus, batch, threshold=0.9).collect()
+    }
+    mapped_n = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in cosine_prefix_new_pairs(
+            corpus, batch, threshold=0.9, dense_verify_cells_cap=0
+        ).collect()
+    }
+    assert len(dense_n) > 0
+    assert dense_n == mapped_n
+
+
 def test_cosine_prefix_matches_python_reference_threshold_sweep(spark):
     """Bound-soundness sweep (r16 verdict directive #2): random corpus
     with stopword mass, exact dups, proportional rewrites (cosine
