@@ -50,9 +50,17 @@ def kmeans_fit(
     centroids = points.orderBy("_id").limit(k).select(F.col("_v").alias("_cv")).collect()
     centroid_rows = [(i, [float(x) for x in r["_cv"]]) for i, r in enumerate(centroids)]
 
+    from ..sources.formats import local_rows_df
+
     assigned = None
     for _ in range(iterations):
-        cdf = points.sparkSession.createDataFrame(centroid_rows, ["_c", "_cv"])
+        # Arrow-path literal frame (r18): the per-iteration pickled-RDD
+        # createDataFrame cost ~0.5 s warm; bigint keeps the dtype the
+        # old inference produced, so downstream cluster columns and
+        # written _id_map schemas are unchanged
+        cdf = local_rows_df(
+            points.sparkSession, centroid_rows, "_c bigint, _cv array<double>"
+        )
         dists = points.crossJoin(F.broadcast(cdf)).select(
             "_id", "_v", "_c", _sq_dist(F.col("_v"), F.col("_cv")).alias("_d")
         )

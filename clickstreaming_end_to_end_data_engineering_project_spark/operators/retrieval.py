@@ -288,45 +288,63 @@ def _write_bm25_segment(
 
     seg = f"batch={batch_id}"
     spark = docs.sparkSession
-    dl = (
-        docs.select(F.col(id_col), F.size(tokens(text_col)).alias("_dl"))
-        .filter(F.col("_dl") > 0)
+    # ONE tokenize pass (r18 optimization round): tf rows are the
+    # segment's ground truth, and the document length is their per-doc
+    # tf sum (size(tokens) ≡ Σ tf — counts, not distincts), so dl no
+    # longer pays a second full tokenize of the corpus.  The
+    # checkpointed tf frame also feeds _termstats directly, replacing
+    # the former re-read of the just-written postings partitions (same
+    # rows by construction — the write is derived from this frame).
+    tf_rows = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
+        .groupBy(id_col, "_t")
+        .agg(F.count(F.lit(1)).alias("_tf"))
         .localCheckpoint()
     )
-    n_docs = dl.count()
+    # cast keeps _dl INT exactly as F.size() produced it — appended
+    # segments must stay schema-identical to pre-existing ones
+    dl = (
+        tf_rows.groupBy(id_col)
+        .agg(F.sum("_tf").cast("int").alias("_dl"))
+        .localCheckpoint()
+    )
+    # one action for both corpus statistics (was two: count + sum)
+    totals = dl.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_dl").alias("_s")
+    ).first()
+    n_docs = int(totals["_n"])
     if n_docs == 0:
         # nothing tokenizable: write NOTHING rather than a data-less
         # segment — an empty batch=<id> dir breaks schema inference for
         # every later probe (caught by the r13 empty-segment check);
         # replays of the same all-empty batch are likewise no-ops
         return {"batch_id": batch_id, "n_docs": 0}
-    sum_dl = dl.agg(F.sum("_dl")).first()[0]
+    sum_dl = int(totals["_s"])
+    # params as a JVM-literal frame: a 1-row createDataFrame goes
+    # through the pickled-RDD path — a Python-worker job (and the
+    # session's pool FORK, ~5 s, when it is the first such job)
     (
-        spark.createDataFrame(
-            [(n_docs, sum_dl, n_buckets)],
-            "n_docs long, sum_dl long, n_buckets int",
+        spark.range(1)
+        .select(
+            F.lit(n_docs).cast("long").alias("n_docs"),
+            F.lit(sum_dl).cast("long").alias("sum_dl"),
+            F.lit(n_buckets).cast("int").alias("n_buckets"),
         )
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(os.path.join(path, "_bm25_params", seg))
     )
     dl.write.mode("overwrite").parquet(os.path.join(path, "_doclens", seg))
-    postings = (
-        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
-        .groupBy(id_col, "_t")
-        .agg(F.count(F.lit(1)).alias("_tf"))
-        .join(dl, id_col)
-        .withColumn(
-            "bucket",
-            F.pmod(F.crc32(F.col("_t").cast("binary")), F.lit(n_buckets)),
-        )
+    postings = tf_rows.join(dl, id_col).withColumn(
+        "bucket",
+        F.pmod(F.crc32(F.col("_t").cast("binary")), F.lit(n_buckets)),
     )
     postings.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(path, seg)
     )
-    spark.read.parquet(os.path.join(path, seg)).groupBy("_t").agg(
-        F.count(F.lit(1)).alias("_df")
-    ).write.mode("overwrite").parquet(os.path.join(path, "_termstats", seg))
+    tf_rows.groupBy("_t").agg(F.count(F.lit(1)).alias("_df")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "_termstats", seg))
     return {"batch_id": batch_id, "n_docs": n_docs}
 
 

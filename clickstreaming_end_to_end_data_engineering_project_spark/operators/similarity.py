@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 from pyspark.sql.window import Window
 
+from ..sources.formats import local_rows_df
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-order double-precision dot product."""
@@ -212,8 +214,8 @@ def ivf_topk_indexed_batch(
             idx = idx.filter(
                 F.expr(predicate) if isinstance(predicate, str) else predicate
             )
-    pair_df = spark.createDataFrame(pairs, "_qid bigint, cluster int")
-    q_df = spark.createDataFrame(qrows, "_qid bigint, _qvec array<double>")
+    pair_df = local_rows_df(spark, pairs, "_qid bigint, cluster int")
+    q_df = local_rows_df(spark, qrows, "_qid bigint, _qvec array<double>")
     sim = cosine(F.col(vec_col), F.col("_qvec"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return (
@@ -449,8 +451,8 @@ def _write_lsh_segment(
         # replays takes the append path (segments exist ⇒ params must
         # be readable) and overwrites its own segment — fully healed
         (
-            vecs.sparkSession.createDataFrame(
-                [(int(planes), int(dims))], "planes int, dims int"
+            local_rows_df(
+                vecs.sparkSession, [(int(planes), int(dims))], "planes int, dims int"
             )
             .coalesce(1)
             .write.mode("overwrite")
@@ -869,8 +871,8 @@ def write_ivf_index(
             .write.parquet(os.path.join(root, "_ivf_centroids"))
         )
         (
-            spark.createDataFrame(
-                [(int(n_clusters), int(dims))], "n_clusters int, dims int"
+            local_rows_df(
+                spark, [(int(n_clusters), int(dims))], "n_clusters int, dims int"
             )
             .coalesce(1)
             .write.parquet(os.path.join(root, "_ivf_params"))
@@ -1186,7 +1188,10 @@ def append_ivf_index(
         )
     if batch_id is None:
         batch_id = existing[-1] + 1
-    if new_vecs.isEmpty():
+    # one action answers both "is the increment empty?" and "what are
+    # its dims?" (was isEmpty + first — two scans of the increment)
+    head = new_vecs.select(vec_col).head(1)
+    if not head:
         # the empty-segment rule: write nothing, report nothing added
         return {"batch_id": batch_id, "n_vectors": 0}
     params = (
@@ -1194,7 +1199,7 @@ def append_ivf_index(
         .parquet(os.path.join(path, "_ivf_params"))
         .head()
     )
-    dims = len(new_vecs.select(vec_col).first()[0])
+    dims = len(head[0][0])
     if dims != params.dims:
         raise ValueError(
             f"append_ivf_index: vectors have {dims} dims, index expects "
@@ -1527,7 +1532,7 @@ def train_pq_codebooks(
         )
         rows = [(r["_s"], r["_c"], [float(x) for x in r["_v"]]) for r in init]
         for _ in range(iterations):
-            cdf = subs.sparkSession.createDataFrame(rows, ["_s", "_c", "_cv"])
+            cdf = local_rows_df(subs.sparkSession, rows, "_s bigint, _c bigint, _cv array<double>")
             best = (
                 subs.join(F.broadcast(cdf), "_s")
                 .select(
@@ -1576,7 +1581,7 @@ def pq_encode(
 
     m = max(s for s, _, _ in codebooks) + 1
     d = len(codebooks[0][2])
-    cdf = df.sparkSession.createDataFrame(codebooks, ["_s", "_c", "_cv"])
+    cdf = local_rows_df(df.sparkSession, codebooks, "_s bigint, _c bigint, _cv array<double>")
     subs = df.select(
         F.col(id_col).alias("_id"),
         F.explode(
@@ -1754,7 +1759,7 @@ def ivfpq_build(
     )
     if "cluster" in df.columns:
         df = df.drop("cluster")
-    cent_df = df.sparkSession.createDataFrame(cent_rows, ["cluster", "_cent"])
+    cent_df = local_rows_df(df.sparkSession, cent_rows, "cluster bigint, _cent array<double>")
     if assign_n > 1:
         # re-assign each vector to its assign_n nearest centroids:
         # broadcast the tiny centroid frame, rank per id, keep top-n
@@ -2022,17 +2027,18 @@ def write_ivfpq_index(
             os.path.join(root, "codes", "batch=0")
         )
         (
-            spark.createDataFrame(cent_rows, "cluster int, centroid array<double>")
+            local_rows_df(spark, cent_rows, "cluster int, centroid array<double>")
             .coalesce(1)
             .write.parquet(os.path.join(root, "_ivfpq_centroids"))
         )
         (
-            spark.createDataFrame(codebooks, "s int, c int, cv array<double>")
+            local_rows_df(spark, codebooks, "s int, c int, cv array<double>")
             .coalesce(1)
             .write.parquet(os.path.join(root, "_pq_codebooks"))
         )
         (
-            spark.createDataFrame(
+            local_rows_df(
+                spark,
                 [(int(n_clusters), int(m), int(codes_k), int(dims), int(assign_n))],
                 "n_clusters int, m int, k int, dims int, assign_n int",
             )
@@ -2401,13 +2407,13 @@ def write_pq_index(
             os.path.join(root, "codes", "batch=0")
         )
         (
-            spark.createDataFrame(codebooks, "s int, c int, cv array<double>")
+            local_rows_df(spark, codebooks, "s int, c int, cv array<double>")
             .coalesce(1)
             .write.parquet(os.path.join(root, "_pq_codebooks"))
         )
         (
-            spark.createDataFrame(
-                [(int(m), int(k), int(dims))], "m int, k int, dims int"
+            local_rows_df(
+                spark, [(int(m), int(k), int(dims))], "m int, k int, dims int"
             )
             .coalesce(1)
             .write.parquet(os.path.join(root, "_pq_params"))

@@ -17,6 +17,22 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def local_rows_df(spark: SparkSession, rows: "list", schema: str) -> DataFrame:
+    """Driver-local rows → DataFrame through the Arrow path (r18
+    optimization round).  ``createDataFrame(list)`` routes through a
+    pickled-RDD job — ~0.5 s warm for even a 1-row frame, plus the
+    session's Python-worker-pool FORK (~5 s) when it is the first such
+    job — where the pandas/Arrow conversion is driver-side and JVM-
+    local (~0.04 s measured, no Python-worker job at all).  Used by
+    the written-index param/centroid/codebook sidecar writers and the
+    k-means per-iteration centroid frames, which together made these
+    tiny frames a measurable slice of every index build/append."""
+    import pandas as _pd
+
+    names = [f.name for f in StructType.fromDDL(schema).fields]
+    return spark.createDataFrame(_pd.DataFrame(rows, columns=names), schema)
+
+
 def read_csv(
     spark: SparkSession, path: str, schema: StructType, header: bool = True, sep: str = ","
 ) -> DataFrame:
