@@ -625,9 +625,15 @@ def delete_from_bm25_index(
         )
 
         def _params_w(staging: str) -> None:
+            # JVM-literal frame (r18): the pickled-RDD createDataFrame
+            # here measured 7.4 s of the 9.5 s single-segment delete —
+            # the Python-worker pool fork landing on a 1-row frame
             (
-                spark.createDataFrame(
-                    [(stats["n"], stats["s"], n_buckets)], _PARAMS_SCHEMA
+                spark.range(1)
+                .select(
+                    F.lit(int(stats["n"])).cast("long").alias("n_docs"),
+                    F.lit(int(stats["s"])).cast("long").alias("sum_dl"),
+                    F.lit(int(n_buckets)).cast("int").alias("n_buckets"),
                 )
                 .coalesce(1)
                 .write.parquet(staging)

@@ -58,9 +58,12 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def price_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta (range) join: parts bucketed into literal price bands via
     a non-equi condition — plans as broadcast nested loop."""
-    bands = spark.createDataFrame(
+    from ..sources.formats import local_rows_df
+
+    bands = local_rows_df(
+        spark,
         [("budget", 0.0, 500.0), ("mid", 500.0, 1200.0), ("premium", 1200.0, 1e9)],
-        ["band", "lo", "hi"],
+        "band string, lo double, hi double",
     )
     part = load(spark, sf_dir, "part")
     return (

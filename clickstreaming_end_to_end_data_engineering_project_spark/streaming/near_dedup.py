@@ -71,6 +71,7 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 from pyspark.sql.window import Window
 
 from ..operators.dedup import minhash_bands
+from ..sources.formats import local_rows_df
 
 _STORE_SCHEMA = StructType(
     [
@@ -163,7 +164,7 @@ class NearDedupIngest:
         if row is None:
             rid = uuid.uuid4().hex
             (
-                spark.createDataFrame([(rid,)], "run_id string")
+                local_rows_df(spark, [(rid,)], "run_id string")
                 .coalesce(1)
                 .write.mode("overwrite")
                 .parquet(path)
