@@ -570,13 +570,19 @@ def dup_islands(
     - the blocks are freed when the returned DataFrame is
       garbage-collected, so a caller sharing it across several
       actions should drop the reference promptly when done."""
-    toks = tokens(text_col)
+    # tokens materialized as a COLUMN before _word_grams (r18
+    # optimization round): passed as an inline expression, the
+    # per-position slice lambda re-evaluated the full tokenize once
+    # PER GRAM POSITION (no CSE inside lambda bodies — the same class
+    # as the int8_quant_error fix)
+    toked = df.select(
+        F.col(id_col).alias("_id"), tokens(text_col).alias("_toks")
+    ).filter(F.size("_toks") >= n)
     base = (
-        df.filter(F.size(toks) >= n)
-        .select(
-            F.col(id_col).alias("_id"),
-            F.size(toks).alias("_ntok"),
-            F.posexplode(_word_grams(toks, n)).alias("_pos", "gram"),  # 0-based
+        toked.select(
+            "_id",
+            F.size("_toks").alias("_ntok"),
+            F.posexplode(_word_grams(F.col("_toks"), n)).alias("_pos", "gram"),  # 0-based
         )
         .persist()
     )
@@ -746,10 +752,15 @@ def ngram_novelty(
     enough that persisting wins)."""
     from ..functions import dround
 
-    toks = tokens(text_col)
-    grams = df.filter(F.size(toks) >= n).select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(_word_grams(toks, n))).alias("gram"),
+    # tokens as a column first — see dup_islands (the per-position
+    # retokenize trap); measured 1.35 → 1.05 s warm at sf0.1
+    grams = (
+        df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
+        .filter(F.size("_toks") >= n)
+        .select(
+            "_id",
+            F.explode(F.array_distinct(_word_grams(F.col("_toks"), n))).alias("gram"),
+        )
     )
     dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
     return (
@@ -809,14 +820,19 @@ def repeated_ngrams(
     during the partial agg, and top-k is TakeOrderedAndProject — no
     global sort, no pair join.  All columnar (split/transform/slice),
     no UDFs."""
-    toks = tokens(text_col)
-    grams = _word_grams(toks, n)
     # (_id, gram) is already unique here — array_distinct dedups grams
     # within the one row each doc contributes — so no .distinct(): it
     # would re-shuffle the largest intermediate for nothing.  Callers
     # must pass a unique id_col (a duplicated id would double-count).
-    per_doc = df.filter(F.size(toks) >= n).select(
-        F.col(id_col).alias("_id"), F.explode(F.array_distinct(grams)).alias("gram")
+    # tokens as a column first — see dup_islands (the per-position
+    # retokenize trap).
+    per_doc = (
+        df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
+        .filter(F.size("_toks") >= n)
+        .select(
+            "_id",
+            F.explode(F.array_distinct(_word_grams(F.col("_toks"), n))).alias("gram"),
+        )
     )
     return (
         per_doc.groupBy("gram")
