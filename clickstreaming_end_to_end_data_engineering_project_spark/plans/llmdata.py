@@ -556,7 +556,7 @@ def doc_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), threshold=0.2, max_doc_freq=MAX_SHINGLE_DOC_FREQ
+        _docs_parallel(spark, sf_dir), threshold=0.2, max_doc_freq=MAX_SHINGLE_DOC_FREQ
     )
 
 
@@ -566,7 +566,7 @@ def ngram_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     this FIRST on a new corpus to see whether near-dup mass separates
     from incidental overlap before committing to a cut."""
     return dedup.ngram_jaccard_histogram(
-        _docs(spark, sf_dir), max_doc_freq=MAX_SHINGLE_DOC_FREQ
+        _docs_parallel(spark, sf_dir), max_doc_freq=MAX_SHINGLE_DOC_FREQ
     )
 
 
@@ -574,7 +574,7 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs -> connected components -> canonical-per-cluster
     (iterative label propagation)."""
     pairs = dedup.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), threshold=0.2, max_doc_freq=MAX_SHINGLE_DOC_FREQ
+        _docs_parallel(spark, sf_dir), threshold=0.2, max_doc_freq=MAX_SHINGLE_DOC_FREQ
     )
     return components.dup_clusters(pairs)
 
@@ -632,7 +632,7 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mutations, so here the pair SET coincides with Jaccard's while the
     values differ)."""
     return dedup.ngram_containment_pairs(
-        _docs(spark, sf_dir), threshold=0.9, max_doc_freq=MAX_SHINGLE_DOC_FREQ
+        _docs_parallel(spark, sf_dir), threshold=0.9, max_doc_freq=MAX_SHINGLE_DOC_FREQ
     )
 
 
@@ -652,7 +652,7 @@ def prefix_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ngram_jaccard_pairs(max_doc_freq=None)`` and a brute-force
     reference in tests; see operators/dedup.prefix_jaccard_pairs for
     the filter-soundness derivation."""
-    return dedup.prefix_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return dedup.prefix_jaccard_pairs(_docs_parallel(spark, sf_dir), threshold=0.5)
 
 
 def doc_prefix_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -667,7 +667,7 @@ def doc_prefix_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact levenshtein verification on survivors (see
     operators/dedup.edit_distance_pairs for the soundness argument).
     Integer distances — engine-exact."""
-    docs = _docs(spark, sf_dir).select(
+    docs = _docs_parallel(spark, sf_dir).select(
         "doc_id", F.substring("text", 1, 24).alias("prefix")
     )
     return dedup.edit_distance_pairs(docs, "doc_id", "prefix", max_dist=2)
@@ -687,7 +687,7 @@ def doc_tf_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctly-rounded sqrts, one multiply, one divide (see
     operators/dedup.tf_cosine_pairs)."""
     return dedup.tf_cosine_pairs(
-        _docs(spark, sf_dir), threshold=0.9, max_doc_freq=MAX_SHINGLE_DOC_FREQ
+        _docs_parallel(spark, sf_dir), threshold=0.9, max_doc_freq=MAX_SHINGLE_DOC_FREQ
     )
 
 
@@ -706,7 +706,7 @@ def prefix_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a boilerplate corpus in tests; see
     operators/dedup.prefix_containment_pairs for the soundness
     derivation."""
-    return dedup.prefix_containment_pairs(_docs(spark, sf_dir), threshold=0.9)
+    return dedup.prefix_containment_pairs(_docs_parallel(spark, sf_dir), threshold=0.9)
 
 
 def doc_new_vs_corpus_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -722,7 +722,7 @@ def doc_new_vs_corpus_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     and bit-equality holds anyway because the prefix lemma is
     order-invariant (the differential tests pin the same claim against
     prefix_jaccard_pairs over the union)."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_parallel(spark, sf_dir)
     return dedup.prefix_jaccard_new_pairs(
         docs.filter(F.col("doc_id") % 5 != 0),
         docs.filter(F.col("doc_id") % 5 == 0),
@@ -746,7 +746,7 @@ def prefix_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     see operators/dedup.cosine_prefix_pairs for the bound derivations.
     Oracle-bit-exact with float output for the family's standing
     reason: integer dot/norm accumulation, fixed IEEE epilogue."""
-    return dedup.cosine_prefix_pairs(_docs(spark, sf_dir), threshold=0.9)
+    return dedup.cosine_prefix_pairs(_docs_parallel(spark, sf_dir), threshold=0.9)
 
 
 def doc_new_vs_corpus_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -763,7 +763,7 @@ def doc_new_vs_corpus_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps batch-involving pairs; bit-equality holds because both
     engines accumulate integer dots/norms and share the one IEEE
     epilogue (the family's standing float contract)."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_parallel(spark, sf_dir)
     return dedup.cosine_prefix_new_pairs(
         docs.filter(F.col("doc_id") % 5 != 0),
         docs.filter(F.col("doc_id") % 5 == 0),
@@ -772,11 +772,11 @@ def doc_new_vs_corpus_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_lsh_candidates(_docs(spark, sf_dir))
+    return dedup.minhash_lsh_candidates(_docs_parallel(spark, sf_dir))
 
 
 def simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_dup_groups(_docs(spark, sf_dir))
+    return dedup.simhash_dup_groups(_docs_parallel(spark, sf_dir))
 
 
 def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
