@@ -521,12 +521,19 @@ def _indexed_probe_metrics(spark, sf_dir: str) -> "dict[str, object]":
                 maintain_index,
             )
 
-            t0 = time.perf_counter()
-            for i in range(8):
-                day = embs.filter(F.col("vec_id") % 40 == i % 40).withColumn(
+            # r19 optimization round: the same 8 daily increments land
+            # through the multi-batch append verb (one assignment job,
+            # one overlap check, pooled segment writes) — identical
+            # final layout, pinned equal to 8 sequential appends by
+            # test_append_ivf_index_many_equals_sequential
+            days = [
+                embs.filter(F.col("vec_id") % 40 == i % 40).withColumn(
                     "vec_id", F.col("vec_id") + F.lit(20_000_000 + i * 1_000_000)
                 )
-                S.append_ivf_index(day, ivf_path)
+                for i in range(8)
+            ]
+            t0 = time.perf_counter()
+            S.append_ivf_index_many(days, ivf_path)
             appends_sec = time.perf_counter() - t0
             t0 = time.perf_counter()
             stats = maintain_index(spark, ivf_path, max_segments=7)

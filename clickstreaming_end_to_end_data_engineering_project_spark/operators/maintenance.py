@@ -170,8 +170,26 @@ def forget_ids(
     overwrite an earlier report entry and hide erasure evidence; a
     duplicate within the same role raises instead.  Raises on an index
     root with no recognized layout (a typo'd path must not read as
-    "forgotten")."""
+    "forgotten").
+
+    Concurrency (r19 optimization round, guide §2.6 "overlap
+    independent jobs"): the per-store deletes target DISJOINT roots —
+    every staged-swap artifact is path-scoped
+    (``<path>.<job>_staging`` / ``.<job>_old``), so two deletes can
+    only ever race when aimed at the SAME root, which the duplicate
+    validation above rejects.  Index deletes therefore run through a
+    small driver thread pool (each delete's own swap sequence stays
+    serial inside its thread, preserving the per-store terminal-
+    runs-only rename discipline), and the dataset rewrites do the same
+    AFTER all index deletes complete — the indexes-before-datasets
+    crash ordering the docstring above promises is a barrier between
+    the two pools, not a serialization within them.  Failures keep the
+    run-to-completion-or-re-run contract: every submitted delete is
+    awaited (no store is left mid-swap by an abandoned future — each
+    either finished its swaps or never started them), then the first
+    failure in input order is re-raised."""
     import importlib
+    from concurrent.futures import ThreadPoolExecutor
 
     # validate BEFORE the first delete verb runs: a duplicate target
     # must fail with zero side effects, not after earlier stores were
@@ -187,10 +205,12 @@ def forget_ids(
             raise ValueError(f"forget_ids: dataset listed twice: {path}")
         seen_ds.add(path)
 
-    report: "dict[tuple[str, str], dict]" = {}
     overrides = id_col_overrides or {}
+
+    # resolve every index verb BEFORE any delete runs: an unrecognized
+    # root must fail with zero side effects, same as the duplicate case
+    index_jobs = []
     for root in index_roots:
-        key = ("index", root)
         detected = detect_index_kind(spark, root)
         if detected is None:
             raise ValueError(
@@ -199,14 +219,41 @@ def forget_ids(
         kind = detected[0]
         mod_name, fn_name, default_col = _DELETE_VERBS[kind]
         mod = importlib.import_module(f".{mod_name}", package=__package__)
-        res = getattr(mod, fn_name)(
-            spark, root, ids, id_col=overrides.get(root, default_col)
-        )
-        report[key] = {"kind": kind, **res}
-    for path, id_col in datasets:
-        key = ("dataset", path)
+        index_jobs.append((root, kind, getattr(mod, fn_name), default_col))
+
+    def _run_index(job):
+        root, kind, fn, default_col = job
+        res = fn(spark, root, ids, id_col=overrides.get(root, default_col))
+        return ("index", root), {"kind": kind, **res}
+
+    def _run_dataset(ds):
+        path, id_col = ds
         from ..etl import delete_user_data
 
         removed = delete_user_data(spark, path, ids, user_col=id_col)
-        report[key] = {"kind": "dataset", "rows_removed": removed}
+        return ("dataset", path), {"kind": "dataset", "rows_removed": removed}
+
+    def _drain(pool_jobs, runner) -> "list":
+        """Run jobs through a bounded pool; await EVERY future, then
+        re-raise the first failure in input order."""
+        if not pool_jobs:
+            return []
+        workers = min(3, len(pool_jobs))
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            futures = [pool.submit(runner, j) for j in pool_jobs]
+            results, first_err = [], None
+            for fut in futures:  # input order; await all before raising
+                try:
+                    results.append(fut.result())
+                except BaseException as exc:  # noqa: BLE001
+                    if first_err is None:
+                        first_err = exc
+            if first_err is not None:
+                raise first_err
+            return results
+
+    report: "dict[tuple[str, str], dict]" = {}
+    report.update(_drain(index_jobs, _run_index))
+    # barrier: datasets start only after every index delete finished
+    report.update(_drain(list(datasets), _run_dataset))
     return report

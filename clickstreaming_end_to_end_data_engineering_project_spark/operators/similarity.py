@@ -1267,6 +1267,179 @@ def append_ivf_index(
     return {"batch_id": batch_id, "n_vectors": assigned.count()}
 
 
+def append_ivf_index_many(
+    new_batches: "list[DataFrame]",
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "list[dict[str, int]]":
+    """Append SEVERAL increments to a ``write_ivf_index`` layout in one
+    pass — the multi-batch form of ``append_ivf_index`` (r19
+    optimization round; the r18 profile of the 8-append maintenance
+    cycle found no dominator, just eight repetitions of the same five
+    fixed-cost actions: head, params read, overlap check, assign +
+    checkpoint, count).  Semantically equivalent to calling
+    ``append_ivf_index`` on each frame in order with default batch ids
+    (consecutive ``max+1`` ids; empty increments consume no id and
+    write no segment) and PINNED so by test: same segment directories,
+    same rows, same ``_id_map`` slices, same assignment rule (nearest
+    stored centroid by squared euclidean, ties to the lower cluster
+    id).  The amortization (guide §1.2 / §2.6):
+
+    - ONE assignment job over the tagged union of all increments
+      (localCheckpointed), ONE per-batch count aggregate, ONE dims
+      validation, ONE id-overlap check (which also catches ids
+      duplicated ACROSS increments — exactly what the sequential form
+      detects when a later append meets an earlier one's ``_id_map``
+      slice) — instead of five actions per increment;
+    - the per-segment writes overlap through a small driver thread
+      pool in two pooled PHASES: every ``_id_map`` slice first, then a
+      barrier, then every vector segment — preserving the r15
+      map-before-store ordering globally, not just per batch (ids can
+      appear in ``_id_map`` without vectors after a crash — the safe
+      direction, healed by the same-id overwrite — never the reverse).
+
+    All increments must share one schema (the union is positional
+    after the ``cluster`` drop); validation failures raise BEFORE any
+    write, so a rejected call leaves the index untouched (the
+    sequential form can stop mid-way with earlier days landed).  Crash
+    mid-write + re-run raises on the id-overlap check exactly as
+    re-running a sequential multi-day append script does — keep the
+    increment set and rebuild or heal before retrying."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..fsutil import existing_batch_ids, fs_for
+
+    if not new_batches:
+        return []
+    spark = new_batches[0].sparkSession
+    vec_root = os.path.join(path, "vectors")
+    existing = existing_batch_ids(spark, vec_root)
+    if not existing:
+        raise ValueError(
+            f"append_ivf_index_many: no index at {path} — build one with "
+            "write_ivf_index first"
+        )
+    params = (
+        spark.read.schema("n_clusters int, dims int")
+        .parquet(os.path.join(path, "_ivf_params"))
+        .head()
+    )
+    cents = spark.read.schema("cluster int, centroid array<double>").parquet(
+        os.path.join(path, "_ivf_centroids")
+    )
+    from .kmeans import _sq_dist
+
+    tagged = None
+    for i, nb in enumerate(new_batches):
+        if "cluster" in nb.columns:
+            nb = nb.drop("cluster")
+        nb = nb.withColumn("_ab", F.lit(i))
+        tagged = nb if tagged is None else tagged.unionByName(nb)
+    w = Window.partitionBy("_ab", id_col).orderBy(
+        F.col("_d").asc(), F.col("cluster")
+    )
+    assigned = (
+        tagged.crossJoin(F.broadcast(cents))
+        .withColumn("_d", _sq_dist(F.col(vec_col), F.col("centroid")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_d", "_rn", "centroid")
+    ).localCheckpoint(eager=True)
+    # one aggregate answers per-batch emptiness AND dims validation
+    meta = {
+        r["_ab"]: (r["_n"], r["_dmin"], r["_dmax"])
+        for r in assigned.groupBy("_ab")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.size(vec_col)).alias("_dmin"),
+            F.max(F.size(vec_col)).alias("_dmax"),
+        )
+        .collect()
+    }
+    for i in range(len(new_batches)):
+        n, dmin, dmax = meta.get(i, (0, None, None))
+        if n and (dmin != params.dims or dmax != params.dims):
+            raise ValueError(
+                f"append_ivf_index_many: increment {i} has vectors of "
+                f"{dmin}..{dmax} dims, index expects {params.dims}"
+            )
+    # default consecutive ids; empty increments consume no id (the
+    # sequential form's max+1 rule reproduced exactly)
+    next_id = existing[-1] + 1
+    batch_ids: "list[int]" = []
+    for i in range(len(new_batches)):
+        batch_ids.append(next_id)
+        if meta.get(i, (0,))[0]:
+            next_id += 1
+    # ONE overlap check: new ids vs every PRIOR segment's _id_map (the
+    # sidecar; sequential parity for the pre-r14 no-sidecar layout is
+    # not needed here — this verb targets the sidecar-era layout, and
+    # falls back to the store scan the same way) plus ids duplicated
+    # across increments
+    newids = assigned.select(F.col(id_col), "_ab").distinct()
+    cross_dup = (
+        newids.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .limit(1)
+        .count()
+    )
+    if cross_dup:
+        raise ValueError(
+            "append_ivf_index_many: an id appears in more than one "
+            "increment — duplicate rows would surface in probe results"
+        )
+    id_map_root = os.path.join(path, "_id_map")
+    _, fs, id_map_hpath = fs_for(spark, id_map_root)
+    if fs.exists(id_map_hpath):
+        prior = spark.read.parquet(id_map_root).filter(
+            F.col("batch").isin(existing)
+        ).select(F.col(id_col))
+    else:
+        prior = spark.read.parquet(vec_root).filter(
+            F.col("batch").isin(existing)
+        ).select(F.col(id_col))
+    dup = (
+        newids.select(F.col(id_col).alias("_nid"))
+        .join(prior, F.col("_nid") == prior[id_col], "left_semi")
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "append_ivf_index_many: some new vector ids already exist in "
+            "the index — duplicate rows would surface in probe results; "
+            "rebuild instead"
+        )
+    live = [i for i in range(len(new_batches)) if meta.get(i, (0,))[0]]
+
+    def _write_id_map(i: int) -> None:
+        assigned.filter(F.col("_ab") == i).select(id_col, "cluster").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(id_map_root, f"batch={batch_ids[i]}"))
+
+    def _write_vectors(i: int) -> None:
+        assigned.filter(F.col("_ab") == i).drop("_ab").write.mode(
+            "overwrite"
+        ).partitionBy("cluster").parquet(
+            os.path.join(vec_root, f"batch={batch_ids[i]}")
+        )
+
+    for phase in (_write_id_map, _write_vectors):
+        if not live:
+            break
+        with ThreadPoolExecutor(max_workers=min(3, len(live))) as pool:
+            futures = [pool.submit(phase, i) for i in live]
+            for fut in futures:  # await every write before the barrier
+                fut.result()
+    return [
+        {"batch_id": batch_ids[i], "n_vectors": meta.get(i, (0,))[0]}
+        for i in range(len(new_batches))
+    ]
+
+
 def ivf_topk_indexed(
     spark,
     path: str,

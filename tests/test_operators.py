@@ -8368,3 +8368,139 @@ def test_holt_pandas_impl_bit_equal_to_fold(spark):
     assert fold == pand and len(fold) == len(rows)
     with pytest.raises(ValueError, match="impl"):
         holt_smooth(df, ["k"], "i", "v", impl="nope")
+
+
+def test_append_ivf_index_many_equals_sequential(spark, sf_dir, tmp_path):
+    """r19 optimization round: the multi-batch append verb must leave
+    the EXACT layout its sequential form produces — same segment
+    directories (empty increments consume no id), same vector rows,
+    same _id_map slices — and its validations must fire BEFORE any
+    write (cross-increment id duplicates, ids already indexed, dims
+    mismatch)."""
+    import os
+    import shutil
+
+    import pytest
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.similarity import (
+        append_ivf_index,
+        append_ivf_index_many,
+        write_ivf_index,
+    )
+
+    embs = load(spark, sf_dir, "embeddings")
+    base = embs.filter(F.col("vec_id") % 3 == 0)
+    seq = str(tmp_path / "ivf_seq")
+    many = str(tmp_path / "ivf_many")
+    write_ivf_index(base, seq, n_clusters=5, iterations=2)
+    shutil.copytree(seq, many)
+
+    def day(i):
+        return embs.filter(F.col("vec_id") % 3 == 1).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(1_000_000 * (i + 1))
+        )
+
+    empty = embs.filter(F.col("vec_id") < 0)
+    increments = [day(0), empty, day(1), day(2)]
+    seq_reports = [append_ivf_index(b, seq) for b in increments]
+    many_reports = append_ivf_index_many(increments, many)
+    assert [tuple(sorted(r.items())) for r in seq_reports] == [
+        tuple(sorted(r.items())) for r in many_reports
+    ]
+
+    def snapshot(root):
+        vec = spark.read.parquet(os.path.join(root, "vectors"))
+        idm = spark.read.parquet(os.path.join(root, "_id_map"))
+        return (
+            sorted(tuple(r) for r in vec.collect()),
+            sorted(tuple(r) for r in idm.collect()),
+            sorted(vec.columns),
+            sorted(idm.columns),
+        )
+
+    assert snapshot(seq) == snapshot(many)
+
+    # validation failures leave the index untouched
+    before = snapshot(many)
+    with pytest.raises(ValueError, match="more than one increment"):
+        append_ivf_index_many([day(9), day(9)], many)
+    with pytest.raises(ValueError, match="already exist"):
+        append_ivf_index_many([day(0)], many)
+    bad_dims = day(7).withColumn("embedding", F.slice("embedding", 1, 3))
+    with pytest.raises(ValueError, match="dims"):
+        append_ivf_index_many([day(8), bad_dims], many)
+    with pytest.raises(ValueError, match="no index"):
+        append_ivf_index_many([day(0)], str(tmp_path / "missing"))
+    assert snapshot(many) == before, "a rejected call must write nothing"
+    assert append_ivf_index_many([], many) == []
+
+
+def test_forget_ids_pooled_deletes_keep_swap_discipline(spark, sf_dir, tmp_path):
+    """r19 optimization round (guide §2.6): forget_ids now overlaps its
+    per-store deletes in a driver thread pool.  The terminal-runs-only
+    staged-swap contract must hold under that concurrency: after a
+    cascade over three index layouts plus two datasets, every store
+    serves the survivor set, NO staging/old debris directory remains
+    anywhere (each delete's swap sequence completed inside its
+    thread), and the report preserves input order."""
+    import os
+
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.maintenance import (
+        forget_ids,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.retrieval import (
+        write_bm25_index,
+    )
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators.similarity import (
+        write_ivf_index,
+        write_lsh_index,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    embs = load(spark, sf_dir, "embeddings")
+    dims = len(embs.select("embedding").first()[0])
+    bm25 = str(tmp_path / "bm25")
+    lsh = str(tmp_path / "lsh")
+    ivf = str(tmp_path / "ivf")
+    ds1 = str(tmp_path / "docs.parquet")
+    ds2 = str(tmp_path / "events.parquet")
+    write_bm25_index(docs, bm25, n_buckets=8)
+    write_lsh_index(embs, lsh, planes=3, dims=dims)
+    write_ivf_index(embs, ivf, n_clusters=5, iterations=2)
+    docs.write.parquet(ds1)
+    load(spark, sf_dir, "events").write.parquet(ds2)
+
+    victims = [int(r["doc_id"]) for r in docs.filter(F.col("doc_id") % 7 == 2).collect()][:15]
+    report = forget_ids(
+        spark,
+        victims,
+        index_roots=[bm25, lsh, ivf],
+        datasets=[(ds1, "doc_id"), (ds2, "user_id")],
+    )
+    assert list(report.keys()) == [
+        ("index", bm25), ("index", lsh), ("index", ivf),
+        ("dataset", ds1), ("dataset", ds2),
+    ], "report must preserve input order under the pool"
+    assert report[("dataset", ds1)]["rows_removed"] == len(victims)
+
+    # no staged-swap debris anywhere under any target
+    debris = []
+    for base, dirs, _ in os.walk(tmp_path):
+        debris += [
+            os.path.join(base, d)
+            for d in dirs
+            if "_staging" in d or d.endswith("_old")
+        ]
+    assert debris == [], f"pooled deletes left swap debris: {debris}"
+
+    # every store serves exactly the survivor set
+    vic = set(victims)
+    for root, sub, col in (
+        (bm25, "", "doc_id"),
+        (ivf, "vectors", "vec_id"),
+        (lsh, "", "vec_id"),
+    ):
+        store = spark.read.parquet(os.path.join(root, sub) if sub else root)
+        if col in store.columns:
+            got = {r[0] for r in store.select(col).distinct().collect()}
+            assert not (got & vic), f"{root} still serves victim ids"
