@@ -64,10 +64,14 @@ def kmeans_fit(
         dists = points.crossJoin(F.broadcast(cdf)).select(
             "_id", "_v", "_c", _sq_dist(F.col("_v"), F.col("_cv")).alias("_d")
         )
-        best = dists.groupBy("_id").agg(
-            F.min_by(F.col("_c"), F.struct(F.col("_d"), F.col("_c"))).alias("cluster")
+        # carry the vector THROUGH the argmin aggregate (r19: _v is
+        # constant within the _id group, so first(_v) is exact) — the
+        # former join-back of `best` to `points` re-shuffled every
+        # vector a second time per iteration for no information gain
+        assigned = dists.groupBy("_id").agg(
+            F.min_by(F.col("_c"), F.struct(F.col("_d"), F.col("_c"))).alias("cluster"),
+            F.first("_v").alias("_v"),
         )
-        assigned = points.join(best, "_id")
         new_centroids = (
             assigned.select("cluster", F.posexplode("_v").alias("_dim", "_x"))
             .groupBy("cluster", "_dim")
