@@ -136,8 +136,41 @@ def main() -> None:
     # probe before each timed block makes every block
     # self-adjudicating: a decayed probe discounts exactly the legs
     # behind it, and the judge never re-runs a leg to explain a delta.
+    #
+    # r19 (r18 verdict #7): ACT on a depressed probe instead of only
+    # recording it — the r18 driver run started its headline block at
+    # spin 5.85 and manufactured three phantom sub-second regressions
+    # the judge had to adjudicate by hand.  A block probe below the
+    # spin floor now takes ONE bounded sleep + re-sample (load is NOT
+    # a block trigger: the bench's own self-load legitimately raises
+    # it mid-run); both samples and the slept seconds are recorded
+    # under box_block_retries, so the artifact stays self-adjudicating
+    # either way.  Additions-only: no timed leg, action, or min-of-N
+    # changes; the sleep happens BETWEEN blocks.  Disabled whenever
+    # the start retry is disabled (the unit suite runs under its own
+    # load), overridable via SPARK_GRAFT_BENCH_BLOCK_RETRY_SLEEP.
+    block_retry_sleep = float(
+        os.environ.get(
+            "SPARK_GRAFT_BENCH_BLOCK_RETRY_SLEEP",
+            "60" if retry_sleep > 0 else "0",
+        )
+    )
+    block_retries: dict[str, dict[str, object]] = {}
+
+    def _block_probe(name: str) -> "dict[str, float]":
+        st = _box_state()
+        if spin_floor > 0 and st["spin_mops"] < spin_floor and block_retry_sleep > 0:
+            time.sleep(block_retry_sleep)
+            resampled = _box_state()
+            block_retries[name] = {
+                "depressed": st,
+                "slept_sec": round(block_retry_sleep, 1),
+            }
+            return resampled
+        return st
+
     box_blocks: dict[str, dict[str, float]] = {}
-    box_blocks["headline"] = _box_state()
+    box_blocks["headline"] = _block_probe("headline")
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
@@ -151,7 +184,7 @@ def main() -> None:
     # r5 lesson: a crash in any stream leg must not zero out the batch
     # evidence — each leg degrades to null independently (see
     # _stream_metrics), and a wholesale failure degrades all three.
-    box_blocks["streams"] = _box_state()
+    box_blocks["streams"] = _block_probe("streams")
     try:
         stream_metrics = _stream_metrics(spark, sf_dir)
     except Exception as exc:  # pragma: no cover - defensive
@@ -180,7 +213,7 @@ def main() -> None:
     # leg loses Join/Window/Generate/Aggregate nodes under count, so
     # that total remains honest.  Extended numbers are comparable only
     # within the same action (r15+ vs r15+).
-    box_blocks["extended"] = _box_state()
+    box_blocks["extended"] = _block_probe("extended")
     extended: dict[str, float | None] = {}
     for name in EXTENDED:
         best = float("inf")
@@ -199,7 +232,7 @@ def main() -> None:
     # codes-only PQ scans), but only the in-memory paths were benched —
     # a ReadSchema/PartitionFilters pruning regression had no recorded
     # number.  Build untimed, probe min-of-2; failure degrades to null.
-    box_blocks["maintenance"] = _box_state()
+    box_blocks["maintenance"] = _block_probe("maintenance")
     try:
         indexed_probes = _indexed_probe_metrics(spark, sf_dir)
     except Exception as exc:  # pragma: no cover - defensive
@@ -227,6 +260,7 @@ def main() -> None:
                 "box_state_start": box_start,
                 "box_state_end": box_end,
                 "box_state_per_block": box_blocks,
+                **({"box_block_retries": block_retries} if block_retries else {}),
                 **retry_fields,
                 "extended_queries": extended,
                 **indexed_probes,

@@ -54,6 +54,7 @@ def _verify_cosine_candidates(
     a_col: str,
     b_col: str,
     cells_cap: "int | None" = None,
+    bc_sink: "list | None" = None,
 ) -> DataFrame:
     """Exact verification for cosine prefix-join candidates — the ONE
     copy shared by ``cosine_prefix_pairs`` and
@@ -86,8 +87,21 @@ def _verify_cosine_candidates(
       candidates are few and reps are many.
 
     The gate costs one tiny aggregate over the persisted ``tf``
-    (countDistinct id/term); the collect that builds the matrix is
-    bounded by the same cap (posting rows <= cells).
+    (countDistinct id/term + posting count + total term bytes); the
+    collect that builds the matrix is bounded by the same cap
+    (posting rows <= cells) AND — r19, the r18 advisory — by an
+    estimate of the collected pandas payload in BYTES
+    (Σ length(term) + 16 B/posting id+tf ≤ 8·cap, the same 64 MB
+    budget the int64 matrix gets at the default cap): a small-doc
+    huge-vocabulary corpus with long terms replicates each term
+    string across its posting rows and could otherwise pull hundreds
+    of MB into the driver despite a within-cap matrix.
+
+    ``bc_sink``: optional list the dense arm appends its (ids, matrix)
+    broadcast to, so the CALLER can destroy it once the result is
+    eagerly materialized — without this every dedup call leaked one
+    driver+executor broadcast for the life of the session (r18
+    advisory, medium).
     """
     t = float(threshold)
     epilogue = lambda dot: dot / (F.sqrt("_nsqa") * F.sqrt("_nsqb"))  # noqa: E731
@@ -96,10 +110,13 @@ def _verify_cosine_candidates(
         dims = tf.agg(
             F.countDistinct("_id").alias("_nd"),
             F.countDistinct("term").alias("_nt"),
+            F.count(F.lit(1)).alias("_np"),
+            F.sum(F.length("term")).alias("_tl"),
         ).first()
         n_docs, n_terms = int(dims["_nd"] or 0), int(dims["_nt"] or 0)
-        if n_docs * n_terms <= cap:
-            return _verify_cosine_dense(need, tf, t, a_col, b_col)
+        est_bytes = int(dims["_tl"] or 0) + 16 * int(dims["_np"] or 0)
+        if n_docs * n_terms <= cap and est_bytes <= 8 * cap:
+            return _verify_cosine_dense(need, tf, t, a_col, b_col, bc_sink)
     tmap = tf.groupBy("_id").agg(
         F.map_from_entries(F.collect_list(F.struct("term", "_tf"))).alias("_m")
     )
@@ -131,19 +148,27 @@ def _verify_cosine_candidates(
 
 
 def _verify_cosine_dense(
-    need: DataFrame, tf: DataFrame, t: float, a_col: str, b_col: str
+    need: DataFrame,
+    tf: DataFrame,
+    t: float,
+    a_col: str,
+    b_col: str,
+    bc_sink: "list | None" = None,
 ) -> DataFrame:
     """Dense-matrix verification arm of ``_verify_cosine_candidates``
-    (see there for the exactness argument)."""
+    (see there for the exactness argument and the ``bc_sink``
+    lifetime contract)."""
     import numpy as np
 
     spark = tf.sparkSession
-    pdf = tf.toPandas()
+    pdf = tf.select("_id", "term", "_tf").toPandas()
     ids = pd.Index(pdf["_id"].unique())
     term_codes, term_uniques = pd.factorize(pdf["term"])
     mat = np.zeros((len(ids), len(term_uniques)), dtype=np.int64)
     mat[ids.get_indexer(pdf["_id"]), term_codes] = pdf["_tf"].to_numpy(np.int64)
     bc = spark.sparkContext.broadcast((ids, mat))
+    if bc_sink is not None:
+        bc_sink.append(bc)
 
     @F.pandas_udf("double")
     def _dense_cos(
@@ -1306,6 +1331,7 @@ def cosine_prefix_pairs(
             .persist()
         )
         cand_cache = None
+        bc_sink: list = []
         try:
             a, b = pref.alias("a"), pref.alias("b")
             # Candidate generation is a GROUP-BY over the prefix⋈prefix
@@ -1415,7 +1441,7 @@ def cosine_prefix_pairs(
             need = cand.filter(~done)
             verified = _verify_cosine_candidates(
                 need, tf, threshold, "doc_a", "doc_b",
-                cells_cap=dense_verify_cells_cap,
+                cells_cap=dense_verify_cells_cap, bc_sink=bc_sink,
             )
             rep_pairs = exact_done.unionByName(verified)
             # expansion: every member pair across two matched rep
@@ -1464,6 +1490,12 @@ def cosine_prefix_pairs(
             pref.unpersist()
             if cand_cache is not None:
                 cand_cache.unpersist()
+            # the eager checkpoint above already materialized every
+            # row that needed the dense matrix — destroying the
+            # broadcast here stops it leaking for the session's life
+            # (r18 advisory)
+            for _bc in bc_sink:
+                _bc.destroy()
     finally:
         tf.unpersist()
         members.unpersist()
@@ -1722,6 +1754,7 @@ def cosine_prefix_new_pairs(
             .persist()
         )
         cand_cache = None
+        bc_sink: list = []
         try:
             # ONE side-aware candidate join replacing the former
             # unionByName of the new×corpus and new×new arms: the
@@ -1796,6 +1829,7 @@ def cosine_prefix_new_pairs(
             verified = _verify_cosine_candidates(
                 need, tf.select("_id", "term", "_tf"), threshold,
                 "_ida", "_idb", cells_cap=dense_verify_cells_cap,
+                bc_sink=bc_sink,
             )
             rep_pairs = exact_done.unionByName(verified)
             # expansion: _ida is always a batch rep; _idb is a corpus
@@ -1852,6 +1886,10 @@ def cosine_prefix_new_pairs(
             pref.unpersist()
             if cand_cache is not None:
                 cand_cache.unpersist()
+            # eager checkpoint done — release the dense-verify
+            # broadcast instead of leaking it (r18 advisory)
+            for _bc in bc_sink:
+                _bc.destroy()
     finally:
         tf_all.unpersist()
         members.unpersist()

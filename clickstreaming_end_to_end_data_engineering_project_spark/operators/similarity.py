@@ -1627,6 +1627,14 @@ def int8_quant_error(
     times over (once per output).  CollapseProject keeps multi-use
     non-cheap aliases as real columns, so each statistic now evaluates
     once per row; measured 3.3 s → 0.54 s warm at sf0.1, bit-exact."""
+    reserved = {"_v", "_mx", "_scale", "_sdiv", "_q", "_err"}
+    if id_col in reserved:
+        # an id named like one of the internal temp columns would be
+        # silently clobbered by the withColumn chain (r18 advisory)
+        raise ValueError(
+            f"int8_quant_error: id_col {id_col!r} collides with an "
+            f"internal temp column ({sorted(reserved)}); rename the id"
+        )
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = (
         df.select(F.col(id_col), v.alias("_v"))

@@ -544,13 +544,23 @@ GATE_PRIORITY = [
     # this round's dedup.py prefix-join work; the other eight r16
     # first-row queries demoted r18 after confirming r17 rows)
     "prefix_jaccard_dups",
-    # round-17 rotation: the implement-ahead r17 queue (confirming
-    # rows; first driver rows r17)
-    "prefix_containment_dups",
-    "part_pareto_3d",
-    "hourly_page_heavy_hitters",
-    "doc_tf_cosine_dups",
+    # round-17 rotation: doc_prefix_edit_pairs retained a third round
+    # (this optimization round may touch its Ed-Join verification —
+    # r18 verdict #10 — so it keeps driver visibility); the other four
+    # r17 first-row queries demoted r19 after confirming r18 rows
+    # (prefix_containment_dups, part_pareto_3d,
+    # hourly_page_heavy_hitters, doc_tf_cosine_dups — all green
+    # r17+r18, all keep BENCH_EXTENDED legs + pinned digests per the
+    # standing demotion invariant)
     "doc_prefix_edit_pairs",
+    # round-19 rotation (executed — r18 verdict directive #8): the
+    # implement-ahead r19 queue rotates in for first driver rows
+    # (oracle-bit-exact at three scales since r18, benched +
+    # digest-pinned ahead of rotation)
+    "purchase_attribution_position",
+    "coverage_order_overlap_join",
+    "user_journey_match_gapped",
+    "doc_new_vs_corpus_cosine",
     # round-18 rotation: the implement-ahead r18 queue (first driver
     # rows; oracle-bit-exact in the battery at three scales since r17,
     # benched + digest-pinned ahead of rotation)

@@ -85,6 +85,13 @@ def ensure_session_defaults(spark: SparkSession) -> SparkSession:
     # local_rows_df and the kmeans/PQ codebook frames rely on the Arrow
     # createDataFrame path (~0.04 s vs ~0.5 s via pickled RDDs); without
     # this conf an externally created session silently falls back to the
-    # slow path.  Results are unaffected either way.
-    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # slow path.  Results are unaffected either way.  r19 (r18
+    # advisory): respect an EXPLICIT launch-time opt-out — a session
+    # built with the conf set (e.g. --conf ...arrow.pyspark.enabled=
+    # false to dodge an Arrow/pandas incompatibility) keeps its value;
+    # only unset sessions get the fast default.
+    if not spark.sparkContext._conf.contains(
+        "spark.sql.execution.arrow.pyspark.enabled"
+    ):
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     return spark

@@ -6,6 +6,8 @@ from __future__ import annotations
 import datetime as dt
 import random
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from clickstreaming_end_to_end_data_engineering_project_spark.functions.udfs import register_udfs
@@ -589,6 +591,7 @@ def test_chunk_documents_tiles_every_token(spark):
     check()
 
 
+@pytest.mark.slow
 def test_ngram_jaccard_histogram_matches_python_reference(spark):
     """Property (hypothesis): for ANY corpus over a tiny vocabulary
     (dense overlap), the histogram equals a Python reference computed
@@ -1266,6 +1269,7 @@ def test_int8_quant_error_bounds(spark):
     assert out[3].max_abs_err < 1e-7, "max-magnitude components are exact lattice points"
 
 
+@pytest.mark.slow
 def test_sample_to_token_budget_property_matches_naive(spark):
     """Property (hypothesis): for ANY key set, weight assignment, and
     budget, the bucketed two-phase cumsum selects exactly the rows the
@@ -2289,6 +2293,7 @@ def test_ivfpq_written_index_probe_matches_in_memory(spark, sf_dir, tmp_path):
         S.ivfpq_topk_indexed(spark, path, body, q[:8], k=5)
 
 
+@pytest.mark.slow
 def test_token_entropy_and_kl_match_python_reference(spark):
     """Property (hypothesis): for ANY corpus over a tiny vocabulary,
     token_entropy and source_unigram_kl equal a pure-Python reference
@@ -2619,6 +2624,7 @@ def test_pagerank_uniform_on_symmetric_cycle(spark):
         assert abs(r - 1.0 / n) < 1e-9
 
 
+@pytest.mark.slow
 def test_interval_point_join_matches_theta_join_random(spark):
     """Differential: binned interval_point_join == the naive theta
     join on random points/intervals, including bin-boundary landmines
@@ -3216,6 +3222,7 @@ def test_weighted_reservoir_favors_weight_and_is_exact_k(spark):
     assert sorted(map(tuple, got)) == sorted(map(tuple, again.collect()))
 
 
+@pytest.mark.slow
 def test_pagerank_shuffle_path_equals_broadcast_path(spark):
     """The generic shuffle-join path (graphs above the broadcast
     threshold) must produce BIT-identical ranks to the small-graph
@@ -3776,6 +3783,7 @@ def test_ivf_id_map_sidecar_bounds_append_validation(spark, tmp_path):
     assert S.append_ivf_index(extra, idx)["n_vectors"] == 2
 
 
+@pytest.mark.slow
 def test_lsh_and_ivf_compaction_preserve_probes(spark, sf_dir, tmp_path):
     """compact_lsh_index / compact_ivf_index: after build + append,
     compaction collapses to one batch=0 segment, probes are identical
@@ -3916,6 +3924,7 @@ def test_bm25_delete_probe_equals_rebuild_over_survivors(spark, sf_dir, tmp_path
         delete_from_bm25_index(spark, str(tmp_path / "nope"), [1])
 
 
+@pytest.mark.slow
 def test_vector_index_deletes_match_rebuilds_over_survivors(spark, sf_dir, tmp_path):
     """r14: the DELETE verb across the four vector layouts.  LSH:
     probe == rebuild over survivors (content-deterministic, exact).
@@ -4155,6 +4164,7 @@ def test_index_lifecycle_build_append_delete_compact_equals_rebuild(
     )
 
 
+@pytest.mark.slow
 def test_extend_dup_clusters_equals_full_recompute(spark, sf_dir):
     """r13 verdict #8: incremental dup-cluster maintenance.  Extending
     a dup_clusters labeling with an increment's pairs must equal a
@@ -4228,9 +4238,13 @@ def test_maintain_index_applies_compaction_policy(spark, tmp_path):
     """r13 verdict #4: maintain_index enforces the SCALING.md operating
     rule (compact when segment count exceeds max_segments) across all
     five appendable layouts, auto-detecting the layout from its params
-    sidecar.  Drive append×8 on bm25/lsh/ivf, auto-compact at
-    max_segments=4, and pin probe equality across the compaction; the
-    below-threshold call is a no-op; an unrecognized path raises."""
+    sidecar.  Drive append×5 on bm25/lsh/ivf (the IVF block through
+    the r19 multi-batch verb — the policy must compose with it),
+    auto-compact at max_segments=4, and pin probe equality across the
+    compaction; the below-threshold call is a no-op; an unrecognized
+    path raises.  (r19: append count trimmed 8→5 — the policy
+    contract is "compact iff count > max_segments", fully exercised
+    at 6 segments; the extra appends only paid wall-clock.)"""
     import os
 
     import pytest
@@ -4254,7 +4268,7 @@ def test_maintain_index_applies_compaction_policy(spark, tmp_path):
 
     bm25 = str(tmp_path / "bm25_m")
     R.write_bm25_index(docs, bm25, n_buckets=4)
-    for j in range(8):
+    for j in range(5):
         R.append_bm25_index(
             docs.limit(2).withColumn("doc_id", F.col("doc_id") + F.lit(100 * (j + 1))),
             bm25,
@@ -4262,7 +4276,7 @@ def test_maintain_index_applies_compaction_policy(spark, tmp_path):
     before = [tuple(r) for r in R.bm25_topk_indexed(spark, bm25, ["spark"], k=5).collect()]
     out = maintain_index(spark, bm25, max_segments=4)
     assert out == {
-        "kind": "bm25", "segments_before": 9, "segments_after": 1, "compacted": True,
+        "kind": "bm25", "segments_before": 6, "segments_after": 1, "compacted": True,
     }
     assert [
         tuple(r) for r in R.bm25_topk_indexed(spark, bm25, ["spark"], k=5).collect()
@@ -4272,7 +4286,7 @@ def test_maintain_index_applies_compaction_policy(spark, tmp_path):
 
     lsh = str(tmp_path / "lsh_m")
     S.write_lsh_index(vecs, lsh, planes=2, dims=4)
-    for j in range(8):
+    for j in range(5):
         S.append_lsh_index(
             vecs.limit(2).withColumn("vec_id", F.col("vec_id") + F.lit(100 * (j + 1))),
             lsh,
@@ -4291,11 +4305,16 @@ def test_maintain_index_applies_compaction_policy(spark, tmp_path):
 
     ivf = str(tmp_path / "ivf_m")
     S.write_ivf_index(vecs, ivf, n_clusters=2, iterations=1)
-    for j in range(8):
-        S.append_ivf_index(
-            vecs.limit(2).withColumn("vec_id", F.col("vec_id") + F.lit(100 * (j + 1))),
-            ivf,
-        )
+    # the r19 multi-batch verb — the policy must compose with it
+    S.append_ivf_index_many(
+        [
+            vecs.limit(2).withColumn(
+                "vec_id", F.col("vec_id") + F.lit(100 * (j + 1))
+            )
+            for j in range(5)
+        ],
+        ivf,
+    )
     before = [
         tuple(r) for r in S.ivf_topk_indexed(spark, ivf, q, k=5, nprobe=2).collect()
     ]
@@ -4451,6 +4470,7 @@ def test_interval_point_join_drops_inverted_intervals(spark):
     assert [r["pid"] for r in semi.collect()] == [1]
 
 
+@pytest.mark.slow
 def test_bm25_delete_any_crash_point_heals_on_rerun(spark, tmp_path, monkeypatch):
     """r15 advisory (medium): delete_from_bm25_index must rewrite
     ``_doclens`` strictly LAST — it is the discovery table the delete
@@ -4785,6 +4805,7 @@ def test_ivfpq_filtered_probe_exact_at_exhaustive_settings(spark, sf_dir, tmp_pa
     )
 
 
+@pytest.mark.slow
 def test_hybrid_indexed_pin_survives_deletes_on_both_stores(spark, sf_dir, tmp_path):
     """r14 verdict #5: the CRUD compose-point most likely to regress
     silently — docs deleted from the BM25 store AND vectors deleted
@@ -5354,6 +5375,7 @@ def test_prefix_jaccard_matches_uncapped_inverted_index(spark, sf_dir):
     assert got == want
 
 
+@pytest.mark.slow
 def test_prefix_jaccard_matches_python_reference_threshold_sweep(spark):
     """Filter-soundness sweep: random corpus (short docs, repeats)
     against a brute-force all-pairs reference at thresholds including
@@ -6007,6 +6029,7 @@ def test_prefix_containment_matches_uncapped_inverted_index(spark, sf_dir):
     assert got == want
 
 
+@pytest.mark.slow
 def test_prefix_containment_matches_python_reference_threshold_sweep(spark):
     """Filter-soundness sweep for the ASYMMETRIC metric: random corpus
     with seeded excerpts (tiny docs fully embedded in big ones — the
@@ -6743,6 +6766,7 @@ def test_scd2_asof_compose_matches_direct_window_asof(spark, sf_dir):
     assert got == want
 
 
+@pytest.mark.slow
 def test_scd2_apply_sequential_batches_equal_full_rebuild(spark):
     """The r15 verdict #3 contract: applying changelog batches
     incrementally (scd2_apply) must be BIT-EQUAL to rebuilding from
@@ -8268,6 +8292,7 @@ def test_k_anonymity_report_reference_and_null_groups(spark):
         k_anonymity_report(df, [])
 
 
+@pytest.mark.slow
 def test_cosine_prefix_new_pairs_clone_stress(spark):
     """Regression net for the r18 sweep's catch (exponent 1.55 before
     the side-aware collapse): clone-inflate BOTH frames — corpus
@@ -8504,3 +8529,54 @@ def test_forget_ids_pooled_deletes_keep_swap_discipline(spark, sf_dir, tmp_path)
         if col in store.columns:
             got = {r[0] for r in store.select(col).distinct().collect()}
             assert not (got & vic), f"{root} still serves victim ids"
+
+
+def test_cosine_dense_gate_bounds_collect_bytes(spark, monkeypatch):
+    """r19 (r18 advisory + verdict #9): the dense-verify gate bounds
+    the driver collect in BYTES, not just matrix cells — a long-term
+    vocabulary replicates each term string across its posting rows, so
+    a corpus whose int64 matrix fits the cells cap can still imply a
+    huge pandas pull.  Such a corpus must take the map fallback (and
+    still produce the exact pairs); a short-term corpus of the same
+    shape must still take the dense arm."""
+    from clickstreaming_end_to_end_data_engineering_project_spark.operators import dedup
+
+    def corpus(term_len):
+        toks = [("x" * term_len) + str(i) for i in range(4)]
+        rows = [
+            (1, " ".join(toks)),
+            (2, " ".join(toks)),
+            (3, " ".join(toks[:2] + ["zq1", "zq2"])),
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    calls = {"dense": 0}
+    real_dense = dedup._verify_cosine_dense
+
+    def spy(*a, **k):
+        calls["dense"] += 1
+        return real_dense(*a, **k)
+
+    monkeypatch.setattr(dedup, "_verify_cosine_dense", spy)
+
+    # cells cap generous; byte budget = 8*cap. cap=40 -> 320 B budget:
+    # 4-term docs with ~500-char terms blow the byte bound while the
+    # 3x6 cell matrix stays under the cells cap.
+    big = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in dedup.cosine_prefix_pairs(
+            corpus(500), threshold=0.5, dense_verify_cells_cap=40
+        ).collect()
+    }
+    assert calls["dense"] == 0, "long-term corpus must take the map fallback"
+    small = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in dedup.cosine_prefix_pairs(
+            corpus(1), threshold=0.5, dense_verify_cells_cap=40
+        ).collect()
+    }
+    assert calls["dense"] == 1, "short-term corpus must take the dense arm"
+    # identical pair SET either way (cosines differ only via the term
+    # strings' lengths being irrelevant to tf vectors): same keys,
+    # same values
+    assert big == small and len(big) >= 1
