@@ -46,6 +46,150 @@ _HOT_LIST_EXPR_CAP = 1_000
 # falls back to the self-balancing forward-index map join unchanged.
 _DENSE_VERIFY_CELLS_CAP = 1 << 23
 
+# Dense ALL-PAIRS gate (r19 optimization round, the r18 verdict-#3
+# completion): when the rep matrix passes the dense-verify gate AND
+# the full Gram product is cheap (n_reps² · n_terms multiply-adds
+# under this cap ≈ one-to-two seconds of BLAS across the executor
+# cores), the prefix/candidate machinery is SKIPPED OUTRIGHT — every
+# qualifying rep pair comes straight out of block-wise exact Gram
+# products against the broadcast matrix.  This is the regime where
+# the r18 profile showed the bounds were nearly vacuous anyway (flat
+# vocabulary → candidates ≈ all pairs: 38.7 M prefix⋈prefix rows into
+# an 11.9 M-group aggregate at sf0.1, a 10.2 % prune), so enumerating
+# match rows per shared term only to re-derive the same pair set is
+# pure overhead.  Above either cap the published prefix-join path
+# runs unchanged — exactly the regime (Zipf/large vocabulary, big
+# corpora) where its bounds actually prune.
+_DENSE_GRAM_FLOPS_CAP = 1 << 33
+
+
+def _dense_all_pairs_gram(
+    tf: DataFrame,
+    threshold: float,
+    a_col: str,
+    b_col: str,
+    bc_sink: "list | None" = None,
+    rep_meta: "DataFrame | None" = None,
+) -> "DataFrame | None":
+    """Every qualifying rep pair straight from the dense tf matrix:
+    block-wise exact Gram products distributed over the executors via
+    ``mapInPandas`` against the same broadcast (ids, int64 matrix) the
+    dense VERIFY arm uses — no prefix build, no candidate join, no
+    per-pair aggregate.
+
+    Exactness: each Gram block runs in float64 BLAS, and every value
+    it accumulates is an integer bounded by max(‖tf‖²) — the helper
+    returns None (caller falls back to the prefix machinery) unless
+    max(‖tf‖²) < 2⁵³, so every partial sum is an exactly-representable
+    integer and the block product equals the exact long dot.  The
+    epilogue dot/(√nsq_a·√nsq_b) and the ≥-threshold filter are the
+    same IEEE float64 ops the prefix path's verification performs, so
+    the emitted cosines are bit-identical (pinned by the standing
+    dense-vs-map differential and the brute-force threshold sweeps).
+
+    ``rep_meta`` (incremental form): optional (id → side, fingerprint)
+    rows for every rep; when given, only pairs involving a side-1
+    (batch) rep and with UNEQUAL fingerprints are emitted — the same
+    pair set the side-aware candidate join produces (same-fp pairs
+    belong to the intra path) — and each pair is emitted with the
+    batch rep in ``a_col``, matching the expansion join's contract.
+    Without it, pairs are emitted once per unordered pair in matrix
+    order; rep-level column order is irrelevant downstream because
+    the expansion join covers every rep on both sides and normalizes
+    MEMBER ids with least/greatest."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    spark = tf.sparkSession
+    pdf = tf.select("_id", "term", "_tf").toPandas()
+    ids = pd.Index(pdf["_id"].unique())
+    term_codes, term_uniques = pd.factorize(pdf["term"])
+    n = len(ids)
+    if n < 2:
+        # zero or one rep: no pairs by construction
+        return tf.sparkSession.createDataFrame(
+            [], StructType(
+                [
+                    StructField(a_col, tf.schema["_id"].dataType),
+                    StructField(b_col, tf.schema["_id"].dataType),
+                    StructField("cosine", DoubleType()),
+                ]
+            )
+        )
+    mat = np.zeros((n, len(term_uniques)), dtype=np.int64)
+    mat[ids.get_indexer(pdf["_id"]), term_codes] = pdf["_tf"].to_numpy(np.int64)
+    nsq = np.einsum("ij,ij->i", mat, mat)
+    if int(nsq.max()) >= (1 << 53):
+        # float64 accumulation could round — fall back to the exact
+        # long prefix machinery (pathological ‖tf‖² ≥ 2⁵³ corpora)
+        return None
+    side = fpc = None
+    if rep_meta is not None:
+        meta = rep_meta.toPandas().set_index("_id").reindex(ids)
+        if meta["_side"].isna().any():
+            raise RuntimeError(
+                "dense gram pairs: rep metadata must cover every tf id"
+            )
+        side = meta["_side"].to_numpy(np.int64)
+        fpc = pd.factorize(meta["_fp"])[0]
+    bc = spark.sparkContext.broadcast((ids, mat, nsq, side, fpc))
+    if bc_sink is not None:
+        bc_sink.append(bc)
+    t = float(threshold)
+    block = max(64, (1 << 23) // n)  # bounds each block's Gram slab
+    n_blocks = (n + block - 1) // block
+    id_t = tf.schema["_id"].dataType
+    schema = StructType(
+        [
+            StructField(a_col, id_t),
+            StructField(b_col, id_t),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def _gram(batches):
+        b_ids, b_mat, b_nsq, b_side, b_fpc = bc.value
+        matf = b_mat.astype(np.float64)
+        sq = np.sqrt(b_nsq.astype(np.float64))
+        nn = len(b_ids)
+        for pdf_blk in batches:
+            for blk in pdf_blk["id"].to_numpy():
+                lo = int(blk) * block
+                hi = min(nn, lo + block)
+                if lo >= hi:
+                    continue
+                dots = matf[lo:hi] @ matf.T  # exact ints (gated < 2^53)
+                cos = dots / (sq[lo:hi, None] * sq[None, :])
+                keep = cos >= t
+                # strict upper triangle in matrix order: each
+                # unordered pair once, no self pairs
+                cols = np.arange(nn)[None, :]
+                rows = np.arange(lo, hi)[:, None]
+                keep &= cols > rows
+                if b_side is not None:
+                    keep &= (b_side[lo:hi, None] == 1) | (b_side[None, :] == 1)
+                    keep &= b_fpc[lo:hi, None] != b_fpc[None, :]
+                ii, jj = np.nonzero(keep)
+                if not len(ii):
+                    continue
+                ga = ids_a = b_ids.take(ii + lo)
+                gb = b_ids.take(jj)
+                if b_side is not None:
+                    # batch rep first (the expansion join's contract)
+                    swap = b_side[ii + lo] != 1
+                    ga = np.where(swap, gb, ids_a)
+                    gb = np.where(swap, ids_a, gb)
+                yield pd.DataFrame(
+                    {
+                        a_col: ga,
+                        b_col: gb,
+                        "cosine": cos[ii, jj],
+                    }
+                )
+
+    blocks = spark.range(0, n_blocks, 1, min(n_blocks, 32))
+    return blocks.mapInPandas(_gram, schema)
+
 
 def _verify_cosine_candidates(
     need: DataFrame,
@@ -1275,6 +1419,88 @@ def cosine_prefix_pairs(
         "left_semi",
     ).persist()
     try:
+        bc_sink: list = []
+
+        def _expand(rep_pairs: DataFrame) -> DataFrame:
+            # expansion: every member pair across two matched rep
+            # groups carries the representatives' cosine verbatim...
+            ma = members.select(
+                F.col("_rep").alias("doc_a"), F.col("_id").alias("_ida")
+            )
+            mb = members.select(
+                F.col("_rep").alias("doc_b"), F.col("_id").alias("_idb")
+            )
+            cross = (
+                rep_pairs.join(ma, "doc_a")
+                .join(mb, "doc_b")
+                .select(
+                    F.least("_ida", "_idb").alias("doc_a"),
+                    F.greatest("_ida", "_idb").alias("doc_b"),
+                    "cosine",
+                )
+            )
+            # ...and intra-group pairs get the identical-vector
+            # expression nsq/(sqrt(nsq)·sqrt(nsq)) under the same
+            # threshold filter the oracle applies
+            g2 = groups.filter(F.col("_g") >= 2).select("_rep", "_gnsq")
+            i1 = members.join(g2, "_rep").select(
+                "_rep", F.col("_id").alias("_ida"), "_gnsq"
+            )
+            i2 = members.select("_rep", F.col("_id").alias("_idb"))
+            intra = (
+                i1.join(i2, "_rep")
+                .filter(F.col("_ida") < F.col("_idb"))
+                .withColumn(
+                    "cosine",
+                    F.col("_gnsq") / (F.sqrt("_gnsq") * F.sqrt("_gnsq")),
+                )
+                .filter(F.col("cosine") >= threshold)
+                .select(
+                    F.col("_ida").alias("doc_a"),
+                    F.col("_idb").alias("doc_b"),
+                    "cosine",
+                )
+            )
+            # localCheckpoint is EAGER, so every cache/broadcast the
+            # lineage needed is safe to drop once this returns
+            return cross.unionByName(intra).localCheckpoint(eager=True)
+
+        # Dense ALL-PAIRS regime (r19 — see _DENSE_GRAM_FLOPS_CAP):
+        # when the collapsed reps' tf matrix passes the dense gate AND
+        # the full Gram product is cheap, every qualifying rep pair
+        # comes straight from block-wise exact Gram products and the
+        # prefix/candidate machinery below never runs.  Same gate
+        # aggregate the dense VERIFY arm costs; one extra integer
+        # comparison buys skipping the 38.7 M-row candidate join in
+        # the flat-vocabulary regime where its bounds prune ~10%.
+        cap = (
+            _DENSE_VERIFY_CELLS_CAP
+            if dense_verify_cells_cap is None
+            else int(dense_verify_cells_cap)
+        )
+        if cap > 0:
+            dims = tf.agg(
+                F.countDistinct("_id").alias("_nd"),
+                F.countDistinct("term").alias("_nt"),
+                F.count(F.lit(1)).alias("_np"),
+                F.sum(F.length("term")).alias("_tl"),
+            ).first()
+            n_docs, n_terms = int(dims["_nd"] or 0), int(dims["_nt"] or 0)
+            est_bytes = int(dims["_tl"] or 0) + 16 * int(dims["_np"] or 0)
+            if (
+                n_docs * n_terms <= cap
+                and est_bytes <= 8 * cap
+                and n_docs * n_docs * n_terms <= _DENSE_GRAM_FLOPS_CAP
+            ):
+                gram = _dense_all_pairs_gram(
+                    tf, threshold, "doc_a", "doc_b", bc_sink
+                )
+                if gram is not None:
+                    try:
+                        return _expand(gram)
+                    finally:
+                        for _bc in bc_sink:
+                            _bc.destroy()
         norms = tf.groupBy("_id").agg(F.sum(F.col("_tf") * F.col("_tf")).alias("_nsq"))
         withn = tf.join(norms, "_id")
         # vocabulary-sized aggregates: document frequency (the global
@@ -1331,7 +1557,6 @@ def cosine_prefix_pairs(
             .persist()
         )
         cand_cache = None
-        bc_sink: list = []
         try:
             a, b = pref.alias("a"), pref.alias("b")
             # Candidate generation is a GROUP-BY over the prefix⋈prefix
@@ -1443,49 +1668,7 @@ def cosine_prefix_pairs(
                 need, tf, threshold, "doc_a", "doc_b",
                 cells_cap=dense_verify_cells_cap, bc_sink=bc_sink,
             )
-            rep_pairs = exact_done.unionByName(verified)
-            # expansion: every member pair across two matched rep
-            # groups carries the representatives' cosine verbatim...
-            ma = members.select(
-                F.col("_rep").alias("doc_a"), F.col("_id").alias("_ida")
-            )
-            mb = members.select(
-                F.col("_rep").alias("doc_b"), F.col("_id").alias("_idb")
-            )
-            cross = (
-                rep_pairs.join(ma, "doc_a")
-                .join(mb, "doc_b")
-                .select(
-                    F.least("_ida", "_idb").alias("doc_a"),
-                    F.greatest("_ida", "_idb").alias("doc_b"),
-                    "cosine",
-                )
-            )
-            # ...and intra-group pairs get the identical-vector
-            # expression nsq/(sqrt(nsq)·sqrt(nsq)) under the same
-            # threshold filter the oracle applies
-            g2 = groups.filter(F.col("_g") >= 2).select("_rep", "_gnsq")
-            i1 = members.join(g2, "_rep").select(
-                "_rep", F.col("_id").alias("_ida"), "_gnsq"
-            )
-            i2 = members.select("_rep", F.col("_id").alias("_idb"))
-            intra = (
-                i1.join(i2, "_rep")
-                .filter(F.col("_ida") < F.col("_idb"))
-                .withColumn(
-                    "cosine",
-                    F.col("_gnsq") / (F.sqrt("_gnsq") * F.sqrt("_gnsq")),
-                )
-                .filter(F.col("cosine") >= threshold)
-                .select(
-                    F.col("_ida").alias("doc_a"),
-                    F.col("_idb").alias("doc_b"),
-                    "cosine",
-                )
-            )
-            # localCheckpoint is EAGER, so the caches are safe to drop
-            # in the finally below
-            return cross.unionByName(intra).localCheckpoint(eager=True)
+            return _expand(exact_done.unionByName(verified))
         finally:
             pref.unpersist()
             if cand_cache is not None:
@@ -1667,6 +1850,101 @@ def cosine_prefix_new_pairs(
         "left_semi",
     ).persist()
     try:
+        bc_sink: list = []
+
+        def _expand(rep_pairs: DataFrame) -> DataFrame:
+            # expansion: _ida is always a batch rep; _idb is a corpus
+            # rep or a batch rep — ids are globally unique across the
+            # frames (the guard above), so keying by rep id is
+            # unambiguous
+            expand_a = members.filter(F.col("_side") == 1).select(
+                F.col("_rep").alias("_ida"), F.col("_id").alias("_xa")
+            )
+            expand_b = members.select(
+                F.col("_rep").alias("_idb"), F.col("_id").alias("_xb")
+            )
+            cross = (
+                rep_pairs.join(expand_a, "_ida")
+                .join(expand_b, "_idb")
+                .select(
+                    F.least("_xa", "_xb").alias("doc_a"),
+                    F.greatest("_xa", "_xb").alias("doc_b"),
+                    "cosine",
+                )
+            )
+            # intra: same-fingerprint pairs involving a batch member —
+            # batch×batch within a fp (strict id order) plus
+            # batch×corpus across the sides; the identical-vector
+            # cosine expression under the same threshold filter
+            mem_n = members.filter(F.col("_side") == 1)
+            mem_c = members.filter(F.col("_side") == 0)
+            bm = mem_n.select("_fp", F.col("_id").alias("_xa")).join(
+                groups.filter(F.col("_side") == 1).select("_fp", "_gnsq"),
+                "_fp",
+            )
+            intra_pairs = bm.join(
+                mem_n.select("_fp", F.col("_id").alias("_xb")), "_fp"
+            ).filter(F.col("_xa") < F.col("_xb")).unionByName(
+                bm.join(
+                    mem_c.select("_fp", F.col("_id").alias("_xb")), "_fp"
+                )
+            )
+            intra = (
+                intra_pairs.withColumn(
+                    "cosine",
+                    F.col("_gnsq") / (F.sqrt("_gnsq") * F.sqrt("_gnsq")),
+                )
+                .filter(F.col("cosine") >= threshold)
+                .select(
+                    F.least("_xa", "_xb").alias("doc_a"),
+                    F.greatest("_xa", "_xb").alias("doc_b"),
+                    "cosine",
+                )
+            )
+            return cross.unionByName(intra).localCheckpoint(eager=True)
+
+        # Dense ALL-PAIRS regime (r19 — see cosine_prefix_pairs and
+        # _DENSE_GRAM_FLOPS_CAP): under the dense gate the qualifying
+        # batch-involving rep pairs come straight from block-wise
+        # exact Gram products; rep_meta carries (side, fingerprint)
+        # so the kernel keeps exactly the side-aware candidate join's
+        # pair set (batch-involving, fingerprint-unequal) with the
+        # batch rep first, matching the expansion contract.
+        cap = (
+            _DENSE_VERIFY_CELLS_CAP
+            if dense_verify_cells_cap is None
+            else int(dense_verify_cells_cap)
+        )
+        if cap > 0:
+            dims = tf.agg(
+                F.countDistinct("_id").alias("_nd"),
+                F.countDistinct("term").alias("_nt"),
+                F.count(F.lit(1)).alias("_np"),
+                F.sum(F.length("term")).alias("_tl"),
+            ).first()
+            n_docs, n_terms = int(dims["_nd"] or 0), int(dims["_nt"] or 0)
+            est_bytes = int(dims["_tl"] or 0) + 16 * int(dims["_np"] or 0)
+            if (
+                n_docs * n_terms <= cap
+                and est_bytes <= 8 * cap
+                and n_docs * n_docs * n_terms <= _DENSE_GRAM_FLOPS_CAP
+            ):
+                gram = _dense_all_pairs_gram(
+                    tf.select("_id", "term", "_tf"),
+                    threshold,
+                    "_ida",
+                    "_idb",
+                    bc_sink,
+                    rep_meta=groups.select(
+                        F.col("_rep").alias("_id"), "_side", "_fp"
+                    ),
+                )
+                if gram is not None:
+                    try:
+                        return _expand(gram)
+                    finally:
+                        for _bc in bc_sink:
+                            _bc.destroy()
         # ---- the persistable corpus index statistics over corpus
         # REPS (clone weights are identical to their rep's, so maxw
         # and the df-derived order are collapse-invariant in meaning):
@@ -1754,7 +2032,6 @@ def cosine_prefix_new_pairs(
             .persist()
         )
         cand_cache = None
-        bc_sink: list = []
         try:
             # ONE side-aware candidate join replacing the former
             # unionByName of the new×corpus and new×new arms: the
@@ -1831,57 +2108,7 @@ def cosine_prefix_new_pairs(
                 "_ida", "_idb", cells_cap=dense_verify_cells_cap,
                 bc_sink=bc_sink,
             )
-            rep_pairs = exact_done.unionByName(verified)
-            # expansion: _ida is always a batch rep; _idb is a corpus
-            # rep (fp-inequality arm) or a batch rep (fp-order arm) —
-            # ids are globally unique across the frames (the guard
-            # above), so keying by rep id is unambiguous
-            expand_a = members.filter(F.col("_side") == 1).select(
-                F.col("_rep").alias("_ida"), F.col("_id").alias("_xa")
-            )
-            expand_b = members.select(
-                F.col("_rep").alias("_idb"), F.col("_id").alias("_xb")
-            )
-            cross = (
-                rep_pairs.join(expand_a, "_ida")
-                .join(expand_b, "_idb")
-                .select(
-                    F.least("_xa", "_xb").alias("doc_a"),
-                    F.greatest("_xa", "_xb").alias("doc_b"),
-                    "cosine",
-                )
-            )
-            # intra: same-fingerprint pairs involving a batch member —
-            # batch×batch within a fp (strict id order) plus
-            # batch×corpus across the sides; the identical-vector
-            # cosine expression under the same threshold filter
-            mem_n = members.filter(F.col("_side") == 1)
-            mem_c = members.filter(F.col("_side") == 0)
-            bm = mem_n.select("_fp", F.col("_id").alias("_xa")).join(
-                groups.filter(F.col("_side") == 1).select("_fp", "_gnsq"),
-                "_fp",
-            )
-            intra_pairs = bm.join(
-                mem_n.select("_fp", F.col("_id").alias("_xb")), "_fp"
-            ).filter(F.col("_xa") < F.col("_xb")).unionByName(
-                bm.join(
-                    mem_c.select("_fp", F.col("_id").alias("_xb")), "_fp"
-                )
-            )
-            intra = (
-                intra_pairs.withColumn(
-                    "cosine",
-                    F.col("_gnsq") / (F.sqrt("_gnsq") * F.sqrt("_gnsq")),
-                )
-                .filter(F.col("cosine") >= threshold)
-                .select(
-                    F.least("_xa", "_xb").alias("doc_a"),
-                    F.greatest("_xa", "_xb").alias("doc_b"),
-                    "cosine",
-                )
-            )
-            out = cross.unionByName(intra)
-            return out.localCheckpoint(eager=True)
+            return _expand(exact_done.unionByName(verified))
         finally:
             pref.unpersist()
             if cand_cache is not None:

@@ -7986,10 +7986,17 @@ def test_cosine_prefix_zipf_corpus_and_exact_done_path(spark):
         return out
 
     df = spark.createDataFrame(docs, ["doc_id", "text"])
+    # dense_verify_cells_cap=0 (r19): this battery exists to net the
+    # PREFIX/bounds machinery (L2AP partial-dot bound, exact-done
+    # split) — at fixture scale the default path now takes the dense
+    # all-pairs Gram shortcut, which is netted separately by the
+    # brute-force threshold sweep and the dense-vs-map differential
     for t in (0.5, 0.8, 0.9, 1.0):
         got = {
             (r["doc_a"], r["doc_b"]): r["cosine"]
-            for r in cosine_prefix_pairs(df, threshold=t).collect()
+            for r in cosine_prefix_pairs(
+                df, threshold=t, dense_verify_cells_cap=0
+            ).collect()
         }
         want = ref_pairs(t)
         assert got == want, f"threshold {t}"
@@ -8550,32 +8557,42 @@ def test_cosine_dense_gate_bounds_collect_bytes(spark, monkeypatch):
         ]
         return spark.createDataFrame(rows, ["doc_id", "text"])
 
-    calls = {"dense": 0}
+    calls = {"dense": 0, "gram": 0}
     real_dense = dedup._verify_cosine_dense
+    real_gram = dedup._dense_all_pairs_gram
 
-    def spy(*a, **k):
+    def spy_dense(*a, **k):
         calls["dense"] += 1
         return real_dense(*a, **k)
 
-    monkeypatch.setattr(dedup, "_verify_cosine_dense", spy)
+    def spy_gram(*a, **k):
+        calls["gram"] += 1
+        return real_gram(*a, **k)
+
+    monkeypatch.setattr(dedup, "_verify_cosine_dense", spy_dense)
+    monkeypatch.setattr(dedup, "_dense_all_pairs_gram", spy_gram)
 
     # cells cap generous; byte budget = 8*cap. cap=40 -> 320 B budget:
     # 4-term docs with ~500-char terms blow the byte bound while the
-    # 3x6 cell matrix stays under the cells cap.
+    # 3x6 cell matrix stays under the cells cap.  BOTH dense arms (the
+    # r19 all-pairs Gram shortcut and the r18 dense verify) sit behind
+    # the same byte gate.
     big = {
         (r["doc_a"], r["doc_b"]): r["cosine"]
         for r in dedup.cosine_prefix_pairs(
             corpus(500), threshold=0.5, dense_verify_cells_cap=40
         ).collect()
     }
-    assert calls["dense"] == 0, "long-term corpus must take the map fallback"
+    assert calls == {"dense": 0, "gram": 0}, (
+        "long-term corpus must take the prefix machinery + map fallback"
+    )
     small = {
         (r["doc_a"], r["doc_b"]): r["cosine"]
         for r in dedup.cosine_prefix_pairs(
             corpus(1), threshold=0.5, dense_verify_cells_cap=40
         ).collect()
     }
-    assert calls["dense"] == 1, "short-term corpus must take the dense arm"
+    assert calls["gram"] == 1, "short-term corpus must take the Gram shortcut"
     # identical pair SET either way (cosines differ only via the term
     # strings' lengths being irrelevant to tf vectors): same keys,
     # same values
