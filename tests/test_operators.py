@@ -3138,6 +3138,7 @@ def test_hybrid_indexed_matches_in_memory_when_exhaustive(spark, sf_dir, tmp_pat
     assert got == want and len(got) == 10
 
 
+@pytest.mark.slow
 def test_hybrid_indexed_pin_holds_with_multi_segment_stores(spark, sf_dir, tmp_path):
     """r13 verdict #7: the hybrid serving pin must survive BOTH
     underlying stores being multi-segment post-append — the
@@ -3576,6 +3577,7 @@ def test_ivf_append_exhaustive_probe_equals_brute_force(spark, sf_dir, tmp_path)
     with pytest.raises(ValueError, match="no index"):
         S.append_ivf_index(part_b, str(tmp_path / "missing_ivf"))
 
+@pytest.mark.slow
 def test_ivfpq_append_exhaustive_probe_equals_brute_force(spark, sf_dir, tmp_path):
     """r13 verdict #2: Faiss add-after-train for IVFADC.  write(A) +
     append(B) encodes B's residuals against the STORED codebooks and
