@@ -187,7 +187,8 @@ def _dense_all_pairs_gram(
                     }
                 )
 
-    blocks = spark.range(0, n_blocks, 1, min(n_blocks, 32))
+    width = max(1, spark.sparkContext.defaultParallelism)
+    blocks = spark.range(0, n_blocks, 1, min(n_blocks, width))
     return blocks.mapInPandas(_gram, schema)
 
 
